@@ -1,0 +1,317 @@
+"""Typed engine configuration.
+
+TPU-native analogue of the reference's ``vllm/config/`` package: one
+dataclass per concern, composed into :class:`EngineConfig` (reference:
+vllm/config/__init__.py:90-148 ``VllmConfig``). CLI flags are generated
+from these dataclasses (see ``entrypoints/cli.py``), and
+``compute_hash()`` keys the XLA compile cache the way the reference's
+``VllmConfig.compute_hash`` keys torch.compile artifacts
+(vllm/config/__init__.py:150).
+
+Unlike the reference there is no per-rank worker process; parallelism is
+expressed as a JAX device mesh (``ParallelConfig.mesh_shape``) and GSPMD
+sharding rules, so ``ParallelConfig`` describes mesh axes, not ranks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field, fields
+from typing import Any, Literal, Optional
+
+from vllm_main_modify_tpu.utils import cdiv, round_up
+
+
+@dataclass
+class ModelConfig:
+    """Model identity + architecture hyperparameters.
+
+    Reference: vllm/config/model.py ModelConfig. The HF config is parsed
+    eagerly so everything downstream works with plain ints.
+    """
+
+    model: str = "."
+    tokenizer: Optional[str] = None
+    trust_remote_code: bool = False
+    dtype: str = "bfloat16"  # compute/weight dtype
+    seed: int = 0
+    max_model_len: int = 2048
+    revision: Optional[str] = None
+
+    # Derived from the HF config at __post_init__ (or injected for tests).
+    hf_config: Any = None
+    architecture: str = ""
+    vocab_size: int = 0
+    hidden_size: int = 0
+    num_layers: int = 0
+    num_attention_heads: int = 0
+    num_kv_heads: int = 0
+    head_dim: int = 0
+    intermediate_size: int = 0
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[dict] = None
+    tie_word_embeddings: bool = False
+    # MoE
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    num_shared_experts: int = 0
+    # attention extras
+    sliding_window: Optional[int] = None
+    attention_bias: bool = False
+    logit_softcap: Optional[float] = None
+    quantization: Optional[str] = None
+
+    def __post_init__(self) -> None:
+        if self.tokenizer is None:
+            self.tokenizer = self.model
+        if self.hf_config is None and self.model and os.path.isdir(self.model):
+            self._load_hf_config()
+        if self.hf_config is not None:
+            self._derive_from_hf()
+
+    def _load_hf_config(self) -> None:
+        from transformers import AutoConfig
+
+        self.hf_config = AutoConfig.from_pretrained(
+            self.model,
+            trust_remote_code=self.trust_remote_code,
+            revision=self.revision,
+        )
+
+    def _derive_from_hf(self) -> None:
+        hf = self.hf_config
+        get = lambda k, d=None: getattr(hf, k, d)
+        archs = get("architectures") or []
+        self.architecture = archs[0] if archs else type(hf).__name__
+        self.vocab_size = get("vocab_size", self.vocab_size)
+        self.hidden_size = get("hidden_size", self.hidden_size)
+        self.num_layers = get("num_hidden_layers", self.num_layers)
+        self.num_attention_heads = get("num_attention_heads",
+                                       self.num_attention_heads)
+        self.num_kv_heads = get("num_key_value_heads",
+                                self.num_attention_heads)
+        self.head_dim = get("head_dim") or (
+            self.hidden_size // max(self.num_attention_heads, 1))
+        self.intermediate_size = get("intermediate_size",
+                                     self.intermediate_size)
+        self.rms_norm_eps = get("rms_norm_eps", self.rms_norm_eps)
+        self.rope_theta = get("rope_theta", self.rope_theta)
+        self.rope_scaling = get("rope_scaling", self.rope_scaling)
+        self.tie_word_embeddings = get("tie_word_embeddings", False)
+        self.sliding_window = get("sliding_window", None)
+        if not get("use_sliding_window", True):
+            self.sliding_window = None
+        self.attention_bias = get("attention_bias",
+                                  get("qkv_bias", False) or False)
+        self.logit_softcap = get("final_logit_softcapping", None)
+        # MoE fields (mixtral/qwen-moe style)
+        self.num_experts = get("num_local_experts",
+                               get("num_experts", 0) or 0)
+        self.num_experts_per_tok = get("num_experts_per_tok", 0) or 0
+        self.moe_intermediate_size = get("moe_intermediate_size",
+                                         self.intermediate_size) or 0
+        self.num_shared_experts = get("shared_expert_intermediate_size",
+                                      0) and 1 or 0
+        hf_max = get("max_position_embeddings")
+        if hf_max is not None:
+            self.max_model_len = min(self.max_model_len, hf_max) \
+                if self.max_model_len else hf_max
+        quant_cfg = get("quantization_config", None)
+        if quant_cfg is not None and self.quantization is None:
+            self.quantization = quant_cfg.get("quant_method") if isinstance(
+                quant_cfg, dict) else getattr(quant_cfg, "quant_method", None)
+
+    @property
+    def jax_dtype(self):
+        import jax.numpy as jnp
+
+        return {
+            "bfloat16": jnp.bfloat16,
+            "float32": jnp.float32,
+            "float16": jnp.float16,
+        }[self.dtype]
+
+
+@dataclass
+class CacheConfig:
+    """Paged KV-cache sizing (reference: vllm/config/cache.py)."""
+
+    block_size: int = 16  # tokens per KV page
+    num_gpu_blocks: Optional[int] = None  # None → profile-derived
+    gpu_memory_utilization: float = 0.9
+    swap_space_gb: float = 0.0
+    cache_dtype: str = "auto"  # auto | bfloat16 | fp8
+    enable_prefix_caching: bool = True
+
+    def __post_init__(self) -> None:
+        assert self.block_size > 0
+
+
+@dataclass
+class SchedulerConfig:
+    """Continuous-batching knobs (reference: vllm/config/scheduler.py)."""
+
+    max_num_batched_tokens: int = 1024  # per-step token budget
+    max_num_seqs: int = 64
+    max_model_len: int = 2048
+    enable_chunked_prefill: bool = True
+    long_prefill_token_threshold: int = 0  # 0 = off
+    policy: Literal["fcfs", "priority"] = "fcfs"
+    # Spec decode lookahead tokens per request (0 = disabled).
+    num_lookahead_tokens: int = 0
+    # Async scheduling (schedule step t+1 while t executes).
+    async_scheduling: bool = False
+
+    def __post_init__(self) -> None:
+        self.max_num_batched_tokens = max(self.max_num_batched_tokens,
+                                          1)
+
+
+@dataclass
+class ParallelConfig:
+    """Mesh-based parallelism.
+
+    The reference builds ExternalDP x DP x PP x TP rank process groups
+    (vllm/distributed/parallel_state.py:1090). TPU-native: one process per
+    host, a ``jax.sharding.Mesh`` with named axes, GSPMD for everything
+    inside a step. ``tensor_parallel_size`` maps to the ``"model"`` mesh
+    axis; ``data_parallel_size`` to ``"data"``; expert parallelism reuses
+    the model axis ("expert" sub-axis) per MoE layer sharding rules.
+    """
+
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    expert_parallel_size: int = 1
+    enable_expert_parallel: bool = False
+    # axis names used in sharding rules
+    data_axis: str = "data"
+    model_axis: str = "model"
+
+    @property
+    def world_size(self) -> int:
+        return self.tensor_parallel_size * self.data_parallel_size
+
+    @property
+    def mesh_shape(self) -> tuple[int, int]:
+        return (self.data_parallel_size, self.tensor_parallel_size)
+
+
+@dataclass
+class DeviceConfig:
+    device: str = "auto"  # auto | tpu | cpu
+
+    def resolve(self) -> str:
+        if self.device != "auto":
+            return self.device
+        import jax
+
+        plat = jax.default_backend()
+        return "tpu" if plat in ("tpu", "axon") else plat
+
+
+@dataclass
+class LoadConfig:
+    """Weight-loading options (reference: vllm/config/load.py)."""
+
+    load_format: str = "auto"  # auto | safetensors | dummy
+    download_dir: Optional[str] = None
+
+
+@dataclass
+class SpeculativeConfig:
+    """Spec-decode config (reference: vllm/config/speculative.py)."""
+
+    method: Optional[str] = None  # ngram | eagle | draft_model
+    num_speculative_tokens: int = 0
+    # ngram proposer window
+    prompt_lookup_max: int = 4
+    prompt_lookup_min: int = 1
+    draft_model: Optional[str] = None
+
+    @property
+    def enabled(self) -> bool:
+        return self.method is not None and self.num_speculative_tokens > 0
+
+
+@dataclass
+class StructuredOutputsConfig:
+    backend: str = "auto"
+    enable_audit: bool = False
+    audit_dir: Optional[str] = None
+
+
+@dataclass
+class ObservabilityConfig:
+    collect_detailed_traces: bool = False
+    otlp_traces_endpoint: Optional[str] = None
+    log_stats_interval_s: float = 10.0
+
+
+@dataclass
+class CompilationConfig:
+    """XLA compile discipline (replaces the reference's torch.compile
+    config, vllm/config/compilation.py). Buckets keep every jitted shape
+    static (reference precedent: tpu_model_runner.py:1874-1935)."""
+
+    # token-count buckets: powers of two between min and max, plus
+    # multiples of `bucket_padding_gap` if set.
+    min_token_bucket: int = 16
+    bucket_padding_gap: int = 0  # 0 → pure powers of 2
+    cache_dir: Optional[str] = None  # XLA persistent compile cache
+    check_recompilation: bool = False  # jit-cache-miss sanitizer
+
+
+@dataclass
+class EngineConfig:
+    """Root config (reference: VllmConfig, vllm/config/__init__.py:90)."""
+
+    model_config: ModelConfig = field(default_factory=ModelConfig)
+    cache_config: CacheConfig = field(default_factory=CacheConfig)
+    scheduler_config: SchedulerConfig = field(default_factory=SchedulerConfig)
+    parallel_config: ParallelConfig = field(default_factory=ParallelConfig)
+    device_config: DeviceConfig = field(default_factory=DeviceConfig)
+    load_config: LoadConfig = field(default_factory=LoadConfig)
+    speculative_config: SpeculativeConfig = field(
+        default_factory=SpeculativeConfig)
+    structured_outputs_config: StructuredOutputsConfig = field(
+        default_factory=StructuredOutputsConfig)
+    observability_config: ObservabilityConfig = field(
+        default_factory=ObservabilityConfig)
+    compilation_config: CompilationConfig = field(
+        default_factory=CompilationConfig)
+
+    def __post_init__(self) -> None:
+        # keep max_model_len consistent across sub-configs
+        self.scheduler_config.max_model_len = self.model_config.max_model_len
+        if self.speculative_config.enabled:
+            self.scheduler_config.num_lookahead_tokens = (
+                self.speculative_config.num_speculative_tokens)
+
+    @property
+    def max_blocks_per_req(self) -> int:
+        return cdiv(self.model_config.max_model_len,
+                    self.cache_config.block_size)
+
+    def compute_hash(self) -> str:
+        """Structure hash keying compile caches
+        (reference: vllm/config/__init__.py:150)."""
+
+        def enc(o):
+            if hasattr(o, "__dataclass_fields__"):
+                return {
+                    f.name: enc(getattr(o, f.name))
+                    for f in fields(o) if f.name != "hf_config"
+                }
+            if isinstance(o, (list, tuple)):
+                return [enc(x) for x in o]
+            if isinstance(o, dict):
+                return {k: enc(v) for k, v in o.items()}
+            return o if isinstance(o, (int, float, str, bool,
+                                       type(None))) else str(o)
+
+        blob = json.dumps(enc(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]

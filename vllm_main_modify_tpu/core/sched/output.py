@@ -1,0 +1,86 @@
+"""Scheduler→runner wire format.
+
+Reference: vllm/v1/core/sched/output.py — ``NewRequestData``,
+``CachedRequestData``, ``SchedulerOutput`` (:166 area). In the TPU build
+this stays in-process (single-controller engine), but the types remain a
+clean serialization boundary for the multi-host fan-out path
+(SURVEY.md §7 step 10).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass
+class NewRequestData:
+    """Full state for a request the runner has never seen."""
+
+    req_id: str
+    prompt_token_ids: list[int]
+    sampling_params: object  # SamplingParams
+    block_ids: list[int]
+    num_computed_tokens: int
+    lora_name: Optional[str] = None
+    pooling_params: Optional[object] = None
+
+    @classmethod
+    def from_request(cls, request, block_ids: list[int]) -> \
+            "NewRequestData":
+        return cls(
+            req_id=request.request_id,
+            prompt_token_ids=request.prompt_token_ids,
+            sampling_params=request.sampling_params,
+            block_ids=block_ids,
+            num_computed_tokens=request.num_computed_tokens,
+            lora_name=request.lora_name,
+            pooling_params=request.pooling_params,
+        )
+
+
+@dataclass
+class CachedRequestData:
+    """Delta updates for requests already resident in the runner's
+    persistent batch (struct-of-lists, one entry per request)."""
+
+    req_ids: list[str] = field(default_factory=list)
+    # resumed from preemption: runner must re-init, not delta-update
+    resumed_from_preemption: list[bool] = field(default_factory=list)
+    # token ids the scheduler appended that the runner hasn't seen
+    # (non-empty only on resume or after spec-decode correction)
+    new_token_ids: list[list[int]] = field(default_factory=list)
+    # newly allocated block ids (appended to the runner's table)
+    new_block_ids: list[Optional[list[int]]] = field(default_factory=list)
+    num_computed_tokens: list[int] = field(default_factory=list)
+
+    @property
+    def num_reqs(self) -> int:
+        return len(self.req_ids)
+
+
+@dataclass
+class SchedulerOutput:
+    scheduled_new_reqs: list[NewRequestData] = field(default_factory=list)
+    scheduled_cached_reqs: CachedRequestData = field(
+        default_factory=CachedRequestData)
+    # req_id -> tokens to compute this step
+    num_scheduled_tokens: dict[str, int] = field(default_factory=dict)
+    total_num_scheduled_tokens: int = 0
+    # req_id -> spec token ids scheduled for verification this step
+    scheduled_spec_decode_tokens: dict[str, list[int]] = field(
+        default_factory=dict)
+    # cascade attention: pages shared by every scheduled request
+    num_common_prefix_blocks: int = 0
+    # requests finished/aborted since last step (runner must evict)
+    finished_req_ids: set[str] = field(default_factory=set)
+    # structured output: row-packed bitmask over the vocab + row map
+    grammar_bitmask: Optional[np.ndarray] = None
+    structured_output_request_ids: dict[str, int] = field(
+        default_factory=dict)
+
+    @property
+    def num_scheduled_reqs(self) -> int:
+        return len(self.num_scheduled_tokens)
