@@ -107,13 +107,13 @@ def test_free_order_is_lru_eviction_order():
     ids = mgr.get_block_ids(r1.request_id)
     r1.num_computed_tokens = 12
     mgr.free(r1)
-    # freed in reverse: head of free queue is the LAST block of r1,
-    # so the earliest blocks (deepest prefix) are evicted last
+    # freed in reverse order and appended at the queue tail: the LAST
+    # block of r1 is evicted first, the deepest-prefix block last
     free_ids = [
         b.block_id for b in
         mgr.block_pool.free_block_queue.get_all_free_blocks()
     ]
-    assert free_ids[:3] == list(reversed(ids))
+    assert free_ids[-3:] == list(reversed(ids))
 
 
 def test_lookahead_tokens_allocate_extra():
