@@ -1,0 +1,125 @@
+"""Ragged paged attention — XLA reference implementation + dispatch.
+
+The unified prefill+decode attention over a paged KV cache (reference
+capability: csrc/attention/ paged-attention kernels +
+vllm/v1/attention/backends/pallas.py ragged_paged_attention; see also
+PAPERS.md "Ragged Paged Attention"). Queries for all scheduled requests
+are packed ragged into one [T, H, D] array; per-request spans come from
+``query_start_loc``. Each query token attends to its request's KV pages
+causally.
+
+This file holds the pure-XLA implementation — the CPU/test oracle and
+fallback. The production Pallas kernel lives in ops/pallas/ragged_attn.py
+and must match this to ~1e-2 (bf16) / 1e-5 (f32).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+MIN_MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _searchsorted_seq_ids(query_start_loc: jax.Array,
+                          num_tokens: int) -> jax.Array:
+    """seq id for each packed query token: s(t) with
+    query_start_loc[s] <= t < query_start_loc[s+1]."""
+    token_ids = jnp.arange(num_tokens, dtype=jnp.int32)
+    # padded rows of query_start_loc repeat the final cumsum, so padded
+    # tokens map to the last (padded) sequence
+    return (jnp.searchsorted(
+        query_start_loc, token_ids, side="right").astype(jnp.int32) - 1)
+
+
+def ragged_paged_attention_xla(
+    q: jax.Array,  # [T, num_q_heads, head_dim]
+    kv_cache: jax.Array,  # [P, page_size, 2*num_kv_heads, head_dim]
+    block_tables: jax.Array,  # [R, max_pages] int32
+    query_start_loc: jax.Array,  # [R+1] int32 cumulative q lens
+    seq_lens: jax.Array,  # [R] int32 total kv len per seq
+    sm_scale: float,
+    sliding_window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
+) -> jax.Array:
+    """Token-parallel reference: each token gathers its request's pages.
+
+    O(T * max_kv) memory — fine for tests/CPU; the Pallas kernel is the
+    production path.
+    """
+    num_tokens, num_q_heads, head_dim = q.shape
+    num_pages, page_size, two_k, _ = kv_cache.shape
+    num_kv_heads = two_k // 2
+    num_reqs, max_pages = block_tables.shape
+    max_kv = max_pages * page_size
+    group = num_q_heads // num_kv_heads
+
+    seq_ids = _searchsorted_seq_ids(query_start_loc, num_tokens)
+    seq_ids = jnp.clip(seq_ids, 0, num_reqs - 1)
+
+    # kv position of each query token within its sequence: the i-th of a
+    # request's q tokens lands at seq_len - q_len + i
+    q_pos_in_seq = (jnp.arange(num_tokens, dtype=jnp.int32) -
+                    query_start_loc[seq_ids])
+    q_len = query_start_loc[seq_ids + 1] - query_start_loc[seq_ids]
+    kv_pos = seq_lens[seq_ids] - q_len + q_pos_in_seq  # [T]
+
+    # gather each token's pages → [T, max_kv, 2K, D]
+    pages = block_tables[seq_ids]  # [T, max_pages]
+    kv = kv_cache[pages]  # [T, max_pages, page, 2K, D]
+    kv = kv.reshape(num_tokens, max_kv, two_k, head_dim)
+    k = kv[:, :, 0::2, :]  # [T, max_kv, K, D]
+    v = kv[:, :, 1::2, :]
+
+    qf = q.astype(jnp.float32).reshape(num_tokens, num_kv_heads, group,
+                                       head_dim)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    # scores: [T, K, group, max_kv]
+    scores = jnp.einsum("tkgd,tskd->tkgs", qf, kf) * sm_scale
+    if logit_softcap is not None and logit_softcap > 0:
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+
+    kv_idx = jnp.arange(max_kv, dtype=jnp.int32)[None, :]  # [1, max_kv]
+    causal = kv_idx <= kv_pos[:, None]
+    in_len = kv_idx < seq_lens[seq_ids][:, None]
+    mask = causal & in_len
+    if sliding_window is not None and sliding_window > 0:
+        mask &= kv_idx > (kv_pos[:, None] - sliding_window)
+    scores = jnp.where(mask[:, None, None, :], scores, MIN_MASK)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("tkgs,tskd->tkgd", probs, vf)
+    return out.reshape(num_tokens, num_q_heads,
+                       head_dim).astype(q.dtype)
+
+
+def ragged_paged_attention(
+    q: jax.Array,
+    kv_cache: jax.Array,
+    block_tables: jax.Array,
+    query_start_loc: jax.Array,
+    seq_lens: jax.Array,
+    sm_scale: float,
+    sliding_window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Dispatch: Pallas kernel on TPU, XLA reference elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu", )
+    if use_pallas:
+        from vllm_main_modify_tpu.ops.pallas.ragged_attn import \
+            ragged_paged_attention_pallas
+
+        return ragged_paged_attention_pallas(
+            q, kv_cache, block_tables, query_start_loc, seq_lens,
+            sm_scale, sliding_window=sliding_window,
+            logit_softcap=logit_softcap)
+    return ragged_paged_attention_xla(q, kv_cache, block_tables,
+                                      query_start_loc, seq_lens, sm_scale,
+                                      sliding_window=sliding_window,
+                                      logit_softcap=logit_softcap)
