@@ -1,0 +1,59 @@
+"""Attention layer application + per-step metadata.
+
+The reference routes attention through an opaque custom op carrying a
+thread-local forward context (vllm/attention/layer.py:557,
+vllm/forward_context.py). TPU-native: the metadata is an explicit pytree
+argument threaded through the jitted step — no globals, no context
+objects, fully trace-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vllm_main_modify_tpu.ops.attention import ragged_paged_attention
+from vllm_main_modify_tpu.ops.kv_cache import write_to_kv_cache
+
+
+class AttentionMetadata(NamedTuple):
+    """Static-shape per-step attention inputs (padded).
+
+    Mirrors the information content of the reference's
+    PallasMetadata/FlashAttentionMetadata builders."""
+
+    block_tables: jax.Array  # [R, max_pages] int32
+    query_start_loc: jax.Array  # [R+1] int32
+    seq_lens: jax.Array  # [R] int32
+    slot_mapping: jax.Array  # [T] int32 flat slots, -1 pad
+    num_seqs: jax.Array  # [1] int32 — real request count
+
+
+def attention(
+    q: jax.Array,  # [T, Hq, D]
+    k: jax.Array,  # [T, Hk, D] (this step's new keys, post-rope)
+    v: jax.Array,  # [T, Hk, D]
+    kv_cache: jax.Array,  # [P, page, 2*Hk, D]
+    meta: AttentionMetadata,
+    sm_scale: float,
+    sliding_window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
+    use_pallas: Optional[bool] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Write new KV into pages, then ragged paged attention.
+    Returns (attn_out [T, Hq, D], updated kv_cache)."""
+    kv_cache = write_to_kv_cache(kv_cache, k, v, meta.slot_mapping)
+    out = ragged_paged_attention(
+        q,
+        kv_cache,
+        meta.block_tables,
+        meta.query_start_loc,
+        meta.seq_lens,
+        sm_scale,
+        sliding_window=sliding_window,
+        logit_softcap=logit_softcap,
+        use_pallas=use_pallas,
+    )
+    return out, kv_cache

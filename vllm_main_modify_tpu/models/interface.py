@@ -1,0 +1,56 @@
+"""Model protocol + weight-spec plumbing.
+
+The reference's model contract is ``forward(input_ids, positions,
+intermediate_tensors)`` + ``compute_logits`` + ``load_weights`` with
+per-parameter TP-aware loaders (vllm/model_executor/models/interfaces.py
+and e.g. llama.py load_weights). TPU-native: a model is a *pure
+function* over an explicit param pytree; sharding is declared once as
+``PartitionSpec`` per parameter and applied by the loader via GSPMD —
+there are no rank-local shards to stitch in Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+from jax.sharding import PartitionSpec
+
+
+@dataclass
+class ParamSpec:
+    """One parameter of the model's param pytree.
+
+    ``path``: pytree path, dot-separated ("layers.q_proj").
+    ``shape``: full (unsharded) shape; stacked params lead with the
+    layer axis.
+    ``sharding``: GSPMD PartitionSpec over the mesh axes
+    ('data', 'model').
+    ``hf_key``: HF safetensors name template; "{i}" expands to the layer
+    index for stacked params.
+    ``transform``: applied to the raw HF numpy tensor before placement
+    (default for 2-D weights: transpose, torch [out,in] → jax [in,out]).
+    """
+
+    path: str
+    shape: tuple
+    sharding: PartitionSpec
+    hf_key: str
+    stacked: bool = False
+    transform: Optional[Callable[[np.ndarray], np.ndarray]] = None
+
+
+def transpose2d(x: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(x.T)
+
+
+class Model:
+    """Protocol (duck-typed): every model family implements
+
+    - ``param_specs() -> list[ParamSpec]``
+    - ``__call__(params, input_ids, positions, kv_caches, attn_meta,
+       use_pallas) -> (hidden, new_kv_caches)``
+    - ``compute_logits(params, hidden) -> logits``
+    - ``kv_cache_spec() -> (num_kv_heads, head_dim, num_layers)``
+    """

@@ -1,0 +1,185 @@
+"""Llama-family decoder (Llama 2/3, Mistral, Qwen2/2.5, TinyLlama).
+
+Reference parity: vllm/model_executor/models/llama.py + qwen2.py. The
+TPU-native design differs structurally:
+
+- per-layer weights are **stacked** on a leading layer axis and the
+  decoder runs as one ``lax.scan`` — one compiled layer body instead of
+  N inlined layers (faster compiles, identical runtime: XLA unrolls the
+  HBM weight streaming per iteration);
+- tensor parallelism is GSPMD PartitionSpecs on the stacked weights
+  (column-parallel: shard last axis; row-parallel: shard input axis),
+  replacing the reference's ColumnParallelLinear/RowParallelLinear rank
+  classes (vllm/model_executor/layers/linear.py:405,1197);
+- the KV cache is one array per model, [L, pages, page, 2*Hk, D],
+  scanned alongside the layers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vllm_main_modify_tpu.config import ModelConfig
+from vllm_main_modify_tpu.layers.activation import ACT2FN
+from vllm_main_modify_tpu.layers.attention import (AttentionMetadata,
+                                                   attention)
+from vllm_main_modify_tpu.layers.normalization import rms_norm
+from vllm_main_modify_tpu.layers.rotary import (apply_rope,
+                                                compute_inv_freq)
+from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
+
+
+class LlamaForCausalLM:
+
+    # Qwen2 has attention biases; flag is picked up from the HF config.
+    def __init__(self, config: ModelConfig):
+        self.cfg = config
+        self.num_q = config.num_attention_heads
+        self.num_kv = config.num_kv_heads
+        self.head_dim = config.head_dim
+        self.hidden = config.hidden_size
+        self.inter = config.intermediate_size
+        self.L = config.num_layers
+        self.sm_scale = self.head_dim**-0.5
+        self.inv_freq = jnp.asarray(
+            compute_inv_freq(self.head_dim, config.rope_theta,
+                             config.rope_scaling))
+        act = getattr(config.hf_config, "hidden_act", "silu") \
+            if config.hf_config is not None else "silu"
+        self.act_fn = ACT2FN[act]
+        self.qkv_bias = bool(config.attention_bias)
+        self.tie_embeddings = config.tie_word_embeddings
+
+    # ------------------------------------------------------------------
+
+    def param_specs(self) -> list[ParamSpec]:
+        c = self.cfg
+        d = c.jax_dtype
+        qd = self.num_q * self.head_dim
+        kd = self.num_kv * self.head_dim
+        L, H, I, V = self.L, self.hidden, self.inter, c.vocab_size
+        t = transpose2d
+
+        def stk(path, shape, spec, hf_key, transform=t):
+            return ParamSpec(path, (L, *shape), spec, hf_key,
+                             stacked=True, transform=transform)
+
+        specs = [
+            ParamSpec("embed_tokens", (V, H), P("model", None),
+                      "model.embed_tokens.weight", transform=None),
+            ParamSpec("final_norm", (H, ), P(), "model.norm.weight",
+                      transform=None),
+            stk("layers.input_layernorm", (H, ), P(None, None),
+                "model.layers.{i}.input_layernorm.weight",
+                transform=None),
+            stk("layers.q_proj", (H, qd), P(None, None, "model"),
+                "model.layers.{i}.self_attn.q_proj.weight"),
+            stk("layers.k_proj", (H, kd), P(None, None, "model"),
+                "model.layers.{i}.self_attn.k_proj.weight"),
+            stk("layers.v_proj", (H, kd), P(None, None, "model"),
+                "model.layers.{i}.self_attn.v_proj.weight"),
+            stk("layers.o_proj", (qd, H), P(None, "model", None),
+                "model.layers.{i}.self_attn.o_proj.weight"),
+            stk("layers.post_attention_layernorm", (H, ), P(None, None),
+                "model.layers.{i}.post_attention_layernorm.weight",
+                transform=None),
+            stk("layers.gate_proj", (H, I), P(None, None, "model"),
+                "model.layers.{i}.mlp.gate_proj.weight"),
+            stk("layers.up_proj", (H, I), P(None, None, "model"),
+                "model.layers.{i}.mlp.up_proj.weight"),
+            stk("layers.down_proj", (I, H), P(None, "model", None),
+                "model.layers.{i}.mlp.down_proj.weight"),
+        ]
+        if not self.tie_embeddings:
+            specs.append(
+                ParamSpec("lm_head", (H, V), P(None, "model"),
+                          "lm_head.weight", transform=t))
+        if self.qkv_bias:
+            specs += [
+                stk("layers.q_bias", (qd, ), P(None, "model"),
+                    "model.layers.{i}.self_attn.q_proj.bias",
+                    transform=None),
+                stk("layers.k_bias", (kd, ), P(None, "model"),
+                    "model.layers.{i}.self_attn.k_proj.bias",
+                    transform=None),
+                stk("layers.v_bias", (kd, ), P(None, "model"),
+                    "model.layers.{i}.self_attn.v_proj.bias",
+                    transform=None),
+            ]
+        return specs
+
+    def kv_cache_spec(self) -> tuple[int, int, int]:
+        return self.num_kv, self.head_dim, self.L
+
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        params: dict,
+        input_ids: jax.Array,  # [T]
+        positions: jax.Array,  # [T]
+        kv_caches: jax.Array,  # [L, P, page, 2*Hk, D]
+        attn_meta: AttentionMetadata,
+        use_pallas: Optional[bool] = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        cfg = self.cfg
+        x = jnp.take(params["embed_tokens"], input_ids,
+                     axis=0)  # [T, H]
+        t = x.shape[0]
+
+        def layer_fn(carry, layer_in):
+            x = carry
+            w, kv_cache = layer_in
+            res = x
+            h = rms_norm(x, w["input_layernorm"], cfg.rms_norm_eps)
+            q = h @ w["q_proj"]
+            k = h @ w["k_proj"]
+            v = h @ w["v_proj"]
+            if self.qkv_bias:
+                q = q + w["q_bias"]
+                k = k + w["k_bias"]
+                v = v + w["v_bias"]
+            q = q.reshape(t, self.num_q, self.head_dim)
+            k = k.reshape(t, self.num_kv, self.head_dim)
+            v = v.reshape(t, self.num_kv, self.head_dim)
+            q, k = apply_rope(q, k, positions, self.inv_freq)
+            o, kv_cache = attention(q, k, v, kv_cache, attn_meta,
+                                    self.sm_scale,
+                                    sliding_window=cfg.sliding_window,
+                                    use_pallas=use_pallas)
+            x = res + o.reshape(t, -1) @ w["o_proj"]
+
+            res = x
+            h = rms_norm(x, w["post_attention_layernorm"],
+                         cfg.rms_norm_eps)
+            h = self.act_fn(h @ w["gate_proj"], h @ w["up_proj"])
+            x = res + h @ w["down_proj"]
+            return x, kv_cache
+
+        x, new_kv = jax.lax.scan(layer_fn, x,
+                                 (params["layers"], kv_caches))
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return x, new_kv
+
+    def compute_logits(self, params: dict,
+                       hidden: jax.Array) -> jax.Array:
+        if self.tie_embeddings:
+            w = params["embed_tokens"].T
+        else:
+            w = params["lm_head"]
+        logits = hidden.astype(jnp.float32) @ w.astype(jnp.float32)
+        if self.cfg.logit_softcap:
+            cap = self.cfg.logit_softcap
+            logits = jnp.tanh(logits / cap) * cap
+        return logits
+
+
+# Qwen2/2.5 and Mistral share the Llama computation graph; the HF config
+# (attention_bias / sliding_window / tied embeddings) carries the deltas.
+Qwen2ForCausalLM = LlamaForCausalLM
+MistralForCausalLM = LlamaForCausalLM
+TinyLlamaForCausalLM = LlamaForCausalLM

@@ -1,0 +1,157 @@
+"""Weight loading: HF safetensors → GSPMD-sharded param pytree.
+
+Reference capability: vllm/model_executor/model_loader/ (safetensors
+streaming default loader + the TPU SPMD loader tpu.py:21 that loads on
+CPU then shards). TPU-native version: each parameter is assembled on
+host (stacking per-layer HF tensors into the model's layer-stacked
+layout), then ``jax.device_put`` with its ``NamedSharding`` slices it
+across the mesh — GSPMD replaces the reference's per-rank
+``weight_loader`` protocol entirely.
+
+Also supports ``load_format="dummy"`` (random init, for benchmarks) per
+reference model_loader/dummy.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from vllm_main_modify_tpu.config import ModelConfig
+from vllm_main_modify_tpu.models.interface import ParamSpec
+
+
+def _set_path(tree: dict, path: str, value) -> None:
+    keys = path.split(".")
+    for k in keys[:-1]:
+        tree = tree.setdefault(k, {})
+    tree[keys[-1]] = value
+
+
+def _hf_tensor_index(model_dir: str) -> dict[str, str]:
+    """tensor name -> safetensors file path."""
+    index_path = os.path.join(model_dir,
+                              "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+        return {
+            k: os.path.join(model_dir, v)
+            for k, v in index["weight_map"].items()
+        }
+    files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(
+            f"no .safetensors files under {model_dir}")
+    from safetensors import safe_open
+
+    out = {}
+    for path in files:
+        with safe_open(path, framework="numpy") as f:
+            for name in f.keys():
+                out[name] = path
+    return out
+
+
+class _TensorReader:
+    """Caches open safetensors handles; returns numpy views."""
+
+    def __init__(self, tensor_index: dict[str, str]) -> None:
+        self._index = tensor_index
+        self._handles: dict[str, object] = {}
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._index
+
+    def get(self, name: str) -> np.ndarray:
+        from safetensors import safe_open
+
+        path = self._index[name]
+        h = self._handles.get(path)
+        if h is None:
+            h = safe_open(path, framework="numpy")
+            self._handles[path] = h
+        return h.get_tensor(name)
+
+
+def load_model_weights(
+    model,
+    config: ModelConfig,
+    mesh: Mesh,
+    load_format: str = "auto",
+) -> dict:
+    """Build the sharded param pytree for ``model`` (Model protocol)."""
+    specs = model.param_specs()
+    if load_format == "dummy":
+        return init_dummy_params(model, config, mesh)
+
+    reader = _TensorReader(_hf_tensor_index(config.model))
+    dtype = config.jax_dtype
+    params: dict = {}
+    for spec in specs:
+        host = _assemble_host_tensor(spec, reader, dtype)
+        sharding = NamedSharding(mesh, spec.sharding)
+        arr = jax.device_put(jnp.asarray(host), sharding)
+        _set_path(params, spec.path, arr)
+        del host
+    return params
+
+
+def _assemble_host_tensor(spec: ParamSpec, reader: _TensorReader,
+                          dtype) -> np.ndarray:
+    np_dtype = np.dtype(jnp.dtype(dtype).name) if jnp.dtype(dtype) != \
+        jnp.bfloat16 else np.dtype("bfloat16")
+
+    def fetch(name: str) -> np.ndarray:
+        if name not in reader:
+            raise KeyError(f"missing HF tensor {name!r} "
+                           f"for param {spec.path!r}")
+        x = reader.get(name)
+        if spec.transform is not None:
+            x = spec.transform(x)
+        return x
+
+    if spec.stacked:
+        num_layers = spec.shape[0]
+        out = np.empty(spec.shape, dtype=np_dtype)
+        for i in range(num_layers):
+            x = fetch(spec.hf_key.format(i=i))
+            assert x.shape == spec.shape[1:], (
+                f"{spec.path} layer {i}: got {x.shape}, "
+                f"want {spec.shape[1:]}")
+            out[i] = x.astype(np_dtype)
+        return out
+    x = fetch(spec.hf_key)
+    assert x.shape == tuple(spec.shape), (
+        f"{spec.path}: got {x.shape}, want {spec.shape}")
+    return x.astype(np_dtype)
+
+
+def init_dummy_params(model, config: ModelConfig, mesh: Mesh) -> dict:
+    """Random-init params sharded over the mesh (benchmarking without
+    checkpoints; reference: model_loader/dummy loader)."""
+    params: dict = {}
+    key = jax.random.PRNGKey(config.seed)
+    for spec in model.param_specs():
+        key, sub = jax.random.split(key)
+        sharding = NamedSharding(mesh, spec.sharding)
+        scale = 0.02 if len(spec.shape) > 1 else 1.0
+
+        def init(k, shape=spec.shape, scale=scale):
+            if scale == 1.0:
+                return jnp.ones(shape, dtype=config.jax_dtype)
+            return (jax.random.normal(k, shape, dtype=jnp.float32) *
+                    scale).astype(config.jax_dtype)
+
+        arr = jax.jit(init, out_shardings=sharding)(sub)
+        _set_path(params, spec.path, arr)
+    return params

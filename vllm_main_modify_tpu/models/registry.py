@@ -1,0 +1,55 @@
+"""Architecture registry (reference: vllm/model_executor/models/
+registry.py:555 — 221 architectures with lazy import; this build grows
+toward that list family-by-family)."""
+
+from __future__ import annotations
+
+import importlib
+from typing import Callable
+
+from vllm_main_modify_tpu.config import ModelConfig
+
+# architecture name (HF config.architectures[0]) -> (module, attr)
+_REGISTRY: dict[str, tuple[str, str]] = {
+    "LlamaForCausalLM": ("vllm_main_modify_tpu.models.llama",
+                         "LlamaForCausalLM"),
+    "MistralForCausalLM": ("vllm_main_modify_tpu.models.llama",
+                           "LlamaForCausalLM"),
+    "Qwen2ForCausalLM": ("vllm_main_modify_tpu.models.registry",
+                         "_qwen2_factory"),
+    "Qwen3ForCausalLM": ("vllm_main_modify_tpu.models.qwen3",
+                         "Qwen3ForCausalLM"),
+    "MixtralForCausalLM": ("vllm_main_modify_tpu.models.mixtral",
+                           "MixtralForCausalLM"),
+    "Qwen2MoeForCausalLM": ("vllm_main_modify_tpu.models.qwen2_moe",
+                            "Qwen2MoeForCausalLM"),
+    "GemmaForCausalLM": ("vllm_main_modify_tpu.models.gemma",
+                         "GemmaForCausalLM"),
+    "Gemma2ForCausalLM": ("vllm_main_modify_tpu.models.gemma",
+                          "Gemma2ForCausalLM"),
+}
+
+
+def _qwen2_factory(config: ModelConfig):
+    from vllm_main_modify_tpu.models.llama import LlamaForCausalLM
+
+    # HF Qwen2 uses unconditional q/k/v biases (no config flag).
+    config.attention_bias = True
+    return LlamaForCausalLM(config)
+
+
+def resolve_model_cls(architecture: str) -> Callable:
+    if architecture not in _REGISTRY:
+        raise ValueError(
+            f"Architecture {architecture!r} is not supported yet. "
+            f"Known: {sorted(_REGISTRY)}")
+    module, attr = _REGISTRY[architecture]
+    return getattr(importlib.import_module(module), attr)
+
+
+def create_model(config: ModelConfig):
+    return resolve_model_cls(config.architecture)(config)
+
+
+def list_supported_archs() -> list[str]:
+    return sorted(_REGISTRY)
