@@ -1,0 +1,117 @@
+"""End-to-end engine tests: LLM.generate on the tiny Llama checkpoint,
+greedy parity vs HuggingFace transformers (SURVEY.md §4 test-pyramid
+item 3; reference fixture pattern: tests/conftest.py VllmRunner vs
+HfRunner)."""
+
+import numpy as np
+import pytest
+
+from vllm_main_modify_tpu.entrypoints.llm import LLM
+from vllm_main_modify_tpu.sampling_params import SamplingParams
+
+PROMPTS = [
+    "hello world this is",
+    "a test of the",
+    "the tokenizer hello hello world",
+]
+
+
+@pytest.fixture(scope="module")
+def llm(tiny_llama_dir):
+    return LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+               max_num_seqs=8, max_num_batched_tokens=64, block_size=4,
+               num_kv_blocks=256)
+
+
+def hf_greedy(model_dir, prompt_ids: list[int], max_new: int):
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    model = AutoModelForCausalLM.from_pretrained(model_dir,
+                                                 torch_dtype=torch.float32)
+    model.eval()
+    with torch.no_grad():
+        out = model.generate(
+            torch.tensor([prompt_ids]), max_new_tokens=max_new,
+            do_sample=False, temperature=None, top_p=None, top_k=None,
+            eos_token_id=None, pad_token_id=0)
+    return out[0, len(prompt_ids):].tolist()
+
+
+def test_greedy_parity_vs_hf(llm, tiny_llama_dir):
+    tok = llm.get_tokenizer()
+    max_new = 16
+    outs = llm.generate(
+        PROMPTS,
+        SamplingParams(temperature=0.0, max_tokens=max_new,
+                       ignore_eos=True))
+    assert len(outs) == len(PROMPTS)
+    for prompt, out in zip(PROMPTS, outs):
+        ids = tok.encode(prompt)
+        ref = hf_greedy(tiny_llama_dir, ids, max_new)
+        got = out.outputs[0].token_ids
+        assert got == ref, f"prompt {prompt!r}: {got} != {ref}"
+        assert out.finished
+        assert out.outputs[0].finish_reason == "length"
+
+
+def test_batch_mixed_lengths(llm):
+    params = [
+        SamplingParams(temperature=0.0, max_tokens=n, ignore_eos=True)
+        for n in (1, 5, 12)
+    ]
+    outs = llm.generate(PROMPTS, params)
+    for out, p in zip(outs, params):
+        assert len(out.outputs[0].token_ids) == p.max_tokens
+        assert out.outputs[0].text  # detokenized something
+
+
+def test_stop_token(llm):
+    # run greedy once to learn the first generated token, then use it
+    # as a stop token
+    out0 = llm.generate(
+        [PROMPTS[0]],
+        SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True))
+    first = out0[0].outputs[0].token_ids[0]
+    outs = llm.generate(
+        [PROMPTS[0]],
+        SamplingParams(temperature=0.0, max_tokens=8,
+                       stop_token_ids=[first], ignore_eos=True))
+    co = outs[0].outputs[0]
+    assert co.token_ids == [first]
+    assert co.finish_reason == "stop"
+    assert co.stop_reason == first
+
+
+def test_random_sampling_seeded(llm):
+    p = SamplingParams(temperature=0.8, top_p=0.9, top_k=20, seed=1234,
+                       max_tokens=8, ignore_eos=True)
+    out1 = llm.generate([PROMPTS[0]], p)[0].outputs[0].token_ids
+    out2 = llm.generate([PROMPTS[0]], p)[0].outputs[0].token_ids
+    assert out1 == out2, "same seed must reproduce"
+    assert len(out1) == 8
+
+
+def test_logprobs(llm):
+    p = SamplingParams(temperature=0.0, max_tokens=4, logprobs=3,
+                       ignore_eos=True)
+    out = llm.generate([PROMPTS[0]], p)[0]
+    lps = out.outputs[0].logprobs
+    assert lps is not None and len(lps) == 4
+    for pos, d in enumerate(lps):
+        tok = out.outputs[0].token_ids[pos]
+        assert tok in d
+        # greedy sampled token must be rank 1 (the argmax; vLLM
+        # 1-based rank convention)
+        assert d[tok].rank == 1
+        assert d[tok].logprob <= 0.0
+
+
+def test_prefix_cache_reuse(llm):
+    """Second generation sharing a long prefix must report cached
+    tokens."""
+    long_prompt = "hello world this is a test of the tokenizer " * 4
+    p = SamplingParams(temperature=0.0, max_tokens=2, ignore_eos=True)
+    llm.generate([long_prompt], p)
+    out = llm.generate([long_prompt], p)[0]
+    assert out.num_cached_tokens > 0

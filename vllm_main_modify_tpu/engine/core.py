@@ -1,0 +1,132 @@
+"""Engine core: schedule → execute → update loop.
+
+Reference: vllm/v1/engine/core.py ``EngineCore`` (:67) — owns the
+Scheduler and the execution backend; ``step()`` (:273) runs one
+iteration. TPU-native: no WorkerProc/Executor process tree — the model
+runner is in-process (single-controller GSPMD, SURVEY.md §7 design
+stance), so "executor" collapses to a direct call. KV-cache sizing
+mirrors ``_initialize_kv_caches`` (:170): profile free HBM after weight
+load, divide by page bytes.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import numpy as np
+
+from vllm_main_modify_tpu.config import EngineConfig
+from vllm_main_modify_tpu.core.kv_cache_utils import (
+    get_request_block_hasher, init_none_hash)
+from vllm_main_modify_tpu.core.request import Request, RequestStatus
+from vllm_main_modify_tpu.core.sched.scheduler import Scheduler
+from vllm_main_modify_tpu.engine.types import (EngineCoreOutputs,
+                                               EngineCoreRequest)
+from vllm_main_modify_tpu.worker.model_runner import TPUModelRunner
+
+logger = logging.getLogger(__name__)
+
+
+def build_mesh(config: EngineConfig):
+    """Device mesh from ParallelConfig: (data, model) axes."""
+    import jax
+    from jax.sharding import Mesh
+
+    pc = config.parallel_config
+    devices = jax.devices()
+    world = pc.world_size
+    if world > len(devices):
+        raise ValueError(f"need {world} devices, have {len(devices)}")
+    arr = np.array(devices[:world]).reshape(pc.mesh_shape)
+    return Mesh(arr, (pc.data_axis, pc.model_axis))
+
+
+class EngineCore:
+
+    def __init__(self, config: EngineConfig,
+                 structured_output_manager=None,
+                 mesh=None) -> None:
+        self.config = config
+        init_none_hash(config.model_config.seed)
+        self.mesh = mesh if mesh is not None else build_mesh(config)
+
+        self.model_runner = TPUModelRunner(config, self.mesh)
+        self.model_runner.load_model()
+
+        num_pages = self._size_kv_cache()
+        self.model_runner.initialize_kv_cache(num_pages)
+        logger.info("KV cache: %d pages x %d tokens", num_pages,
+                    config.cache_config.block_size)
+
+        self.structured_output_manager = structured_output_manager
+        self.scheduler = Scheduler(
+            config, num_kv_blocks=num_pages,
+            structured_output_manager=structured_output_manager)
+
+        self._block_hasher = None
+        if config.cache_config.enable_prefix_caching:
+            self._block_hasher = get_request_block_hasher(
+                config.cache_config.block_size)
+
+    def _size_kv_cache(self) -> int:
+        cc = self.config.cache_config
+        if cc.num_gpu_blocks is not None:
+            return cc.num_gpu_blocks
+        avail = self.model_runner.profile_available_kv_bytes()
+        page_bytes = self.model_runner.page_bytes()
+        num_pages = max(avail // page_bytes, 16)
+        # block id 0 is the null block; +1 so capacity is as configured
+        return int(num_pages)
+
+    # ------------------------------------------------------------------
+
+    def add_request(self, request: EngineCoreRequest) -> None:
+        req = Request(
+            request_id=request.request_id,
+            prompt_token_ids=request.prompt_token_ids,
+            sampling_params=request.sampling_params,
+            pooling_params=request.pooling_params,
+            eos_token_id=request.eos_token_id,
+            arrival_time=request.arrival_time,
+            block_hasher=self._block_hasher,
+            cache_salt=request.cache_salt,
+            priority=request.priority,
+            client_index=request.client_index,
+            prompt=request.prompt,
+            lora_name=request.lora_name,
+            trace_headers=request.trace_headers,
+        )
+        if self.structured_output_manager is not None and \
+                req.use_structured_output:
+            self.structured_output_manager.add_request(req)
+        self.scheduler.add_request(req)
+
+    def abort_requests(self, request_ids) -> None:
+        self.scheduler.finish_requests(request_ids,
+                                       RequestStatus.FINISHED_ABORTED)
+
+    def step(self) -> EngineCoreOutputs:
+        """One engine iteration (reference: core.py:273-292)."""
+        if not self.scheduler.has_unfinished_requests():
+            return EngineCoreOutputs()
+        scheduler_output = self.scheduler.schedule()
+        runner_output = self.model_runner.execute_model(scheduler_output)
+        return self.scheduler.update_from_output(scheduler_output,
+                                                 runner_output)
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished_requests()
+
+    def reset_prefix_cache(self) -> bool:
+        return self.scheduler.reset_prefix_cache()
+
+    def profile_start(self) -> None:
+        import jax
+
+        jax.profiler.start_trace("/tmp/tpu_profile")
+
+    def profile_stop(self) -> None:
+        import jax
+
+        jax.profiler.stop_trace()

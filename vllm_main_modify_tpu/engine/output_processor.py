@@ -1,0 +1,162 @@
+"""Frontend output processing: EngineCoreOutputs → RequestOutputs.
+
+Reference: vllm/v1/engine/output_processor.py — ``OutputProcessor``
+(:301) holds per-request frontend state (``RequestState`` :80):
+incremental detokenization, stop-string truncation (the engine core
+checks stop *tokens*; stop *strings* are text-level and live here),
+logprob decoration, and RequestOutput assembly for streaming or final
+delivery.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+from vllm_main_modify_tpu.engine.detokenizer import make_detokenizer
+from vllm_main_modify_tpu.engine.types import (EngineCoreOutput,
+                                               EngineCoreRequest,
+                                               FinishReason)
+from vllm_main_modify_tpu.outputs import (CompletionOutput,
+                                          RequestMetrics, RequestOutput)
+from vllm_main_modify_tpu.sampling_params import (RequestOutputKind,
+                                                  SamplingParams)
+
+
+class RequestState:
+
+    def __init__(self, request: EngineCoreRequest, tokenizer) -> None:
+        self.request_id = request.request_id
+        self.prompt = request.prompt
+        self.prompt_token_ids = request.prompt_token_ids
+        params = request.sampling_params or SamplingParams()
+        self.params = params
+        self.output_kind = params.output_kind
+        self.detokenizer = (make_detokenizer(tokenizer, params)
+                            if tokenizer is not None else None)
+        self.logprobs: list = []  # accumulated LogprobsDict
+        self.num_tokens_sent = 0  # for DELTA streaming
+        self.text_sent = 0
+        self.all_token_ids: list[int] = []
+        self.metrics = RequestMetrics(
+            arrival_time=request.arrival_time,
+            num_prompt_tokens=len(request.prompt_token_ids))
+
+
+@dataclass
+class OutputProcessorResult:
+    request_outputs: list[RequestOutput] = field(default_factory=list)
+    reqs_to_abort: list[str] = field(default_factory=list)
+
+
+class OutputProcessor:
+
+    def __init__(self, tokenizer) -> None:
+        self.tokenizer = tokenizer
+        self.states: dict[str, RequestState] = {}
+
+    def add_request(self, request: EngineCoreRequest) -> None:
+        self.states[request.request_id] = RequestState(
+            request, self.tokenizer)
+
+    def abort_requests(self, request_ids) -> None:
+        for rid in request_ids:
+            self.states.pop(rid, None)
+
+    def process_outputs(
+            self,
+            outputs: list[EngineCoreOutput]) -> OutputProcessorResult:
+        result = OutputProcessorResult()
+        now = time.monotonic()
+        for out in outputs:
+            state = self.states.get(out.request_id)
+            if state is None:
+                continue  # aborted
+            if state.metrics.first_token_time is None and \
+                    out.new_token_ids:
+                state.metrics.first_token_time = now
+
+            stop_str = None
+            new_token_ids = out.new_token_ids
+            state.all_token_ids.extend(new_token_ids)
+            state.metrics.num_generation_tokens += len(new_token_ids)
+            if state.detokenizer is not None:
+                stop_str = state.detokenizer.update(new_token_ids)
+
+            finish_reason = out.finish_reason
+            stop_reason = out.stop_reason
+            if stop_str is not None:
+                # stop string hit: finish even if core didn't stop it
+                finish_reason = finish_reason or FinishReason.STOP
+                stop_reason = stop_str
+                if not out.finished:
+                    result.reqs_to_abort.append(out.request_id)
+
+            if out.new_logprobs:
+                self._decorate_logprobs(out.new_logprobs, state)
+                state.logprobs.extend(out.new_logprobs)
+
+            finished = finish_reason is not None
+            if finished:
+                state.metrics.finished_time = now
+                state.metrics.num_cached_tokens = out.num_cached_tokens
+            ro = self._make_request_output(state, finish_reason,
+                                           stop_reason, finished,
+                                           out.num_cached_tokens)
+            if ro is not None:
+                result.request_outputs.append(ro)
+            if finished:
+                self.states.pop(out.request_id, None)
+        return result
+
+    def _decorate_logprobs(self, logprobs_dicts, state) -> None:
+        if self.tokenizer is None:
+            return
+        for d in logprobs_dicts:
+            for tid, lp in d.items():
+                if lp.decoded_token is None:
+                    lp.decoded_token = self.tokenizer.decode([tid])
+
+    def _make_request_output(self, state: RequestState, finish_reason,
+                             stop_reason, finished: bool,
+                             num_cached_tokens: int):
+        kind = state.output_kind
+        if kind == RequestOutputKind.FINAL_ONLY and not finished:
+            return None
+
+        if state.detokenizer is not None:
+            full_text = state.detokenizer.output_text
+        else:
+            full_text = ""
+
+        delta = kind == RequestOutputKind.DELTA
+        if delta:
+            text = full_text[state.text_sent:]
+            token_ids = state.all_token_ids[state.num_tokens_sent:]
+            logprobs = state.logprobs[state.num_tokens_sent:] \
+                if state.logprobs else None
+            state.text_sent = len(full_text)
+            state.num_tokens_sent = len(state.all_token_ids)
+        else:
+            text = full_text
+            token_ids = list(state.all_token_ids)
+            logprobs = list(state.logprobs) if state.logprobs else None
+
+        co = CompletionOutput(
+            index=0,
+            text=text,
+            token_ids=token_ids,
+            logprobs=logprobs,
+            finish_reason=str(finish_reason) if finished else None,
+            stop_reason=stop_reason,
+        )
+        return RequestOutput(
+            request_id=state.request_id,
+            prompt=state.prompt,
+            prompt_token_ids=state.prompt_token_ids,
+            outputs=[co],
+            finished=finished,
+            num_cached_tokens=num_cached_tokens,
+            metrics=state.metrics,
+        )

@@ -1,0 +1,92 @@
+"""Input processor: validate + tokenize → EngineCoreRequest.
+
+Reference: vllm/v1/engine/processor.py ``Processor.process_inputs``
+(:326) — parameter validation, tokenization, and construction of the
+engine-core request record.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Union
+
+from vllm_main_modify_tpu.config import EngineConfig
+from vllm_main_modify_tpu.engine.types import EngineCoreRequest
+from vllm_main_modify_tpu.sampling_params import (PoolingParams,
+                                                  SamplingParams)
+
+
+class Processor:
+
+    def __init__(self, config: EngineConfig, tokenizer) -> None:
+        self.config = config
+        self.tokenizer = tokenizer
+        self.max_model_len = config.model_config.max_model_len
+        self.eos_token_id = None
+        if tokenizer is not None:
+            self.eos_token_id = tokenizer.eos_token_id
+
+    def process_inputs(
+        self,
+        request_id: str,
+        prompt: Union[str, list[int], dict],
+        params: Optional[Union[SamplingParams, PoolingParams]] = None,
+        arrival_time: Optional[float] = None,
+        priority: int = 0,
+        lora_name: Optional[str] = None,
+        trace_headers: Optional[dict[str, str]] = None,
+    ) -> EngineCoreRequest:
+        if isinstance(prompt, dict):
+            prompt_text = prompt.get("prompt")
+            token_ids = prompt.get("prompt_token_ids")
+            if token_ids is None:
+                token_ids = self._tokenize(prompt_text)
+        elif isinstance(prompt, str):
+            prompt_text = prompt
+            token_ids = self._tokenize(prompt)
+        else:
+            prompt_text = None
+            token_ids = list(prompt)
+
+        if not token_ids:
+            raise ValueError(f"request {request_id}: empty prompt")
+        if len(token_ids) >= self.max_model_len:
+            raise ValueError(
+                f"request {request_id}: prompt ({len(token_ids)} tokens) "
+                f"exceeds max_model_len={self.max_model_len}")
+
+        sampling_params = None
+        pooling_params = None
+        if isinstance(params, PoolingParams):
+            pooling_params = params
+        else:
+            sampling_params = params or SamplingParams()
+            sampling_params = self._clamp_max_tokens(
+                sampling_params, len(token_ids))
+
+        return EngineCoreRequest(
+            request_id=request_id,
+            prompt_token_ids=token_ids,
+            sampling_params=sampling_params,
+            pooling_params=pooling_params,
+            eos_token_id=self.eos_token_id,
+            arrival_time=arrival_time if arrival_time is not None else
+            time.monotonic(),
+            priority=priority,
+            lora_name=lora_name,
+            prompt=prompt_text,
+            trace_headers=trace_headers,
+        )
+
+    def _tokenize(self, text: str) -> list[int]:
+        if self.tokenizer is None:
+            raise ValueError("no tokenizer loaded; pass prompt_token_ids")
+        return self.tokenizer.encode(text)
+
+    def _clamp_max_tokens(self, sp: SamplingParams,
+                          prompt_len: int) -> SamplingParams:
+        budget = self.max_model_len - prompt_len
+        if sp.max_tokens is None or sp.max_tokens > budget:
+            sp = sp.clone()
+            sp.max_tokens = budget
+        return sp

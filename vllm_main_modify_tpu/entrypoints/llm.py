@@ -1,0 +1,101 @@
+"""Offline inference entrypoint: the ``LLM`` class.
+
+Reference: vllm/entrypoints/llm.py — ``LLM.generate`` batch API over
+the synchronous engine. Construction mirrors the reference's
+engine-args path but builds :class:`EngineConfig` directly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from tqdm.auto import tqdm
+
+from vllm_main_modify_tpu.config import (CacheConfig, CompilationConfig,
+                                         DeviceConfig, EngineConfig,
+                                         LoadConfig, ModelConfig,
+                                         ParallelConfig, SchedulerConfig)
+from vllm_main_modify_tpu.engine.llm_engine import LLMEngine
+from vllm_main_modify_tpu.outputs import RequestOutput
+from vllm_main_modify_tpu.sampling_params import SamplingParams
+
+
+class LLM:
+
+    def __init__(
+        self,
+        model: str,
+        tokenizer: Optional[str] = None,
+        dtype: str = "bfloat16",
+        max_model_len: int = 2048,
+        max_num_seqs: int = 64,
+        max_num_batched_tokens: int = 1024,
+        block_size: int = 16,
+        tensor_parallel_size: int = 1,
+        enable_prefix_caching: bool = True,
+        num_kv_blocks: Optional[int] = None,
+        load_format: str = "auto",
+        seed: int = 0,
+        trust_remote_code: bool = False,
+        mesh=None,
+        **kwargs,
+    ) -> None:
+        config = EngineConfig(
+            model_config=ModelConfig(model=model, tokenizer=tokenizer,
+                                     dtype=dtype,
+                                     max_model_len=max_model_len,
+                                     seed=seed,
+                                     trust_remote_code=trust_remote_code),
+            cache_config=CacheConfig(
+                block_size=block_size,
+                num_gpu_blocks=num_kv_blocks,
+                enable_prefix_caching=enable_prefix_caching),
+            scheduler_config=SchedulerConfig(
+                max_num_batched_tokens=max_num_batched_tokens,
+                max_num_seqs=max_num_seqs,
+                max_model_len=max_model_len),
+            parallel_config=ParallelConfig(
+                tensor_parallel_size=tensor_parallel_size),
+            load_config=LoadConfig(load_format=load_format),
+        )
+        self.engine = LLMEngine(config, mesh=mesh)
+        self._counter = self.engine.request_counter
+
+    def get_tokenizer(self):
+        return self.engine.tokenizer
+
+    def generate(
+        self,
+        prompts: Union[str, Sequence[Union[str, list[int], dict]]],
+        sampling_params: Optional[Union[SamplingParams,
+                                        Sequence[SamplingParams]]] = None,
+        use_tqdm: bool = False,
+    ) -> list[RequestOutput]:
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        n = len(prompts)
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if isinstance(sampling_params, SamplingParams):
+            params_list = [sampling_params] * n
+        else:
+            assert len(sampling_params) == n
+            params_list = list(sampling_params)
+
+        order: list[str] = []
+        for prompt, params in zip(prompts, params_list):
+            rid = str(next(self._counter))
+            order.append(rid)
+            self.engine.add_request(rid, prompt, params)
+
+        finished: dict[str, RequestOutput] = {}
+        pbar = tqdm(total=n, desc="generate") if use_tqdm else None
+        while self.engine.has_unfinished_requests():
+            for out in self.engine.step():
+                if out.finished:
+                    finished[out.request_id] = out
+                    if pbar is not None:
+                        pbar.update(1)
+        if pbar is not None:
+            pbar.close()
+        return [finished[rid] for rid in order]

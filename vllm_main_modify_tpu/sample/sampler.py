@@ -1,0 +1,131 @@
+"""XLA-native sampler: fixed shapes, no host sync, fully jittable.
+
+Reference parity: vllm/v1/sample/tpu/sampler.py (``Sampler``,
+``apply_top_k_top_p``) + vllm/v1/sample/sampler.py (logprobs handling).
+Pipeline per step, entirely inside the jitted model step:
+
+    raw logits → (raw logprobs for return) → temperature → top-k/top-p
+    → min-p → gumbel-argmax / greedy-argmax
+
+All masking is done with a single descending sort shared by top-k and
+top-p, mirroring the reference's fused ``apply_top_k_top_p``
+(vllm/v1/sample/tpu/sampler.py:169).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vllm_main_modify_tpu.sample.metadata import SamplingMetadata
+
+_NEG_INF = float("-inf")
+
+
+class SamplerOutput(NamedTuple):
+    sampled: jax.Array  # [R] i32
+    # present iff max_num_logprobs > 0 (else zero-size placeholders)
+    logprob_token_ids: jax.Array  # [R, K+1] i32 (sampled first)
+    logprobs: jax.Array  # [R, K+1] f32
+    sampled_ranks: jax.Array  # [R] i32 (1-based rank of sampled token)
+
+
+def apply_top_k_top_p(logits: jax.Array, top_k: jax.Array,
+                      top_p: jax.Array, need_top_k: bool,
+                      need_top_p: bool) -> jax.Array:
+    """Mask logits outside the per-row top-k / nucleus top-p set.
+
+    One descending sort serves both filters (reference:
+    vllm/v1/sample/tpu/sampler.py:169 ``apply_top_k_top_p``).
+    """
+    if not (need_top_k or need_top_p):
+        return logits
+    vocab = logits.shape[-1]
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]  # desc
+    keep = jnp.ones_like(sorted_logits, dtype=bool)
+    idx = jnp.arange(vocab, dtype=jnp.int32)[None, :]
+    if need_top_k:
+        k = jnp.where(top_k <= 0, vocab, top_k)[:, None]
+        keep &= idx < k
+    if need_top_p:
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        # keep token i if the cumulative prob of strictly-better tokens
+        # is still below p (always keeps the argmax)
+        cum_before = jnp.cumsum(probs, axis=-1) - probs
+        keep &= cum_before < top_p[:, None]
+    # smallest kept logit per row = cutoff
+    cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1,
+                     keepdims=True)
+    return jnp.where(logits >= cutoff, logits, _NEG_INF)
+
+
+def apply_min_p(logits: jax.Array, min_p: jax.Array) -> jax.Array:
+    """Drop tokens with prob < min_p * max_prob (reference:
+    vllm/v1/sample/tpu/sampler.py ``apply_min_p``)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    threshold = jnp.max(probs, axis=-1, keepdims=True) * min_p[:, None]
+    return jnp.where(probs >= threshold, logits, _NEG_INF)
+
+
+def _gumbel_sample(logits: jax.Array, seeds: jax.Array,
+                   sample_pos: jax.Array,
+                   step_key: jax.Array) -> jax.Array:
+    """Per-row gumbel-argmax. Each row's key is
+    fold_in(fold_in(base, seed), position-in-sequence), so a seeded
+    request reproduces its sequence across runs and batch
+    compositions (vLLM per-request-generator semantics)."""
+    r, vocab = logits.shape
+
+    def row_bits(seed, pos):
+        k = jax.random.fold_in(jax.random.fold_in(step_key, seed), pos)
+        return jax.random.uniform(k, (vocab, ), minval=1e-20, maxval=1.0)
+
+    u = jax.vmap(row_bits)(seeds, sample_pos)
+    gumbel = -jnp.log(-jnp.log(u))
+    return jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
+
+
+def sample(
+    logits: jax.Array,  # [R, V] f32 raw logits at sample positions
+    meta: SamplingMetadata,
+    step_key: jax.Array,
+) -> SamplerOutput:
+    """The full sampling pipeline (jit-side)."""
+    r, vocab = logits.shape
+
+    # ---- logprobs from *raw* logits (reference: sampler.py computes
+    # raw logprobs before processors) --------------------------------
+    k_lp = meta.max_num_logprobs
+
+    if meta.all_greedy:
+        sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        x = logits / jnp.maximum(meta.temperature, 1e-6)[:, None]
+        x = apply_top_k_top_p(x, meta.top_k, meta.top_p,
+                              meta.need_top_k, meta.need_top_p)
+        if meta.need_min_p:
+            x = apply_min_p(x, meta.min_p)
+        random = _gumbel_sample(x, meta.seeds, meta.sample_pos,
+                                step_key)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        sampled = jnp.where(meta.temperature <= 0.0, greedy, random)
+
+    if k_lp > 0:
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        top_lp, top_ids = jax.lax.top_k(logp, k_lp)
+        sampled_lp = jnp.take_along_axis(logp, sampled[:, None],
+                                         axis=-1)
+        # 1-based rank (vLLM convention: rank 1 = argmax) =
+        # #tokens with strictly higher logprob + 1
+        ranks = 1 + jnp.sum(logp > sampled_lp, axis=-1).astype(jnp.int32)
+        lp_ids = jnp.concatenate([sampled[:, None], top_ids], axis=-1)
+        lps = jnp.concatenate([sampled_lp, top_lp], axis=-1)
+    else:
+        lp_ids = jnp.zeros((r, 0), dtype=jnp.int32)
+        lps = jnp.zeros((r, 0), dtype=jnp.float32)
+        ranks = jnp.zeros((r, ), dtype=jnp.int32)
+
+    return SamplerOutput(sampled=sampled, logprob_token_ids=lp_ids,
+                         logprobs=lps, sampled_ranks=ranks)

@@ -1,0 +1,432 @@
+"""TPU model runner: the device hot path.
+
+Reference: vllm/v1/worker/tpu_model_runner.py (``TPUModelRunner``) and
+gpu_model_runner.py. TPU-native redesign:
+
+- ONE jitted step function: forward → gather logits at sample positions
+  → sample — no per-phase jitted callables to stitch on host
+  (the reference splits select_hidden_states / compute_logits / sample,
+  tpu_model_runner.py:1746-1806, because torch_xla lacks a fused jit;
+  JAX does not).
+- Static shapes via bucketed padding of token and request counts
+  (reference precedent: _get_token_paddings tpu_model_runner.py:1892,
+  _get_req_paddings :1874); every (token_bucket, req_bucket,
+  sampler-static) combination hits a cached XLA executable.
+- KV caches are donated through the step, so the paged cache is updated
+  in place with zero copies.
+- Parallelism is GSPMD: params and KV enter sharded; the same step
+  function runs unmodified on any mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from vllm_main_modify_tpu.config import EngineConfig
+from vllm_main_modify_tpu.core.sched.output import SchedulerOutput
+from vllm_main_modify_tpu.layers.attention import AttentionMetadata
+from vllm_main_modify_tpu.models.loader import load_model_weights
+from vllm_main_modify_tpu.models.registry import create_model
+from vllm_main_modify_tpu.ops.kv_cache import kv_cache_shape
+from vllm_main_modify_tpu.sample.metadata import SamplingMetadata
+from vllm_main_modify_tpu.sample.sampler import sample
+from vllm_main_modify_tpu.utils import cdiv, next_power_of_2
+from vllm_main_modify_tpu.worker.input_batch import (CachedRequestState,
+                                                     InputBatch)
+from vllm_main_modify_tpu.worker.outputs import (LogprobsLists,
+                                                 ModelRunnerOutput)
+
+logger = logging.getLogger(__name__)
+
+# smallest padded token batch (one bf16 MXU tile's worth of rows)
+MIN_TOKEN_BUCKET = 16
+MIN_REQ_BUCKET = 8
+
+
+class TPUModelRunner:
+
+    def __init__(self, config: EngineConfig, mesh: Mesh,
+                 use_pallas: Optional[bool] = None) -> None:
+        self.config = config
+        self.mesh = mesh
+        self.use_pallas = use_pallas
+        mc = config.model_config
+        cc = config.cache_config
+        sc = config.scheduler_config
+
+        self.page_size = cc.block_size
+        self.max_model_len = mc.max_model_len
+        self.max_num_reqs = sc.max_num_seqs
+        self.max_num_tokens = sc.max_num_batched_tokens
+        self.max_blocks_per_req = cdiv(self.max_model_len, self.page_size)
+
+        self.model = create_model(mc)
+        self.params: Optional[dict] = None
+        self.kv_caches: Optional[jax.Array] = None
+        self.num_pages = 0
+
+        self.input_batch = InputBatch(self.max_num_reqs,
+                                      self.max_model_len,
+                                      self.max_blocks_per_req)
+        self.requests: dict[str, CachedRequestState] = {}
+
+        self.token_buckets = self._get_paddings(MIN_TOKEN_BUCKET,
+                                                self.max_num_tokens)
+        self.req_buckets = self._get_paddings(MIN_REQ_BUCKET,
+                                              self.max_num_reqs)
+        self._step_count = 0
+        # jit-cache-miss sanitizer (SURVEY.md §5.2 build note)
+        self.num_compilations = 0
+        self._compiled_keys: set[tuple] = set()
+
+        self._kv_sharding = NamedSharding(
+            self.mesh, P(None, None, None, "model", None))
+        self._replicated = NamedSharding(self.mesh, P())
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _get_paddings(lo: int, hi: int) -> list[int]:
+        out, v = [], lo
+        while v < hi:
+            out.append(v)
+            v *= 2
+        out.append(hi)
+        return out
+
+    def _pad_to_bucket(self, n: int, buckets: list[int]) -> int:
+        for b in buckets:
+            if n <= b:
+                return b
+        return buckets[-1]
+
+    def load_model(self) -> None:
+        t0 = time.monotonic()
+        self.params = load_model_weights(
+            self.model, self.config.model_config, self.mesh,
+            self.config.load_config.load_format)
+        jax.block_until_ready(jax.tree.leaves(self.params))
+        logger.info("model loaded in %.1fs", time.monotonic() - t0)
+
+    def profile_available_kv_bytes(self) -> int:
+        """KV budget after weights (reference capability:
+        determine_available_memory, gpu_worker.py:222 — on TPU we read
+        allocator stats instead of running a profiling forward, since
+        XLA activations are transient and bounded by the step shapes."""
+        dev = jax.local_devices()[0]
+        stats = getattr(dev, "memory_stats", lambda: None)()
+        if not stats or "bytes_limit" not in stats:
+            # CPU/test fallback: fixed small budget
+            return 64 * 1024 * 1024
+        limit = int(stats["bytes_limit"] *
+                    self.config.cache_config.gpu_memory_utilization)
+        in_use = int(stats.get("bytes_in_use", 0))
+        # headroom for activations: 2x the largest padded step
+        mc = self.config.model_config
+        act = (self.max_num_tokens *
+               max(mc.hidden_size * 8, mc.vocab_size) * 4 * 2)
+        return max(limit - in_use - act, 0)
+
+    def page_bytes(self) -> int:
+        mc = self.config.model_config
+        dtype_size = 2  # bf16/f16 KV; fp8 support halves this later
+        if self.config.model_config.dtype == "float32":
+            dtype_size = 4
+        return (mc.num_layers * self.page_size * 2 * mc.num_kv_heads *
+                mc.head_dim * dtype_size)
+
+    def initialize_kv_cache(self, num_pages: int) -> None:
+        mc = self.config.model_config
+        self.num_pages = num_pages
+        shape = (mc.num_layers, *kv_cache_shape(
+            num_pages, self.page_size, mc.num_kv_heads, mc.head_dim))
+        self.kv_caches = jax.jit(
+            lambda: jnp.zeros(shape, dtype=mc.jax_dtype),
+            out_shardings=self._kv_sharding)()
+
+    # ------------------------------------------------------------------
+    # persistent-batch sync (reference: _update_states
+    # tpu_model_runner.py:340 / gpu_model_runner.py:542)
+    # ------------------------------------------------------------------
+
+    def _update_states(self, scheduler_output: SchedulerOutput) -> None:
+        for req_id in scheduler_output.finished_req_ids:
+            self.requests.pop(req_id, None)
+            self.input_batch.remove_request(req_id)
+
+        cached = scheduler_output.scheduled_cached_reqs
+        for i, req_id in enumerate(cached.req_ids):
+            state = self.requests[req_id]
+            state.num_computed_tokens = cached.num_computed_tokens[i]
+            new_blocks = cached.new_block_ids[i]
+            resumed = cached.resumed_from_preemption[i]
+            if resumed:
+                state.block_ids = list(new_blocks or [])
+            elif new_blocks:
+                state.block_ids.extend(new_blocks)
+            if cached.new_token_ids[i]:
+                # resume after preemption: sampled tokens the runner lost
+                state.output_token_ids = state.output_token_ids  # kept
+            row = self.input_batch.req_id_to_index.get(req_id)
+            if row is None:
+                # resumed from preemption: re-add
+                row = self.input_batch.add_request(state)
+            else:
+                self.input_batch.num_computed_tokens[row] = \
+                    state.num_computed_tokens
+                if resumed:
+                    self.input_batch.append_block_ids(
+                        row, state.block_ids, replace=True)
+                elif new_blocks:
+                    self.input_batch.append_block_ids(row, new_blocks)
+
+        for new_req in scheduler_output.scheduled_new_reqs:
+            state = CachedRequestState(new_req)
+            self.requests[new_req.req_id] = state
+            self.input_batch.add_request(state)
+
+        self.input_batch.condense()
+
+    # ------------------------------------------------------------------
+    # per-step input build (reference: _prepare_inputs
+    # tpu_model_runner.py:625)
+    # ------------------------------------------------------------------
+
+    def _prepare_inputs(self, scheduler_output: SchedulerOutput):
+        batch = self.input_batch
+        num_reqs = batch.num_reqs
+        sched = scheduler_output.num_scheduled_tokens
+        total = scheduler_output.total_num_scheduled_tokens
+        assert total > 0 and num_reqs > 0
+
+        t_pad = self._pad_to_bucket(total, self.token_buckets)
+        r_pad = self._pad_to_bucket(num_reqs, self.req_buckets)
+
+        input_ids = np.zeros(t_pad, dtype=np.int32)
+        positions = np.zeros(t_pad, dtype=np.int32)
+        slot_mapping = np.full(t_pad, -1, dtype=np.int32)
+        query_start_loc = np.zeros(r_pad + 1, dtype=np.int32)
+        seq_lens = np.zeros(r_pad, dtype=np.int32)
+        logits_indices = np.zeros(r_pad, dtype=np.int32)
+        # rows (in batch order) that produce a sampled token this step
+        sample_rows: list[int] = []
+
+        offset = 0
+        for row in range(num_reqs):
+            req_id = batch.req_ids[row]
+            n_sched = sched.get(req_id, 0)
+            start_pos = batch.num_computed_tokens[row]
+            end_pos = start_pos + n_sched
+            input_ids[offset:offset + n_sched] = \
+                batch.token_ids[row, start_pos:end_pos]
+            positions[offset:offset + n_sched] = np.arange(
+                start_pos, end_pos, dtype=np.int32)
+            # flat slots: page_id * page_size + in-page offset
+            pos = np.arange(start_pos, end_pos, dtype=np.int32)
+            page_ids = batch.block_table[row, pos // self.page_size]
+            slot_mapping[offset:offset + n_sched] = \
+                page_ids * self.page_size + pos % self.page_size
+            offset += n_sched
+            query_start_loc[row + 1] = offset
+            seq_lens[row] = end_pos
+            logits_indices[row] = offset - 1
+            if end_pos >= batch.num_tokens[row]:
+                sample_rows.append(row)
+        # padded rows repeat the cumulative sum so searchsorted maps
+        # padded tokens to a padded row
+        query_start_loc[num_reqs + 1:] = offset
+
+        attn_meta = AttentionMetadata(
+            block_tables=jnp.asarray(
+                batch.block_table[:r_pad], device=self._replicated),
+            query_start_loc=jnp.asarray(query_start_loc,
+                                        device=self._replicated),
+            seq_lens=jnp.asarray(seq_lens, device=self._replicated),
+            slot_mapping=jnp.asarray(slot_mapping,
+                                     device=self._replicated),
+            num_seqs=jnp.asarray([num_reqs], dtype=jnp.int32,
+                                 device=self._replicated),
+        )
+        return (jnp.asarray(input_ids, device=self._replicated),
+                jnp.asarray(positions, device=self._replicated),
+                attn_meta,
+                jnp.asarray(logits_indices, device=self._replicated),
+                sample_rows, r_pad)
+
+    def _prepare_sampling(self, r_pad: int) -> SamplingMetadata:
+        batch = self.input_batch
+        n = batch.num_reqs
+
+        def padded(arr, fill=0):
+            out = np.full(r_pad, fill, dtype=arr.dtype)
+            out[:n] = arr[:n]
+            return jnp.asarray(out, device=self._replicated)
+
+        max_lp = int(batch.num_logprobs[:n].max()) if n else 0
+        if max_lp > 0:
+            max_lp = next_power_of_2(max_lp)
+        return SamplingMetadata(
+            temperature=padded(batch.temperature, -1.0),
+            top_k=padded(batch.top_k),
+            top_p=padded(batch.top_p, 1.0),
+            min_p=padded(batch.min_p),
+            seeds=padded(batch.seeds),
+            sample_pos=padded(batch.num_tokens),
+            all_greedy=not batch.random_reqs,
+            need_top_k=bool(batch.top_k_reqs),
+            need_top_p=bool(batch.top_p_reqs),
+            need_min_p=bool(batch.min_p_reqs),
+            max_num_logprobs=max_lp,
+        )
+
+    # ------------------------------------------------------------------
+    # the jitted step
+    # ------------------------------------------------------------------
+
+    @functools.lru_cache(maxsize=64)
+    def _get_step_fn(self, all_greedy: bool, need_top_k: bool,
+                     need_top_p: bool, need_min_p: bool,
+                     max_num_logprobs: int):
+        """One compiled executable per sampler-static combination;
+        token/req buckets are handled by XLA shape specialization."""
+        model = self.model
+        use_pallas = self.use_pallas
+        base_seed = self.config.model_config.seed
+
+        def step(params, kv_caches, input_ids, positions, attn_meta,
+                 logits_indices, temperature, top_k, top_p, min_p,
+                 seeds, sample_pos):
+            hidden, kv_caches = model(params, input_ids, positions,
+                                      kv_caches, attn_meta,
+                                      use_pallas=use_pallas)
+            sampled_hidden = jnp.take(hidden, logits_indices, axis=0)
+            logits = model.compute_logits(params, sampled_hidden)
+            meta = SamplingMetadata(
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                min_p=min_p, seeds=seeds, sample_pos=sample_pos,
+                all_greedy=all_greedy,
+                need_top_k=need_top_k, need_top_p=need_top_p,
+                need_min_p=need_min_p,
+                max_num_logprobs=max_num_logprobs)
+            key = jax.random.PRNGKey(base_seed)
+            out = sample(logits, meta, key)
+            return kv_caches, out
+
+        return jax.jit(step, donate_argnums=(1, ))
+
+    # ------------------------------------------------------------------
+    # execute (reference: execute_model tpu_model_runner.py:981)
+    # ------------------------------------------------------------------
+
+    def execute_model(
+            self, scheduler_output: SchedulerOutput) -> ModelRunnerOutput:
+        self._update_states(scheduler_output)
+        if scheduler_output.total_num_scheduled_tokens == 0:
+            return ModelRunnerOutput(req_ids=[], req_id_to_index={},
+                                     sampled_token_ids=[])
+
+        (input_ids, positions, attn_meta, logits_indices, sample_rows,
+         r_pad) = self._prepare_inputs(scheduler_output)
+        meta = self._prepare_sampling(r_pad)
+
+        statics = (meta.all_greedy, meta.need_top_k, meta.need_top_p,
+                   meta.need_min_p, meta.max_num_logprobs)
+        step_fn = self._get_step_fn(*statics)
+        compile_key = (input_ids.shape[0], r_pad, *statics)
+        if compile_key not in self._compiled_keys:
+            self._compiled_keys.add(compile_key)
+            self.num_compilations += 1
+
+        self._step_count += 1
+        self.kv_caches, out = step_fn(
+            self.params, self.kv_caches, input_ids, positions,
+            attn_meta, logits_indices, meta.temperature, meta.top_k,
+            meta.top_p, meta.min_p, meta.seeds, meta.sample_pos)
+
+        # device → host (single transfer of the small sampled arrays)
+        sampled_np = np.asarray(out.sampled)
+        if meta.max_num_logprobs > 0:
+            lp_ids_np = np.asarray(out.logprob_token_ids)
+            lps_np = np.asarray(out.logprobs)
+            ranks_np = np.asarray(out.sampled_ranks)
+
+        batch = self.input_batch
+        num_reqs = batch.num_reqs
+        req_ids = [batch.req_ids[i] for i in range(num_reqs)]
+        sampled_token_ids: list[list[int]] = [[] for _ in range(num_reqs)]
+        sample_row_set = set(sample_rows)
+        for row in sample_rows:
+            tok = int(sampled_np[row])
+            sampled_token_ids[row] = [tok]
+            batch.append_token_id(row, tok)
+
+        logprobs_lists = None
+        if meta.max_num_logprobs > 0:
+            logprobs_lists = LogprobsLists(
+                logprob_token_ids=[
+                    lp_ids_np[i].tolist() if i in sample_row_set else []
+                    for i in range(num_reqs)
+                ],
+                logprobs=[
+                    lps_np[i].tolist() if i in sample_row_set else []
+                    for i in range(num_reqs)
+                ],
+                sampled_token_ranks=[
+                    int(ranks_np[i]) if i in sample_row_set else 0
+                    for i in range(num_reqs)
+                ],
+            )
+
+        return ModelRunnerOutput(
+            req_ids=req_ids,
+            req_id_to_index={r: i for i, r in enumerate(req_ids)},
+            sampled_token_ids=sampled_token_ids,
+            logprobs=logprobs_lists,
+        )
+
+    # ------------------------------------------------------------------
+    # precompile (reference: capture_model tpu_model_runner.py:1537)
+    # ------------------------------------------------------------------
+
+    def capture_model(self) -> None:
+        """Warm the jit cache for every (token, req) bucket so serving
+        never compiles."""
+        t0 = time.monotonic()
+        step_fn = self._get_step_fn(True, False, False, False, 0)
+        for t_pad in self.token_buckets:
+            for r_pad in self.req_buckets:
+                if r_pad > t_pad:
+                    continue
+                self._run_dummy_step(step_fn, t_pad, r_pad)
+        logger.info("precompiled %d buckets in %.1fs",
+                    len(self.token_buckets) * len(self.req_buckets),
+                    time.monotonic() - t0)
+
+    def _run_dummy_step(self, step_fn, t_pad: int, r_pad: int) -> None:
+        zi = jnp.zeros(t_pad, dtype=jnp.int32)
+        meta = AttentionMetadata(
+            block_tables=jnp.zeros((r_pad, self.max_blocks_per_req),
+                                   dtype=jnp.int32),
+            query_start_loc=jnp.zeros(r_pad + 1, dtype=jnp.int32),
+            seq_lens=jnp.zeros(r_pad, dtype=jnp.int32),
+            slot_mapping=jnp.full(t_pad, -1, dtype=jnp.int32),
+            num_seqs=jnp.asarray([r_pad], dtype=jnp.int32),
+        )
+        zr_f = jnp.zeros(r_pad, dtype=jnp.float32)
+        zr_i = jnp.zeros(r_pad, dtype=jnp.int32)
+        zr_u = jnp.zeros(r_pad, dtype=jnp.uint32)
+        self.kv_caches, _ = step_fn(self.params, self.kv_caches, zi, zi,
+                                    meta, zr_i, zr_f, zr_i,
+                                    jnp.ones(r_pad, dtype=jnp.float32),
+                                    zr_f, zr_u, zr_i)
