@@ -1,0 +1,147 @@
+"""Headline benchmark: replicates the reference's TPU CI perf test —
+Qwen2.5-1.5B bf16, 64 prompts x (500-token prefill + 50-token greedy
+decode), max_num_seqs 32, max_model_len 1024 (reference:
+tests/v1/tpu/test_perf.py:56-73; baseline 1.7 s +- 0.20 on v6e).
+
+Weights are dummy-initialized (no network egress in this environment) —
+identical compute/memory traffic to real weights.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": x}
+vs_baseline = baseline_seconds / measured_seconds  (>1.0 = faster than
+the reference on its own hardware).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# honor a cpu request even though the axon TPU plugin overrides
+# JAX_PLATFORMS at import time (same workaround as tests/conftest.py)
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+BASELINE_S = 1.7  # v6e, reference tests/v1/tpu/test_perf.py:62-73
+
+NUM_PROMPTS = 64
+PREFIX_LEN = 500
+DECODE_LEN = 50
+MAX_NUM_SEQS = 32
+MAX_MODEL_LEN = 1024
+MAX_BATCHED_TOKENS = 1024
+
+SMOKE = os.environ.get("BENCH_SMOKE", "0") == "1"
+
+
+def qwen25_15b_config():
+    """Qwen2.5-1.5B-Instruct dims (HF Qwen/Qwen2.5-1.5B-Instruct)."""
+    from vllm_main_modify_tpu.config import ModelConfig
+
+    cfg = ModelConfig(model="", dtype="bfloat16",
+                      max_model_len=MAX_MODEL_LEN)
+    cfg.architecture = "LlamaForCausalLM"
+    cfg.vocab_size = 151936
+    cfg.hidden_size = 1536
+    cfg.num_layers = 28
+    cfg.num_attention_heads = 12
+    cfg.num_kv_heads = 2
+    cfg.head_dim = 128
+    cfg.intermediate_size = 8960
+    cfg.attention_bias = True  # Qwen2 q/k/v biases
+    cfg.rope_theta = 1000000.0
+    cfg.tie_word_embeddings = True
+    return cfg
+
+
+def smoke_config():
+    from vllm_main_modify_tpu.config import ModelConfig
+
+    cfg = ModelConfig(model="", dtype="float32",
+                      max_model_len=MAX_MODEL_LEN)
+    cfg.architecture = "LlamaForCausalLM"
+    cfg.vocab_size = 2048
+    cfg.hidden_size = 128
+    cfg.num_layers = 2
+    cfg.num_attention_heads = 4
+    cfg.num_kv_heads = 2
+    cfg.head_dim = 32
+    cfg.intermediate_size = 256
+    return cfg
+
+
+def run_batch(core, rng, num_prompts: int) -> None:
+    from vllm_main_modify_tpu.engine.types import EngineCoreRequest
+    from vllm_main_modify_tpu.sampling_params import SamplingParams
+
+    vocab = core.config.model_config.vocab_size
+    for i in range(num_prompts):
+        prompt = rng.integers(1, vocab - 1, size=PREFIX_LEN).tolist()
+        core.add_request(
+            EngineCoreRequest(
+                request_id=f"bench-{time.monotonic_ns()}-{i}",
+                prompt_token_ids=prompt,
+                sampling_params=SamplingParams(temperature=0.0,
+                                               max_tokens=DECODE_LEN,
+                                               ignore_eos=True),
+            ))
+    while core.has_unfinished_requests():
+        core.step()
+
+
+def main() -> None:
+    import numpy as np
+
+    from vllm_main_modify_tpu.config import (CacheConfig, EngineConfig,
+                                             LoadConfig,
+                                             SchedulerConfig)
+    from vllm_main_modify_tpu.engine.core import EngineCore
+
+    num_prompts = 4 if SMOKE else NUM_PROMPTS
+    config = EngineConfig(
+        model_config=smoke_config() if SMOKE else qwen25_15b_config(),
+        cache_config=CacheConfig(
+            block_size=32,
+            num_gpu_blocks=1024 if SMOKE else None,
+            enable_prefix_caching=False),
+        scheduler_config=SchedulerConfig(
+            max_num_batched_tokens=MAX_BATCHED_TOKENS,
+            max_num_seqs=MAX_NUM_SEQS,
+            max_model_len=MAX_MODEL_LEN),
+        load_config=LoadConfig(load_format="dummy"),
+    )
+    core = EngineCore(config)
+    rng = np.random.default_rng(0)
+
+    # warmup: full batch once — compiles every bucket the workload hits
+    t0 = time.monotonic()
+    run_batch(core, rng, num_prompts)
+    warmup_s = time.monotonic() - t0
+    print(f"# warmup (incl. compiles): {warmup_s:.1f}s",
+          file=sys.stderr)
+
+    iters = 1 if SMOKE else 3
+    times = []
+    for _ in range(iters):
+        t0 = time.monotonic()
+        run_batch(core, rng, num_prompts)
+        times.append(time.monotonic() - t0)
+    value = sum(times) / len(times)
+    print(f"# runs: {[f'{t:.2f}' for t in times]}", file=sys.stderr)
+
+    print(
+        json.dumps({
+            "metric":
+            "e2e_latency_qwen2.5-1.5b_64x(500prefill+50decode)",
+            "value": round(value, 3),
+            "unit": "s",
+            "vs_baseline": round(BASELINE_S / value, 3),
+        }))
+
+
+if __name__ == "__main__":
+    main()

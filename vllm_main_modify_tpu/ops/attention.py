@@ -110,15 +110,21 @@ def ragged_paged_attention(
 ) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, XLA reference elsewhere."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu", )
+        # platform of the actual devices, not default_backend(): the
+        # axon TPU plugin can override JAX_PLATFORMS=cpu, but a forced
+        # host platform still reports cpu devices here
+        use_pallas = jax.devices()[0].platform in ("tpu", )
     if use_pallas:
-        from vllm_main_modify_tpu.ops.pallas.ragged_attn import \
-            ragged_paged_attention_pallas
-
-        return ragged_paged_attention_pallas(
-            q, kv_cache, block_tables, query_start_loc, seq_lens,
-            sm_scale, sliding_window=sliding_window,
-            logit_softcap=logit_softcap)
+        try:
+            from vllm_main_modify_tpu.ops.pallas.ragged_attn import \
+                ragged_paged_attention_pallas
+        except ImportError:
+            use_pallas = False
+        else:
+            return ragged_paged_attention_pallas(
+                q, kv_cache, block_tables, query_start_loc, seq_lens,
+                sm_scale, sliding_window=sliding_window,
+                logit_softcap=logit_softcap)
     return ragged_paged_attention_xla(q, kv_cache, block_tables,
                                       query_start_loc, seq_lens, sm_scale,
                                       sliding_window=sliding_window,
