@@ -1,0 +1,116 @@
+"""Pallas ragged-paged-attention kernel vs the XLA oracle, in
+interpreter mode on CPU (SURVEY.md §4 test-pyramid item 2; reference
+test style: tests/v1/tpu/test_kv_cache_update_kernel.py — kernel vs
+numpy reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_main_modify_tpu.ops.attention import ragged_paged_attention_xla
+from vllm_main_modify_tpu.ops.pallas.ragged_attn import \
+    ragged_paged_attention_pallas
+
+
+def build_case(rng, seq_specs, num_q_heads, num_kv_heads, head_dim,
+               page_size, num_pages, dtype=jnp.float32):
+    """seq_specs: list of (q_len, kv_len) with q_len <= kv_len."""
+    num_reqs = len(seq_specs)
+    total_q = sum(q for q, _ in seq_specs)
+    t_pad = max(16, 1 << (total_q - 1).bit_length())
+    max_pages = max(-(-kv // page_size) for _, kv in seq_specs)
+
+    q = jnp.asarray(
+        rng.standard_normal((t_pad, num_q_heads, head_dim)), dtype)
+    kv_cache = jnp.asarray(
+        rng.standard_normal(
+            (num_pages, page_size, 2 * num_kv_heads, head_dim)), dtype)
+
+    qsl = np.zeros(num_reqs + 1, dtype=np.int32)
+    seq_lens = np.zeros(num_reqs, dtype=np.int32)
+    block_tables = np.zeros((num_reqs, max_pages), dtype=np.int32)
+    next_page = 1
+    for r, (q_len, kv_len) in enumerate(seq_specs):
+        qsl[r + 1] = qsl[r] + q_len
+        seq_lens[r] = kv_len
+        n_pages = -(-kv_len // page_size)
+        assert next_page + n_pages <= num_pages
+        block_tables[r, :n_pages] = np.arange(next_page,
+                                              next_page + n_pages)
+        next_page += n_pages
+    return (q, kv_cache, jnp.asarray(block_tables), jnp.asarray(qsl),
+            jnp.asarray(seq_lens))
+
+
+CASES = [
+    # decode-like: many seqs, one q token each
+    [(1, 17), (1, 33), (1, 1), (1, 64)],
+    # prefill: one long seq
+    [(48, 48)],
+    # chunked prefill: q covers the tail of a longer context
+    [(16, 40)],
+    # mixed prefill + decode spanning q-block boundaries
+    [(20, 20), (1, 30), (7, 19), (1, 5), (3, 3)],
+]
+
+
+@pytest.mark.parametrize("specs", CASES)
+@pytest.mark.parametrize("heads", [(4, 4), (8, 2)])
+def test_pallas_matches_xla_oracle(specs, heads):
+    num_q, num_kv = heads
+    rng = np.random.default_rng(0)
+    head_dim, page_size = 128, 8
+    q, kv, bt, qsl, lens = build_case(rng, specs, num_q, num_kv,
+                                      head_dim, page_size,
+                                      num_pages=64)
+    sm = head_dim**-0.5
+    ref = ragged_paged_attention_xla(q, kv, bt, qsl, lens, sm)
+    got = ragged_paged_attention_pallas(q, kv, bt, qsl, lens, sm,
+                                        interpret=True)
+    total_q = int(qsl[-1])
+    np.testing.assert_allclose(np.asarray(got[:total_q]),
+                               np.asarray(ref[:total_q]), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_pallas_sliding_window():
+    rng = np.random.default_rng(1)
+    q, kv, bt, qsl, lens = build_case(rng, [(8, 40), (1, 33)], 4, 2,
+                                      128, 8, num_pages=64)
+    sm = 0.125
+    ref = ragged_paged_attention_xla(q, kv, bt, qsl, lens, sm,
+                                     sliding_window=16)
+    got = ragged_paged_attention_pallas(q, kv, bt, qsl, lens, sm,
+                                        sliding_window=16,
+                                        interpret=True)
+    total_q = int(qsl[-1])
+    np.testing.assert_allclose(np.asarray(got[:total_q]),
+                               np.asarray(ref[:total_q]), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_pallas_softcap():
+    rng = np.random.default_rng(2)
+    q, kv, bt, qsl, lens = build_case(rng, [(4, 12), (2, 9)], 4, 2, 128,
+                                      8, num_pages=32)
+    sm = 0.125
+    ref = ragged_paged_attention_xla(q, kv, bt, qsl, lens, sm,
+                                     logit_softcap=30.0)
+    got = ragged_paged_attention_pallas(q, kv, bt, qsl, lens, sm,
+                                        logit_softcap=30.0,
+                                        interpret=True)
+    total_q = int(qsl[-1])
+    np.testing.assert_allclose(np.asarray(got[:total_q]),
+                               np.asarray(ref[:total_q]), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_pallas_padded_rows_are_zero():
+    """Rows beyond the last real token must come out exactly 0."""
+    rng = np.random.default_rng(3)
+    q, kv, bt, qsl, lens = build_case(rng, [(3, 3)], 4, 2, 128, 8,
+                                      num_pages=16)
+    got = ragged_paged_attention_pallas(q, kv, bt, qsl, lens, 0.125,
+                                        interpret=True)
+    assert np.all(np.asarray(got[3:]) == 0.0)

@@ -29,6 +29,10 @@ class AttentionMetadata(NamedTuple):
     seq_lens: jax.Array  # [R] int32
     slot_mapping: jax.Array  # [T] int32 flat slots, -1 pad
     num_seqs: jax.Array  # [1] int32 — real request count
+    # Pallas KV-update slice metadata (None on the XLA/CPU path):
+    # [3, S] (cache_start, new_start, len) + real count [1]
+    kv_update_slices: Optional[jax.Array] = None
+    num_kv_update_slices: Optional[jax.Array] = None
 
 
 def attention(
@@ -44,7 +48,19 @@ def attention(
 ) -> tuple[jax.Array, jax.Array]:
     """Write new KV into pages, then ragged paged attention.
     Returns (attn_out [T, Hq, D], updated kv_cache)."""
-    kv_cache = write_to_kv_cache(kv_cache, k, v, meta.slot_mapping)
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas and meta.kv_update_slices is not None:
+        from vllm_main_modify_tpu.ops.pallas.kv_update import \
+            kv_cache_update_pallas
+
+        t = k.shape[0]
+        new_kv = jnp.stack([k, v], axis=2).reshape(t, -1, k.shape[-1])
+        kv_cache = kv_cache_update_pallas(kv_cache, new_kv,
+                                          meta.kv_update_slices,
+                                          meta.num_kv_update_slices)
+    else:
+        kv_cache = write_to_kv_cache(kv_cache, k, v, meta.slot_mapping)
     out = ragged_paged_attention(
         q,
         kv_cache,
@@ -55,5 +71,6 @@ def attention(
         sliding_window=sliding_window,
         logit_softcap=logit_softcap,
         use_pallas=use_pallas,
+        num_seqs=meta.num_seqs,
     )
     return out, kv_cache

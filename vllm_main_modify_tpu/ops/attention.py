@@ -107,6 +107,7 @@ def ragged_paged_attention(
     sliding_window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
     use_pallas: Optional[bool] = None,
+    num_seqs: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, XLA reference elsewhere."""
     if use_pallas is None:
@@ -115,16 +116,13 @@ def ragged_paged_attention(
         # host platform still reports cpu devices here
         use_pallas = jax.devices()[0].platform in ("tpu", )
     if use_pallas:
-        try:
-            from vllm_main_modify_tpu.ops.pallas.ragged_attn import \
-                ragged_paged_attention_pallas
-        except ImportError:
-            use_pallas = False
-        else:
-            return ragged_paged_attention_pallas(
-                q, kv_cache, block_tables, query_start_loc, seq_lens,
-                sm_scale, sliding_window=sliding_window,
-                logit_softcap=logit_softcap)
+        from vllm_main_modify_tpu.ops.pallas.ragged_attn import \
+            ragged_paged_attention_pallas
+
+        return ragged_paged_attention_pallas(
+            q, kv_cache, block_tables, query_start_loc, seq_lens,
+            sm_scale, sliding_window=sliding_window,
+            logit_softcap=logit_softcap, num_seqs=num_seqs)
     return ragged_paged_attention_xla(q, kv_cache, block_tables,
                                       query_start_loc, seq_lens, sm_scale,
                                       sliding_window=sliding_window,

@@ -58,6 +58,8 @@ class TPUModelRunner:
                  use_pallas: Optional[bool] = None) -> None:
         self.config = config
         self.mesh = mesh
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
         self.use_pallas = use_pallas
         mc = config.model_config
         cc = config.cache_config
@@ -165,6 +167,15 @@ class TPUModelRunner:
             self.requests.pop(req_id, None)
             self.input_batch.remove_request(req_id)
 
+        # Evict unscheduled rows (preempted, or running-but-unscheduled)
+        # while keeping their cached state for future re-admission
+        # (reference: gpu_model_runner.py:569-581).
+        scheduled = scheduler_output.num_scheduled_tokens
+        for req_id in list(self.input_batch.req_id_to_index):
+            if req_id not in scheduled:
+                self.input_batch.remove_request(req_id)
+
+        reqs_to_add: list[CachedRequestState] = []
         cached = scheduler_output.scheduled_cached_reqs
         for i, req_id in enumerate(cached.req_ids):
             state = self.requests[req_id]
@@ -173,30 +184,30 @@ class TPUModelRunner:
             resumed = cached.resumed_from_preemption[i]
             if resumed:
                 state.block_ids = list(new_blocks or [])
+                if cached.new_token_ids[i]:
+                    # tokens sampled before preemption, re-learned here
+                    state.output_token_ids = list(cached.new_token_ids[i])
             elif new_blocks:
                 state.block_ids.extend(new_blocks)
-            if cached.new_token_ids[i]:
-                # resume after preemption: sampled tokens the runner lost
-                state.output_token_ids = state.output_token_ids  # kept
             row = self.input_batch.req_id_to_index.get(req_id)
             if row is None:
-                # resumed from preemption: re-add
-                row = self.input_batch.add_request(state)
+                # evicted earlier (preemption / scheduling gap): re-add
+                reqs_to_add.append(state)
             else:
                 self.input_batch.num_computed_tokens[row] = \
                     state.num_computed_tokens
-                if resumed:
-                    self.input_batch.append_block_ids(
-                        row, state.block_ids, replace=True)
-                elif new_blocks:
+                if new_blocks:
                     self.input_batch.append_block_ids(row, new_blocks)
 
         for new_req in scheduler_output.scheduled_new_reqs:
             state = CachedRequestState(new_req)
             self.requests[new_req.req_id] = state
-            self.input_batch.add_request(state)
+            reqs_to_add.append(state)
 
+        # condense BEFORE adding so new rows land on free tail slots
         self.input_batch.condense()
+        for state in reqs_to_add:
+            self.input_batch.add_request(state)
 
     # ------------------------------------------------------------------
     # per-step input build (reference: _prepare_inputs
@@ -221,6 +232,9 @@ class TPUModelRunner:
         logits_indices = np.zeros(r_pad, dtype=np.int32)
         # rows (in batch order) that produce a sampled token this step
         sample_rows: list[int] = []
+        # Pallas KV-update slices (cache_start, new_start, len)
+        kv_slices: list[tuple[int, int, int]] = []
+        page = self.page_size
 
         offset = 0
         for row in range(num_reqs):
@@ -234,9 +248,18 @@ class TPUModelRunner:
                 start_pos, end_pos, dtype=np.int32)
             # flat slots: page_id * page_size + in-page offset
             pos = np.arange(start_pos, end_pos, dtype=np.int32)
-            page_ids = batch.block_table[row, pos // self.page_size]
+            page_ids = batch.block_table[row, pos // page]
             slot_mapping[offset:offset + n_sched] = \
-                page_ids * self.page_size + pos % self.page_size
+                page_ids * page + pos % page
+            if self.use_pallas and n_sched > 0:
+                for pg in range(start_pos // page,
+                                (end_pos - 1) // page + 1):
+                    seg_lo = max(start_pos, pg * page)
+                    seg_hi = min(end_pos, (pg + 1) * page)
+                    kv_slices.append(
+                        (int(batch.block_table[row, pg]) * page +
+                         seg_lo % page, offset + seg_lo - start_pos,
+                         seg_hi - seg_lo))
             offset += n_sched
             query_start_loc[row + 1] = offset
             seq_lens[row] = end_pos
@@ -247,7 +270,23 @@ class TPUModelRunner:
         # padded tokens to a padded row
         query_start_loc[num_reqs + 1:] = offset
 
+        kv_update_slices = None
+        num_kv_update_slices = None
+        if self.use_pallas:
+            # static bound: every request adds <= tokens/page + 1 runs
+            s_pad = t_pad // page + r_pad + 1
+            arr = np.zeros((3, s_pad), dtype=np.int32)
+            if kv_slices:
+                arr[:, :len(kv_slices)] = np.asarray(kv_slices,
+                                                     dtype=np.int32).T
+            kv_update_slices = jnp.asarray(arr, device=self._replicated)
+            num_kv_update_slices = jnp.asarray([len(kv_slices)],
+                                               dtype=jnp.int32,
+                                               device=self._replicated)
+
         attn_meta = AttentionMetadata(
+            kv_update_slices=kv_update_slices,
+            num_kv_update_slices=num_kv_update_slices,
             block_tables=jnp.asarray(
                 batch.block_table[:r_pad], device=self._replicated),
             query_start_loc=jnp.asarray(query_start_loc,
@@ -415,6 +454,12 @@ class TPUModelRunner:
 
     def _run_dummy_step(self, step_fn, t_pad: int, r_pad: int) -> None:
         zi = jnp.zeros(t_pad, dtype=jnp.int32)
+        kv_update_slices = None
+        num_kv_update_slices = None
+        if self.use_pallas:
+            s_pad = t_pad // self.page_size + r_pad + 1
+            kv_update_slices = jnp.zeros((3, s_pad), dtype=jnp.int32)
+            num_kv_update_slices = jnp.zeros(1, dtype=jnp.int32)
         meta = AttentionMetadata(
             block_tables=jnp.zeros((r_pad, self.max_blocks_per_req),
                                    dtype=jnp.int32),
@@ -422,6 +467,8 @@ class TPUModelRunner:
             seq_lens=jnp.zeros(r_pad, dtype=jnp.int32),
             slot_mapping=jnp.full(t_pad, -1, dtype=jnp.int32),
             num_seqs=jnp.asarray([r_pad], dtype=jnp.int32),
+            kv_update_slices=kv_update_slices,
+            num_kv_update_slices=num_kv_update_slices,
         )
         zr_f = jnp.zeros(r_pad, dtype=jnp.float32)
         zr_i = jnp.zeros(r_pad, dtype=jnp.int32)
