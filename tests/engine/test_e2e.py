@@ -109,9 +109,21 @@ def test_logprobs(llm):
 
 def test_prefix_cache_reuse(llm):
     """Second generation sharing a long prefix must report cached
-    tokens."""
+    tokens AND produce identical tokens (regression: double-counted
+    cache-hit blocks aliased pages in the block table)."""
     long_prompt = "hello world this is a test of the tokenizer " * 4
-    p = SamplingParams(temperature=0.0, max_tokens=2, ignore_eos=True)
-    llm.generate([long_prompt], p)
+    p = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    first = llm.generate([long_prompt], p)[0]
     out = llm.generate([long_prompt], p)[0]
     assert out.num_cached_tokens > 0
+    assert out.outputs[0].token_ids == first.outputs[0].token_ids
+
+
+def test_warm_engine_repeat_identical(llm):
+    """Repeated greedy generation on a warm engine must be identical
+    to the first (regression for the same aliasing bug at short
+    prompt lengths)."""
+    p = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    a = llm.generate(["hello again"], p)[0].outputs[0].token_ids
+    b = llm.generate(["hello again"], p)[0].outputs[0].token_ids
+    assert a == b

@@ -157,7 +157,11 @@ class KVCacheManager:
             elif request.request_id not in self.num_cached_blocks:
                 self.num_cached_blocks[request.request_id] = 0
 
-        return KVCacheBlocks(new_computed + new_blocks)
+        # Return ONLY the newly allocated blocks: the scheduler composes
+        # `new_computed_blocks + allocate_slots(...)` itself (returning
+        # the hit blocks here too would alias them twice in the block
+        # table and corrupt the KV of reused pages).
+        return KVCacheBlocks(new_blocks)
 
     def free(self, request: Request) -> None:
         """Release all pages of a request, reverse order for LRU
