@@ -1,0 +1,189 @@
+"""OpenAI server integration tests over real HTTP (reference style:
+tests/entrypoints/openai/ — drive the routes, assert protocol)."""
+
+import asyncio
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from vllm_main_modify_tpu.config import (CacheConfig, EngineConfig,
+                                         LoadConfig, ModelConfig,
+                                         SchedulerConfig)
+from vllm_main_modify_tpu.engine.async_llm import AsyncLLM
+from vllm_main_modify_tpu.entrypoints.openai.api_server import \
+    OpenAIServer
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_llama_dir):
+    config = EngineConfig(
+        model_config=ModelConfig(model=tiny_llama_dir, dtype="float32",
+                                 max_model_len=128),
+        cache_config=CacheConfig(block_size=4, num_gpu_blocks=256),
+        scheduler_config=SchedulerConfig(max_num_batched_tokens=64,
+                                         max_num_seqs=8,
+                                         max_model_len=128),
+        load_config=LoadConfig(load_format="auto"),
+    )
+    eng = AsyncLLM(config)
+    yield eng
+    eng.shutdown()
+
+
+@pytest.fixture()
+def client(engine, event_loop=None):
+    server = OpenAIServer(engine, served_model_name="tiny-llama")
+    app = server.build_app()
+
+    async def make():
+        c = TestClient(TestServer(app))
+        await c.start_server()
+        return c
+
+    loop = asyncio.new_event_loop()
+    c = loop.run_until_complete(make())
+    yield c, loop
+    loop.run_until_complete(c.close())
+    loop.close()
+
+
+def post(client, path, payload):
+    c, loop = client
+
+    async def run():
+        resp = await c.post(path, json=payload)
+        return resp.status, await resp.json()
+
+    return loop.run_until_complete(run())
+
+
+def get(client, path):
+    c, loop = client
+
+    async def run():
+        resp = await c.get(path)
+        return resp.status, await resp.text()
+
+    return loop.run_until_complete(run())
+
+
+def test_health_and_models(client):
+    status, _ = get(client, "/health")
+    assert status == 200
+    status, text = get(client, "/v1/models")
+    assert status == 200
+    data = json.loads(text)
+    assert data["data"][0]["id"] == "tiny-llama"
+
+
+def test_completions(client):
+    status, data = post(
+        client, "/v1/completions", {
+            "model": "tiny-llama",
+            "prompt": "hello world",
+            "max_tokens": 8,
+            "temperature": 0,
+            "ignore_eos": True,
+        })
+    assert status == 200, data
+    assert data["object"] == "text_completion"
+    assert data["choices"][0]["finish_reason"] == "length"
+    assert data["usage"]["completion_tokens"] == 8
+    assert isinstance(data["choices"][0]["text"], str)
+
+
+def test_completions_batch(client):
+    status, data = post(
+        client, "/v1/completions", {
+            "prompt": ["hello", "world test"],
+            "max_tokens": 4,
+            "temperature": 0,
+            "ignore_eos": True,
+        })
+    assert status == 200, data
+    assert len(data["choices"]) == 2
+    assert {c["index"] for c in data["choices"]} == {0, 1}
+
+
+def test_chat_completions(client):
+    status, data = post(
+        client, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "hello world"}],
+            "max_tokens": 6,
+            "temperature": 0,
+            "ignore_eos": True,
+        })
+    assert status == 200, data
+    assert data["object"] == "chat.completion"
+    msg = data["choices"][0]["message"]
+    assert msg["role"] == "assistant"
+    assert isinstance(msg["content"], str)
+    assert data["usage"]["completion_tokens"] == 6
+
+
+def test_chat_streaming(client):
+    c, loop = client
+
+    async def run():
+        resp = await c.post(
+            "/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 4,
+                "temperature": 0,
+                "stream": True,
+                "ignore_eos": True,
+                # tiny model may greedily emit special tokens, which
+                # would detokenize to "" and make the test vacuous
+                "skip_special_tokens": False,
+            })
+        assert resp.status == 200
+        assert resp.content_type == "text/event-stream"
+        chunks = []
+        async for line in resp.content:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                payload = line[len("data: "):]
+                if payload == "[DONE]":
+                    break
+                chunks.append(json.loads(payload))
+        return chunks
+
+    chunks = loop.run_until_complete(run())
+    assert chunks[0]["choices"][0]["delta"]["role"] == "assistant"
+    # 1 role chunk + one chunk per step (deltas may be "" when the
+    # random model emits partial-UTF8 byte tokens that the incremental
+    # detokenizer holds back)
+    assert len(chunks) >= 2
+    assert all("content" in ch["choices"][0]["delta"] for ch in chunks)
+    assert chunks[-1]["choices"][0]["finish_reason"] == "length"
+
+
+def test_error_empty_messages(client):
+    status, data = post(client, "/v1/chat/completions",
+                        {"messages": [], "max_tokens": 4})
+    assert status == 400
+    assert "messages" in data["message"]
+
+
+def test_error_bad_params(client):
+    status, data = post(
+        client, "/v1/completions",
+        {"prompt": "x", "temperature": -2.0, "max_tokens": 2})
+    assert status == 400
+
+
+def test_tokenize_detokenize(client):
+    status, data = post(client, "/tokenize", {"prompt": "hello world"})
+    assert status == 200
+    assert data["count"] == len(data["tokens"]) > 0
+    status2, data2 = post(client, "/detokenize",
+                          {"tokens": data["tokens"]})
+    assert status2 == 200
+    assert "hello" in data2["prompt"]
+
+
+def test_metrics_endpoint(client):
+    status, text = get(client, "/metrics")
+    assert status == 200
+    assert "vllm:num_requests_running" in text

@@ -1,13 +1,12 @@
-"""Pallas KV-update kernel vs the XLA scatter oracle (interpret mode).
-Reference test style: tests/v1/tpu/test_kv_cache_update_kernel.py."""
+"""Page-granular KV-update (production path) vs the token-scatter
+oracle. Reference test style: tests/v1/tpu/test_kv_cache_update_kernel.py."""
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from vllm_main_modify_tpu.ops.kv_cache import write_to_kv_cache
-from vllm_main_modify_tpu.ops.pallas.kv_update import \
-    kv_cache_update_pallas
+from vllm_main_modify_tpu.ops.kv_cache import write_to_kv_cache_paged
 
 
 def make_slices(slot_mapping: np.ndarray, page_size: int, s_pad: int):
@@ -54,10 +53,8 @@ def test_kv_update_matches_scatter(seed):
     ref = write_to_kv_cache(cache, key, value,
                             jnp.asarray(slot_mapping))
 
-    kv = jnp.stack([key, value], axis=2).reshape(t, two_kh, d)
     slices, num = make_slices(slot_mapping, page_size, s_pad=16)
-    got = kv_cache_update_pallas(cache, kv, slices, num,
-                                 interpret=True)
+    got = write_to_kv_cache_paged(cache, key, value, slices, num)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
@@ -73,8 +70,6 @@ def test_kv_update_full_pages():
 
     ref = write_to_kv_cache(cache, key, value,
                             jnp.asarray(slot_mapping))
-    kv = jnp.stack([key, value], axis=2).reshape(t, two_kh, d)
     slices, num = make_slices(slot_mapping, page_size, s_pad=8)
-    got = kv_cache_update_pallas(cache, kv, slices, num,
-                                 interpret=True)
+    got = write_to_kv_cache_paged(cache, key, value, slices, num)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

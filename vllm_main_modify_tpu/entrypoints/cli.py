@@ -1,0 +1,90 @@
+"""CLI: serve / bench (reference: vllm/entrypoints/cli/main.py —
+``vllm serve|bench|...``). Flags are generated from the config
+dataclasses' fields (reference pattern: vllm/engine/arg_utils.py)."""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import sys
+
+
+def _add_engine_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("model", nargs="?", default=None)
+    p.add_argument("--model", dest="model_opt", default=None)
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32", "float16"])
+    p.add_argument("--max-model-len", type=int, default=2048)
+    p.add_argument("--max-num-seqs", type=int, default=64)
+    p.add_argument("--max-num-batched-tokens", type=int, default=1024)
+    p.add_argument("--block-size", type=int, default=16)
+    p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
+    p.add_argument("--gpu-memory-utilization", type=float, default=0.9)
+    p.add_argument("--no-enable-prefix-caching", action="store_true")
+    p.add_argument("--num-kv-blocks", type=int, default=None)
+    p.add_argument("--load-format", default="auto",
+                   choices=["auto", "safetensors", "dummy"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--trust-remote-code", action="store_true")
+    p.add_argument("--served-model-name", default=None)
+
+
+def _build_config(args):
+    from vllm_main_modify_tpu.config import (CacheConfig, EngineConfig,
+                                             LoadConfig, ModelConfig,
+                                             ParallelConfig,
+                                             SchedulerConfig)
+
+    model = args.model_opt or args.model
+    if not model:
+        raise SystemExit("error: model path required")
+    return EngineConfig(
+        model_config=ModelConfig(model=model, tokenizer=args.tokenizer,
+                                 dtype=args.dtype,
+                                 max_model_len=args.max_model_len,
+                                 seed=args.seed,
+                                 trust_remote_code=args.trust_remote_code),
+        cache_config=CacheConfig(
+            block_size=args.block_size,
+            num_gpu_blocks=args.num_kv_blocks,
+            gpu_memory_utilization=args.gpu_memory_utilization,
+            enable_prefix_caching=not args.no_enable_prefix_caching),
+        scheduler_config=SchedulerConfig(
+            max_num_batched_tokens=args.max_num_batched_tokens,
+            max_num_seqs=args.max_num_seqs,
+            max_model_len=args.max_model_len),
+        parallel_config=ParallelConfig(
+            tensor_parallel_size=args.tensor_parallel_size),
+        load_config=LoadConfig(load_format=args.load_format),
+    )
+
+
+def cmd_serve(args) -> None:
+    from vllm_main_modify_tpu.engine.async_llm import AsyncLLM
+    from vllm_main_modify_tpu.entrypoints.openai.api_server import \
+        run_server
+
+    config = _build_config(args)
+    engine = AsyncLLM(config)
+    asyncio.run(
+        run_server(engine, host=args.host, port=args.port,
+                   served_model_name=args.served_model_name))
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="vllm-tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    serve = sub.add_parser("serve", help="start the OpenAI server")
+    _add_engine_args(serve)
+    serve.add_argument("--host", default="0.0.0.0")
+    serve.add_argument("--port", type=int, default=8000)
+    serve.set_defaults(func=cmd_serve)
+
+    args = parser.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,377 @@
+"""OpenAI-compatible HTTP server.
+
+Reference: vllm/entrypoints/openai/api_server.py (FastAPI routes
+:345-1240) + serving_chat.py / serving_completion.py. Built on aiohttp
+(FastAPI is not in this image); same route surface and SSE streaming
+semantics:
+
+  POST /v1/completions           POST /v1/chat/completions
+  GET  /v1/models                GET  /health        GET /version
+  POST /tokenize                 POST /detokenize
+  GET  /metrics (Prometheus)     POST /reset_prefix_cache
+  POST /start_profile            POST /stop_profile
+  GET  /audit/* (structured-output audit admin, §5.9 fork delta)
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+from typing import AsyncGenerator, Optional
+
+from aiohttp import web
+
+from vllm_main_modify_tpu.engine.async_llm import AsyncLLM, EngineDeadError
+from vllm_main_modify_tpu.entrypoints.openai.protocol import (
+    ChatCompletionChoice, ChatCompletionRequest, ChatCompletionResponse,
+    ChatCompletionStreamChoice, ChatCompletionStreamResponse,
+    ChatMessage, CompletionChoice, CompletionRequest,
+    CompletionResponse, DeltaMessage, DetokenizeRequest,
+    DetokenizeResponse, ErrorResponse, ModelCard, ModelList,
+    TokenizeRequest, TokenizeResponse, UsageInfo, random_uuid)
+from vllm_main_modify_tpu.metrics.prometheus import PrometheusMetrics
+
+logger = logging.getLogger(__name__)
+
+
+def error_json(status: int, message: str, etype: str = "BadRequestError"):
+    return web.json_response(
+        ErrorResponse(message=message, type=etype,
+                      code=status).model_dump(), status=status)
+
+
+class OpenAIServer:
+
+    def __init__(self, engine: AsyncLLM, served_model_name: str) -> None:
+        self.engine = engine
+        self.model_name = served_model_name
+        self.tokenizer = engine.tokenizer
+        self.max_model_len = engine.config.model_config.max_model_len
+        self.metrics = PrometheusMetrics(engine)
+
+    # ------------------------------------------------------------------
+
+    def build_app(self) -> web.Application:
+        app = web.Application(client_max_size=64 * 1024 * 1024)
+        r = app.router
+        r.add_get("/health", self.health)
+        r.add_get("/version", self.version)
+        r.add_get("/v1/models", self.models)
+        r.add_post("/v1/completions", self.completions)
+        r.add_post("/v1/chat/completions", self.chat_completions)
+        r.add_post("/tokenize", self.tokenize)
+        r.add_post("/detokenize", self.detokenize)
+        r.add_get("/metrics", self.prometheus_metrics)
+        r.add_post("/reset_prefix_cache", self.reset_prefix_cache)
+        r.add_post("/start_profile", self.start_profile)
+        r.add_post("/stop_profile", self.stop_profile)
+        try:
+            from vllm_main_modify_tpu.structured_output.audit_admin import \
+                register_audit_routes
+
+            register_audit_routes(r, self.engine)
+        except ImportError:
+            pass
+        return app
+
+    # ---- misc endpoints ----------------------------------------------
+
+    async def health(self, request: web.Request) -> web.Response:
+        if not self.engine.is_healthy():
+            return web.Response(status=503, text="engine dead")
+        return web.Response(text="")
+
+    async def version(self, request: web.Request) -> web.Response:
+        from vllm_main_modify_tpu import __version__
+
+        return web.json_response({"version": __version__})
+
+    async def models(self, request: web.Request) -> web.Response:
+        return web.json_response(
+            ModelList(data=[ModelCard(id=self.model_name)]).model_dump())
+
+    async def tokenize(self, request: web.Request) -> web.Response:
+        body = TokenizeRequest(**await request.json())
+        if body.messages is not None:
+            text = self._apply_chat_template(body.messages, True)
+        else:
+            text = body.prompt or ""
+        ids = self.tokenizer.encode(
+            text, add_special_tokens=body.add_special_tokens)
+        return web.json_response(
+            TokenizeResponse(count=len(ids),
+                             max_model_len=self.max_model_len,
+                             tokens=ids).model_dump())
+
+    async def detokenize(self, request: web.Request) -> web.Response:
+        body = DetokenizeRequest(**await request.json())
+        text = self.tokenizer.decode(body.tokens)
+        return web.json_response(
+            DetokenizeResponse(prompt=text).model_dump())
+
+    async def prometheus_metrics(self,
+                                 request: web.Request) -> web.Response:
+        return web.Response(body=self.metrics.render(),
+                            content_type="text/plain")
+
+    async def reset_prefix_cache(self,
+                                 request: web.Request) -> web.Response:
+        self.engine.engine_core.reset_prefix_cache()
+        return web.Response(text="")
+
+    async def start_profile(self, request: web.Request) -> web.Response:
+        self.engine.engine_core.profile_start()
+        return web.Response(text="")
+
+    async def stop_profile(self, request: web.Request) -> web.Response:
+        self.engine.engine_core.profile_stop()
+        return web.Response(text="")
+
+    # ---- /v1/completions ---------------------------------------------
+
+    async def completions(self, request: web.Request) -> web.Response:
+        try:
+            body = CompletionRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return error_json(400, f"invalid request: {e}")
+        prompts = body.prompt
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        elif prompts and isinstance(prompts[0], int):
+            prompts = [prompts]
+        if len(prompts) != 1 and body.stream:
+            return error_json(400, "streaming supports a single prompt")
+        try:
+            params = body.to_sampling_params(
+                default_max_tokens=self.max_model_len)
+        except ValueError as e:
+            return error_json(400, str(e))
+
+        request_id = f"cmpl-{random_uuid()}"
+        if body.stream:
+            return await self._stream_completion(request, body,
+                                                 prompts[0], params,
+                                                 request_id)
+        choices = []
+        prompt_tokens = completion_tokens = 0
+        try:
+            for i, prompt in enumerate(prompts):
+                final = None
+                async for out in self.engine.generate(
+                        prompt, params, f"{request_id}-{i}"):
+                    final = out
+                assert final is not None
+                co = final.outputs[0]
+                text = co.text
+                if body.echo:
+                    text = (final.prompt or "") + text
+                choices.append(
+                    CompletionChoice(
+                        index=i, text=text,
+                        finish_reason=co.finish_reason,
+                        logprobs=self._fmt_completion_logprobs(co)))
+                prompt_tokens += len(final.prompt_token_ids)
+                completion_tokens += len(co.token_ids)
+        except ValueError as e:
+            return error_json(400, str(e))
+        except EngineDeadError as e:
+            return error_json(500, str(e), "InternalServerError")
+        resp = CompletionResponse(
+            model=body.model or self.model_name, choices=choices,
+            usage=UsageInfo(
+                prompt_tokens=prompt_tokens,
+                completion_tokens=completion_tokens,
+                total_tokens=prompt_tokens + completion_tokens))
+        return web.json_response(resp.model_dump())
+
+    async def _stream_completion(self, request, body, prompt, params,
+                                 request_id) -> web.StreamResponse:
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"})
+        await resp.prepare(request)
+        try:
+            async for out in self.engine.generate(prompt, params,
+                                                  request_id):
+                co = out.outputs[0]
+                chunk = CompletionResponse(
+                    id=request_id, model=body.model or self.model_name,
+                    choices=[
+                        CompletionChoice(
+                            index=0, text=co.text,
+                            finish_reason=co.finish_reason)
+                    ])
+                await resp.write(
+                    f"data: {json.dumps(chunk.model_dump())}\n\n"
+                    .encode())
+        except (ValueError, EngineDeadError) as e:
+            err = {"error": {"message": str(e)}}
+            await resp.write(f"data: {json.dumps(err)}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    # ---- /v1/chat/completions ----------------------------------------
+
+    def _apply_chat_template(self, messages: list[ChatMessage],
+                             add_generation_prompt: bool,
+                             chat_template: Optional[str] = None) -> str:
+        msg_dicts = []
+        for m in messages:
+            content = m.content
+            if isinstance(content, list):
+                # multimodal-style content parts: concatenate text parts
+                content = "".join(
+                    p.get("text", "") for p in content
+                    if isinstance(p, dict) and p.get("type") == "text")
+            msg_dicts.append({"role": m.role, "content": content or ""})
+        if getattr(self.tokenizer, "chat_template", None) or chat_template:
+            return self.tokenizer.apply_chat_template(
+                msg_dicts, tokenize=False,
+                chat_template=chat_template,
+                add_generation_prompt=add_generation_prompt)
+        # no template: simple role-tagged fallback
+        text = "".join(f"{m['role']}: {m['content']}\n"
+                       for m in msg_dicts)
+        if add_generation_prompt:
+            text += "assistant:"
+        return text
+
+    async def chat_completions(self,
+                               request: web.Request) -> web.Response:
+        try:
+            body = ChatCompletionRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return error_json(400, f"invalid request: {e}")
+        if not body.messages:
+            return error_json(400, "messages must be non-empty")
+        try:
+            prompt = self._apply_chat_template(body.messages,
+                                               body.add_generation_prompt,
+                                               body.chat_template)
+            params = body.to_sampling_params(
+                default_max_tokens=self.max_model_len)
+        except ValueError as e:
+            return error_json(400, str(e))
+        request_id = f"chatcmpl-{random_uuid()}"
+
+        if body.stream:
+            return await self._stream_chat(request, body, prompt,
+                                           params, request_id)
+        try:
+            final = None
+            async for out in self.engine.generate(prompt, params,
+                                                  request_id):
+                final = out
+            assert final is not None
+        except ValueError as e:
+            return error_json(400, str(e))
+        except EngineDeadError as e:
+            return error_json(500, str(e), "InternalServerError")
+        co = final.outputs[0]
+        resp = ChatCompletionResponse(
+            id=request_id, model=body.model or self.model_name,
+            choices=[
+                ChatCompletionChoice(
+                    index=0,
+                    message=ChatMessage(role="assistant", content=co.text),
+                    finish_reason=co.finish_reason,
+                    logprobs=self._fmt_chat_logprobs(co))
+            ],
+            usage=UsageInfo(
+                prompt_tokens=len(final.prompt_token_ids),
+                completion_tokens=len(co.token_ids),
+                total_tokens=len(final.prompt_token_ids) +
+                len(co.token_ids)))
+        return web.json_response(resp.model_dump())
+
+    async def _stream_chat(self, request, body, prompt, params,
+                           request_id) -> web.StreamResponse:
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"})
+        await resp.prepare(request)
+        first = ChatCompletionStreamResponse(
+            id=request_id, model=body.model or self.model_name,
+            choices=[
+                ChatCompletionStreamChoice(
+                    index=0, delta=DeltaMessage(role="assistant",
+                                                content=""))
+            ])
+        await resp.write(
+            f"data: {json.dumps(first.model_dump())}\n\n".encode())
+        try:
+            async for out in self.engine.generate(prompt, params,
+                                                  request_id):
+                co = out.outputs[0]
+                chunk = ChatCompletionStreamResponse(
+                    id=request_id, model=body.model or self.model_name,
+                    choices=[
+                        ChatCompletionStreamChoice(
+                            index=0,
+                            delta=DeltaMessage(content=co.text),
+                            finish_reason=co.finish_reason)
+                    ])
+                await resp.write(
+                    f"data: {json.dumps(chunk.model_dump())}\n\n"
+                    .encode())
+        except (ValueError, EngineDeadError) as e:
+            err = {"error": {"message": str(e)}}
+            await resp.write(f"data: {json.dumps(err)}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    # ---- logprob formatting ------------------------------------------
+
+    @staticmethod
+    def _fmt_completion_logprobs(co) -> Optional[dict]:
+        if co.logprobs is None:
+            return None
+        token_logprobs, tokens, top = [], [], []
+        for pos in co.logprobs:
+            entries = sorted(pos.items(), key=lambda kv: kv[1].rank or 0)
+            sampled_tid, sampled_lp = entries[0]
+            tokens.append(sampled_lp.decoded_token or "")
+            token_logprobs.append(sampled_lp.logprob)
+            top.append({
+                lp.decoded_token or str(tid): lp.logprob
+                for tid, lp in pos.items()
+            })
+        return {"tokens": tokens, "token_logprobs": token_logprobs,
+                "top_logprobs": top, "text_offset": []}
+
+    @staticmethod
+    def _fmt_chat_logprobs(co) -> Optional[dict]:
+        if co.logprobs is None:
+            return None
+        content = []
+        for pos in co.logprobs:
+            entries = sorted(pos.items(), key=lambda kv: kv[1].rank or 0)
+            sampled_tid, sampled_lp = entries[0]
+            content.append({
+                "token": sampled_lp.decoded_token or "",
+                "logprob": sampled_lp.logprob,
+                "top_logprobs": [{
+                    "token": lp.decoded_token or "",
+                    "logprob": lp.logprob,
+                } for _, lp in entries],
+            })
+        return {"content": content}
+
+
+async def run_server(engine: AsyncLLM, host: str = "0.0.0.0",
+                     port: int = 8000,
+                     served_model_name: Optional[str] = None) -> None:
+    server = OpenAIServer(
+        engine, served_model_name or engine.config.model_config.model)
+    app = server.build_app()
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, host, port)
+    await site.start()
+    logger.info("OpenAI-compatible server listening on %s:%d", host,
+                port)
+    while True:
+        await asyncio.sleep(3600)

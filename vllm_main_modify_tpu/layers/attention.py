@@ -50,15 +50,13 @@ def attention(
     Returns (attn_out [T, Hq, D], updated kv_cache)."""
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
-    if use_pallas and meta.kv_update_slices is not None:
-        from vllm_main_modify_tpu.ops.pallas.kv_update import \
-            kv_cache_update_pallas
+    if meta.kv_update_slices is not None:
+        from vllm_main_modify_tpu.ops.kv_cache import \
+            write_to_kv_cache_paged
 
-        t = k.shape[0]
-        new_kv = jnp.stack([k, v], axis=2).reshape(t, -1, k.shape[-1])
-        kv_cache = kv_cache_update_pallas(kv_cache, new_kv,
-                                          meta.kv_update_slices,
-                                          meta.num_kv_update_slices)
+        kv_cache = write_to_kv_cache_paged(kv_cache, k, v,
+                                           meta.kv_update_slices,
+                                           meta.num_kv_update_slices)
     else:
         kv_cache = write_to_kv_cache(kv_cache, k, v, meta.slot_mapping)
     out = ragged_paged_attention(

@@ -53,3 +53,51 @@ def write_to_kv_cache(
                       num_pages * page_size)
     flat = flat.at[slots].set(kv, mode="drop")
     return flat.reshape(kv_cache.shape)
+
+
+def write_to_kv_cache_paged(
+    kv_cache: jax.Array,  # [P, page, 2K, D]
+    key: jax.Array,  # [T, K, D]
+    value: jax.Array,  # [T, K, D]
+    slices: jax.Array,  # [3, S] (cache_start_row, new_start, len)
+    num_slices: jax.Array,  # [1] int32
+) -> jax.Array:
+    """Page-granular read-modify-write — the TPU production path.
+
+    The token-level scatter above serializes on TPU (one loop step per
+    token row); this gathers each touched page once, overlays the new
+    rows with a vector select, and scatters whole pages back (~16x
+    fewer, page-sized updates). Slices come from the runner's host-side
+    metadata build; a slice never crosses a page and pages are unique
+    across slices (one run per page per request per step), except the
+    padded entries which all target the null page 0 with an identity
+    update. Replaces the reference's reshape_and_cache CUDA kernel
+    (csrc/cache_kernels.cu) and its Pallas TPU equivalent
+    (vllm/attention/ops/pallas_kv_cache_update.py).
+    """
+    num_pages, page_size, two_k, head_dim = kv_cache.shape
+    t = key.shape[0]
+    width = two_k * head_dim
+    kv = jnp.stack([key, value], axis=2).reshape(t, width)
+    kv = kv.astype(kv_cache.dtype)
+    pages = kv_cache.reshape(num_pages, page_size, width)
+
+    s = slices.shape[1]
+    cache_start, new_start, length = slices[0], slices[1], slices[2]
+    page_ids = cache_start // page_size  # [S]
+    offsets = cache_start % page_size
+    r = jnp.arange(page_size, dtype=jnp.int32)[None, :]  # [1, page]
+    src = new_start[:, None] + r - offsets[:, None]  # [S, page]
+    valid = ((r >= offsets[:, None]) &
+             (r < (offsets + length)[:, None]) &
+             (jnp.arange(s, dtype=jnp.int32)[:, None] < num_slices[0]))
+    gathered = jnp.take(kv, jnp.clip(src, 0, t - 1),
+                        axis=0)  # [S, page, width]
+    # padded slices scatter out of range → dropped (a null-page write
+    # would race a real slice that legitimately targets page 0)
+    real = valid.any(axis=1)
+    safe_ids = jnp.where(real, page_ids, num_pages)
+    old = jnp.take(pages, jnp.where(real, page_ids, 0), axis=0)
+    merged = jnp.where(valid[:, :, None], gathered, old)
+    pages = pages.at[safe_ids].set(merged, mode="drop")
+    return pages.reshape(kv_cache.shape)

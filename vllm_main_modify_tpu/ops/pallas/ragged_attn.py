@@ -41,28 +41,34 @@ def _rpa_kernel(
     block_tables_ref,  # [R, max_pages]
     first_seq_ref,  # [num_q_blocks] first seq overlapping each block
     num_seqs_ref,  # [1]
-    # inputs (HBM)
-    q_hbm,  # [T, Hq, D]
-    kv_hbm,  # [P, page, 2*Hk, D]
+    # inputs (HBM). 2-D layouts so every DMA slices only the
+    # second-minor dim at tile-aligned offsets (Mosaic rejects sliced
+    # memrefs whose minor dims aren't tile-aligned — e.g. Hq=12):
+    q_hbm,  # [T, Hq*D]
+    kv_hbm,  # [P*page, 2*Hk*D]
     # output (HBM)
-    o_hbm,  # [T, Hq, D]
+    o_hbm,  # [T, Hq*D]
     # scratch
-    q_vmem,  # [BQ, Hq, D]
-    kv_vmem,  # [2, NPP, page, 2*Hk, D]
-    o_vmem,  # [BQ, Hq, D]
+    q_vmem,  # [BQ, Hq*D]
+    kv_vmem,  # [2, NPP*page, 2*Hk*D]
+    o_vmem,  # [BQ, Hq*D]
     q_sem,
     o_sem,
     kv_sems,  # DMA sems [2, NPP]
     *,
     sm_scale: float,
+    num_q_heads: int,
     num_kv_heads: int,
+    head_dim: int,
+    page_size: int,
     sliding_window: Optional[int],
     logit_softcap: Optional[float],
 ):
     i = pl.program_id(0)
-    bq, num_q_heads, head_dim = q_vmem.shape
-    _, npp, page_size, two_kh, _ = kv_vmem.shape
-    kvb = npp * page_size  # kv tokens per stream block
+    bq = q_vmem.shape[0]
+    kvb = kv_vmem.shape[1]  # kv tokens per stream block
+    npp = kvb // page_size
+    two_kh = 2 * num_kv_heads
     group = num_q_heads // num_kv_heads
     rows = bq * group
     t0 = i * bq
@@ -76,21 +82,24 @@ def _rpa_kernel(
 
     def start_kv_dma(s, kb, slot):
         """Fetch pages [kb*npp, kb*npp+npp) of seq s into buffer
-        `slot`."""
+        `slot` (one row-range DMA per page)."""
         for j in range(npp):
             page_id = block_tables_ref[s, kb * npp + j]
-            pltpu.make_async_copy(kv_hbm.at[page_id],
-                                  kv_vmem.at[slot, j],
-                                  kv_sems.at[slot, j]).start()
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(page_id * page_size, page_size)],
+                kv_vmem.at[slot, pl.ds(j * page_size, page_size)],
+                kv_sems.at[slot, j]).start()
 
     def wait_kv_dma(slot):
         for j in range(npp):
-            pltpu.make_async_copy(kv_hbm.at[0], kv_vmem.at[slot, j],
-                                  kv_sems.at[slot, j]).wait()
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(0, page_size)],
+                kv_vmem.at[slot, pl.ds(j * page_size, page_size)],
+                kv_sems.at[slot, j]).wait()
 
     q_copy.wait()
-    # load all heads once: [BQ, Hq, D] → per-kv-head groups
-    q_all = q_vmem[...]
+    # load all heads once → [BQ, Hq, D] (minor-preserving split)
+    q_all = q_vmem[...].reshape(bq, num_q_heads, head_dim)
 
     def process_seq(s, carry):
         """Accumulate seq s's KV into every (masked) row of the block."""
@@ -120,8 +129,7 @@ def _rpa_kernel(
                 start_kv_dma(s, kb + 1, 1 - slot)
 
             wait_kv_dma(slot)
-            kv = kv_vmem[slot].reshape(kvb, two_kh, head_dim)
-            kv = kv.reshape(kvb, num_kv_heads, 2, head_dim)
+            kv = kv_vmem[slot].reshape(kvb, num_kv_heads, 2, head_dim)
             k = kv[:, :, 0, :]  # [KVB, Hk, D]
             v = kv[:, :, 1, :]
 
@@ -190,9 +198,10 @@ def _rpa_kernel(
                                         (s0, (m0, l0, acc0)))
 
     out = acc / jnp.maximum(l, 1e-20)  # rows with no kv → 0
-    # [Hk, BQ*G, D] → [BQ, Hq, D]
+    # [Hk, BQ*G, D] → [BQ, Hq*D]
     out = out.reshape(num_kv_heads, bq, group, head_dim)
-    out = out.transpose(1, 0, 2, 3).reshape(bq, num_q_heads, head_dim)
+    out = out.transpose(1, 0, 2, 3).reshape(bq,
+                                            num_q_heads * head_dim)
     o_vmem[...] = out.astype(o_vmem.dtype)
     o_copy = pltpu.make_async_copy(o_vmem, o_hbm.at[pl.ds(t0, bq)],
                                    o_sem)
@@ -242,10 +251,17 @@ def ragged_paged_attention_pallas(
     kernel = functools.partial(
         _rpa_kernel,
         sm_scale=sm_scale,
+        num_q_heads=num_q_heads,
         num_kv_heads=num_kv_heads,
+        head_dim=head_dim,
+        page_size=page_size,
         sliding_window=sliding_window,
         logit_softcap=logit_softcap,
     )
+    # 2-D HBM layouts keep every DMA slice tile-aligned (see kernel)
+    num_pages = kv_cache.shape[0]
+    q2 = q.reshape(t, num_q_heads * head_dim)
+    kv2 = kv_cache.reshape(num_pages * page_size, two_kh * head_dim)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(num_q_blocks, ),
@@ -255,10 +271,10 @@ def ragged_paged_attention_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((bq, num_q_heads, head_dim), q.dtype),
-            pltpu.VMEM((2, npp, page_size, two_kh, head_dim),
+            pltpu.VMEM((bq, num_q_heads * head_dim), q.dtype),
+            pltpu.VMEM((2, npp * page_size, two_kh * head_dim),
                        kv_cache.dtype),
-            pltpu.VMEM((bq, num_q_heads, head_dim), q.dtype),
+            pltpu.VMEM((bq, num_q_heads * head_dim), q.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2, npp)),
@@ -267,10 +283,10 @@ def ragged_paged_attention_pallas(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(q2.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", )),
         interpret=interpret,
-    )(query_start_loc, seq_lens, block_tables, first_seq, num_seqs, q,
-      kv_cache)
-    return out
+    )(query_start_loc, seq_lens, block_tables, first_seq, num_seqs, q2,
+      kv2)
+    return out.reshape(q.shape)

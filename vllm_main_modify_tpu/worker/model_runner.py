@@ -251,7 +251,7 @@ class TPUModelRunner:
             page_ids = batch.block_table[row, pos // page]
             slot_mapping[offset:offset + n_sched] = \
                 page_ids * page + pos % page
-            if self.use_pallas and n_sched > 0:
+            if n_sched > 0:
                 for pg in range(start_pos // page,
                                 (end_pos - 1) // page + 1):
                     seg_lo = max(start_pos, pg * page)
@@ -270,19 +270,16 @@ class TPUModelRunner:
         # padded tokens to a padded row
         query_start_loc[num_reqs + 1:] = offset
 
-        kv_update_slices = None
-        num_kv_update_slices = None
-        if self.use_pallas:
-            # static bound: every request adds <= tokens/page + 1 runs
-            s_pad = t_pad // page + r_pad + 1
-            arr = np.zeros((3, s_pad), dtype=np.int32)
-            if kv_slices:
-                arr[:, :len(kv_slices)] = np.asarray(kv_slices,
-                                                     dtype=np.int32).T
-            kv_update_slices = jnp.asarray(arr, device=self._replicated)
-            num_kv_update_slices = jnp.asarray([len(kv_slices)],
-                                               dtype=jnp.int32,
-                                               device=self._replicated)
+        # static bound: every request adds <= tokens/page + 1 runs
+        s_pad = t_pad // page + r_pad + 1
+        arr = np.zeros((3, s_pad), dtype=np.int32)
+        if kv_slices:
+            arr[:, :len(kv_slices)] = np.asarray(kv_slices,
+                                                 dtype=np.int32).T
+        kv_update_slices = jnp.asarray(arr, device=self._replicated)
+        num_kv_update_slices = jnp.asarray([len(kv_slices)],
+                                           dtype=jnp.int32,
+                                           device=self._replicated)
 
         attn_meta = AttentionMetadata(
             kv_update_slices=kv_update_slices,
@@ -454,12 +451,9 @@ class TPUModelRunner:
 
     def _run_dummy_step(self, step_fn, t_pad: int, r_pad: int) -> None:
         zi = jnp.zeros(t_pad, dtype=jnp.int32)
-        kv_update_slices = None
-        num_kv_update_slices = None
-        if self.use_pallas:
-            s_pad = t_pad // self.page_size + r_pad + 1
-            kv_update_slices = jnp.zeros((3, s_pad), dtype=jnp.int32)
-            num_kv_update_slices = jnp.zeros(1, dtype=jnp.int32)
+        s_pad = t_pad // self.page_size + r_pad + 1
+        kv_update_slices = jnp.zeros((3, s_pad), dtype=jnp.int32)
+        num_kv_update_slices = jnp.zeros(1, dtype=jnp.int32)
         meta = AttentionMetadata(
             block_tables=jnp.zeros((r_pad, self.max_blocks_per_req),
                                    dtype=jnp.int32),
