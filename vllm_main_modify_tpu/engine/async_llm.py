@@ -45,6 +45,12 @@ class AsyncLLM:
         if tokenizer is None and config.model_config.tokenizer:
             tokenizer = get_tokenizer(config.model_config)
         self.tokenizer = tokenizer
+        if structured_output_manager is None and tokenizer is not None:
+            from vllm_main_modify_tpu.structured_output import \
+                StructuredOutputManager
+
+            structured_output_manager = StructuredOutputManager(
+                tokenizer, config.model_config.vocab_size)
         self.processor = Processor(config, tokenizer)
         self.output_processor = OutputProcessor(tokenizer)
         self.engine_core = EngineCore(

@@ -39,6 +39,12 @@ class LLMEngine:
         self.tokenizer = tokenizer
 
         structured_output_manager = None
+        if tokenizer is not None:
+            from vllm_main_modify_tpu.structured_output import \
+                StructuredOutputManager
+
+            structured_output_manager = StructuredOutputManager(
+                tokenizer, config.model_config.vocab_size)
         self.processor = Processor(config, tokenizer)
         self.output_processor = OutputProcessor(tokenizer)
         self.engine_core = EngineCore(

@@ -63,6 +63,13 @@ class Processor:
             sampling_params = params or SamplingParams()
             sampling_params = self._clamp_max_tokens(
                 sampling_params, len(token_ids))
+            if sampling_params.structured_outputs is not None:
+                # fail fast on unsupported/invalid specs (reference:
+                # structured-output validation processor.py:222)
+                from vllm_main_modify_tpu.structured_output.manager \
+                    import spec_to_regex
+
+                spec_to_regex(sampling_params.structured_outputs)
 
         return EngineCoreRequest(
             request_id=request_id,

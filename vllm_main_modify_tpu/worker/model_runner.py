@@ -90,6 +90,9 @@ class TPUModelRunner:
         self.num_compilations = 0
         self._compiled_keys: set[tuple] = set()
 
+        # grammar bitmask width (int32 words over the model vocab)
+        self.num_words = (mc.vocab_size + 31) // 32
+
         self._kv_sharding = NamedSharding(
             self.mesh, P(None, None, None, "model", None))
         self._replicated = NamedSharding(self.mesh, P())
@@ -215,6 +218,14 @@ class TPUModelRunner:
     # ------------------------------------------------------------------
 
     def _prepare_inputs(self, scheduler_output: SchedulerOutput):
+        """Build ONE packed int32 host buffer for the whole step.
+
+        The axon TPU tunnel charges ~30 ms latency per host->device
+        transfer; a step needs ~10 logically separate arrays, so they
+        are packed into a single int32 buffer (floats bitcast) and
+        sliced apart inside the jitted step. On real hardware this is
+        still the right call: one dispatch instead of ten.
+        """
         batch = self.input_batch
         num_reqs = batch.num_reqs
         sched = scheduler_output.num_scheduled_tokens
@@ -223,18 +234,30 @@ class TPUModelRunner:
 
         t_pad = self._pad_to_bucket(total, self.token_buckets)
         r_pad = self._pad_to_bucket(num_reqs, self.req_buckets)
-
-        input_ids = np.zeros(t_pad, dtype=np.int32)
-        positions = np.zeros(t_pad, dtype=np.int32)
-        slot_mapping = np.full(t_pad, -1, dtype=np.int32)
-        query_start_loc = np.zeros(r_pad + 1, dtype=np.int32)
-        seq_lens = np.zeros(r_pad, dtype=np.int32)
-        logits_indices = np.zeros(r_pad, dtype=np.int32)
-        # rows (in batch order) that produce a sampled token this step
-        sample_rows: list[int] = []
-        # Pallas KV-update slices (cache_start, new_start, len)
-        kv_slices: list[tuple[int, int, int]] = []
         page = self.page_size
+        s_pad = t_pad // page + r_pad + 1
+        mp = self.max_blocks_per_req
+
+        layout = self._packed_layout(t_pad, r_pad, s_pad)
+        packed = np.zeros(layout["total"], dtype=np.int32)
+
+        def seg(name):
+            a, b = layout[name]
+            return packed[a:b]
+
+        input_ids = seg("input_ids")
+        positions = seg("positions")
+        slot_mapping = seg("slot_mapping")
+        slot_mapping[:] = -1
+        query_start_loc = seg("query_start_loc")
+        seq_lens = seg("seq_lens")
+        logits_indices = seg("logits_indices")
+        block_tables = seg("block_tables").reshape(r_pad, mp)
+        kv_slices_arr = seg("kv_slices").reshape(3, s_pad)
+        scalars = seg("scalars")
+
+        sample_rows: list[int] = []
+        kv_slices: list[tuple[int, int, int]] = []
 
         offset = 0
         for row in range(num_reqs):
@@ -269,88 +292,147 @@ class TPUModelRunner:
         # padded rows repeat the cumulative sum so searchsorted maps
         # padded tokens to a padded row
         query_start_loc[num_reqs + 1:] = offset
-
-        # static bound: every request adds <= tokens/page + 1 runs
-        s_pad = t_pad // page + r_pad + 1
-        arr = np.zeros((3, s_pad), dtype=np.int32)
+        block_tables[:num_reqs] = batch.block_table[:num_reqs, :mp]
         if kv_slices:
-            arr[:, :len(kv_slices)] = np.asarray(kv_slices,
-                                                 dtype=np.int32).T
-        kv_update_slices = jnp.asarray(arr, device=self._replicated)
-        num_kv_update_slices = jnp.asarray([len(kv_slices)],
-                                           dtype=jnp.int32,
-                                           device=self._replicated)
+            kv_slices_arr[:, :len(kv_slices)] = np.asarray(
+                kv_slices, dtype=np.int32).T
+        scalars[0] = len(kv_slices)
+        scalars[1] = num_reqs
 
-        attn_meta = AttentionMetadata(
-            kv_update_slices=kv_update_slices,
-            num_kv_update_slices=num_kv_update_slices,
-            block_tables=jnp.asarray(
-                batch.block_table[:r_pad], device=self._replicated),
-            query_start_loc=jnp.asarray(query_start_loc,
-                                        device=self._replicated),
-            seq_lens=jnp.asarray(seq_lens, device=self._replicated),
-            slot_mapping=jnp.asarray(slot_mapping,
-                                     device=self._replicated),
-            num_seqs=jnp.asarray([num_reqs], dtype=jnp.int32,
-                                 device=self._replicated),
-        )
-        return (jnp.asarray(input_ids, device=self._replicated),
-                jnp.asarray(positions, device=self._replicated),
-                attn_meta,
-                jnp.asarray(logits_indices, device=self._replicated),
-                sample_rows, r_pad)
+        # sampling knobs (floats bitcast into the int32 buffer)
+        n = num_reqs
+        temp = seg("temperature").view(np.float32)
+        temp[:] = -1.0
+        temp[:n] = batch.temperature[:n]
+        seg("top_k")[:n] = batch.top_k[:n]
+        top_p = seg("top_p").view(np.float32)
+        top_p[:] = 1.0
+        top_p[:n] = batch.top_p[:n]
+        seg("min_p").view(np.float32)[:n] = batch.min_p[:n]
+        seg("seeds").view(np.uint32)[:n] = batch.seeds[:n]
+        seg("sample_pos")[:n] = batch.num_tokens[:n]
 
-    def _prepare_sampling(self, r_pad: int) -> SamplingMetadata:
+        apply_grammar = scheduler_output.grammar_bitmask is not None
+        if apply_grammar:
+            bm = scheduler_output.grammar_bitmask
+            words = seg("grammar_words").reshape(r_pad, self.num_words)
+            words[:] = -1
+            for req_id, row_i in (
+                    scheduler_output.structured_output_request_ids
+                    .items()):
+                batch_row = batch.req_id_to_index.get(req_id)
+                if batch_row is not None and batch_row < r_pad:
+                    words[batch_row] = bm[row_i]
+
+        return packed, sample_rows, t_pad, r_pad, s_pad, apply_grammar
+
+    @functools.lru_cache(maxsize=None)
+    def _packed_layout(self, t_pad: int, r_pad: int,
+                       s_pad: int) -> dict:
+        """Static segment offsets of the packed step buffer."""
+        mp = self.max_blocks_per_req
+        sizes = [
+            ("input_ids", t_pad),
+            ("positions", t_pad),
+            ("slot_mapping", t_pad),
+            ("query_start_loc", r_pad + 1),
+            ("seq_lens", r_pad),
+            ("logits_indices", r_pad),
+            ("block_tables", r_pad * mp),
+            ("kv_slices", 3 * s_pad),
+            ("scalars", 2),  # num_kv_slices, num_seqs
+            ("temperature", r_pad),
+            ("top_k", r_pad),
+            ("top_p", r_pad),
+            ("min_p", r_pad),
+            ("seeds", r_pad),
+            ("sample_pos", r_pad),
+            ("grammar_words", r_pad * self.num_words),
+        ]
+        layout = {}
+        off = 0
+        for name, size in sizes:
+            layout[name] = (off, off + size)
+            off += size
+        layout["total"] = off
+        return layout
+
+    def _sampling_statics(self):
         batch = self.input_batch
         n = batch.num_reqs
-
-        def padded(arr, fill=0):
-            out = np.full(r_pad, fill, dtype=arr.dtype)
-            out[:n] = arr[:n]
-            return jnp.asarray(out, device=self._replicated)
-
         max_lp = int(batch.num_logprobs[:n].max()) if n else 0
         if max_lp > 0:
             max_lp = next_power_of_2(max_lp)
-        return SamplingMetadata(
-            temperature=padded(batch.temperature, -1.0),
-            top_k=padded(batch.top_k),
-            top_p=padded(batch.top_p, 1.0),
-            min_p=padded(batch.min_p),
-            seeds=padded(batch.seeds),
-            sample_pos=padded(batch.num_tokens),
-            all_greedy=not batch.random_reqs,
-            need_top_k=bool(batch.top_k_reqs),
-            need_top_p=bool(batch.top_p_reqs),
-            need_min_p=bool(batch.min_p_reqs),
-            max_num_logprobs=max_lp,
-        )
+        return (not batch.random_reqs, bool(batch.top_k_reqs),
+                bool(batch.top_p_reqs), bool(batch.min_p_reqs), max_lp)
 
     # ------------------------------------------------------------------
     # the jitted step
     # ------------------------------------------------------------------
 
-    @functools.lru_cache(maxsize=64)
-    def _get_step_fn(self, all_greedy: bool, need_top_k: bool,
-                     need_top_p: bool, need_min_p: bool,
-                     max_num_logprobs: int):
-        """One compiled executable per sampler-static combination;
-        token/req buckets are handled by XLA shape specialization."""
+    @functools.lru_cache(maxsize=256)
+    def _get_step_fn(self, t_pad: int, r_pad: int, all_greedy: bool,
+                     need_top_k: bool, need_top_p: bool,
+                     need_min_p: bool, max_num_logprobs: int,
+                     apply_grammar: bool):
+        """One compiled executable per (bucket, sampler-static)
+        combination. The step consumes ONE packed int32 buffer (see
+        _prepare_inputs) and unpacks with static slices on device."""
         model = self.model
         use_pallas = self.use_pallas
         base_seed = self.config.model_config.seed
+        page = self.page_size
+        s_pad = t_pad // page + r_pad + 1
+        layout = self._packed_layout(t_pad, r_pad, s_pad)
+        mp = self.max_blocks_per_req
+        num_words = self.num_words
 
-        def step(params, kv_caches, input_ids, positions, attn_meta,
-                 logits_indices, temperature, top_k, top_p, min_p,
-                 seeds, sample_pos):
-            hidden, kv_caches = model(params, input_ids, positions,
-                                      kv_caches, attn_meta,
-                                      use_pallas=use_pallas)
+        def step(params, kv_caches, packed):
+            def seg(name):
+                a, b = layout[name]
+                return jax.lax.slice_in_dim(packed, a, b)
+
+            def seg_f32(name):
+                return jax.lax.bitcast_convert_type(
+                    seg(name), jnp.float32)
+
+            attn_meta = AttentionMetadata(
+                block_tables=seg("block_tables").reshape(r_pad, mp),
+                query_start_loc=seg("query_start_loc"),
+                seq_lens=seg("seq_lens"),
+                slot_mapping=seg("slot_mapping"),
+                num_seqs=jax.lax.slice_in_dim(
+                    seg("scalars"), 1, 2),
+                kv_update_slices=seg("kv_slices").reshape(3, s_pad),
+                num_kv_update_slices=jax.lax.slice_in_dim(
+                    seg("scalars"), 0, 1),
+            )
+            logits_indices = seg("logits_indices")
+            hidden, kv_caches = model(params, seg("input_ids"),
+                                      seg("positions"), kv_caches,
+                                      attn_meta, use_pallas=use_pallas)
             sampled_hidden = jnp.take(hidden, logits_indices, axis=0)
             logits = model.compute_logits(params, sampled_hidden)
+            if apply_grammar:
+                # unpack bit w*32+j of int32 words -> bool [R, V]; mask
+                # disallowed tokens before sampling (reference:
+                # structured_decode tpu_model_runner.py:1786-1806)
+                vocab = logits.shape[-1]
+                w = seg("grammar_words").reshape(
+                    r_pad, num_words).astype(jnp.uint32)
+                bits = (w[:, :, None] >>
+                        jnp.arange(32, dtype=jnp.uint32)) & 1
+                allowed = bits.reshape(r_pad, -1)[:, :vocab]
+                logits = jnp.where(allowed.astype(bool), logits,
+                                   jnp.float32(-jnp.inf))
             meta = SamplingMetadata(
-                temperature=temperature, top_k=top_k, top_p=top_p,
-                min_p=min_p, seeds=seeds, sample_pos=sample_pos,
+                temperature=seg_f32("temperature"),
+                top_k=seg("top_k"),
+                top_p=seg_f32("top_p"),
+                min_p=seg_f32("min_p"),
+                seeds=jax.lax.bitcast_convert_type(
+                    seg("seeds"), jnp.uint32),
+                sample_pos=seg("sample_pos"),
                 all_greedy=all_greedy,
                 need_top_k=need_top_k, need_top_p=need_top_p,
                 need_min_p=need_min_p,
@@ -372,27 +454,26 @@ class TPUModelRunner:
             return ModelRunnerOutput(req_ids=[], req_id_to_index={},
                                      sampled_token_ids=[])
 
-        (input_ids, positions, attn_meta, logits_indices, sample_rows,
-         r_pad) = self._prepare_inputs(scheduler_output)
-        meta = self._prepare_sampling(r_pad)
+        (packed, sample_rows, t_pad, r_pad, s_pad,
+         apply_grammar) = self._prepare_inputs(scheduler_output)
+        statics = self._sampling_statics()
+        max_num_logprobs = statics[-1]
 
-        statics = (meta.all_greedy, meta.need_top_k, meta.need_top_p,
-                   meta.need_min_p, meta.max_num_logprobs)
-        step_fn = self._get_step_fn(*statics)
-        compile_key = (input_ids.shape[0], r_pad, *statics)
+        step_fn = self._get_step_fn(t_pad, r_pad, *statics,
+                                    apply_grammar)
+        compile_key = (t_pad, r_pad, *statics, apply_grammar)
         if compile_key not in self._compiled_keys:
             self._compiled_keys.add(compile_key)
             self.num_compilations += 1
 
         self._step_count += 1
-        self.kv_caches, out = step_fn(
-            self.params, self.kv_caches, input_ids, positions,
-            attn_meta, logits_indices, meta.temperature, meta.top_k,
-            meta.top_p, meta.min_p, meta.seeds, meta.sample_pos)
+        packed_dev = jnp.asarray(packed, device=self._replicated)
+        self.kv_caches, out = step_fn(self.params, self.kv_caches,
+                                      packed_dev)
 
-        # device → host (single transfer of the small sampled arrays)
+        # device -> host (single transfer of the small sampled arrays)
         sampled_np = np.asarray(out.sampled)
-        if meta.max_num_logprobs > 0:
+        if max_num_logprobs > 0:
             lp_ids_np = np.asarray(out.logprob_token_ids)
             lps_np = np.asarray(out.logprobs)
             ranks_np = np.asarray(out.sampled_ranks)
@@ -408,7 +489,7 @@ class TPUModelRunner:
             batch.append_token_id(row, tok)
 
         logprobs_lists = None
-        if meta.max_num_logprobs > 0:
+        if max_num_logprobs > 0:
             logprobs_lists = LogprobsLists(
                 logprob_token_ids=[
                     lp_ids_np[i].tolist() if i in sample_row_set else []
@@ -439,35 +520,26 @@ class TPUModelRunner:
         """Warm the jit cache for every (token, req) bucket so serving
         never compiles."""
         t0 = time.monotonic()
-        step_fn = self._get_step_fn(True, False, False, False, 0)
+        n = 0
         for t_pad in self.token_buckets:
             for r_pad in self.req_buckets:
                 if r_pad > t_pad:
                     continue
-                self._run_dummy_step(step_fn, t_pad, r_pad)
-        logger.info("precompiled %d buckets in %.1fs",
-                    len(self.token_buckets) * len(self.req_buckets),
+                self._run_dummy_step(t_pad, r_pad)
+                n += 1
+        logger.info("precompiled %d buckets in %.1fs", n,
                     time.monotonic() - t0)
 
-    def _run_dummy_step(self, step_fn, t_pad: int, r_pad: int) -> None:
-        zi = jnp.zeros(t_pad, dtype=jnp.int32)
+    def _run_dummy_step(self, t_pad: int, r_pad: int) -> None:
         s_pad = t_pad // self.page_size + r_pad + 1
-        kv_update_slices = jnp.zeros((3, s_pad), dtype=jnp.int32)
-        num_kv_update_slices = jnp.zeros(1, dtype=jnp.int32)
-        meta = AttentionMetadata(
-            block_tables=jnp.zeros((r_pad, self.max_blocks_per_req),
-                                   dtype=jnp.int32),
-            query_start_loc=jnp.zeros(r_pad + 1, dtype=jnp.int32),
-            seq_lens=jnp.zeros(r_pad, dtype=jnp.int32),
-            slot_mapping=jnp.full(t_pad, -1, dtype=jnp.int32),
-            num_seqs=jnp.asarray([r_pad], dtype=jnp.int32),
-            kv_update_slices=kv_update_slices,
-            num_kv_update_slices=num_kv_update_slices,
-        )
-        zr_f = jnp.zeros(r_pad, dtype=jnp.float32)
-        zr_i = jnp.zeros(r_pad, dtype=jnp.int32)
-        zr_u = jnp.zeros(r_pad, dtype=jnp.uint32)
-        self.kv_caches, _ = step_fn(self.params, self.kv_caches, zi, zi,
-                                    meta, zr_i, zr_f, zr_i,
-                                    jnp.ones(r_pad, dtype=jnp.float32),
-                                    zr_f, zr_u, zr_i)
+        layout = self._packed_layout(t_pad, r_pad, s_pad)
+        packed = np.zeros(layout["total"], dtype=np.int32)
+        a, b = layout["temperature"]
+        packed[a:b].view(np.float32)[:] = -1.0
+        a, b = layout["top_p"]
+        packed[a:b].view(np.float32)[:] = 1.0
+        step_fn = self._get_step_fn(t_pad, r_pad, True, False, False,
+                                    False, 0, False)
+        self.kv_caches, _ = step_fn(
+            self.params, self.kv_caches,
+            jnp.asarray(packed, device=self._replicated))
