@@ -111,7 +111,9 @@ def main() -> None:
         scheduler_config=SchedulerConfig(
             max_num_batched_tokens=MAX_BATCHED_TOKENS,
             max_num_seqs=MAX_NUM_SEQS,
-            max_model_len=MAX_MODEL_LEN),
+            max_model_len=MAX_MODEL_LEN,
+            async_scheduling=os.environ.get("BENCH_ASYNC",
+                                            "1") == "1"),
         load_config=LoadConfig(load_format="dummy"),
     )
     core = EngineCore(config)

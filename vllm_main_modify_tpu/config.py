@@ -58,7 +58,7 @@ class ModelConfig:
     num_experts: int = 0
     num_experts_per_tok: int = 0
     moe_intermediate_size: int = 0
-    num_shared_experts: int = 0
+    shared_expert_intermediate_size: int = 0
     # attention extras
     sliding_window: Optional[int] = None
     attention_bias: bool = False
@@ -114,8 +114,8 @@ class ModelConfig:
         self.num_experts_per_tok = get("num_experts_per_tok", 0) or 0
         self.moe_intermediate_size = get("moe_intermediate_size",
                                          self.intermediate_size) or 0
-        self.num_shared_experts = get("shared_expert_intermediate_size",
-                                      0) and 1 or 0
+        self.shared_expert_intermediate_size = get(
+            "shared_expert_intermediate_size", 0) or 0
         hf_max = get("max_position_embeddings")
         if hf_max is not None:
             self.max_model_len = min(self.max_model_len, hf_max) \

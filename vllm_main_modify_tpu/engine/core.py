@@ -20,7 +20,8 @@ from vllm_main_modify_tpu.config import EngineConfig
 from vllm_main_modify_tpu.core.kv_cache_utils import (
     get_request_block_hasher, init_none_hash)
 from vllm_main_modify_tpu.core.request import Request, RequestStatus
-from vllm_main_modify_tpu.core.sched.scheduler import Scheduler
+from vllm_main_modify_tpu.core.sched.async_scheduler import \
+    create_scheduler
 from vllm_main_modify_tpu.engine.types import (EngineCoreOutputs,
                                                EngineCoreRequest)
 from vllm_main_modify_tpu.worker.model_runner import TPUModelRunner
@@ -60,9 +61,12 @@ class EngineCore:
                     config.cache_config.block_size)
 
         self.structured_output_manager = structured_output_manager
-        self.scheduler = Scheduler(
+        self.scheduler = create_scheduler(
             config, num_kv_blocks=num_pages,
             structured_output_manager=structured_output_manager)
+        self.async_scheduling = config.scheduler_config.async_scheduling
+        # async mode: (scheduler_output, AsyncStepHandle) in flight
+        self._pending = None
 
         self._block_hasher = None
         if config.cache_config.enable_prefix_caching:
@@ -107,13 +111,42 @@ class EngineCore:
                                        RequestStatus.FINISHED_ABORTED)
 
     def step(self) -> EngineCoreOutputs:
-        """One engine iteration (reference: core.py:273-292)."""
+        """One engine iteration (reference: core.py:273-292; async
+        variant mirrors step_with_batch_queue core.py:301)."""
+        if self.async_scheduling:
+            return self._step_async()
         if not self.scheduler.has_unfinished_requests():
             return EngineCoreOutputs()
         scheduler_output = self.scheduler.schedule()
         runner_output = self.model_runner.execute_model(scheduler_output)
         return self.scheduler.update_from_output(scheduler_output,
                                                  runner_output)
+
+    def _step_async(self) -> EngineCoreOutputs:
+        """Pipelined step: dispatch step N+1 before materializing
+        step N's results — the host never blocks between scheduling and
+        dispatch, hiding device latency (and, on tunneled TPU, the full
+        host<->device round trip)."""
+        handle = None
+        scheduler_output = None
+        if self.scheduler.has_unfinished_requests():
+            scheduler_output = self.scheduler.schedule()
+            if scheduler_output.total_num_scheduled_tokens > 0:
+                handle = self.model_runner.execute_model_async(
+                    scheduler_output)
+            else:
+                # still deliver batch evictions to the runner
+                self.model_runner.execute_model(scheduler_output)
+
+        outputs = EngineCoreOutputs()
+        if self._pending is not None:
+            prev_so, prev_handle = self._pending
+            self._pending = None
+            outputs = self.scheduler.update_from_output(
+                prev_so, prev_handle.get())
+        if handle is not None:
+            self._pending = (scheduler_output, handle)
+        return outputs
 
     def has_unfinished_requests(self) -> bool:
         return self.scheduler.has_unfinished_requests()

@@ -64,6 +64,11 @@ class Processor:
             sampling_params = self._clamp_max_tokens(
                 sampling_params, len(token_ids))
             if sampling_params.structured_outputs is not None:
+                if self.config.scheduler_config.async_scheduling:
+                    raise ValueError(
+                        "structured outputs are incompatible with "
+                        "async scheduling (the grammar must observe "
+                        "token N before masking step N+1)")
                 # fail fast on unsupported/invalid specs (reference:
                 # structured-output validation processor.py:222)
                 from vllm_main_modify_tpu.structured_output.manager \

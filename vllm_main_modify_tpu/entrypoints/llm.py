@@ -37,6 +37,7 @@ class LLM:
         load_format: str = "auto",
         seed: int = 0,
         trust_remote_code: bool = False,
+        async_scheduling: bool = False,
         mesh=None,
         **kwargs,
     ) -> None:
@@ -53,7 +54,8 @@ class LLM:
             scheduler_config=SchedulerConfig(
                 max_num_batched_tokens=max_num_batched_tokens,
                 max_num_seqs=max_num_seqs,
-                max_model_len=max_model_len),
+                max_model_len=max_model_len,
+                async_scheduling=async_scheduling),
             parallel_config=ParallelConfig(
                 tensor_parallel_size=tensor_parallel_size),
             load_config=LoadConfig(load_format=load_format),

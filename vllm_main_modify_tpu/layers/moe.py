@@ -1,0 +1,85 @@
+"""Fused Mixture-of-Experts FFN.
+
+Reference: vllm/model_executor/layers/fused_moe/ (32-file subsystem:
+Triton grouped GEMM, all2all dispatchers) and its Pallas TPU path
+moe_pallas.py:25 (topk → expert histogram → megablox ``gmm``).
+TPU-native here: ``jax.lax.ragged_dot`` IS the megablox grouped
+matmul — tokens are sorted by expert, run through grouped GEMMs with
+per-expert group sizes, then unsorted and combined with router
+weights. Under GSPMD the expert axis shards over the mesh for EP.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def moe_ffn(
+    x: jax.Array,  # [T, H]
+    router_weight: jax.Array,  # [H, E]
+    w_gate: jax.Array,  # [E, H, I]
+    w_up: jax.Array,  # [E, H, I]
+    w_down: jax.Array,  # [E, I, H]
+    top_k: int,
+    act_fn: Callable,
+    renormalize: bool = True,
+) -> jax.Array:
+    """Top-k routed expert FFN (SwiGLU experts)."""
+    t, hidden = x.shape
+    num_experts = router_weight.shape[1]
+
+    router_logits = (x.astype(jnp.float32) @
+                     router_weight.astype(jnp.float32))  # [T, E]
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    weights, experts = jax.lax.top_k(probs, top_k)  # [T, k]
+    if renormalize:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+
+    # sort (token, k) slots by expert so each expert's tokens are
+    # contiguous → grouped matmul
+    flat_experts = experts.reshape(-1)  # [T*k]
+    order = jnp.argsort(flat_experts)  # stable
+    token_idx = order // top_k  # source token of each sorted slot
+    xs = jnp.take(x, token_idx, axis=0)  # [T*k, H]
+    group_sizes = jnp.bincount(flat_experts,
+                               length=num_experts).astype(jnp.int32)
+
+    gate = jax.lax.ragged_dot(xs, w_gate, group_sizes)  # [T*k, I]
+    up = jax.lax.ragged_dot(xs, w_up, group_sizes)
+    h = act_fn(gate, up).astype(w_down.dtype)
+    y = jax.lax.ragged_dot(h, w_down, group_sizes)  # [T*k, H]
+
+    w_sorted = jnp.take(weights.reshape(-1), order)  # [T*k]
+    y = y.astype(jnp.float32) * w_sorted[:, None]
+    out = jnp.zeros((t, hidden), dtype=jnp.float32)
+    out = out.at[token_idx].add(y)
+    return out.astype(x.dtype)
+
+
+def moe_ffn_dense_reference(x, router_weight, w_gate, w_up, w_down,
+                            top_k, act_fn,
+                            renormalize: bool = True) -> jax.Array:
+    """O(T*E) oracle: run every expert on every token, mask-combine."""
+    router_logits = (x.astype(jnp.float32) @
+                     router_weight.astype(jnp.float32))
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    weights, experts = jax.lax.top_k(probs, top_k)
+    if renormalize:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    num_experts = router_weight.shape[1]
+    # [E, T, H]
+    gate = jnp.einsum("th,ehi->eti", x, w_gate)
+    up = jnp.einsum("th,ehi->eti", x, w_up)
+    h = act_fn(gate, up).astype(w_down.dtype)
+    y = jnp.einsum("eti,eih->eth", h, w_down).astype(jnp.float32)
+    # combine: sum over selected experts
+    out = jnp.zeros_like(x, dtype=jnp.float32)
+    for j in range(top_k):
+        sel = experts[:, j]  # [T]
+        yj = jnp.take_along_axis(
+            y, sel[None, :, None], axis=0)[0]  # [T, H]
+        out = out + yj * weights[:, j:j + 1]
+    return out.astype(x.dtype)

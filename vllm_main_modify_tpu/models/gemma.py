@@ -1,0 +1,215 @@
+"""Gemma 1 / Gemma 2 decoders.
+
+Reference parity: vllm/model_executor/models/gemma.py + gemma2.py.
+Family deltas vs Llama:
+- embeddings scaled by sqrt(hidden); always-tied lm_head
+- "zero-centered" RMSNorm: scale by (1 + w)
+- gelu_pytorch_tanh gated MLP
+Gemma 2 additionally:
+- sandwich norms (pre/post attention AND pre/post feedforward)
+- attention logit softcapping + final logit softcapping
+- query_pre_attn_scalar-based sm_scale
+- sliding-window attention on even layers, global on odd — realised as
+  a lax.scan over layer PAIRS so each attention call keeps a static
+  sliding_window (the kernel specializes on it).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vllm_main_modify_tpu.config import ModelConfig
+from vllm_main_modify_tpu.layers.activation import gelu_tanh_and_mul
+from vllm_main_modify_tpu.layers.attention import (AttentionMetadata,
+                                                   attention)
+from vllm_main_modify_tpu.layers.rotary import (apply_rope,
+                                                compute_inv_freq)
+from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
+
+
+def gemma_rms_norm(x: jax.Array, weight: jax.Array,
+                   eps: float) -> jax.Array:
+    """RMSNorm with (1 + w) scaling (HF GemmaRMSNorm)."""
+    orig = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (xf * (1.0 + weight.astype(jnp.float32))).astype(orig)
+
+
+class GemmaForCausalLM:
+
+    is_gemma2 = False
+
+    def __init__(self, config: ModelConfig):
+        self.cfg = config
+        hf = config.hf_config
+        self.num_q = config.num_attention_heads
+        self.num_kv = config.num_kv_heads
+        self.head_dim = config.head_dim
+        self.hidden = config.hidden_size
+        self.inter = config.intermediate_size
+        self.L = config.num_layers
+        if self.is_gemma2 and hf is not None:
+            scalar = getattr(hf, "query_pre_attn_scalar", self.head_dim)
+            self.sm_scale = scalar**-0.5
+            self.attn_softcap = getattr(hf, "attn_logit_softcapping",
+                                        50.0)
+            self.final_softcap = getattr(hf, "final_logit_softcapping",
+                                         30.0)
+        else:
+            self.sm_scale = self.head_dim**-0.5
+            self.attn_softcap = None
+            self.final_softcap = config.logit_softcap
+        self.sliding_window = config.sliding_window
+        self.inv_freq = jnp.asarray(
+            compute_inv_freq(self.head_dim, config.rope_theta,
+                             config.rope_scaling))
+        self.embed_scale = float(self.hidden)**0.5
+
+    def param_specs(self) -> list[ParamSpec]:
+        c = self.cfg
+        qd = self.num_q * self.head_dim
+        kd = self.num_kv * self.head_dim
+        L, H, I, V = self.L, self.hidden, self.inter, c.vocab_size
+        t = transpose2d
+
+        def stk(path, shape, spec, hf_key, transform=t):
+            return ParamSpec(path, (L, *shape), spec, hf_key,
+                             stacked=True, transform=transform)
+
+        specs = [
+            ParamSpec("embed_tokens", (V, H), P("model", None),
+                      "model.embed_tokens.weight", transform=None),
+            ParamSpec("final_norm", (H, ), P(), "model.norm.weight",
+                      transform=None),
+            stk("layers.input_layernorm", (H, ), P(None, None),
+                "model.layers.{i}.input_layernorm.weight",
+                transform=None),
+            stk("layers.q_proj", (H, qd), P(None, None, "model"),
+                "model.layers.{i}.self_attn.q_proj.weight"),
+            stk("layers.k_proj", (H, kd), P(None, None, "model"),
+                "model.layers.{i}.self_attn.k_proj.weight"),
+            stk("layers.v_proj", (H, kd), P(None, None, "model"),
+                "model.layers.{i}.self_attn.v_proj.weight"),
+            stk("layers.o_proj", (qd, H), P(None, "model", None),
+                "model.layers.{i}.self_attn.o_proj.weight"),
+            stk("layers.post_attention_layernorm", (H, ), P(None, None),
+                "model.layers.{i}.post_attention_layernorm.weight",
+                transform=None),
+            stk("layers.gate_proj", (H, I), P(None, None, "model"),
+                "model.layers.{i}.mlp.gate_proj.weight"),
+            stk("layers.up_proj", (H, I), P(None, None, "model"),
+                "model.layers.{i}.mlp.up_proj.weight"),
+            stk("layers.down_proj", (I, H), P(None, "model", None),
+                "model.layers.{i}.mlp.down_proj.weight"),
+        ]
+        if self.is_gemma2:
+            specs += [
+                stk("layers.pre_feedforward_layernorm", (H, ),
+                    P(None, None),
+                    "model.layers.{i}.pre_feedforward_layernorm.weight",
+                    transform=None),
+                stk("layers.post_feedforward_layernorm", (H, ),
+                    P(None, None),
+                    "model.layers.{i}.post_feedforward_layernorm.weight",
+                    transform=None),
+            ]
+        return specs
+
+    def kv_cache_spec(self) -> tuple[int, int, int]:
+        return self.num_kv, self.head_dim, self.L
+
+    # ------------------------------------------------------------------
+
+    def _attn(self, w, x, positions, kv_cache, attn_meta, use_pallas,
+              sliding_window):
+        t = x.shape[0]
+        cfg = self.cfg
+        res = x
+        h = gemma_rms_norm(x, w["input_layernorm"], cfg.rms_norm_eps)
+        q = (h @ w["q_proj"]).reshape(t, self.num_q, self.head_dim)
+        k = (h @ w["k_proj"]).reshape(t, self.num_kv, self.head_dim)
+        v = (h @ w["v_proj"]).reshape(t, self.num_kv, self.head_dim)
+        q, k = apply_rope(q, k, positions, self.inv_freq)
+        o, kv_cache = attention(q, k, v, kv_cache, attn_meta,
+                                self.sm_scale,
+                                sliding_window=sliding_window,
+                                logit_softcap=self.attn_softcap,
+                                use_pallas=use_pallas)
+        o = o.reshape(t, -1) @ w["o_proj"]
+        if self.is_gemma2:
+            o = gemma_rms_norm(o, w["post_attention_layernorm"],
+                               cfg.rms_norm_eps)
+            x = res + o
+            res = x
+            h = gemma_rms_norm(x, w["pre_feedforward_layernorm"],
+                               cfg.rms_norm_eps)
+            h = gelu_tanh_and_mul(h @ w["gate_proj"], h @ w["up_proj"])
+            h = h @ w["down_proj"]
+            h = gemma_rms_norm(h, w["post_feedforward_layernorm"],
+                               cfg.rms_norm_eps)
+            return res + h, kv_cache
+        x = res + o
+        res = x
+        h = gemma_rms_norm(x, w["post_attention_layernorm"],
+                           cfg.rms_norm_eps)
+        h = gelu_tanh_and_mul(h @ w["gate_proj"], h @ w["up_proj"])
+        return res + h @ w["down_proj"], kv_cache
+
+    def __call__(self, params, input_ids, positions, kv_caches,
+                 attn_meta: AttentionMetadata,
+                 use_pallas: Optional[bool] = None):
+        cfg = self.cfg
+        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        x = x * jnp.asarray(self.embed_scale, dtype=x.dtype)
+
+        if not self.is_gemma2 or self.sliding_window is None:
+
+            def layer_fn(carry, layer_in):
+                w, kv_cache = layer_in
+                return self._attn(w, carry, positions, kv_cache,
+                                  attn_meta, use_pallas, None)
+
+            x, new_kv = jax.lax.scan(layer_fn, x,
+                                     (params["layers"], kv_caches))
+        else:
+            # gemma2: even layers sliding, odd global → scan over pairs
+            assert self.L % 2 == 0
+            layers = jax.tree.map(
+                lambda a: a.reshape(self.L // 2, 2, *a.shape[1:]),
+                params["layers"])
+            kv_pairs = kv_caches.reshape(self.L // 2, 2,
+                                         *kv_caches.shape[1:])
+
+            def pair_fn(carry, layer_in):
+                w2, kv2 = layer_in
+                w_a = jax.tree.map(lambda a: a[0], w2)
+                w_b = jax.tree.map(lambda a: a[1], w2)
+                x, kv_a = self._attn(w_a, carry, positions, kv2[0],
+                                     attn_meta, use_pallas,
+                                     self.sliding_window)
+                x, kv_b = self._attn(w_b, x, positions, kv2[1],
+                                     attn_meta, use_pallas, None)
+                return x, jnp.stack([kv_a, kv_b])
+
+            x, new_kv = jax.lax.scan(pair_fn, x, (layers, kv_pairs))
+            new_kv = new_kv.reshape(self.L, *kv_caches.shape[1:])
+        x = gemma_rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return x, new_kv
+
+    def compute_logits(self, params, hidden):
+        logits = hidden.astype(jnp.float32) @ \
+            params["embed_tokens"].T.astype(jnp.float32)
+        if self.final_softcap:
+            cap = self.final_softcap
+            logits = jnp.tanh(logits / cap) * cap
+        return logits
+
+
+class Gemma2ForCausalLM(GemmaForCausalLM):
+    is_gemma2 = True

@@ -38,6 +38,9 @@ class ParamSpec:
     sharding: PartitionSpec
     hf_key: str
     stacked: bool = False
+    # MoE: "{e}" in hf_key expands over a second (expert) axis after
+    # the layer axis; shape is [L, E, ...]
+    num_experts: int = 0
     transform: Optional[Callable[[np.ndarray], np.ndarray]] = None
 
 

@@ -123,6 +123,15 @@ def _assemble_host_tensor(spec: ParamSpec, reader: _TensorReader,
     if spec.stacked:
         num_layers = spec.shape[0]
         out = np.empty(spec.shape, dtype=np_dtype)
+        if spec.num_experts > 0:
+            for i in range(num_layers):
+                for e in range(spec.num_experts):
+                    x = fetch(spec.hf_key.format(i=i, e=e))
+                    assert x.shape == spec.shape[2:], (
+                        f"{spec.path} layer {i} expert {e}: got "
+                        f"{x.shape}, want {spec.shape[2:]}")
+                    out[i, e] = x.astype(np_dtype)
+            return out
         for i in range(num_layers):
             x = fetch(spec.hf_key.format(i=i))
             assert x.shape == spec.shape[1:], (

@@ -1,0 +1,239 @@
+"""MoE decoder families: Mixtral and Qwen2-MoE (Qwen1.5-MoE-A2.7B).
+
+Reference parity: vllm/model_executor/models/mixtral.py + qwen2_moe.py
+with the fused-MoE layer (vllm/model_executor/layers/fused_moe/).
+TPU-native: expert weights stacked [L, E, H, I], routed through
+``layers/moe.py`` (jax.lax.ragged_dot grouped matmul); lax.scan over
+layers as in models/llama.py.
+
+Family deltas carried by config:
+- Mixtral: 8 experts top-2, renormalize=True, no bias, no shared expert
+- Qwen2-MoE: 60 experts top-4, renormalize=False (norm_topk_prob),
+  qkv bias, plus a always-on shared expert gated by sigmoid(x @ g)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vllm_main_modify_tpu.config import ModelConfig
+from vllm_main_modify_tpu.layers.activation import ACT2FN
+from vllm_main_modify_tpu.layers.attention import (AttentionMetadata,
+                                                   attention)
+from vllm_main_modify_tpu.layers.moe import moe_ffn
+from vllm_main_modify_tpu.layers.normalization import rms_norm
+from vllm_main_modify_tpu.layers.rotary import (apply_rope,
+                                                compute_inv_freq)
+from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
+
+
+def _transpose_expert(x):
+    import numpy as np
+
+    return np.ascontiguousarray(x.T)
+
+
+class MoeDecoderBase:
+    """Shared scaffold; subclasses define expert hf-key templates and
+    deltas via class attrs."""
+
+    qkv_bias = False
+    renormalize = True
+    has_shared_expert = False
+    # hf key templates ({i}=layer, {e}=expert)
+    ROUTER_KEY = ""
+    GATE_KEY = ""
+    UP_KEY = ""
+    DOWN_KEY = ""
+
+    def __init__(self, config: ModelConfig):
+        self.cfg = config
+        self.num_q = config.num_attention_heads
+        self.num_kv = config.num_kv_heads
+        self.head_dim = config.head_dim
+        self.hidden = config.hidden_size
+        self.L = config.num_layers
+        self.E = config.num_experts
+        self.top_k = config.num_experts_per_tok
+        self.moe_inter = config.moe_intermediate_size
+        self.shared_inter = config.shared_expert_intermediate_size
+        self.sm_scale = self.head_dim**-0.5
+        self.inv_freq = jnp.asarray(
+            compute_inv_freq(self.head_dim, config.rope_theta,
+                             config.rope_scaling))
+        self.act_fn = ACT2FN["silu"]
+        self.tie_embeddings = config.tie_word_embeddings
+
+    def param_specs(self) -> list[ParamSpec]:
+        c = self.cfg
+        qd = self.num_q * self.head_dim
+        kd = self.num_kv * self.head_dim
+        L, H, V, E = self.L, self.hidden, c.vocab_size, self.E
+        mi = self.moe_inter
+        t = transpose2d
+
+        def stk(path, shape, spec, hf_key, transform=t):
+            return ParamSpec(path, (L, *shape), spec, hf_key,
+                             stacked=True, transform=transform)
+
+        def expert(path, shape, spec, hf_key):
+            return ParamSpec(path, (L, E, *shape), spec, hf_key,
+                             stacked=True, num_experts=E,
+                             transform=_transpose_expert)
+
+        specs = [
+            ParamSpec("embed_tokens", (V, H), P("model", None),
+                      "model.embed_tokens.weight", transform=None),
+            ParamSpec("final_norm", (H, ), P(), "model.norm.weight",
+                      transform=None),
+            ParamSpec("lm_head", (H, V), P(None, "model"),
+                      "lm_head.weight", transform=t),
+            stk("layers.input_layernorm", (H, ), P(None, None),
+                "model.layers.{i}.input_layernorm.weight",
+                transform=None),
+            stk("layers.q_proj", (H, qd), P(None, None, "model"),
+                "model.layers.{i}.self_attn.q_proj.weight"),
+            stk("layers.k_proj", (H, kd), P(None, None, "model"),
+                "model.layers.{i}.self_attn.k_proj.weight"),
+            stk("layers.v_proj", (H, kd), P(None, None, "model"),
+                "model.layers.{i}.self_attn.v_proj.weight"),
+            stk("layers.o_proj", (qd, H), P(None, "model", None),
+                "model.layers.{i}.self_attn.o_proj.weight"),
+            stk("layers.post_attention_layernorm", (H, ), P(None, None),
+                "model.layers.{i}.post_attention_layernorm.weight",
+                transform=None),
+            stk("layers.router", (H, E), P(None, None, None),
+                self.ROUTER_KEY),
+            expert("layers.w_gate", (H, mi),
+                   P(None, None, None, "model"), self.GATE_KEY),
+            expert("layers.w_up", (H, mi),
+                   P(None, None, None, "model"), self.UP_KEY),
+            expert("layers.w_down", (mi, H),
+                   P(None, None, "model", None), self.DOWN_KEY),
+        ]
+        if self.qkv_bias:
+            specs += [
+                stk("layers.q_bias", (qd, ), P(None, "model"),
+                    "model.layers.{i}.self_attn.q_proj.bias",
+                    transform=None),
+                stk("layers.k_bias", (kd, ), P(None, "model"),
+                    "model.layers.{i}.self_attn.k_proj.bias",
+                    transform=None),
+                stk("layers.v_bias", (kd, ), P(None, "model"),
+                    "model.layers.{i}.self_attn.v_proj.bias",
+                    transform=None),
+            ]
+        if self.has_shared_expert:
+            si = self.shared_inter
+            specs += [
+                stk("layers.shared_gate_proj", (H, si),
+                    P(None, None, "model"),
+                    "model.layers.{i}.mlp.shared_expert.gate_proj.weight"),
+                stk("layers.shared_up_proj", (H, si),
+                    P(None, None, "model"),
+                    "model.layers.{i}.mlp.shared_expert.up_proj.weight"),
+                stk("layers.shared_down_proj", (si, H),
+                    P(None, "model", None),
+                    "model.layers.{i}.mlp.shared_expert.down_proj.weight"),
+                stk("layers.shared_expert_gate", (H, 1),
+                    P(None, None, None),
+                    "model.layers.{i}.mlp.shared_expert_gate.weight"),
+            ]
+        return specs
+
+    def kv_cache_spec(self) -> tuple[int, int, int]:
+        return self.num_kv, self.head_dim, self.L
+
+    def __call__(self, params, input_ids, positions, kv_caches,
+                 attn_meta: AttentionMetadata,
+                 use_pallas: Optional[bool] = None):
+        cfg = self.cfg
+        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        t = x.shape[0]
+
+        def layer_fn(carry, layer_in):
+            x = carry
+            w, kv_cache = layer_in
+            res = x
+            h = rms_norm(x, w["input_layernorm"], cfg.rms_norm_eps)
+            q = h @ w["q_proj"]
+            k = h @ w["k_proj"]
+            v = h @ w["v_proj"]
+            if self.qkv_bias:
+                q = q + w["q_bias"]
+                k = k + w["k_bias"]
+                v = v + w["v_bias"]
+            q = q.reshape(t, self.num_q, self.head_dim)
+            k = k.reshape(t, self.num_kv, self.head_dim)
+            v = v.reshape(t, self.num_kv, self.head_dim)
+            q, k = apply_rope(q, k, positions, self.inv_freq)
+            o, kv_cache = attention(q, k, v, kv_cache, attn_meta,
+                                    self.sm_scale,
+                                    use_pallas=use_pallas)
+            x = res + o.reshape(t, -1) @ w["o_proj"]
+
+            res = x
+            h = rms_norm(x, w["post_attention_layernorm"],
+                         cfg.rms_norm_eps)
+            y = moe_ffn(h, w["router"], w["w_gate"], w["w_up"],
+                        w["w_down"], self.top_k, self.act_fn,
+                        renormalize=self.renormalize)
+            if self.has_shared_expert:
+                sh = self.act_fn(h @ w["shared_gate_proj"],
+                                 h @ w["shared_up_proj"])
+                sh = sh @ w["shared_down_proj"]
+                gate = jax.nn.sigmoid(
+                    (h @ w["shared_expert_gate"]).astype(jnp.float32))
+                y = y + (sh.astype(jnp.float32) *
+                         gate).astype(y.dtype)
+            x = res + y
+            return x, kv_cache
+
+        x, new_kv = jax.lax.scan(layer_fn, x,
+                                 (params["layers"], kv_caches))
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return x, new_kv
+
+    def compute_logits(self, params, hidden):
+        w = params["embed_tokens"].T if self.tie_embeddings \
+            else params["lm_head"]
+        return hidden.astype(jnp.float32) @ w.astype(jnp.float32)
+
+
+class MixtralForCausalLM(MoeDecoderBase):
+    """Reference: vllm/model_executor/models/mixtral.py."""
+
+    renormalize = True
+    ROUTER_KEY = "model.layers.{i}.block_sparse_moe.gate.weight"
+    GATE_KEY = "model.layers.{i}.block_sparse_moe.experts.{e}.w1.weight"
+    UP_KEY = "model.layers.{i}.block_sparse_moe.experts.{e}.w3.weight"
+    DOWN_KEY = "model.layers.{i}.block_sparse_moe.experts.{e}.w2.weight"
+
+    def __init__(self, config: ModelConfig):
+        # Mixtral's moe_intermediate_size == intermediate_size
+        if not config.moe_intermediate_size:
+            config.moe_intermediate_size = config.intermediate_size
+        super().__init__(config)
+
+
+class Qwen2MoeForCausalLM(MoeDecoderBase):
+    """Reference: vllm/model_executor/models/qwen2_moe.py (also serves
+    Qwen1.5-MoE-A2.7B)."""
+
+    qkv_bias = True
+    renormalize = False  # HF norm_topk_prob=False for Qwen1.5-MoE
+    has_shared_expert = True
+    ROUTER_KEY = "model.layers.{i}.mlp.gate.weight"
+    GATE_KEY = "model.layers.{i}.mlp.experts.{e}.gate_proj.weight"
+    UP_KEY = "model.layers.{i}.mlp.experts.{e}.up_proj.weight"
+    DOWN_KEY = "model.layers.{i}.mlp.experts.{e}.down_proj.weight"
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.hf_config
+        if hf is not None and getattr(hf, "norm_topk_prob", False):
+            self.renormalize = True

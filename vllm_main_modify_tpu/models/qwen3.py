@@ -1,0 +1,137 @@
+"""Qwen3 decoder.
+
+Reference parity: vllm/model_executor/models/qwen3.py. Differences vs
+the Llama family: per-head RMSNorm on Q and K after projection (before
+RoPE), explicit head_dim (may differ from hidden/heads), no qkv bias.
+Same stacked-layer lax.scan structure as models/llama.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vllm_main_modify_tpu.config import ModelConfig
+from vllm_main_modify_tpu.layers.activation import ACT2FN
+from vllm_main_modify_tpu.layers.attention import (AttentionMetadata,
+                                                   attention)
+from vllm_main_modify_tpu.layers.normalization import rms_norm
+from vllm_main_modify_tpu.layers.rotary import (apply_rope,
+                                                compute_inv_freq)
+from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
+
+
+class Qwen3ForCausalLM:
+
+    def __init__(self, config: ModelConfig):
+        self.cfg = config
+        self.num_q = config.num_attention_heads
+        self.num_kv = config.num_kv_heads
+        self.head_dim = config.head_dim
+        self.hidden = config.hidden_size
+        self.inter = config.intermediate_size
+        self.L = config.num_layers
+        self.sm_scale = self.head_dim**-0.5
+        self.inv_freq = jnp.asarray(
+            compute_inv_freq(self.head_dim, config.rope_theta,
+                             config.rope_scaling))
+        act = getattr(config.hf_config, "hidden_act", "silu") \
+            if config.hf_config is not None else "silu"
+        self.act_fn = ACT2FN[act]
+        self.tie_embeddings = config.tie_word_embeddings
+
+    def param_specs(self) -> list[ParamSpec]:
+        c = self.cfg
+        qd = self.num_q * self.head_dim
+        kd = self.num_kv * self.head_dim
+        L, H, I, V = self.L, self.hidden, self.inter, c.vocab_size
+        t = transpose2d
+
+        def stk(path, shape, spec, hf_key, transform=t):
+            return ParamSpec(path, (L, *shape), spec, hf_key,
+                             stacked=True, transform=transform)
+
+        specs = [
+            ParamSpec("embed_tokens", (V, H), P("model", None),
+                      "model.embed_tokens.weight", transform=None),
+            ParamSpec("final_norm", (H, ), P(), "model.norm.weight",
+                      transform=None),
+            stk("layers.input_layernorm", (H, ), P(None, None),
+                "model.layers.{i}.input_layernorm.weight",
+                transform=None),
+            stk("layers.q_proj", (H, qd), P(None, None, "model"),
+                "model.layers.{i}.self_attn.q_proj.weight"),
+            stk("layers.k_proj", (H, kd), P(None, None, "model"),
+                "model.layers.{i}.self_attn.k_proj.weight"),
+            stk("layers.v_proj", (H, kd), P(None, None, "model"),
+                "model.layers.{i}.self_attn.v_proj.weight"),
+            stk("layers.q_norm", (self.head_dim, ), P(None, None),
+                "model.layers.{i}.self_attn.q_norm.weight",
+                transform=None),
+            stk("layers.k_norm", (self.head_dim, ), P(None, None),
+                "model.layers.{i}.self_attn.k_norm.weight",
+                transform=None),
+            stk("layers.o_proj", (qd, H), P(None, "model", None),
+                "model.layers.{i}.self_attn.o_proj.weight"),
+            stk("layers.post_attention_layernorm", (H, ), P(None, None),
+                "model.layers.{i}.post_attention_layernorm.weight",
+                transform=None),
+            stk("layers.gate_proj", (H, I), P(None, None, "model"),
+                "model.layers.{i}.mlp.gate_proj.weight"),
+            stk("layers.up_proj", (H, I), P(None, None, "model"),
+                "model.layers.{i}.mlp.up_proj.weight"),
+            stk("layers.down_proj", (I, H), P(None, "model", None),
+                "model.layers.{i}.mlp.down_proj.weight"),
+        ]
+        if not self.tie_embeddings:
+            specs.append(
+                ParamSpec("lm_head", (H, V), P(None, "model"),
+                          "lm_head.weight", transform=t))
+        return specs
+
+    def kv_cache_spec(self) -> tuple[int, int, int]:
+        return self.num_kv, self.head_dim, self.L
+
+    def __call__(self, params, input_ids, positions, kv_caches,
+                 attn_meta: AttentionMetadata,
+                 use_pallas: Optional[bool] = None):
+        cfg = self.cfg
+        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        t = x.shape[0]
+
+        def layer_fn(carry, layer_in):
+            x = carry
+            w, kv_cache = layer_in
+            res = x
+            h = rms_norm(x, w["input_layernorm"], cfg.rms_norm_eps)
+            q = (h @ w["q_proj"]).reshape(t, self.num_q, self.head_dim)
+            k = (h @ w["k_proj"]).reshape(t, self.num_kv, self.head_dim)
+            v = (h @ w["v_proj"]).reshape(t, self.num_kv, self.head_dim)
+            # per-head q/k norm (the Qwen3 delta)
+            q = rms_norm(q, w["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, w["k_norm"], cfg.rms_norm_eps)
+            q, k = apply_rope(q, k, positions, self.inv_freq)
+            o, kv_cache = attention(q, k, v, kv_cache, attn_meta,
+                                    self.sm_scale,
+                                    use_pallas=use_pallas)
+            x = res + o.reshape(t, -1) @ w["o_proj"]
+
+            res = x
+            h = rms_norm(x, w["post_attention_layernorm"],
+                         cfg.rms_norm_eps)
+            h = self.act_fn(h @ w["gate_proj"], h @ w["up_proj"])
+            x = res + h @ w["down_proj"]
+            return x, kv_cache
+
+        x, new_kv = jax.lax.scan(layer_fn, x,
+                                 (params["layers"], kv_caches))
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return x, new_kv
+
+    def compute_logits(self, params, hidden):
+        w = params["embed_tokens"].T if self.tie_embeddings \
+            else params["lm_head"]
+        return hidden.astype(jnp.float32) @ w.astype(jnp.float32)

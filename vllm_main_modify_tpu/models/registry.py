@@ -19,9 +19,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                          "_qwen2_factory"),
     "Qwen3ForCausalLM": ("vllm_main_modify_tpu.models.qwen3",
                          "Qwen3ForCausalLM"),
-    "MixtralForCausalLM": ("vllm_main_modify_tpu.models.mixtral",
+    "MixtralForCausalLM": ("vllm_main_modify_tpu.models.moe_llama",
                            "MixtralForCausalLM"),
-    "Qwen2MoeForCausalLM": ("vllm_main_modify_tpu.models.qwen2_moe",
+    "Qwen2MoeForCausalLM": ("vllm_main_modify_tpu.models.moe_llama",
                             "Qwen2MoeForCausalLM"),
     "GemmaForCausalLM": ("vllm_main_modify_tpu.models.gemma",
                          "GemmaForCausalLM"),

@@ -9,12 +9,18 @@ with a from-scratch TPU design:
   array (TPU grid steps are sequential per core, so exclusive row
   ownership beats per-sequence grids: one aligned output DMA per block,
   no masked-row write hazards).
-- Each q block walks the sequences it spans (host precomputes each
-  block's first sequence); per sequence it streams that sequence's KV
-  pages HBM→VMEM with double buffering and accumulates
-  flash-attention-style (online softmax, f32 accumulators).
-- KV pages stay in the paged layout [P, page, 2*Hk, D] with K/V
-  interleaved per head, so one page DMA fetches both K and V.
+- Work is flattened to (sequence, kv-block) items and **software-
+  pipelined with triple-buffered page DMA**: while item i computes,
+  item i+1's pages are in flight and item i+2's buffer is free — the
+  HBM stream never stalls on sequence boundaries (decode batches are
+  many short per-sequence streams; a per-sequence pipeline restarts
+  the pipe at every boundary and serializes on DMA latency).
+- 2-D HBM layouts ([T, Hq*D], [P*page, 2*Hk*D]) so every DMA slices
+  only tile-aligned dims (Mosaic rejects sliced memrefs whose minor
+  dims are not tile-aligned, e.g. 12 q heads).
+- KV pages stay in the paged layout with K/V interleaved per head, so
+  one page DMA fetches both K and V.
+- flash-attention style online softmax, f32 accumulators.
 
 Numerical contract: matches ops/attention.py ragged_paged_attention_xla
 (the CPU oracle) to bf16 tolerance. Masking: causal within each
@@ -33,6 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -2.0**30  # large finite: avoids inf-inf NaNs in rescaling
 
+# triple-buffered KV stream (consume i, i+1 in flight, i+2 free)
+N_BUF = 3
+# VMEM budget for the KV stream buffers
+KV_STREAM_BYTES = 4 * 1024 * 1024
+
 
 def _rpa_kernel(
     # scalar prefetch (SMEM)
@@ -41,20 +52,18 @@ def _rpa_kernel(
     block_tables_ref,  # [R, max_pages]
     first_seq_ref,  # [num_q_blocks] first seq overlapping each block
     num_seqs_ref,  # [1]
-    # inputs (HBM). 2-D layouts so every DMA slices only the
-    # second-minor dim at tile-aligned offsets (Mosaic rejects sliced
-    # memrefs whose minor dims aren't tile-aligned — e.g. Hq=12):
+    # inputs (HBM)
     q_hbm,  # [T, Hq*D]
     kv_hbm,  # [P*page, 2*Hk*D]
     # output (HBM)
     o_hbm,  # [T, Hq*D]
     # scratch
     q_vmem,  # [BQ, Hq*D]
-    kv_vmem,  # [2, NPP*page, 2*Hk*D]
+    kv_vmem,  # [N_BUF, KVB, 2*Hk*D]
     o_vmem,  # [BQ, Hq*D]
     q_sem,
     o_sem,
-    kv_sems,  # DMA sems [2, NPP]
+    kv_sems,  # DMA sems [N_BUF, NPP]
     *,
     sm_scale: float,
     num_q_heads: int,
@@ -68,21 +77,53 @@ def _rpa_kernel(
     bq = q_vmem.shape[0]
     kvb = kv_vmem.shape[1]  # kv tokens per stream block
     npp = kvb // page_size
-    two_kh = 2 * num_kv_heads
     group = num_q_heads // num_kv_heads
     rows = bq * group
     t0 = i * bq
+    num_seqs = num_seqs_ref[0]
 
-    # q block in
     q_copy = pltpu.make_async_copy(q_hbm.at[pl.ds(t0, bq)], q_vmem,
                                    q_sem)
     q_copy.start()
 
-    num_seqs = num_seqs_ref[0]
+    # ---- work-item iteration ------------------------------------------
+    # item = (s, kb): kv block kb of sequence s. Sequences visited are
+    # those overlapping this q block with rows and kv.
+
+    def seq_valid(s):
+        q_start = qsl_ref[s]
+        q_end = qsl_ref[s + 1]
+        return ((q_end > q_start) & (q_end > t0) &
+                (seq_lens_ref[s] > 0))
+
+    def first_valid_seq(s):
+        """Smallest s' >= s that is in-range and valid; returns
+        (s', in_range)."""
+
+        def cond(s2):
+            in_range = (s2 < num_seqs) & (qsl_ref[s2] < t0 + bq)
+            return in_range & jnp.logical_not(seq_valid(s2))
+
+        s2 = jax.lax.while_loop(cond, lambda s2: s2 + 1, s)
+        return s2, (s2 < num_seqs) & (qsl_ref[s2] < t0 + bq)
+
+    def num_kv_blocks(s):
+        return pl.cdiv(seq_lens_ref[s], kvb)
+
+    def next_item(s, kb, valid):
+        """Successor of item (s, kb)."""
+
+        def advance_seq():
+            s2, ok = first_valid_seq(s + 1)
+            return s2, jnp.int32(0), ok
+
+        def same_seq():
+            return s, kb + 1, jnp.bool_(True)
+
+        return jax.lax.cond(
+            valid & (kb + 1 < num_kv_blocks(s)), same_seq, advance_seq)
 
     def start_kv_dma(s, kb, slot):
-        """Fetch pages [kb*npp, kb*npp+npp) of seq s into buffer
-        `slot` (one row-range DMA per page)."""
         for j in range(npp):
             page_id = block_tables_ref[s, kb * npp + j]
             pltpu.make_async_copy(
@@ -97,111 +138,107 @@ def _rpa_kernel(
                 kv_vmem.at[slot, pl.ds(j * page_size, page_size)],
                 kv_sems.at[slot, j]).wait()
 
+    # prologue: locate item0, start DMAs for item0 and item1
+    s0, v0 = first_valid_seq(first_seq_ref[i])
+
+    @pl.when(v0)
+    def _():
+        start_kv_dma(s0, 0, 0)
+
+    s1, kb1, v1 = jax.lax.cond(
+        v0, lambda: next_item(s0, jnp.int32(0), v0),
+        lambda: (s0, jnp.int32(0), jnp.bool_(False)))
+
+    @pl.when(v1)
+    def _():
+        start_kv_dma(s1, kb1, 1)
+
     q_copy.wait()
-    # load all heads once → [BQ, Hq, D] (minor-preserving split)
     q_all = q_vmem[...].reshape(bq, num_q_heads, head_dim)
 
-    def process_seq(s, carry):
-        """Accumulate seq s's KV into every (masked) row of the block."""
-        m, l, acc = carry
+    fr_col = jax.lax.broadcasted_iota(jnp.int32, (rows, kvb), 0)
+    b_abs_base = t0 + fr_col // group  # [rows, kvb]
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, kvb), 1)
+
+    def compute_item(s, kb, slot, m, l, acc):
         q_start = qsl_ref[s]
         q_end = qsl_ref[s + 1]
         kv_len = seq_lens_ref[s]
         q_len = q_end - q_start
+        pos = kv_len - q_len + (b_abs_base - q_start)
+        row_owned = (b_abs_base >= q_start) & (b_abs_base < q_end)
+        kv_idx = kb * kvb + col
+        mask = row_owned & (kv_idx <= pos) & (kv_idx < kv_len)
+        if sliding_window is not None:
+            mask &= kv_idx > pos - sliding_window
 
-        # absolute kv position of flat row fr (= b*group + g):
-        #   b = t0 + fr//group;  pos = kv_len - q_len + (b - q_start)
-        fr = jax.lax.broadcasted_iota(jnp.int32, (rows, kvb), 0)
-        b_abs = t0 + fr // group
-        pos = kv_len - q_len + (b_abs - q_start)
-        row_owned = (b_abs >= q_start) & (b_abs < q_end)
-        col = jax.lax.broadcasted_iota(jnp.int32, (rows, kvb), 1)
+        kv = kv_vmem[slot].reshape(kvb, num_kv_heads, 2, head_dim)
+        k = kv[:, :, 0, :]  # [KVB, Hk, D]
+        v = kv[:, :, 1, :]
 
-        num_kv_blocks = pl.cdiv(kv_len, kvb)
-        start_kv_dma(s, 0, 0)
+        new_m, new_l, new_acc = [], [], []
+        for h in range(num_kv_heads):
+            qh = q_all[:, h * group:(h + 1) * group, :].reshape(
+                rows, head_dim)
+            scores = jax.lax.dot_general(
+                qh, k[:, h, :],
+                dimension_numbers=(((1, ), (1, )), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            if logit_softcap is not None:
+                scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+            scores = jnp.where(mask, scores, NEG_INF)
 
-        def kv_step(kb, carry):
-            m, l, acc = carry
-            slot = jax.lax.rem(kb, 2)
+            m_h, l_h, acc_h = m[h], l[h], acc[h]
+            m_new = jnp.maximum(m_h,
+                                jnp.max(scores, axis=-1, keepdims=True))
+            p = jnp.exp(scores - m_new)
+            # NEG_INF is finite → fully-masked rows would get exp(0)=1
+            p = jnp.where(mask, p, 0.0)
+            scale_old = jnp.exp(m_h - m_new)
+            l_new = l_h * scale_old + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v[:, h, :],
+                dimension_numbers=(((1, ), (0, )), ((), ())),
+                preferred_element_type=jnp.float32)
+            new_m.append(m_new)
+            new_l.append(l_new)
+            new_acc.append(acc_h * scale_old + pv)
+        return jnp.stack(new_m), jnp.stack(new_l), jnp.stack(new_acc)
 
-            @pl.when(kb + 1 < num_kv_blocks)
-            def _():
-                start_kv_dma(s, kb + 1, 1 - slot)
+    # ---- steady-state pipeline ----------------------------------------
+    # carry: current item, next item, buffer slot of current, m/l/acc
 
-            wait_kv_dma(slot)
-            kv = kv_vmem[slot].reshape(kvb, num_kv_heads, 2, head_dim)
-            k = kv[:, :, 0, :]  # [KVB, Hk, D]
-            v = kv[:, :, 1, :]
+    def pipe_cond(carry):
+        (_, _, valid, *_rest) = carry
+        return valid
 
-            kv_idx = kb * kvb + col  # [rows, KVB]
-            mask = row_owned & (kv_idx <= pos) & (kv_idx < kv_len)
-            if sliding_window is not None:
-                mask &= kv_idx > pos - sliding_window
+    def pipe_body(carry):
+        (s, kb, valid, ns, nkb, nvalid, slot, m, l, acc) = carry
+        # start DMA for the item after next into the free buffer
+        n2s, n2kb, n2valid = jax.lax.cond(
+            nvalid, lambda: next_item(ns, nkb, nvalid),
+            lambda: (ns, nkb, jnp.bool_(False)))
 
-            new_m, new_l, new_acc = [], [], []
-            for h in range(num_kv_heads):
-                qh = q_all[:, h * group:(h + 1) * group, :].reshape(
-                    rows, head_dim)
-                scores = jax.lax.dot_general(
-                    qh, k[:, h, :],
-                    dimension_numbers=(((1, ), (1, )), ((), ())),
-                    preferred_element_type=jnp.float32) * sm_scale
-                if logit_softcap is not None:
-                    scores = jnp.tanh(
-                        scores / logit_softcap) * logit_softcap
-                scores = jnp.where(mask, scores, NEG_INF)
+        @pl.when(n2valid)
+        def _():
+            start_kv_dma(n2s, n2kb, jax.lax.rem(slot + 2, N_BUF))
 
-                m_h = m[h]  # [rows, 1]
-                l_h = l[h]
-                acc_h = acc[h]  # [rows, D]
-                m_new = jnp.maximum(
-                    m_h, jnp.max(scores, axis=-1, keepdims=True))
-                p = jnp.exp(scores - m_new)  # [rows, KVB]
-                # NEG_INF is finite → fully-masked rows would get
-                # exp(0)=1; zero them explicitly
-                p = jnp.where(mask, p, 0.0)
-                scale_old = jnp.exp(m_h - m_new)
-                l_new = l_h * scale_old + jnp.sum(p, axis=-1,
-                                                  keepdims=True)
-                pv = jax.lax.dot_general(
-                    p.astype(v.dtype), v[:, h, :],
-                    dimension_numbers=(((1, ), (0, )), ((), ())),
-                    preferred_element_type=jnp.float32)
-                acc_new = acc_h * scale_old + pv
-                new_m.append(m_new)
-                new_l.append(l_new)
-                new_acc.append(acc_new)
-            return (jnp.stack(new_m), jnp.stack(new_l),
-                    jnp.stack(new_acc))
-
-        has_rows = (q_end > jnp.maximum(q_start, t0)) & \
-                   (jnp.minimum(q_end, t0 + bq) > q_start) & (kv_len > 0)
-        m, l, acc = jax.lax.cond(
-            has_rows,
-            lambda c: jax.lax.fori_loop(0, num_kv_blocks, kv_step, c),
-            lambda c: c, (m, l, acc))
-        return m, l, acc
-
-    def seq_cond(carry):
-        s, _ = carry
-        return (s < num_seqs) & (qsl_ref[s] < t0 + bq)
-
-    def seq_body(carry):
-        s, mla = carry
-        return s + 1, process_seq(s, mla)
+        wait_kv_dma(slot)
+        m, l, acc = compute_item(s, kb, slot, m, l, acc)
+        return (ns, nkb, nvalid, n2s, n2kb, n2valid,
+                jax.lax.rem(slot + 1, N_BUF), m, l, acc)
 
     m0 = jnp.full((num_kv_heads, rows, 1), NEG_INF, dtype=jnp.float32)
     l0 = jnp.zeros((num_kv_heads, rows, 1), dtype=jnp.float32)
     acc0 = jnp.zeros((num_kv_heads, rows, head_dim), dtype=jnp.float32)
-    s0 = first_seq_ref[i]
-    _, (m, l, acc) = jax.lax.while_loop(seq_cond, seq_body,
-                                        (s0, (m0, l0, acc0)))
+    carry = (s0, jnp.int32(0), v0, s1, kb1, v1, jnp.int32(0), m0, l0,
+             acc0)
+    (*_, m, l, acc) = jax.lax.while_loop(pipe_cond, pipe_body, carry)
 
     out = acc / jnp.maximum(l, 1e-20)  # rows with no kv → 0
     # [Hk, BQ*G, D] → [BQ, Hq*D]
     out = out.reshape(num_kv_heads, bq, group, head_dim)
-    out = out.transpose(1, 0, 2, 3).reshape(bq,
-                                            num_q_heads * head_dim)
+    out = out.transpose(1, 0, 2, 3).reshape(bq, num_q_heads * head_dim)
     o_vmem[...] = out.astype(o_vmem.dtype)
     o_copy = pltpu.make_async_copy(o_vmem, o_hbm.at[pl.ds(t0, bq)],
                                    o_sem)
@@ -227,7 +264,7 @@ def ragged_paged_attention_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     t, num_q_heads, head_dim = q.shape
-    _, page_size, two_kh, _ = kv_cache.shape
+    num_pages, page_size, two_kh, _ = kv_cache.shape
     num_kv_heads = two_kh // 2
     num_reqs = block_tables.shape[0]
     if num_seqs is None:
@@ -235,7 +272,13 @@ def ragged_paged_attention_pallas(
 
     bq = min(t, 128)
     num_q_blocks = t // bq
-    npp = max(128 // page_size, 1)  # pages per kv stream block
+    # kv stream block: as many pages as fit the VMEM budget, at least
+    # 128 tokens, at most 512
+    width = two_kh * head_dim
+    kvb_budget = KV_STREAM_BYTES // (N_BUF * width * kv_cache.dtype.itemsize)
+    kvb_tokens = max(min(kvb_budget, 512), 128)
+    npp = max(kvb_tokens // page_size, 1)
+    kvb = npp * page_size
     # the kernel indexes pages in groups of npp — pad the table width
     max_pages = block_tables.shape[1]
     if max_pages % npp != 0:
@@ -259,9 +302,8 @@ def ragged_paged_attention_pallas(
         logit_softcap=logit_softcap,
     )
     # 2-D HBM layouts keep every DMA slice tile-aligned (see kernel)
-    num_pages = kv_cache.shape[0]
     q2 = q.reshape(t, num_q_heads * head_dim)
-    kv2 = kv_cache.reshape(num_pages * page_size, two_kh * head_dim)
+    kv2 = kv_cache.reshape(num_pages * page_size, width)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(num_q_blocks, ),
@@ -272,12 +314,11 @@ def ragged_paged_attention_pallas(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((bq, num_q_heads * head_dim), q.dtype),
-            pltpu.VMEM((2, npp * page_size, two_kh * head_dim),
-                       kv_cache.dtype),
+            pltpu.VMEM((N_BUF, kvb, width), kv_cache.dtype),
             pltpu.VMEM((bq, num_q_heads * head_dim), q.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((2, npp)),
+            pltpu.SemaphoreType.DMA((N_BUF, npp)),
         ],
     )
     out = pl.pallas_call(

@@ -86,6 +86,10 @@ class TPUModelRunner:
         self.req_buckets = self._get_paddings(MIN_REQ_BUCKET,
                                               self.max_num_reqs)
         self._step_count = 0
+        # async pipelining state: device array of last step's sampled
+        # tokens + req_id -> (dispatch row, token position) fills
+        self._prev_sampled = None
+        self._pending_fill: dict[str, tuple[int, int]] = {}
         # jit-cache-miss sanitizer (SURVEY.md §5.2 build note)
         self.num_compilations = 0
         self._compiled_keys: set[tuple] = set()
@@ -258,6 +262,9 @@ class TPUModelRunner:
 
         sample_rows: list[int] = []
         kv_slices: list[tuple[int, int, int]] = []
+        prev_scatter = seg("prev_scatter")
+        prev_scatter[:] = -1
+        prev_gather = seg("prev_gather")
 
         offset = 0
         for row in range(num_reqs):
@@ -267,6 +274,13 @@ class TPUModelRunner:
             end_pos = start_pos + n_sched
             input_ids[offset:offset + n_sched] = \
                 batch.token_ids[row, start_pos:end_pos]
+            pending = self._pending_fill.get(req_id)
+            if pending is not None:
+                prev_row, pos = pending
+                if start_pos <= pos < end_pos:
+                    # value still on device: chain it in the jitted step
+                    prev_scatter[row] = offset + (pos - start_pos)
+                    prev_gather[row] = prev_row
             positions[offset:offset + n_sched] = np.arange(
                 start_pos, end_pos, dtype=np.int32)
             # flat slots: page_id * page_size + in-page offset
@@ -347,6 +361,10 @@ class TPUModelRunner:
             ("min_p", r_pad),
             ("seeds", r_pad),
             ("sample_pos", r_pad),
+            # async token chaining: position in input_ids to overwrite
+            # with the previous step's device-resident sampled token
+            ("prev_scatter", r_pad),
+            ("prev_gather", r_pad),
             ("grammar_words", r_pad * self.num_words),
         ]
         layout = {}
@@ -374,7 +392,7 @@ class TPUModelRunner:
     def _get_step_fn(self, t_pad: int, r_pad: int, all_greedy: bool,
                      need_top_k: bool, need_top_p: bool,
                      need_min_p: bool, max_num_logprobs: int,
-                     apply_grammar: bool):
+                     apply_grammar: bool, has_prev: bool = False):
         """One compiled executable per (bucket, sampler-static)
         combination. The step consumes ONE packed int32 buffer (see
         _prepare_inputs) and unpacks with static slices on device."""
@@ -387,7 +405,7 @@ class TPUModelRunner:
         mp = self.max_blocks_per_req
         num_words = self.num_words
 
-        def step(params, kv_caches, packed):
+        def step(params, kv_caches, packed, prev_sampled=None):
             def seg(name):
                 a, b = layout[name]
                 return jax.lax.slice_in_dim(packed, a, b)
@@ -395,6 +413,17 @@ class TPUModelRunner:
             def seg_f32(name):
                 return jax.lax.bitcast_convert_type(
                     seg(name), jnp.float32)
+
+            input_ids = seg("input_ids")
+            if has_prev:
+                # chain the previous step's sampled tokens on-device:
+                # no host round trip between consecutive decode steps
+                gather = jnp.clip(seg("prev_gather"), 0,
+                                  prev_sampled.shape[0] - 1)
+                vals = jnp.take(prev_sampled, gather)
+                scat = seg("prev_scatter")
+                idx = jnp.where(scat >= 0, scat, t_pad)
+                input_ids = input_ids.at[idx].set(vals, mode="drop")
 
             attn_meta = AttentionMetadata(
                 block_tables=seg("block_tables").reshape(r_pad, mp),
@@ -408,7 +437,7 @@ class TPUModelRunner:
                     seg("scalars"), 0, 1),
             )
             logits_indices = seg("logits_indices")
-            hidden, kv_caches = model(params, seg("input_ids"),
+            hidden, kv_caches = model(params, input_ids,
                                       seg("positions"), kv_caches,
                                       attn_meta, use_pallas=use_pallas)
             sampled_hidden = jnp.take(hidden, logits_indices, axis=0)
@@ -486,7 +515,7 @@ class TPUModelRunner:
         for row in sample_rows:
             tok = int(sampled_np[row])
             sampled_token_ids[row] = [tok]
-            batch.append_token_id(row, tok)
+            self._append_token(row, tok)
 
         logprobs_lists = None
         if max_num_logprobs > 0:
@@ -511,6 +540,73 @@ class TPUModelRunner:
             sampled_token_ids=sampled_token_ids,
             logprobs=logprobs_lists,
         )
+
+    def _append_token(self, row: int, tok: int) -> None:
+        """Keep BOTH the persistent batch arrays and the cached request
+        state in sync (the state is the source of truth when a row is
+        evicted and later re-admitted)."""
+        batch = self.input_batch
+        req_id = batch.req_ids[row]
+        batch.append_token_id(row, tok)
+        state = self.requests.get(req_id)
+        if state is not None:
+            state.output_token_ids.append(tok)
+
+    # ------------------------------------------------------------------
+    # async execution (one-step pipelining; reference: AsyncScheduler +
+    # AsyncModelRunnerOutput, vllm/v1/outputs.py)
+    # ------------------------------------------------------------------
+
+    def execute_model_async(self, scheduler_output: SchedulerOutput):
+        """Dispatch the step WITHOUT waiting for results. Sampled
+        tokens stay on device and feed the next step's inputs; the
+        returned handle materializes them one step later."""
+        self._update_states(scheduler_output)
+        if scheduler_output.total_num_scheduled_tokens == 0:
+            return None
+
+        (packed, sample_rows, t_pad, r_pad, s_pad,
+         apply_grammar) = self._prepare_inputs(scheduler_output)
+        statics = self._sampling_statics()
+        max_num_logprobs = statics[-1]
+        has_prev = self._prev_sampled is not None
+
+        step_fn = self._get_step_fn(t_pad, r_pad, *statics,
+                                    apply_grammar, has_prev)
+        compile_key = (t_pad, r_pad, *statics, apply_grammar, has_prev,
+                       None if not has_prev
+                       else self._prev_sampled.shape[0])
+        if compile_key not in self._compiled_keys:
+            self._compiled_keys.add(compile_key)
+            self.num_compilations += 1
+
+        self._step_count += 1
+        packed_dev = jnp.asarray(packed, device=self._replicated)
+        if has_prev:
+            self.kv_caches, out = step_fn(self.params, self.kv_caches,
+                                          packed_dev,
+                                          self._prev_sampled)
+        else:
+            self.kv_caches, out = step_fn(self.params, self.kv_caches,
+                                          packed_dev)
+
+        batch = self.input_batch
+        num_reqs = batch.num_reqs
+        req_ids = [batch.req_ids[i] for i in range(num_reqs)]
+        pending: list[tuple[str, int, int]] = []
+        new_fill: dict[str, tuple[int, int]] = {}
+        for row in sample_rows:
+            req_id = batch.req_ids[row]
+            pos = int(batch.num_tokens[row])
+            # placeholder; the true value is still on device
+            self._append_token(row, -1)
+            pending.append((req_id, row, pos))
+            new_fill[req_id] = (row, pos)
+        self._prev_sampled = out.sampled
+        self._pending_fill = new_fill
+
+        return AsyncStepHandle(self, out, req_ids, pending,
+                               max_num_logprobs)
 
     # ------------------------------------------------------------------
     # precompile (reference: capture_model tpu_model_runner.py:1537)
@@ -543,3 +639,66 @@ class TPUModelRunner:
         self.kv_caches, _ = step_fn(
             self.params, self.kv_caches,
             jnp.asarray(packed, device=self._replicated))
+
+
+class AsyncStepHandle:
+    """Deferred step result: `.get()` blocks on the device and patches
+    the placeholder tokens into runner state (reference:
+    AsyncModelRunnerOutput, vllm/v1/outputs.py deferred D2H copy)."""
+
+    def __init__(self, runner: TPUModelRunner, out, req_ids, pending,
+                 max_num_logprobs: int) -> None:
+        self.runner = runner
+        self.out = out
+        self.req_ids = req_ids
+        self.pending = pending  # (req_id, dispatch_row, position)
+        self.max_num_logprobs = max_num_logprobs
+
+    def get(self) -> ModelRunnerOutput:
+        runner = self.runner
+        sampled_np = np.asarray(self.out.sampled)
+        req_id_to_index = {r: i for i, r in enumerate(self.req_ids)}
+        sampled_token_ids: list[list[int]] = [
+            [] for _ in self.req_ids
+        ]
+        sampled_rows = set()
+        for req_id, dispatch_row, pos in self.pending:
+            tok = int(sampled_np[dispatch_row])
+            sampled_token_ids[req_id_to_index[req_id]] = [tok]
+            sampled_rows.add(req_id_to_index[req_id])
+            # patch the placeholder wherever the request lives now
+            cur_row = runner.input_batch.req_id_to_index.get(req_id)
+            if cur_row is not None:
+                runner.input_batch.token_ids[cur_row, pos] = tok
+            state = runner.requests.get(req_id)
+            if state is not None:
+                out_idx = pos - len(state.prompt_token_ids)
+                if 0 <= out_idx < len(state.output_token_ids):
+                    state.output_token_ids[out_idx] = tok
+
+        logprobs_lists = None
+        if self.max_num_logprobs > 0:
+            lp_ids_np = np.asarray(self.out.logprob_token_ids)
+            lps_np = np.asarray(self.out.logprobs)
+            ranks_np = np.asarray(self.out.sampled_ranks)
+            n = len(self.req_ids)
+            logprobs_lists = LogprobsLists(
+                logprob_token_ids=[
+                    lp_ids_np[i].tolist() if i in sampled_rows else []
+                    for i in range(n)
+                ],
+                logprobs=[
+                    lps_np[i].tolist() if i in sampled_rows else []
+                    for i in range(n)
+                ],
+                sampled_token_ranks=[
+                    int(ranks_np[i]) if i in sampled_rows else 0
+                    for i in range(n)
+                ],
+            )
+        return ModelRunnerOutput(
+            req_ids=self.req_ids,
+            req_id_to_index=req_id_to_index,
+            sampled_token_ids=sampled_token_ids,
+            logprobs=logprobs_lists,
+        )
