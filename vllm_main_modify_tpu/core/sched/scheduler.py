@@ -78,6 +78,8 @@ class Scheduler:
         self.finished_req_ids: set[str] = set()
         # cumulative counters
         self.num_preempted_reqs_total = 0
+        self.spec_num_draft_tokens_total = 0
+        self.spec_num_accepted_tokens_total = 0
 
     # ------------------------------------------------------------------
     # request lifecycle
@@ -461,6 +463,8 @@ class Scheduler:
         if stopped_preempted:
             self.waiting.remove_requests(stopped_preempted)
 
+        self.spec_num_draft_tokens_total += spec_drafts
+        self.spec_num_accepted_tokens_total += spec_accepted
         stats = SchedulerStats(
             num_running_reqs=len(self.running),
             num_waiting_reqs=len(self.waiting),
@@ -538,6 +542,9 @@ class Scheduler:
             num_waiting_reqs=len(self.waiting),
             kv_cache_usage=self.kv_cache_manager.usage,
             num_preempted_reqs=self.num_preempted_reqs_total,
+            spec_num_draft_tokens=self.spec_num_draft_tokens_total,
+            spec_num_accepted_tokens=(
+                self.spec_num_accepted_tokens_total),
         )
 
 

@@ -14,7 +14,8 @@ from tqdm.auto import tqdm
 from vllm_main_modify_tpu.config import (CacheConfig, CompilationConfig,
                                          DeviceConfig, EngineConfig,
                                          LoadConfig, ModelConfig,
-                                         ParallelConfig, SchedulerConfig)
+                                         ParallelConfig, SchedulerConfig,
+                                         SpeculativeConfig)
 from vllm_main_modify_tpu.engine.llm_engine import LLMEngine
 from vllm_main_modify_tpu.outputs import RequestOutput
 from vllm_main_modify_tpu.sampling_params import SamplingParams
@@ -38,6 +39,7 @@ class LLM:
         seed: int = 0,
         trust_remote_code: bool = False,
         async_scheduling: bool = False,
+        speculative_config: Optional[dict] = None,
         mesh=None,
         **kwargs,
     ) -> None:
@@ -59,6 +61,8 @@ class LLM:
             parallel_config=ParallelConfig(
                 tensor_parallel_size=tensor_parallel_size),
             load_config=LoadConfig(load_format=load_format),
+            speculative_config=SpeculativeConfig(
+                **(speculative_config or {})),
         )
         self.engine = LLMEngine(config, mesh=mesh)
         self._counter = self.engine.request_counter

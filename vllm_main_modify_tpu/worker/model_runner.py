@@ -97,6 +97,23 @@ class TPUModelRunner:
         # grammar bitmask width (int32 words over the model vocab)
         self.num_words = (mc.vocab_size + 31) // 32
 
+        # speculative decoding (ngram): K drafts → K+1 sample positions
+        spec = config.speculative_config
+        self.max_spec = (spec.num_speculative_tokens
+                         if spec.enabled else 0)
+        self.num_sample_positions = self.max_spec + 1
+        self.proposer = None
+        if spec.enabled:
+            assert spec.method == "ngram", spec.method
+            assert not sc.async_scheduling, \
+                "spec decode requires sync scheduling"
+            from vllm_main_modify_tpu.spec_decode.ngram_proposer import \
+                NgramProposer
+
+            self.proposer = NgramProposer(spec.num_speculative_tokens,
+                                          spec.prompt_lookup_min,
+                                          spec.prompt_lookup_max)
+
         self._kv_sharding = NamedSharding(
             self.mesh, P(None, None, None, "model", None))
         self._replicated = NamedSharding(self.mesh, P())
@@ -255,13 +272,16 @@ class TPUModelRunner:
         slot_mapping[:] = -1
         query_start_loc = seg("query_start_loc")
         seq_lens = seg("seq_lens")
-        logits_indices = seg("logits_indices")
+        nsp = self.num_sample_positions
+        logits_indices = seg("logits_indices").reshape(r_pad, nsp)
         block_tables = seg("block_tables").reshape(r_pad, mp)
         kv_slices_arr = seg("kv_slices").reshape(3, s_pad)
         scalars = seg("scalars")
 
         sample_rows: list[int] = []
         kv_slices: list[tuple[int, int, int]] = []
+        spec_counts: dict[int, int] = {}
+        proposed: dict[int, list[int]] = {}
         prev_scatter = seg("prev_scatter")
         prev_scatter[:] = -1
         prev_gather = seg("prev_gather")
@@ -274,6 +294,16 @@ class TPUModelRunner:
             end_pos = start_pos + n_sched
             input_ids[offset:offset + n_sched] = \
                 batch.token_ids[row, start_pos:end_pos]
+            spec_toks = scheduler_output.scheduled_spec_decode_tokens \
+                .get(req_id)
+            if spec_toks:
+                # draft tokens are not in the batch's token history;
+                # they occupy the tail of this row's scheduled range
+                ns = len(spec_toks)
+                input_ids[offset + n_sched - ns:offset + n_sched] = \
+                    spec_toks
+                spec_counts[row] = ns
+                proposed[row] = spec_toks
             pending = self._pending_fill.get(req_id)
             if pending is not None:
                 prev_row, pos = pending
@@ -300,8 +330,13 @@ class TPUModelRunner:
             offset += n_sched
             query_start_loc[row + 1] = offset
             seq_lens[row] = end_pos
-            logits_indices[row] = offset - 1
-            if end_pos >= batch.num_tokens[row]:
+            ns = spec_counts.get(row, 0)
+            # sample positions: the last real token plus each draft
+            # (position j predicts draft j / the correction token)
+            for j in range(nsp):
+                logits_indices[row, j] = offset - 1 - max(ns - j, 0) \
+                    if j <= ns else offset - 1
+            if end_pos >= batch.num_tokens[row] + ns:
                 sample_rows.append(row)
         # padded rows repeat the cumulative sum so searchsorted maps
         # padded tokens to a padded row
@@ -338,7 +373,8 @@ class TPUModelRunner:
                 if batch_row is not None and batch_row < r_pad:
                     words[batch_row] = bm[row_i]
 
-        return packed, sample_rows, t_pad, r_pad, s_pad, apply_grammar
+        return (packed, sample_rows, t_pad, r_pad, s_pad,
+                apply_grammar, spec_counts, proposed)
 
     @functools.lru_cache(maxsize=None)
     def _packed_layout(self, t_pad: int, r_pad: int,
@@ -351,7 +387,7 @@ class TPUModelRunner:
             ("slot_mapping", t_pad),
             ("query_start_loc", r_pad + 1),
             ("seq_lens", r_pad),
-            ("logits_indices", r_pad),
+            ("logits_indices", r_pad * self.num_sample_positions),
             ("block_tables", r_pad * mp),
             ("kv_slices", 3 * s_pad),
             ("scalars", 2),  # num_kv_slices, num_seqs
@@ -381,6 +417,10 @@ class TPUModelRunner:
         max_lp = int(batch.num_logprobs[:n].max()) if n else 0
         if max_lp > 0:
             max_lp = next_power_of_2(max_lp)
+        if self.max_spec > 0:
+            # logprobs rows would need per-position bookkeeping; the
+            # reference similarly restricts spec decode + logprobs
+            max_lp = 0
         return (not batch.random_reqs, bool(batch.top_k_reqs),
                 bool(batch.top_p_reqs), bool(batch.min_p_reqs), max_lp)
 
@@ -404,6 +444,7 @@ class TPUModelRunner:
         layout = self._packed_layout(t_pad, r_pad, s_pad)
         mp = self.max_blocks_per_req
         num_words = self.num_words
+        nsp = self.num_sample_positions
 
         def step(params, kv_caches, packed, prev_sampled=None):
             def seg(name):
@@ -436,12 +477,15 @@ class TPUModelRunner:
                 num_kv_update_slices=jax.lax.slice_in_dim(
                     seg("scalars"), 0, 1),
             )
-            logits_indices = seg("logits_indices")
+            logits_indices = seg("logits_indices")  # [r_pad * nsp]
             hidden, kv_caches = model(params, input_ids,
                                       seg("positions"), kv_caches,
                                       attn_meta, use_pallas=use_pallas)
             sampled_hidden = jnp.take(hidden, logits_indices, axis=0)
             logits = model.compute_logits(params, sampled_hidden)
+
+            def rep(a):
+                return jnp.repeat(a, nsp) if nsp > 1 else a
             if apply_grammar:
                 # unpack bit w*32+j of int32 words -> bool [R, V]; mask
                 # disallowed tokens before sampling (reference:
@@ -452,16 +496,18 @@ class TPUModelRunner:
                 bits = (w[:, :, None] >>
                         jnp.arange(32, dtype=jnp.uint32)) & 1
                 allowed = bits.reshape(r_pad, -1)[:, :vocab]
+                if nsp > 1:
+                    allowed = jnp.repeat(allowed, nsp, axis=0)
                 logits = jnp.where(allowed.astype(bool), logits,
                                    jnp.float32(-jnp.inf))
             meta = SamplingMetadata(
-                temperature=seg_f32("temperature"),
-                top_k=seg("top_k"),
-                top_p=seg_f32("top_p"),
-                min_p=seg_f32("min_p"),
-                seeds=jax.lax.bitcast_convert_type(
-                    seg("seeds"), jnp.uint32),
-                sample_pos=seg("sample_pos"),
+                temperature=rep(seg_f32("temperature")),
+                top_k=rep(seg("top_k")),
+                top_p=rep(seg_f32("top_p")),
+                min_p=rep(seg_f32("min_p")),
+                seeds=rep(jax.lax.bitcast_convert_type(
+                    seg("seeds"), jnp.uint32)),
+                sample_pos=rep(seg("sample_pos")),
                 all_greedy=all_greedy,
                 need_top_k=need_top_k, need_top_p=need_top_p,
                 need_min_p=need_min_p,
@@ -483,8 +529,8 @@ class TPUModelRunner:
             return ModelRunnerOutput(req_ids=[], req_id_to_index={},
                                      sampled_token_ids=[])
 
-        (packed, sample_rows, t_pad, r_pad, s_pad,
-         apply_grammar) = self._prepare_inputs(scheduler_output)
+        (packed, sample_rows, t_pad, r_pad, s_pad, apply_grammar,
+         spec_counts, proposed) = self._prepare_inputs(scheduler_output)
         statics = self._sampling_statics()
         max_num_logprobs = statics[-1]
 
@@ -502,6 +548,9 @@ class TPUModelRunner:
 
         # device -> host (single transfer of the small sampled arrays)
         sampled_np = np.asarray(out.sampled)
+        nsp = self.num_sample_positions
+        if nsp > 1:
+            sampled_np = sampled_np.reshape(r_pad, nsp)
         if max_num_logprobs > 0:
             lp_ids_np = np.asarray(out.logprob_token_ids)
             lps_np = np.asarray(out.logprobs)
@@ -512,10 +561,36 @@ class TPUModelRunner:
         req_ids = [batch.req_ids[i] for i in range(num_reqs)]
         sampled_token_ids: list[list[int]] = [[] for _ in range(num_reqs)]
         sample_row_set = set(sample_rows)
+        draft_token_ids = None
         for row in sample_rows:
-            tok = int(sampled_np[row])
-            sampled_token_ids[row] = [tok]
-            self._append_token(row, tok)
+            if nsp > 1:
+                # greedy draft verification (reference:
+                # RejectionSampler, vllm/v1/sample/rejection_sampler.py
+                # — exact-match variant for ngram greedy drafts):
+                # accept drafts while they equal the model's own argmax
+                drafts = proposed.get(row, [])
+                toks = [int(sampled_np[row, 0])]
+                for j, d in enumerate(drafts):
+                    if toks[-1] != d:
+                        break
+                    toks.append(int(sampled_np[row, j + 1]))
+            else:
+                toks = [int(sampled_np[row])]
+            sampled_token_ids[row] = toks
+            for tok in toks:
+                self._append_token(row, tok)
+
+        if self.proposer is not None:
+            draft_token_ids = [[] for _ in range(num_reqs)]
+            for row in sample_rows:
+                sp = batch.temperature[row] <= 0.0  # greedy only
+                if not sp:
+                    continue
+                n = int(batch.num_tokens[row])
+                drafts = self.proposer.propose(
+                    batch.token_ids[row, :n])
+                if drafts is not None:
+                    draft_token_ids[row] = [int(d) for d in drafts]
 
         logprobs_lists = None
         if max_num_logprobs > 0:
@@ -539,6 +614,7 @@ class TPUModelRunner:
             req_id_to_index={r: i for i, r in enumerate(req_ids)},
             sampled_token_ids=sampled_token_ids,
             logprobs=logprobs_lists,
+            draft_token_ids=draft_token_ids,
         )
 
     def _append_token(self, row: int, tok: int) -> None:
@@ -565,8 +641,9 @@ class TPUModelRunner:
         if scheduler_output.total_num_scheduled_tokens == 0:
             return None
 
-        (packed, sample_rows, t_pad, r_pad, s_pad,
-         apply_grammar) = self._prepare_inputs(scheduler_output)
+        (packed, sample_rows, t_pad, r_pad, s_pad, apply_grammar,
+         _spec_counts, _proposed) = self._prepare_inputs(
+             scheduler_output)
         statics = self._sampling_statics()
         max_num_logprobs = statics[-1]
         has_prev = self._prev_sampled is not None
