@@ -39,29 +39,43 @@ def attention(
     q: jax.Array,  # [T, Hq, D]
     k: jax.Array,  # [T, Hk, D] (this step's new keys, post-rope)
     v: jax.Array,  # [T, Hk, D]
-    kv_cache: jax.Array,  # [P, page, 2*Hk, D]
+    kv_caches: jax.Array,  # [L, P, page, 2*Hk, D] FULL stacked cache
+    layer_idx,  # traced int32 — which layer's pages to touch
     meta: AttentionMetadata,
     sm_scale: float,
     sliding_window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
     use_pallas: Optional[bool] = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Write new KV into pages, then ragged paged attention.
-    Returns (attn_out [T, Hq, D], updated kv_cache)."""
+    """Write new KV into this layer's pages of the FULL cache, then
+    ragged paged attention over them. The cache is a loop carry updated
+    by in-place scatters (one stacked array + per-layer page offsets);
+    a per-layer scan output would allocate a second full-size KV buffer
+    — the 2x HBM bug this layout exists to avoid.
+
+    Returns (attn_out [T, Hq, D], updated kv_caches)."""
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
+    num_layers, num_pages, page_size, two_kh, head_dim = \
+        kv_caches.shape
+    flat = kv_caches.reshape(num_layers * num_pages, page_size, two_kh,
+                             head_dim)
+    row_offset = layer_idx * (num_pages * page_size)
     if meta.kv_update_slices is not None:
         from vllm_main_modify_tpu.ops.kv_cache import \
             write_to_kv_cache_paged
 
-        kv_cache = write_to_kv_cache_paged(kv_cache, k, v,
-                                           meta.kv_update_slices,
-                                           meta.num_kv_update_slices)
+        flat = write_to_kv_cache_paged(flat, k, v,
+                                       meta.kv_update_slices,
+                                       meta.num_kv_update_slices,
+                                       row_offset=row_offset)
     else:
-        kv_cache = write_to_kv_cache(kv_cache, k, v, meta.slot_mapping)
+        slots = jnp.where(meta.slot_mapping >= 0,
+                          meta.slot_mapping + row_offset, -1)
+        flat = write_to_kv_cache(flat, k, v, slots)
     out = ragged_paged_attention(
         q,
-        kv_cache,
+        flat,
         meta.block_tables,
         meta.query_start_loc,
         meta.seq_lens,
@@ -70,5 +84,6 @@ def attention(
         logit_softcap=logit_softcap,
         use_pallas=use_pallas,
         num_seqs=meta.num_seqs,
+        page_base=layer_idx * num_pages,
     )
-    return out, kv_cache
+    return out, flat.reshape(kv_caches.shape)

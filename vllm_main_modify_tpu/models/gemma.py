@@ -29,6 +29,7 @@ from vllm_main_modify_tpu.layers.attention import (AttentionMetadata,
 from vllm_main_modify_tpu.layers.rotary import (apply_rope,
                                                 compute_inv_freq)
 from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
+from vllm_main_modify_tpu.quantization.weights import matmul
 
 
 def gemma_rms_norm(x: jax.Array, weight: jax.Array,
@@ -126,22 +127,25 @@ class GemmaForCausalLM:
 
     # ------------------------------------------------------------------
 
-    def _attn(self, w, x, positions, kv_cache, attn_meta, use_pallas,
-              sliding_window):
+    def _attn(self, w, x, positions, kv_caches, layer_idx, attn_meta,
+              use_pallas, sliding_window):
         t = x.shape[0]
         cfg = self.cfg
         res = x
         h = gemma_rms_norm(x, w["input_layernorm"], cfg.rms_norm_eps)
-        q = (h @ w["q_proj"]).reshape(t, self.num_q, self.head_dim)
-        k = (h @ w["k_proj"]).reshape(t, self.num_kv, self.head_dim)
-        v = (h @ w["v_proj"]).reshape(t, self.num_kv, self.head_dim)
+        q = matmul(h, w["q_proj"]).reshape(t, self.num_q,
+                                           self.head_dim)
+        k = matmul(h, w["k_proj"]).reshape(t, self.num_kv,
+                                           self.head_dim)
+        v = matmul(h, w["v_proj"]).reshape(t, self.num_kv,
+                                           self.head_dim)
         q, k = apply_rope(q, k, positions, self.inv_freq)
-        o, kv_cache = attention(q, k, v, kv_cache, attn_meta,
-                                self.sm_scale,
-                                sliding_window=sliding_window,
-                                logit_softcap=self.attn_softcap,
-                                use_pallas=use_pallas)
-        o = o.reshape(t, -1) @ w["o_proj"]
+        o, kv_caches = attention(q, k, v, kv_caches, layer_idx,
+                                 attn_meta, self.sm_scale,
+                                 sliding_window=sliding_window,
+                                 logit_softcap=self.attn_softcap,
+                                 use_pallas=use_pallas)
+        o = matmul(o.reshape(t, -1), w["o_proj"])
         if self.is_gemma2:
             o = gemma_rms_norm(o, w["post_attention_layernorm"],
                                cfg.rms_norm_eps)
@@ -149,17 +153,19 @@ class GemmaForCausalLM:
             res = x
             h = gemma_rms_norm(x, w["pre_feedforward_layernorm"],
                                cfg.rms_norm_eps)
-            h = gelu_tanh_and_mul(h @ w["gate_proj"], h @ w["up_proj"])
-            h = h @ w["down_proj"]
+            h = gelu_tanh_and_mul(matmul(h, w["gate_proj"]),
+                                  matmul(h, w["up_proj"]))
+            h = matmul(h, w["down_proj"])
             h = gemma_rms_norm(h, w["post_feedforward_layernorm"],
                                cfg.rms_norm_eps)
-            return res + h, kv_cache
+            return res + h, kv_caches
         x = res + o
         res = x
         h = gemma_rms_norm(x, w["post_attention_layernorm"],
                            cfg.rms_norm_eps)
-        h = gelu_tanh_and_mul(h @ w["gate_proj"], h @ w["up_proj"])
-        return res + h @ w["down_proj"], kv_cache
+        h = gelu_tanh_and_mul(matmul(h, w["gate_proj"]),
+                              matmul(h, w["up_proj"]))
+        return res + matmul(h, w["down_proj"]), kv_caches
 
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,
@@ -168,39 +174,35 @@ class GemmaForCausalLM:
         x = jnp.take(params["embed_tokens"], input_ids, axis=0)
         x = x * jnp.asarray(self.embed_scale, dtype=x.dtype)
 
-        if not self.is_gemma2 or self.sliding_window is None:
+        layers = params["layers"]
+        sliding = (self.sliding_window
+                   if self.is_gemma2 and self.sliding_window else None)
 
-            def layer_fn(carry, layer_in):
-                w, kv_cache = layer_in
-                return self._attn(w, carry, positions, kv_cache,
-                                  attn_meta, use_pallas, None)
+        # fori_loop with the KV cache as carry: in-place page updates
+        # (a scan emitting per-layer KV would double KV HBM). Gemma2
+        # alternates sliding/global per layer parity via lax.cond —
+        # two attention variants, each with a static sliding_window.
+        def layer_fn(l, carry):
+            x, kv = carry
+            w = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False), layers)
+            if sliding is None:
+                return self._attn(w, x, positions, kv, l, attn_meta,
+                                  use_pallas, None)
+            return jax.lax.cond(
+                l % 2 == 0,
+                lambda x, kv: self._attn(w, x, positions, kv, l,
+                                         attn_meta, use_pallas,
+                                         sliding),
+                lambda x, kv: self._attn(w, x, positions, kv, l,
+                                         attn_meta, use_pallas, None),
+                x, kv)
 
-            x, new_kv = jax.lax.scan(layer_fn, x,
-                                     (params["layers"], kv_caches))
-        else:
-            # gemma2: even layers sliding, odd global → scan over pairs
-            assert self.L % 2 == 0
-            layers = jax.tree.map(
-                lambda a: a.reshape(self.L // 2, 2, *a.shape[1:]),
-                params["layers"])
-            kv_pairs = kv_caches.reshape(self.L // 2, 2,
-                                         *kv_caches.shape[1:])
-
-            def pair_fn(carry, layer_in):
-                w2, kv2 = layer_in
-                w_a = jax.tree.map(lambda a: a[0], w2)
-                w_b = jax.tree.map(lambda a: a[1], w2)
-                x, kv_a = self._attn(w_a, carry, positions, kv2[0],
-                                     attn_meta, use_pallas,
-                                     self.sliding_window)
-                x, kv_b = self._attn(w_b, x, positions, kv2[1],
-                                     attn_meta, use_pallas, None)
-                return x, jnp.stack([kv_a, kv_b])
-
-            x, new_kv = jax.lax.scan(pair_fn, x, (layers, kv_pairs))
-            new_kv = new_kv.reshape(self.L, *kv_caches.shape[1:])
+        x, kv_caches = jax.lax.fori_loop(0, self.L, layer_fn,
+                                         (x, kv_caches))
         x = gemma_rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        return x, new_kv
+        return x, kv_caches
 
     def compute_logits(self, params, hidden):
         logits = hidden.astype(jnp.float32) @ \

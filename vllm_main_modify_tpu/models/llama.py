@@ -31,6 +31,7 @@ from vllm_main_modify_tpu.layers.normalization import rms_norm
 from vllm_main_modify_tpu.layers.rotary import (apply_rope,
                                                 compute_inv_freq)
 from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
+from vllm_main_modify_tpu.quantization.weights import matmul
 
 
 class LlamaForCausalLM:
@@ -131,14 +132,18 @@ class LlamaForCausalLM:
                      axis=0)  # [T, H]
         t = x.shape[0]
 
-        def layer_fn(carry, layer_in):
-            x = carry
-            w, kv_cache = layer_in
+        layers = params["layers"]
+
+        def layer_fn(l, carry):
+            x, kv_caches = carry
+            w = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False), layers)
             res = x
             h = rms_norm(x, w["input_layernorm"], cfg.rms_norm_eps)
-            q = h @ w["q_proj"]
-            k = h @ w["k_proj"]
-            v = h @ w["v_proj"]
+            q = matmul(h, w["q_proj"])
+            k = matmul(h, w["k_proj"])
+            v = matmul(h, w["v_proj"])
             if self.qkv_bias:
                 q = q + w["q_bias"]
                 k = k + w["k_bias"]
@@ -147,23 +152,27 @@ class LlamaForCausalLM:
             k = k.reshape(t, self.num_kv, self.head_dim)
             v = v.reshape(t, self.num_kv, self.head_dim)
             q, k = apply_rope(q, k, positions, self.inv_freq)
-            o, kv_cache = attention(q, k, v, kv_cache, attn_meta,
-                                    self.sm_scale,
-                                    sliding_window=cfg.sliding_window,
-                                    use_pallas=use_pallas)
-            x = res + o.reshape(t, -1) @ w["o_proj"]
+            o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
+                                     self.sm_scale,
+                                     sliding_window=cfg.sliding_window,
+                                     use_pallas=use_pallas)
+            x = res + matmul(o.reshape(t, -1), w["o_proj"])
 
             res = x
             h = rms_norm(x, w["post_attention_layernorm"],
                          cfg.rms_norm_eps)
-            h = self.act_fn(h @ w["gate_proj"], h @ w["up_proj"])
-            x = res + h @ w["down_proj"]
-            return x, kv_cache
+            h = self.act_fn(matmul(h, w["gate_proj"]),
+                            matmul(h, w["up_proj"]))
+            x = res + matmul(h, w["down_proj"])
+            return x, kv_caches
 
-        x, new_kv = jax.lax.scan(layer_fn, x,
-                                 (params["layers"], kv_caches))
+        # fori_loop with the KV cache as carry: in-place page updates.
+        # (a lax.scan emitting per-layer KV would allocate a SECOND
+        # full-size KV buffer for the stacked outputs — 2x HBM)
+        x, kv_caches = jax.lax.fori_loop(0, self.L, layer_fn,
+                                         (x, kv_caches))
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        return x, new_kv
+        return x, kv_caches
 
     def compute_logits(self, params: dict,
                        hidden: jax.Array) -> jax.Array:

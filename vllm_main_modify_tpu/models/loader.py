@@ -83,6 +83,29 @@ class _TensorReader:
         return h.get_tensor(name)
 
 
+QUANT_EXCLUDE = ("embed", "lm_head", "router", "norm", "bias",
+                 "shared_expert_gate")
+
+
+def _is_quantizable(spec: ParamSpec) -> bool:
+    return (len(spec.shape) >= 2 and min(spec.shape[-2:]) >= 64
+            and not any(k in spec.path for k in QUANT_EXCLUDE))
+
+
+def _sub_sharding(mesh: Mesh, spec: ParamSpec, ndim_tail: int,
+                  last_from_spec: bool):
+    """Sharding for a derived leaf: keep the leading (layer/expert)
+    axes, replicate the middle, optionally keep the out-axis entry."""
+    entries = list(spec.sharding)
+    lead = len(spec.shape) - 2
+    out_entry = entries[-1] if len(entries) == len(spec.shape) else None
+    derived = entries[:lead] + [None] * (ndim_tail - 1) + \
+        [out_entry if last_from_spec else None]
+    from jax.sharding import PartitionSpec
+
+    return NamedSharding(mesh, PartitionSpec(*derived[:ndim_tail + lead]))
+
+
 def load_model_weights(
     model,
     config: ModelConfig,
@@ -96,14 +119,93 @@ def load_model_weights(
 
     reader = _TensorReader(_hf_tensor_index(config.model))
     dtype = config.jax_dtype
+    quant = (config.quantization or "").lower() or None
     params: dict = {}
     for spec in specs:
-        host = _assemble_host_tensor(spec, reader, dtype)
-        sharding = NamedSharding(mesh, spec.sharding)
-        arr = jax.device_put(jnp.asarray(host), sharding)
-        _set_path(params, spec.path, arr)
-        del host
+        if quant and _is_quantizable(spec):
+            value = _load_quantized(spec, reader, config, mesh, quant,
+                                    dtype)
+        else:
+            host = _assemble_host_tensor(spec, reader, dtype)
+            sharding = NamedSharding(mesh, spec.sharding)
+            value = jax.device_put(jnp.asarray(host), sharding)
+            del host
+        _set_path(params, spec.path, value)
     return params
+
+
+def _load_quantized(spec: ParamSpec, reader: _TensorReader, config,
+                    mesh: Mesh, quant: str, dtype):
+    """Quantized load: GPTQ/AWQ checkpoints repack to the canonical
+    Int4Weight; int8/fp8/int4 quantize a float checkpoint on the fly
+    (reference capability: quantization/{gptq,awq,fp8,...}.py +
+    kernels/ repacking)."""
+    from vllm_main_modify_tpu.quantization import weights as QW
+
+    if quant in ("gptq", "awq"):
+        from vllm_main_modify_tpu.quantization.formats import (
+            repack_awq, repack_gptq)
+
+        base_key = spec.hf_key.rsplit(".weight", 1)[0]
+        num_layers = spec.shape[0] if spec.stacked else 1
+        packs, scs, zps, perms = [], [], [], []
+        has_perm = False
+        idx_range = range(num_layers) if spec.stacked else [None]
+        for i in idx_range:
+            def get(name, optional=False):
+                key = (base_key.format(i=i) if i is not None
+                       else base_key) + "." + name
+                if optional and key not in reader:
+                    return None
+                return reader.get(key)
+
+            if quant == "gptq":
+                sym = getattr(config.hf_config, "quantization_config",
+                              None)
+                v2 = bool(sym and (sym.get("checkpoint_format")
+                                   if isinstance(sym, dict) else
+                                   getattr(sym, "checkpoint_format",
+                                           "")) == "gptq_v2")
+                p_, s_, z_, perm = repack_gptq(
+                    get("qweight"), get("qzeros"), get("scales"),
+                    get("g_idx", optional=True),
+                    sym_no_zero_offset=v2)
+            else:
+                p_, s_, z_, perm = repack_awq(
+                    get("qweight"), get("qzeros"), get("scales"))
+            packs.append(p_)
+            scs.append(s_)
+            zps.append(z_)
+            perms.append(perm)
+            has_perm |= perm is not None
+        stack = (lambda xs: np.stack(xs)) if spec.stacked else             (lambda xs: xs[0])
+        put = lambda a, last: jax.device_put(
+            jnp.asarray(a), _sub_sharding(mesh, spec, a.ndim -
+                                          (1 if spec.stacked else 0),
+                                          last))
+        perm_arr = None
+        if has_perm:
+            k = packs[0].shape[0]
+            perm_arr = put(stack([
+                p if p is not None else np.arange(k, dtype=np.int32)
+                for p in perms
+            ]), False)
+        return QW.Int4Weight(put(stack(packs), True),
+                             put(stack(scs), True),
+                             put(stack(zps), True), perm_arr)
+
+    # on-the-fly quantization of a float checkpoint
+    host = _assemble_host_tensor(spec, reader, dtype)
+    arr = jax.device_put(jnp.asarray(host),
+                         NamedSharding(mesh, spec.sharding))
+    del host
+    if quant == "int8":
+        return QW.quantize_int8(arr)
+    if quant == "fp8":
+        return QW.quantize_fp8(arr)
+    if quant == "int4":
+        return QW.quantize_int4(arr)
+    raise ValueError(f"unknown quantization method {quant!r}")
 
 
 def _assemble_host_tensor(spec: ParamSpec, reader: _TensorReader,
@@ -162,5 +264,15 @@ def init_dummy_params(model, config: ModelConfig, mesh: Mesh) -> dict:
                     scale).astype(config.jax_dtype)
 
         arr = jax.jit(init, out_shardings=sharding)(sub)
+        quant = (config.quantization or "").lower() or None
+        if quant and _is_quantizable(spec):
+            from vllm_main_modify_tpu.quantization import weights as QW
+
+            method = {"int8": QW.quantize_int8,
+                      "fp8": QW.quantize_fp8,
+                      "int4": QW.quantize_int4,
+                      "gptq": QW.quantize_int4,
+                      "awq": QW.quantize_int4}[quant]
+            arr = method(arr)
         _set_path(params, spec.path, arr)
     return params

@@ -29,6 +29,7 @@ from vllm_main_modify_tpu.layers.normalization import rms_norm
 from vllm_main_modify_tpu.layers.rotary import (apply_rope,
                                                 compute_inv_freq)
 from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
+from vllm_main_modify_tpu.quantization.weights import matmul
 
 
 def _transpose_expert(x):
@@ -155,14 +156,18 @@ class MoeDecoderBase:
         x = jnp.take(params["embed_tokens"], input_ids, axis=0)
         t = x.shape[0]
 
-        def layer_fn(carry, layer_in):
-            x = carry
-            w, kv_cache = layer_in
+        layers = params["layers"]
+
+        def layer_fn(l, carry):
+            x, kv_caches = carry
+            w = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False), layers)
             res = x
             h = rms_norm(x, w["input_layernorm"], cfg.rms_norm_eps)
-            q = h @ w["q_proj"]
-            k = h @ w["k_proj"]
-            v = h @ w["v_proj"]
+            q = matmul(h, w["q_proj"])
+            k = matmul(h, w["k_proj"])
+            v = matmul(h, w["v_proj"])
             if self.qkv_bias:
                 q = q + w["q_bias"]
                 k = k + w["k_bias"]
@@ -171,10 +176,10 @@ class MoeDecoderBase:
             k = k.reshape(t, self.num_kv, self.head_dim)
             v = v.reshape(t, self.num_kv, self.head_dim)
             q, k = apply_rope(q, k, positions, self.inv_freq)
-            o, kv_cache = attention(q, k, v, kv_cache, attn_meta,
-                                    self.sm_scale,
-                                    use_pallas=use_pallas)
-            x = res + o.reshape(t, -1) @ w["o_proj"]
+            o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
+                                     self.sm_scale,
+                                     use_pallas=use_pallas)
+            x = res + matmul(o.reshape(t, -1), w["o_proj"])
 
             res = x
             h = rms_norm(x, w["post_attention_layernorm"],
@@ -183,20 +188,23 @@ class MoeDecoderBase:
                         w["w_down"], self.top_k, self.act_fn,
                         renormalize=self.renormalize)
             if self.has_shared_expert:
-                sh = self.act_fn(h @ w["shared_gate_proj"],
-                                 h @ w["shared_up_proj"])
-                sh = sh @ w["shared_down_proj"]
+                sh = self.act_fn(matmul(h, w["shared_gate_proj"]),
+                                 matmul(h, w["shared_up_proj"]))
+                sh = matmul(sh, w["shared_down_proj"])
                 gate = jax.nn.sigmoid(
                     (h @ w["shared_expert_gate"]).astype(jnp.float32))
                 y = y + (sh.astype(jnp.float32) *
                          gate).astype(y.dtype)
             x = res + y
-            return x, kv_cache
+            return x, kv_caches
 
-        x, new_kv = jax.lax.scan(layer_fn, x,
-                                 (params["layers"], kv_caches))
+        # fori_loop with the KV cache as carry: in-place page updates.
+        # (a lax.scan emitting per-layer KV would allocate a SECOND
+        # full-size KV buffer for the stacked outputs — 2x HBM)
+        x, kv_caches = jax.lax.fori_loop(0, self.L, layer_fn,
+                                         (x, kv_caches))
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        return x, new_kv
+        return x, kv_caches
 
     def compute_logits(self, params, hidden):
         w = params["embed_tokens"].T if self.tie_embeddings \

@@ -108,8 +108,11 @@ def ragged_paged_attention(
     logit_softcap: Optional[float] = None,
     use_pallas: Optional[bool] = None,
     num_seqs: Optional[jax.Array] = None,
+    page_base=0,
 ) -> jax.Array:
-    """Dispatch: Pallas kernel on TPU, XLA reference elsewhere."""
+    """Dispatch: Pallas kernel on TPU, XLA reference elsewhere.
+    ``page_base`` offsets block-table entries into a stacked
+    multi-layer page pool (layer_idx * num_pages)."""
     if use_pallas is None:
         # platform of the actual devices, not default_backend(): the
         # axon TPU plugin can override JAX_PLATFORMS=cpu, but a forced
@@ -122,8 +125,11 @@ def ragged_paged_attention(
         return ragged_paged_attention_pallas(
             q, kv_cache, block_tables, query_start_loc, seq_lens,
             sm_scale, sliding_window=sliding_window,
-            logit_softcap=logit_softcap, num_seqs=num_seqs)
-    return ragged_paged_attention_xla(q, kv_cache, block_tables,
+            logit_softcap=logit_softcap, num_seqs=num_seqs,
+            page_base=page_base)
+    bt = block_tables + page_base if page_base is not None else \
+        block_tables
+    return ragged_paged_attention_xla(q, kv_cache, bt,
                                       query_start_loc, seq_lens, sm_scale,
                                       sliding_window=sliding_window,
                                       logit_softcap=logit_softcap)

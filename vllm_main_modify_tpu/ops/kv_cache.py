@@ -56,11 +56,13 @@ def write_to_kv_cache(
 
 
 def write_to_kv_cache_paged(
-    kv_cache: jax.Array,  # [P, page, 2K, D]
+    kv_cache: jax.Array,  # [P, page, 2K, D] — pass [L*P, ...] with a
+    # layer-offset baked into `slices` for stacked multi-layer caches
     key: jax.Array,  # [T, K, D]
     value: jax.Array,  # [T, K, D]
     slices: jax.Array,  # [3, S] (cache_start_row, new_start, len)
     num_slices: jax.Array,  # [1] int32
+    row_offset=0,  # add to cache_start rows (layer offset, traced ok)
 ) -> jax.Array:
     """Page-granular read-modify-write — the TPU production path.
 
@@ -84,6 +86,7 @@ def write_to_kv_cache_paged(
 
     s = slices.shape[1]
     cache_start, new_start, length = slices[0], slices[1], slices[2]
+    cache_start = cache_start + row_offset
     page_ids = cache_start // page_size  # [S]
     offsets = cache_start % page_size
     r = jnp.arange(page_size, dtype=jnp.int32)[None, :]  # [1, page]

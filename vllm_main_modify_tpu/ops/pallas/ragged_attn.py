@@ -52,6 +52,7 @@ def _rpa_kernel(
     block_tables_ref,  # [R, max_pages]
     first_seq_ref,  # [num_q_blocks] first seq overlapping each block
     num_seqs_ref,  # [1]
+    page_base_ref,  # [1] page offset into a stacked multi-layer pool
     # inputs (HBM)
     q_hbm,  # [T, Hq*D]
     kv_hbm,  # [P*page, 2*Hk*D]
@@ -123,9 +124,11 @@ def _rpa_kernel(
         return jax.lax.cond(
             valid & (kb + 1 < num_kv_blocks(s)), same_seq, advance_seq)
 
+    page_base = page_base_ref[0]
+
     def start_kv_dma(s, kb, slot):
         for j in range(npp):
-            page_id = block_tables_ref[s, kb * npp + j]
+            page_id = page_base + block_tables_ref[s, kb * npp + j]
             pltpu.make_async_copy(
                 kv_hbm.at[pl.ds(page_id * page_size, page_size)],
                 kv_vmem.at[slot, pl.ds(j * page_size, page_size)],
@@ -261,10 +264,12 @@ def ragged_paged_attention_pallas(
     sliding_window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
     num_seqs: Optional[jax.Array] = None,
+    page_base=0,
     interpret: bool = False,
 ) -> jax.Array:
     t, num_q_heads, head_dim = q.shape
     num_pages, page_size, two_kh, _ = kv_cache.shape
+    page_base = jnp.asarray(page_base, dtype=jnp.int32).reshape(1)
     num_kv_heads = two_kh // 2
     num_reqs = block_tables.shape[0]
     if num_seqs is None:
@@ -305,7 +310,7 @@ def ragged_paged_attention_pallas(
     q2 = q.reshape(t, num_q_heads * head_dim)
     kv2 = kv_cache.reshape(num_pages * page_size, width)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(num_q_blocks, ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -328,6 +333,6 @@ def ragged_paged_attention_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", )),
         interpret=interpret,
-    )(query_start_loc, seq_lens, block_tables, first_seq, num_seqs, q2,
-      kv2)
+    )(query_start_loc, seq_lens, block_tables, first_seq, num_seqs,
+      page_base, q2, kv2)
     return out.reshape(q.shape)

@@ -1,0 +1,207 @@
+"""Quantized weight containers + the universal ``matmul`` entry point.
+
+Reference capability: vllm/model_executor/layers/quantization/ (~35
+methods — GPTQ gptq.py:30, AWQ awq.py:124, FP8 fp8.py:71, tpu_int8
+tpu_int8.py:19) and their CUDA kernels (csrc/quantization/). TPU-native
+design:
+
+- a weight is either a plain ``jax.Array`` or a registered-pytree
+  container below; every model matmul goes through :func:`matmul`, so
+  quantization is a pure load-time substitution — models never change;
+- INT8 weight-only: native int8 MXU via XLA (x_bf16 @ w_int8 with
+  preferred f32 accumulation, then per-channel scale);
+- FP8 (e4m3) weight-only: storage halved, dequant fused by XLA into
+  the matmul epilogue;
+- INT4 (GPTQ/AWQ): packed 8-per-int32 in the canonical layout
+  [in, out/8], per-group scales/zeros; the Pallas dequant-matmul
+  kernel (ops/pallas/int4_matmul.py) is the production decode path,
+  with an XLA reference used on CPU and as oracle.
+
+All containers stack cleanly along a leading layer axis, so the
+lax.scan-over-layers model structure is preserved under quantization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Int8Weight:
+    """Per-output-channel symmetric int8 (compressed-tensors W8A16
+    weight-only / tpu_int8 equivalent)."""
+
+    qweight: jax.Array  # [..., in, out] int8
+    scale: jax.Array  # [..., out] f32
+
+    def tree_flatten(self):
+        return (self.qweight, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.qweight.shape
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Fp8Weight:
+    """Per-output-channel (or per-tensor) float8_e4m3 weights."""
+
+    qweight: jax.Array  # [..., in, out] f8e4m3
+    scale: jax.Array  # [..., out] or [..., 1] f32
+
+    def tree_flatten(self):
+        return (self.qweight, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.qweight.shape
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Int4Weight:
+    """Group-quantized 4-bit weights, canonical layout.
+
+    ``packed``: [..., in, out//8] int32 — 8 nibbles per int32 along the
+    OUT axis (nibble j of word o = column o*8+j), chosen so unpacking
+    broadcasts along lanes.
+    ``scales``/``zeros``: [..., in//group, out] f32 — w = (q - zero) *
+    scale. GPTQ (with g_idx act-order re-sorted at load) and AWQ (its
+    interleaved nibble order linearized at load) both repack to this.
+    ``perm``: optional [..., in] int32 — activation permutation for
+    GPTQ act-order checkpoints (rows were sorted by group at load).
+    """
+
+    packed: jax.Array
+    scales: jax.Array
+    zeros: jax.Array
+    perm: jax.Array | None = None
+
+    def tree_flatten(self):
+        if self.perm is None:
+            return (self.packed, self.scales, self.zeros), False
+        return (self.packed, self.scales, self.zeros, self.perm), True
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        *lead, k, o8 = self.packed.shape
+        return (*lead, k, o8 * 8)
+
+    @property
+    def group_size(self):
+        return self.packed.shape[-2] // self.scales.shape[-2]
+
+
+QuantizedWeight = Union[Int8Weight, Fp8Weight, Int4Weight]
+
+
+def int4_unpack(packed: jax.Array) -> jax.Array:
+    """[..., in, out//8] int32 → [..., in, out] int32 nibbles."""
+    shifts = jnp.arange(8, dtype=jnp.int32) * 4
+    nib = (packed[..., :, :, None] >> shifts) & 0xF
+    return nib.reshape(*packed.shape[:-1], packed.shape[-1] * 8)
+
+
+def dequant_int4(w: Int4Weight, dtype=jnp.bfloat16) -> jax.Array:
+    q = int4_unpack(w.packed).astype(jnp.float32)  # [..., in, out]
+    g = w.group_size
+    *lead, k, o = q.shape
+    qg = q.reshape(*lead, k // g, g, o)
+    deq = (qg - w.zeros[..., :, None, :]) * w.scales[..., :, None, :]
+    return deq.reshape(*lead, k, o).astype(dtype)
+
+
+def matmul(x: jax.Array, w) -> jax.Array:
+    """x @ w for plain or quantized weights; models call ONLY this."""
+    if isinstance(w, jax.Array):
+        return x @ w
+    if isinstance(w, Int8Weight):
+        # int8 MXU: accumulate f32, scale per out-channel
+        acc = jax.lax.dot_general(
+            x, w.qweight.astype(x.dtype),
+            dimension_numbers=(((x.ndim - 1, ), (0, )), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (acc * w.scale.astype(jnp.float32)).astype(x.dtype)
+    if isinstance(w, Fp8Weight):
+        acc = jax.lax.dot_general(
+            x, w.qweight.astype(x.dtype),
+            dimension_numbers=(((x.ndim - 1, ), (0, )), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (acc * w.scale.astype(jnp.float32)).astype(x.dtype)
+    if isinstance(w, Int4Weight):
+        from vllm_main_modify_tpu.quantization.int4_dispatch import \
+            int4_matmul
+
+        if w.perm is not None:
+            # GPTQ act-order: weights were row-sorted by group at
+            # load; apply the same permutation to activations
+            x = jnp.take(x, w.perm, axis=-1)
+        return int4_matmul(x, w)
+    raise TypeError(f"unsupported weight type {type(w)}")
+
+
+# ---------------------------------------------------------------------------
+# quantizers (tests + on-the-fly quantization of bf16 checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(w: jax.Array) -> Int8Weight:
+    """Per-out-channel symmetric int8 of [..., in, out]."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(
+        jnp.round(w.astype(jnp.float32) / scale[..., None, :]), -127,
+        127).astype(jnp.int8)
+    return Int8Weight(q, scale.astype(jnp.float32))
+
+
+def quantize_fp8(w: jax.Array) -> Fp8Weight:
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2)
+    scale = jnp.maximum(amax / 448.0, 1e-8)  # e4m3 max
+    q = (w.astype(jnp.float32) / scale[..., None, :]).astype(
+        jnp.float8_e4m3fn)
+    return Fp8Weight(q, scale.astype(jnp.float32))
+
+
+def quantize_int4(w: jax.Array, group_size: int = 128) -> Int4Weight:
+    """Asymmetric per-group int4 of [..., in, out]."""
+    *lead, k, o = w.shape
+    g = min(group_size, k)
+    wf = w.astype(jnp.float32).reshape(*lead, k // g, g, o)
+    wmin = wf.min(axis=-2)
+    wmax = wf.max(axis=-2)
+    scale = jnp.maximum((wmax - wmin) / 15.0, 1e-8)
+    zero = jnp.round(-wmin / scale)
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]) +
+                 zero[..., None, :], 0, 15).astype(jnp.int32)
+    q = q.reshape(*lead, k, o)
+    packed = int4_pack(q)
+    return Int4Weight(packed, scale.astype(jnp.float32),
+                      zero.astype(jnp.float32))
+
+
+def int4_pack(q: jax.Array) -> jax.Array:
+    """[..., in, out] int32 nibbles → [..., in, out//8] int32."""
+    *lead, k, o = q.shape
+    qr = q.reshape(*lead, k, o // 8, 8).astype(jnp.uint32)
+    shifts = jnp.arange(8, dtype=jnp.uint32) * 4
+    words = (qr << shifts).sum(axis=-1, dtype=jnp.uint32)
+    return words.astype(jnp.int32)

@@ -145,24 +145,44 @@ class TPUModelRunner:
         jax.block_until_ready(jax.tree.leaves(self.params))
         logger.info("model loaded in %.1fs", time.monotonic() - t0)
 
+    # HBM per chip by device kind (fallback when the runtime exposes
+    # no allocator stats, e.g. through the axon tunnel)
+    _HBM_BY_KIND = {
+        "TPU v4": 32, "TPU v5": 16, "TPU v5 lite": 16,
+        "TPU v5e": 16, "TPU v5p": 95, "TPU v6": 32, "TPU v6 lite": 32,
+        "TPU v6e": 32,
+    }
+
     def profile_available_kv_bytes(self) -> int:
         """KV budget after weights (reference capability:
         determine_available_memory, gpu_worker.py:222 — on TPU we read
         allocator stats instead of running a profiling forward, since
         XLA activations are transient and bounded by the step shapes."""
         dev = jax.local_devices()[0]
-        stats = getattr(dev, "memory_stats", lambda: None)()
-        if not stats or "bytes_limit" not in stats:
-            # CPU/test fallback: fixed small budget
-            return 64 * 1024 * 1024
-        limit = int(stats["bytes_limit"] *
-                    self.config.cache_config.gpu_memory_utilization)
-        in_use = int(stats.get("bytes_in_use", 0))
-        # headroom for activations: 2x the largest padded step
         mc = self.config.model_config
+        # headroom for activations: 2x the largest padded step
         act = (self.max_num_tokens *
                max(mc.hidden_size * 8, mc.vocab_size) * 4 * 2)
-        return max(limit - in_use - act, 0)
+        util = self.config.cache_config.gpu_memory_utilization
+
+        stats = getattr(dev, "memory_stats", lambda: None)()
+        if stats and "bytes_limit" in stats:
+            limit = int(stats["bytes_limit"] * util)
+            in_use = int(stats.get("bytes_in_use", 0))
+            return max(limit - in_use - act, 0)
+        if dev.platform == "tpu":
+            # no allocator stats (axon tunnel): size from the device
+            # kind and the actual parameter bytes
+            kind = getattr(dev, "device_kind", "")
+            gib = next((v for k, v in self._HBM_BY_KIND.items()
+                        if kind.startswith(k)), 16)
+            param_bytes = sum(
+                leaf.nbytes for leaf in jax.tree.leaves(self.params)
+            ) if self.params is not None else 0
+            total = int(gib * (1 << 30) * util)
+            return max(total - param_bytes - act, 0)
+        # CPU/test fallback: fixed small budget
+        return 64 * 1024 * 1024
 
     def page_bytes(self) -> int:
         mc = self.config.model_config
