@@ -33,7 +33,7 @@ PREFIX_LEN = 500
 DECODE_LEN = 50
 MAX_NUM_SEQS = 32
 MAX_MODEL_LEN = 1024
-MAX_BATCHED_TOKENS = 1024
+MAX_BATCHED_TOKENS = int(os.environ.get("BENCH_MBT", "1024"))
 
 SMOKE = os.environ.get("BENCH_SMOKE", "0") == "1"
 
@@ -119,9 +119,13 @@ def main() -> None:
     core = EngineCore(config)
     rng = np.random.default_rng(0)
 
-    # warmup: full batch once — compiles every bucket the workload hits
+    # warmup: two full batches — the second catches shape variants
+    # that only appear after the pipeline is primed (prev-token
+    # chaining combos)
     t0 = time.monotonic()
     run_batch(core, rng, num_prompts)
+    if not SMOKE:
+        run_batch(core, rng, num_prompts)
     warmup_s = time.monotonic() - t0
     print(f"# warmup (incl. compiles): {warmup_s:.1f}s",
           file=sys.stderr)

@@ -64,6 +64,8 @@ class ModelConfig:
     attention_bias: bool = False
     logit_softcap: Optional[float] = None
     quantization: Optional[str] = None
+    # embedding/pooling checkpoints (no lm_head; last-token pooling)
+    is_pooling_model: bool = False
 
     def __post_init__(self) -> None:
         if self.tokenizer is None:

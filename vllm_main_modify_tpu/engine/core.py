@@ -65,8 +65,11 @@ class EngineCore:
             config, num_kv_blocks=num_pages,
             structured_output_manager=structured_output_manager)
         self.async_scheduling = config.scheduler_config.async_scheduling
-        # async mode: (scheduler_output, AsyncStepHandle) in flight
-        self._pending = None
+        # async mode: FIFO of (scheduler_output, AsyncStepHandle) in
+        # flight; depth 2 hides both the dispatch latency and the
+        # host->device transfer round trip of a full step
+        self.pipeline_depth = 2
+        self._pending = []
 
         self._block_hasher = None
         if config.cache_config.enable_prefix_caching:
@@ -123,29 +126,31 @@ class EngineCore:
                                                  runner_output)
 
     def _step_async(self) -> EngineCoreOutputs:
-        """Pipelined step: dispatch step N+1 before materializing
-        step N's results — the host never blocks between scheduling and
-        dispatch, hiding device latency (and, on tunneled TPU, the full
-        host<->device round trip)."""
-        handle = None
-        scheduler_output = None
+        """Pipelined step: dispatch step N+1 (and N+2) before
+        materializing step N's results — the host never blocks between
+        scheduling and dispatch, hiding device latency (and, on
+        tunneled TPU, the full host<->device round trip)."""
+        dispatched = False
         if self.scheduler.has_unfinished_requests():
             scheduler_output = self.scheduler.schedule()
             if scheduler_output.total_num_scheduled_tokens > 0:
                 handle = self.model_runner.execute_model_async(
                     scheduler_output)
+                self._pending.append((scheduler_output, handle))
+                dispatched = True
             else:
                 # still deliver batch evictions to the runner
                 self.model_runner.execute_model(scheduler_output)
 
         outputs = EngineCoreOutputs()
-        if self._pending is not None:
-            prev_so, prev_handle = self._pending
-            self._pending = None
+        # drain when the pipeline is full — or when nothing could be
+        # dispatched (idle or blocked), so in-flight work still lands
+        drain = (not dispatched
+                 or len(self._pending) >= self.pipeline_depth)
+        if self._pending and drain:
+            prev_so, prev_handle = self._pending.pop(0)
             outputs = self.scheduler.update_from_output(
                 prev_so, prev_handle.get())
-        if handle is not None:
-            self._pending = (scheduler_output, handle)
         return outputs
 
     def has_unfinished_requests(self) -> bool:

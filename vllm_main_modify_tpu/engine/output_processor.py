@@ -19,6 +19,7 @@ from vllm_main_modify_tpu.engine.types import (EngineCoreOutput,
                                                EngineCoreRequest,
                                                FinishReason)
 from vllm_main_modify_tpu.outputs import (CompletionOutput,
+                                          PoolingRequestOutput,
                                           RequestMetrics, RequestOutput)
 from vllm_main_modify_tpu.sampling_params import (RequestOutputKind,
                                                   SamplingParams)
@@ -73,6 +74,15 @@ class OutputProcessor:
             state = self.states.get(out.request_id)
             if state is None:
                 continue  # aborted
+            if out.pooling_output is not None:
+                # embedding request: single terminal output
+                result.request_outputs.append(
+                    PoolingRequestOutput(
+                        request_id=out.request_id,
+                        data=out.pooling_output,
+                        prompt_token_ids=state.prompt_token_ids))
+                self.states.pop(out.request_id, None)
+                continue
             if state.metrics.first_token_time is None and \
                     out.new_token_ids:
                 state.metrics.first_token_time = now

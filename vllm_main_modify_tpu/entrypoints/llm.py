@@ -17,8 +17,10 @@ from vllm_main_modify_tpu.config import (CacheConfig, CompilationConfig,
                                          ParallelConfig, SchedulerConfig,
                                          SpeculativeConfig)
 from vllm_main_modify_tpu.engine.llm_engine import LLMEngine
-from vllm_main_modify_tpu.outputs import RequestOutput
-from vllm_main_modify_tpu.sampling_params import SamplingParams
+from vllm_main_modify_tpu.outputs import (PoolingRequestOutput,
+                                          RequestOutput)
+from vllm_main_modify_tpu.sampling_params import (PoolingParams,
+                                                  SamplingParams)
 
 
 class LLM:
@@ -104,4 +106,26 @@ class LLM:
                         pbar.update(1)
         if pbar is not None:
             pbar.close()
+        return [finished[rid] for rid in order]
+
+    def embed(
+        self,
+        prompts: Union[str, Sequence[Union[str, list[int]]]],
+        pooling_params: Optional[PoolingParams] = None,
+    ) -> list[PoolingRequestOutput]:
+        """Embedding requests over a pooling model (reference:
+        LLM.embed, vllm/entrypoints/llm.py)."""
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        params = pooling_params or PoolingParams()
+        order: list[str] = []
+        for prompt in prompts:
+            rid = str(next(self._counter))
+            order.append(rid)
+            self.engine.add_request(rid, prompt, params)
+        finished: dict[str, PoolingRequestOutput] = {}
+        while self.engine.has_unfinished_requests():
+            for out in self.engine.step():
+                if isinstance(out, PoolingRequestOutput):
+                    finished[out.request_id] = out
         return [finished[rid] for rid in order]

@@ -56,10 +56,20 @@ def attention(
     Returns (attn_out [T, Hq, D], updated kv_caches)."""
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
-    num_layers, num_pages, page_size, two_kh, head_dim = \
-        kv_caches.shape
-    flat = kv_caches.reshape(num_layers * num_pages, page_size, two_kh,
-                             head_dim)
+    num_kv_heads, head_dim = k.shape[-2], k.shape[-1]
+    width = 2 * num_kv_heads * head_dim
+    if kv_caches.ndim == 5:
+        # test/CPU convenience layout [L, P, page, 2K, D] — merge to
+        # width (free when unsharded; the runner's cache is stored
+        # width-native because merging a head-SHARDED axis is a full
+        # layout copy under GSPMD)
+        num_layers, num_pages, page_size = kv_caches.shape[:3]
+        wide = kv_caches.reshape(num_layers, num_pages, page_size,
+                                 width)
+    else:
+        wide = kv_caches
+        num_layers, num_pages, page_size = wide.shape[:3]
+    flat = wide.reshape(num_layers * num_pages, page_size, width)
     row_offset = layer_idx * (num_pages * page_size)
     if meta.kv_update_slices is not None:
         from vllm_main_modify_tpu.ops.kv_cache import \
@@ -80,6 +90,7 @@ def attention(
         meta.query_start_loc,
         meta.seq_lens,
         sm_scale,
+        num_kv_heads=num_kv_heads,
         sliding_window=sliding_window,
         logit_softcap=logit_softcap,
         use_pallas=use_pallas,

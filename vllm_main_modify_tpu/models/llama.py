@@ -95,7 +95,7 @@ class LlamaForCausalLM:
             stk("layers.down_proj", (I, H), P(None, "model", None),
                 "model.layers.{i}.mlp.down_proj.weight"),
         ]
-        if not self.tie_embeddings:
+        if not self.tie_embeddings and not self.cfg.is_pooling_model:
             specs.append(
                 ParamSpec("lm_head", (H, V), P(None, "model"),
                           "lm_head.weight", transform=t))
@@ -176,7 +176,7 @@ class LlamaForCausalLM:
 
     def compute_logits(self, params: dict,
                        hidden: jax.Array) -> jax.Array:
-        if self.tie_embeddings:
+        if self.tie_embeddings or self.cfg.is_pooling_model:
             w = params["embed_tokens"].T
         else:
             w = params["lm_head"]

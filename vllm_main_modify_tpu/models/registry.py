@@ -27,7 +27,27 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                          "GemmaForCausalLM"),
     "Gemma2ForCausalLM": ("vllm_main_modify_tpu.models.gemma",
                           "Gemma2ForCausalLM"),
+    # embedding/pooling checkpoints (decoder backbone, no lm_head;
+    # reference: pooling adapters vllm/model_executor/layers/pooler.py)
+    "LlamaModel": ("vllm_main_modify_tpu.models.registry",
+                   "_pooling_llama_factory"),
+    "MistralModel": ("vllm_main_modify_tpu.models.registry",
+                     "_pooling_llama_factory"),
+    "Qwen2Model": ("vllm_main_modify_tpu.models.registry",
+                   "_pooling_qwen2_factory"),
 }
+
+
+def _pooling_llama_factory(config: ModelConfig):
+    from vllm_main_modify_tpu.models.llama import LlamaForCausalLM
+
+    config.is_pooling_model = True
+    return LlamaForCausalLM(config)
+
+
+def _pooling_qwen2_factory(config: ModelConfig):
+    config.attention_bias = True
+    return _pooling_llama_factory(config)
 
 
 def _qwen2_factory(config: ModelConfig):

@@ -99,11 +99,12 @@ def ragged_paged_attention_xla(
 
 def ragged_paged_attention(
     q: jax.Array,
-    kv_cache: jax.Array,
+    kv_cache: jax.Array,  # [P,page,2K,D] or width [P,page,2K*D]
     block_tables: jax.Array,
     query_start_loc: jax.Array,
     seq_lens: jax.Array,
     sm_scale: float,
+    num_kv_heads: Optional[int] = None,
     sliding_window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
     use_pallas: Optional[bool] = None,
@@ -118,17 +119,27 @@ def ragged_paged_attention(
         # axon TPU plugin can override JAX_PLATFORMS=cpu, but a forced
         # host platform still reports cpu devices here
         use_pallas = jax.devices()[0].platform in ("tpu", )
+    if num_kv_heads is None:
+        assert kv_cache.ndim == 4
+        num_kv_heads = kv_cache.shape[2] // 2
     if use_pallas:
         from vllm_main_modify_tpu.ops.pallas.ragged_attn import \
             ragged_paged_attention_pallas
 
         return ragged_paged_attention_pallas(
             q, kv_cache, block_tables, query_start_loc, seq_lens,
-            sm_scale, sliding_window=sliding_window,
+            sm_scale, num_kv_heads=num_kv_heads,
+            sliding_window=sliding_window,
             logit_softcap=logit_softcap, num_seqs=num_seqs,
             page_base=page_base)
     bt = block_tables + page_base if page_base is not None else \
         block_tables
+    if kv_cache.ndim == 3:
+        # width layout → head layout (free on CPU, oracle-only there)
+        p_, page = kv_cache.shape[:2]
+        head_dim = q.shape[-1]
+        kv_cache = kv_cache.reshape(p_, page, 2 * num_kv_heads,
+                                    head_dim)
     return ragged_paged_attention_xla(q, kv_cache, bt,
                                       query_start_loc, seq_lens, sm_scale,
                                       sliding_window=sliding_window,

@@ -29,25 +29,25 @@ def kv_cache_shape(num_pages: int, page_size: int, num_kv_heads: int,
 
 
 def write_to_kv_cache(
-    kv_cache: jax.Array,  # [P, page, 2K, D]
+    kv_cache: jax.Array,  # [P, page, 2K, D] or width [P, page, 2K*D]
     key: jax.Array,  # [T, K, D] new keys
     value: jax.Array,  # [T, K, D] new values
     slot_mapping: jax.Array,  # [T] int32 flat slot ids; -1 = skip (pad)
 ) -> jax.Array:
     """Scatter new K/V rows into their pages. XLA reference path.
 
-    Correctness contract mirrored by the Pallas kernel
+    Correctness contract mirrored by the page-RMW production path
     (reference precedent: vllm/attention/ops/pallas_kv_cache_update.py).
     """
-    num_pages, page_size, two_k, head_dim = kv_cache.shape
-    num_kv_heads = two_k // 2
-    t = key.shape[0]
+    num_pages, page_size = kv_cache.shape[:2]
+    t, num_kv_heads, head_dim = key.shape
+    width = 2 * num_kv_heads * head_dim
 
-    # interleave K/V per head → [T, 2K, D]
-    kv = jnp.stack([key, value], axis=2).reshape(t, two_k, head_dim)
+    # interleave K/V per head → [T, 2K*D]
+    kv = jnp.stack([key, value], axis=2).reshape(t, width)
     kv = kv.astype(kv_cache.dtype)
 
-    flat = kv_cache.reshape(num_pages * page_size, two_k, head_dim)
+    flat = kv_cache.reshape(num_pages * page_size, width)
     # route padded tokens (slot -1) out of range; drop-mode discards them
     slots = jnp.where(slot_mapping >= 0, slot_mapping,
                       num_pages * page_size)
@@ -77,9 +77,9 @@ def write_to_kv_cache_paged(
     (csrc/cache_kernels.cu) and its Pallas TPU equivalent
     (vllm/attention/ops/pallas_kv_cache_update.py).
     """
-    num_pages, page_size, two_k, head_dim = kv_cache.shape
-    t = key.shape[0]
-    width = two_k * head_dim
+    num_pages, page_size = kv_cache.shape[:2]
+    t, num_kv_heads, head_dim = key.shape
+    width = 2 * num_kv_heads * head_dim
     kv = jnp.stack([key, value], axis=2).reshape(t, width)
     kv = kv.astype(kv_cache.dtype)
     pages = kv_cache.reshape(num_pages, page_size, width)

@@ -251,16 +251,17 @@ def _rpa_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=["sm_scale", "sliding_window", "logit_softcap",
-                     "interpret"],
+    static_argnames=["sm_scale", "num_kv_heads", "sliding_window",
+                     "logit_softcap", "interpret"],
 )
 def ragged_paged_attention_pallas(
     q: jax.Array,  # [T, Hq, D]
-    kv_cache: jax.Array,  # [P, page, 2*Hk, D]
+    kv_cache: jax.Array,  # [P, page, 2*Hk, D] or width [P, page, W]
     block_tables: jax.Array,  # [R, max_pages]
     query_start_loc: jax.Array,  # [R+1]
     seq_lens: jax.Array,  # [R]
     sm_scale: float,
+    num_kv_heads: Optional[int] = None,
     sliding_window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
     num_seqs: Optional[jax.Array] = None,
@@ -268,9 +269,12 @@ def ragged_paged_attention_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     t, num_q_heads, head_dim = q.shape
-    num_pages, page_size, two_kh, _ = kv_cache.shape
+    num_pages, page_size = kv_cache.shape[:2]
+    if num_kv_heads is None:
+        assert kv_cache.ndim == 4
+        num_kv_heads = kv_cache.shape[2] // 2
+    two_kh = 2 * num_kv_heads
     page_base = jnp.asarray(page_base, dtype=jnp.int32).reshape(1)
-    num_kv_heads = two_kh // 2
     num_reqs = block_tables.shape[0]
     if num_seqs is None:
         num_seqs = jnp.asarray([num_reqs], dtype=jnp.int32)
@@ -306,7 +310,10 @@ def ragged_paged_attention_pallas(
         sliding_window=sliding_window,
         logit_softcap=logit_softcap,
     )
-    # 2-D HBM layouts keep every DMA slice tile-aligned (see kernel)
+    # 2-D HBM layouts keep every DMA slice tile-aligned (see kernel).
+    # The production cache is already width-layout, so this reshape
+    # never touches a sharded axis (a head-axis merge under GSPMD is a
+    # full-cache layout copy).
     q2 = q.reshape(t, num_q_heads * head_dim)
     kv2 = kv_cache.reshape(num_pages * page_size, width)
     grid_spec = pltpu.PrefetchScalarGridSpec(

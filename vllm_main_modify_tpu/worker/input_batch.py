@@ -23,13 +23,14 @@ class CachedRequestState:
     ``CachedRequestState``)."""
 
     __slots__ = ("req_id", "prompt_token_ids", "sampling_params",
-                 "block_ids", "num_computed_tokens", "output_token_ids",
-                 "lora_name")
+                 "pooling_params", "block_ids", "num_computed_tokens",
+                 "output_token_ids", "lora_name")
 
     def __init__(self, new_req: NewRequestData) -> None:
         self.req_id = new_req.req_id
         self.prompt_token_ids = list(new_req.prompt_token_ids)
         self.sampling_params = new_req.sampling_params
+        self.pooling_params = new_req.pooling_params
         self.block_ids = list(new_req.block_ids)
         self.num_computed_tokens = new_req.num_computed_tokens
         self.output_token_ids: list[int] = []

@@ -86,10 +86,13 @@ class TPUModelRunner:
         self.req_buckets = self._get_paddings(MIN_REQ_BUCKET,
                                               self.max_num_reqs)
         self._step_count = 0
-        # async pipelining state: device array of last step's sampled
-        # tokens + req_id -> (dispatch row, token position) fills
+        # async pipelining state: device arrays of the last TWO steps'
+        # sampled tokens + req_id -> (age, dispatch row, position)
+        # fills (age 0 = newest). Depth-2 pipelining keeps two steps in
+        # flight, so a chained input token may come from either array.
         self._prev_sampled = None
-        self._pending_fill: dict[str, tuple[int, int]] = {}
+        self._prev_sampled2 = None
+        self._pending_fill: dict[str, tuple[int, int, int]] = {}
         # jit-cache-miss sanitizer (SURVEY.md §5.2 build note)
         self.num_compilations = 0
         self._compiled_keys: set[tuple] = set()
@@ -114,8 +117,10 @@ class TPUModelRunner:
                                           spec.prompt_lookup_min,
                                           spec.prompt_lookup_max)
 
+        # cache stored width-native [L, P, page, 2K*D]; 'model' shards
+        # the width axis (whole (k,v,D) blocks per head stay contiguous)
         self._kv_sharding = NamedSharding(
-            self.mesh, P(None, None, None, "model", None))
+            self.mesh, P(None, None, None, "model"))
         self._replicated = NamedSharding(self.mesh, P())
 
     # ------------------------------------------------------------------
@@ -195,8 +200,8 @@ class TPUModelRunner:
     def initialize_kv_cache(self, num_pages: int) -> None:
         mc = self.config.model_config
         self.num_pages = num_pages
-        shape = (mc.num_layers, *kv_cache_shape(
-            num_pages, self.page_size, mc.num_kv_heads, mc.head_dim))
+        shape = (mc.num_layers, num_pages, self.page_size,
+                 2 * mc.num_kv_heads * mc.head_dim)
         self.kv_caches = jax.jit(
             lambda: jnp.zeros(shape, dtype=mc.jax_dtype),
             out_shardings=self._kv_sharding)()
@@ -305,6 +310,9 @@ class TPUModelRunner:
         prev_scatter = seg("prev_scatter")
         prev_scatter[:] = -1
         prev_gather = seg("prev_gather")
+        prev2_scatter = seg("prev2_scatter")
+        prev2_scatter[:] = -1
+        prev2_gather = seg("prev2_gather")
 
         offset = 0
         for row in range(num_reqs):
@@ -326,11 +334,15 @@ class TPUModelRunner:
                 proposed[row] = spec_toks
             pending = self._pending_fill.get(req_id)
             if pending is not None:
-                prev_row, pos = pending
+                age, prev_row, pos = pending
                 if start_pos <= pos < end_pos:
                     # value still on device: chain it in the jitted step
-                    prev_scatter[row] = offset + (pos - start_pos)
-                    prev_gather[row] = prev_row
+                    if age == 0:
+                        prev_scatter[row] = offset + (pos - start_pos)
+                        prev_gather[row] = prev_row
+                    else:
+                        prev2_scatter[row] = offset + (pos - start_pos)
+                        prev2_gather[row] = prev_row
             positions[offset:offset + n_sched] = np.arange(
                 start_pos, end_pos, dtype=np.int32)
             # flat slots: page_id * page_size + in-page offset
@@ -418,9 +430,12 @@ class TPUModelRunner:
             ("seeds", r_pad),
             ("sample_pos", r_pad),
             # async token chaining: position in input_ids to overwrite
-            # with the previous step's device-resident sampled token
+            # with a previous step's device-resident sampled token
+            # (slot 1 = last step, slot 2 = the step before)
             ("prev_scatter", r_pad),
             ("prev_gather", r_pad),
+            ("prev2_scatter", r_pad),
+            ("prev2_gather", r_pad),
             ("grammar_words", r_pad * self.num_words),
         ]
         layout = {}
@@ -452,7 +467,9 @@ class TPUModelRunner:
     def _get_step_fn(self, t_pad: int, r_pad: int, all_greedy: bool,
                      need_top_k: bool, need_top_p: bool,
                      need_min_p: bool, max_num_logprobs: int,
-                     apply_grammar: bool, has_prev: bool = False):
+                     apply_grammar: bool, has_prev: bool = False,
+                     return_hidden: bool = False,
+                     has_prev2: bool = False):
         """One compiled executable per (bucket, sampler-static)
         combination. The step consumes ONE packed int32 buffer (see
         _prepare_inputs) and unpacks with static slices on device."""
@@ -466,7 +483,8 @@ class TPUModelRunner:
         num_words = self.num_words
         nsp = self.num_sample_positions
 
-        def step(params, kv_caches, packed, prev_sampled=None):
+        def step(params, kv_caches, packed, prev_sampled=None,
+                 prev_sampled2=None):
             def seg(name):
                 a, b = layout[name]
                 return jax.lax.slice_in_dim(packed, a, b)
@@ -477,12 +495,19 @@ class TPUModelRunner:
 
             input_ids = seg("input_ids")
             if has_prev:
-                # chain the previous step's sampled tokens on-device:
+                # chain the previous steps' sampled tokens on-device:
                 # no host round trip between consecutive decode steps
                 gather = jnp.clip(seg("prev_gather"), 0,
                                   prev_sampled.shape[0] - 1)
                 vals = jnp.take(prev_sampled, gather)
                 scat = seg("prev_scatter")
+                idx = jnp.where(scat >= 0, scat, t_pad)
+                input_ids = input_ids.at[idx].set(vals, mode="drop")
+            if has_prev2:
+                gather = jnp.clip(seg("prev2_gather"), 0,
+                                  prev_sampled2.shape[0] - 1)
+                vals = jnp.take(prev_sampled2, gather)
+                scat = seg("prev2_scatter")
                 idx = jnp.where(scat >= 0, scat, t_pad)
                 input_ids = input_ids.at[idx].set(vals, mode="drop")
 
@@ -534,7 +559,11 @@ class TPUModelRunner:
                 max_num_logprobs=max_num_logprobs)
             key = jax.random.PRNGKey(base_seed)
             out = sample(logits, meta, key)
-            return kv_caches, out
+            if return_hidden:
+                # pooling/embedding requests: last-token hidden states
+                # (reference: pooler layer, last-token pooling)
+                return kv_caches, out, sampled_hidden
+            return kv_caches, out, None
 
         return jax.jit(step, donate_argnums=(1, ))
 
@@ -553,18 +582,28 @@ class TPUModelRunner:
          spec_counts, proposed) = self._prepare_inputs(scheduler_output)
         statics = self._sampling_statics()
         max_num_logprobs = statics[-1]
+        pooling_rows = [
+            row for row in sample_rows
+            if (st := self.requests.get(
+                self.input_batch.req_ids[row])) is not None
+            and st.sampling_params is None
+        ]
+        return_hidden = bool(pooling_rows)
 
         step_fn = self._get_step_fn(t_pad, r_pad, *statics,
-                                    apply_grammar)
-        compile_key = (t_pad, r_pad, *statics, apply_grammar)
+                                    apply_grammar, False,
+                                    return_hidden)
+        compile_key = (t_pad, r_pad, *statics, apply_grammar,
+                       return_hidden)
         if compile_key not in self._compiled_keys:
             self._compiled_keys.add(compile_key)
             self.num_compilations += 1
 
         self._step_count += 1
         packed_dev = jnp.asarray(packed, device=self._replicated)
-        self.kv_caches, out = step_fn(self.params, self.kv_caches,
-                                      packed_dev)
+        self.kv_caches, out, hidden = step_fn(self.params,
+                                              self.kv_caches,
+                                              packed_dev)
 
         # device -> host (single transfer of the small sampled arrays)
         sampled_np = np.asarray(out.sampled)
@@ -582,7 +621,22 @@ class TPUModelRunner:
         sampled_token_ids: list[list[int]] = [[] for _ in range(num_reqs)]
         sample_row_set = set(sample_rows)
         draft_token_ids = None
+        pooler_output = None
+        if return_hidden:
+            hidden_np = np.asarray(hidden)
+            pooler_output = {}
+            for row in pooling_rows:
+                req_id = batch.req_ids[row]
+                vec = hidden_np[row * nsp].astype(np.float32)
+                state = self.requests.get(req_id)
+                pp = state.pooling_params if state else None
+                if pp is None or pp.normalize:
+                    vec = vec / max(np.linalg.norm(vec), 1e-12)
+                pooler_output[req_id] = vec
+        pooling_row_set = set(pooling_rows)
         for row in sample_rows:
+            if row in pooling_row_set:
+                continue  # embedding request: no token emitted
             if nsp > 1:
                 # greedy draft verification (reference:
                 # RejectionSampler, vllm/v1/sample/rejection_sampler.py
@@ -635,6 +689,7 @@ class TPUModelRunner:
             sampled_token_ids=sampled_token_ids,
             logprobs=logprobs_lists,
             draft_token_ids=draft_token_ids,
+            pooler_output=pooler_output,
         )
 
     def _append_token(self, row: int, tok: int) -> None:
@@ -667,10 +722,14 @@ class TPUModelRunner:
         statics = self._sampling_statics()
         max_num_logprobs = statics[-1]
         has_prev = self._prev_sampled is not None
+        has_prev2 = self._prev_sampled2 is not None and any(
+            v[0] == 1 for v in self._pending_fill.values())
 
         step_fn = self._get_step_fn(t_pad, r_pad, *statics,
-                                    apply_grammar, has_prev)
+                                    apply_grammar, has_prev, False,
+                                    has_prev2)
         compile_key = (t_pad, r_pad, *statics, apply_grammar, has_prev,
+                       has_prev2,
                        None if not has_prev
                        else self._prev_sampled.shape[0])
         if compile_key not in self._compiled_keys:
@@ -679,29 +738,42 @@ class TPUModelRunner:
 
         self._step_count += 1
         packed_dev = jnp.asarray(packed, device=self._replicated)
-        if has_prev:
-            self.kv_caches, out = step_fn(self.params, self.kv_caches,
-                                          packed_dev,
-                                          self._prev_sampled)
-        else:
-            self.kv_caches, out = step_fn(self.params, self.kv_caches,
-                                          packed_dev)
+        self.kv_caches, out, _ = step_fn(
+            self.params, self.kv_caches, packed_dev,
+            self._prev_sampled if has_prev else None,
+            self._prev_sampled2 if has_prev2 else None)
 
         batch = self.input_batch
         num_reqs = batch.num_reqs
         req_ids = [batch.req_ids[i] for i in range(num_reqs)]
         pending: list[tuple[str, int, int]] = []
-        new_fill: dict[str, tuple[int, int]] = {}
+        # age existing fills; entries older than 1 step have been
+        # materialized by their handle (depth-2 pipeline invariant)
+        new_fill: dict[str, tuple[int, int, int]] = {
+            rid: (1, row, pos)
+            for rid, (age, row, pos) in self._pending_fill.items()
+            if age == 0
+        }
         for row in sample_rows:
             req_id = batch.req_ids[row]
             pos = int(batch.num_tokens[row])
             # placeholder; the true value is still on device
             self._append_token(row, -1)
             pending.append((req_id, row, pos))
-            new_fill[req_id] = (row, pos)
+            new_fill[req_id] = (0, row, pos)
+        self._prev_sampled2 = self._prev_sampled
         self._prev_sampled = out.sampled
         self._pending_fill = new_fill
 
+        # start the D2H transfer now; by the time the engine materializes
+        # this handle (one step later) the copy is already on the host —
+        # the per-step transfer round trip overlaps the next dispatch
+        for arr in (out.sampled, out.logprob_token_ids, out.logprobs,
+                    out.sampled_ranks):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                break
         return AsyncStepHandle(self, out, req_ids, pending,
                                max_num_logprobs)
 
@@ -733,7 +805,7 @@ class TPUModelRunner:
         packed[a:b].view(np.float32)[:] = 1.0
         step_fn = self._get_step_fn(t_pad, r_pad, True, False, False,
                                     False, 0, False)
-        self.kv_caches, _ = step_fn(
+        self.kv_caches, _, _ = step_fn(
             self.params, self.kv_caches,
             jnp.asarray(packed, device=self._replicated))
 
