@@ -69,6 +69,12 @@ class AsyncLLM:
         self._stats_lock = threading.Lock()
         self.last_stats = None
 
+        from vllm_main_modify_tpu.tracing import init_tracer
+
+        self._tracer = init_tracer(
+            "vllm-main-modify-tpu",
+            config.observability_config.otlp_traces_endpoint)
+
         self._core_thread = threading.Thread(target=self._core_loop,
                                              name="engine-core",
                                              daemon=True)
@@ -98,6 +104,15 @@ class AsyncLLM:
                 if result.reqs_to_abort:
                     self.engine_core.abort_requests(result.reqs_to_abort)
                 for ro in result.request_outputs:
+                    if self._tracer is not None and ro.finished:
+                        from vllm_main_modify_tpu.tracing import \
+                            emit_request_span
+
+                        emit_request_span(
+                            self._tracer,
+                            self.config.model_config.model,
+                            ro.request_id,
+                            getattr(ro, "metrics", None))
                     self._publish(ro)
         except BaseException as e:  # noqa: BLE001
             logger.exception("engine core died")

@@ -72,6 +72,64 @@ def cmd_serve(args) -> None:
                    served_model_name=args.served_model_name))
 
 
+def _build_llm(args):
+    from vllm_main_modify_tpu.entrypoints.llm import LLM
+
+    model = args.model_opt or args.model
+    if not model:
+        raise SystemExit("error: model path required")
+    return LLM(model=model, tokenizer=args.tokenizer, dtype=args.dtype,
+               max_model_len=args.max_model_len,
+               max_num_seqs=args.max_num_seqs,
+               max_num_batched_tokens=args.max_num_batched_tokens,
+               block_size=args.block_size,
+               tensor_parallel_size=args.tensor_parallel_size,
+               enable_prefix_caching=not args.no_enable_prefix_caching,
+               num_kv_blocks=args.num_kv_blocks,
+               load_format=args.load_format, seed=args.seed,
+               trust_remote_code=args.trust_remote_code,
+               async_scheduling=True)
+
+
+def cmd_bench_latency(args) -> None:
+    import json
+
+    from vllm_main_modify_tpu.benchmarks.offline import \
+        benchmark_latency
+
+    llm = _build_llm(args)
+    result = benchmark_latency(llm, args.batch_size, args.input_len,
+                               args.output_len, args.num_iters)
+    print(json.dumps(result, indent=2))
+
+
+def cmd_bench_throughput(args) -> None:
+    import json
+
+    from vllm_main_modify_tpu.benchmarks.offline import \
+        benchmark_throughput
+
+    llm = _build_llm(args)
+    result = benchmark_throughput(llm, args.num_prompts,
+                                  args.input_len, args.output_len)
+    print(json.dumps(result, indent=2))
+
+
+def cmd_bench_serve(args) -> None:
+    import json
+
+    from vllm_main_modify_tpu.benchmarks.offline import random_prompts
+    from vllm_main_modify_tpu.benchmarks.serve_bench import \
+        run_serve_benchmark
+
+    prompts = ["hello world " * max(args.input_len // 2, 1)
+               ] * args.num_prompts
+    result = asyncio.run(
+        run_serve_benchmark(args.base_url, prompts, args.output_len,
+                            args.request_rate))
+    print(json.dumps(result, indent=2))
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="vllm-tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -81,6 +139,33 @@ def main(argv=None) -> None:
     serve.add_argument("--host", default="0.0.0.0")
     serve.add_argument("--port", type=int, default=8000)
     serve.set_defaults(func=cmd_serve)
+
+    bench = sub.add_parser("bench", help="benchmarks")
+    bench_sub = bench.add_subparsers(dest="bench_command",
+                                     required=True)
+
+    lat = bench_sub.add_parser("latency")
+    _add_engine_args(lat)
+    lat.add_argument("--batch-size", type=int, default=8)
+    lat.add_argument("--input-len", type=int, default=128)
+    lat.add_argument("--output-len", type=int, default=32)
+    lat.add_argument("--num-iters", type=int, default=3)
+    lat.set_defaults(func=cmd_bench_latency)
+
+    thr = bench_sub.add_parser("throughput")
+    _add_engine_args(thr)
+    thr.add_argument("--num-prompts", type=int, default=64)
+    thr.add_argument("--input-len", type=int, default=128)
+    thr.add_argument("--output-len", type=int, default=32)
+    thr.set_defaults(func=cmd_bench_throughput)
+
+    srv = bench_sub.add_parser("serve")
+    srv.add_argument("--base-url", default="http://localhost:8000")
+    srv.add_argument("--num-prompts", type=int, default=32)
+    srv.add_argument("--input-len", type=int, default=128)
+    srv.add_argument("--output-len", type=int, default=32)
+    srv.add_argument("--request-rate", type=float, default=None)
+    srv.set_defaults(func=cmd_bench_serve)
 
     args = parser.parse_args(argv)
     args.func(args)

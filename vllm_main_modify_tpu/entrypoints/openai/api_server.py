@@ -28,7 +28,8 @@ from vllm_main_modify_tpu.entrypoints.openai.protocol import (
     ChatCompletionStreamChoice, ChatCompletionStreamResponse,
     ChatMessage, CompletionChoice, CompletionRequest,
     CompletionResponse, DeltaMessage, DetokenizeRequest,
-    DetokenizeResponse, ErrorResponse, ModelCard, ModelList,
+    DetokenizeResponse, EmbeddingData, EmbeddingRequest,
+    EmbeddingResponse, ErrorResponse, ModelCard, ModelList,
     TokenizeRequest, TokenizeResponse, UsageInfo, random_uuid)
 from vllm_main_modify_tpu.metrics.prometheus import PrometheusMetrics
 
@@ -60,6 +61,7 @@ class OpenAIServer:
         r.add_get("/v1/models", self.models)
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/chat/completions", self.chat_completions)
+        r.add_post("/v1/embeddings", self.embeddings)
         r.add_post("/tokenize", self.tokenize)
         r.add_post("/detokenize", self.detokenize)
         r.add_get("/metrics", self.prometheus_metrics)
@@ -127,6 +129,48 @@ class OpenAIServer:
     async def stop_profile(self, request: web.Request) -> web.Response:
         self.engine.engine_core.profile_stop()
         return web.Response(text="")
+
+    # ---- /v1/embeddings ----------------------------------------------
+
+    async def embeddings(self, request: web.Request) -> web.Response:
+        import base64
+
+        import numpy as np
+
+        from vllm_main_modify_tpu.sampling_params import PoolingParams
+
+        try:
+            body = EmbeddingRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return error_json(400, f"invalid request: {e}")
+        inputs = body.input
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        elif inputs and isinstance(inputs[0], int):
+            inputs = [inputs]
+        data = []
+        prompt_tokens = 0
+        try:
+            for i, item in enumerate(inputs):
+                rid = f"embd-{random_uuid()}"
+                final = None
+                async for out in self.engine.generate(
+                        item, PoolingParams(), rid):
+                    final = out
+                vec = np.asarray(final.data, dtype=np.float32)
+                prompt_tokens += len(final.prompt_token_ids)
+                if body.encoding_format == "base64":
+                    emb = base64.b64encode(vec.tobytes()).decode()
+                else:
+                    emb = vec.tolist()
+                data.append(EmbeddingData(index=i, embedding=emb))
+        except ValueError as e:
+            return error_json(400, str(e))
+        resp = EmbeddingResponse(
+            model=body.model or self.model_name, data=data,
+            usage=UsageInfo(prompt_tokens=prompt_tokens,
+                            total_tokens=prompt_tokens))
+        return web.json_response(resp.model_dump())
 
     # ---- /v1/completions ---------------------------------------------
 

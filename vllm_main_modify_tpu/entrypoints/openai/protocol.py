@@ -236,3 +236,23 @@ class DetokenizeRequest(OpenAIBaseModel):
 
 class DetokenizeResponse(OpenAIBaseModel):
     prompt: str
+
+
+class EmbeddingRequest(OpenAIBaseModel):
+    model: Optional[str] = None
+    input: Union[str, list[str], list[int], list[list[int]]] = ""
+    encoding_format: Literal["float", "base64"] = "float"
+    dimensions: Optional[int] = None
+
+
+class EmbeddingData(OpenAIBaseModel):
+    object: str = "embedding"
+    index: int
+    embedding: Union[list[float], str]
+
+
+class EmbeddingResponse(OpenAIBaseModel):
+    object: str = "list"
+    data: list[EmbeddingData] = Field(default_factory=list)
+    model: str = ""
+    usage: UsageInfo = Field(default_factory=UsageInfo)
