@@ -37,6 +37,10 @@ def check_stop(request: Request,
 
     sp = request.sampling_params
     assert sp is not None
+    # min_tokens: suppress EOS/stop-token stops until satisfied
+    # (reference: min-tokens logits processor + stop check)
+    if request.num_output_tokens < sp.min_tokens:
+        return False
     last = request.output_token_ids[-1]
     if not sp.ignore_eos and last == request.eos_token_id:
         request.status = RequestStatus.FINISHED_STOPPED

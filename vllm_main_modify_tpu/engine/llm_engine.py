@@ -67,8 +67,27 @@ class LLMEngine:
     ) -> None:
         request = self.processor.process_inputs(request_id, prompt,
                                                 params, **kwargs)
-        self.output_processor.add_request(request)
-        self.engine_core.add_request(request)
+        n = (request.sampling_params.n
+             if request.sampling_params is not None else 1)
+        if n <= 1:
+            self.output_processor.add_request(request)
+            self.engine_core.add_request(request)
+            return
+        # n>1: fan out child requests, aggregate under the parent
+        # (reference: vllm/v1/engine/parallel_sampling.py)
+        import copy
+
+        for i in range(n):
+            child = copy.copy(request)
+            child.request_id = f"{request_id}_PAR_{i}"
+            sp = request.sampling_params.clone()
+            sp.n = 1
+            if sp.seed is not None:
+                sp.seed = sp.seed + i
+            child.sampling_params = sp
+            self.output_processor.add_request(child, parent_id=request_id,
+                                              index=i, parent_n=n)
+            self.engine_core.add_request(child)
 
     def abort_request(self, request_ids) -> None:
         if isinstance(request_ids, str):

@@ -25,6 +25,18 @@ from vllm_main_modify_tpu.sampling_params import (RequestOutputKind,
                                                   SamplingParams)
 
 
+class ParentState:
+    """Aggregation of an n>1 fan-out (reference:
+    vllm/v1/engine/parallel_sampling.py ``ParentRequest``)."""
+
+    def __init__(self, parent_id: str, n: int) -> None:
+        self.parent_id = parent_id
+        self.n = n
+        self.finished: dict[int, CompletionOutput] = {}
+        self.prompt = None
+        self.prompt_token_ids: list[int] = []
+
+
 class RequestState:
 
     def __init__(self, request: EngineCoreRequest, tokenizer) -> None:
@@ -43,6 +55,9 @@ class RequestState:
         self.metrics = RequestMetrics(
             arrival_time=request.arrival_time,
             num_prompt_tokens=len(request.prompt_token_ids))
+        # n>1 fan-out bookkeeping
+        self.parent_id: Optional[str] = None
+        self.index = 0
 
 
 @dataclass
@@ -56,10 +71,22 @@ class OutputProcessor:
     def __init__(self, tokenizer) -> None:
         self.tokenizer = tokenizer
         self.states: dict[str, RequestState] = {}
+        self.parents: dict[str, ParentState] = {}
 
-    def add_request(self, request: EngineCoreRequest) -> None:
-        self.states[request.request_id] = RequestState(
-            request, self.tokenizer)
+    def add_request(self, request: EngineCoreRequest,
+                    parent_id: Optional[str] = None, index: int = 0,
+                    parent_n: int = 1) -> None:
+        state = RequestState(request, self.tokenizer)
+        if parent_id is not None:
+            state.parent_id = parent_id
+            state.index = index
+            parent = self.parents.get(parent_id)
+            if parent is None:
+                parent = ParentState(parent_id, parent_n)
+                parent.prompt = request.prompt
+                parent.prompt_token_ids = request.prompt_token_ids
+                self.parents[parent_id] = parent
+        self.states[request.request_id] = state
 
     def abort_requests(self, request_ids) -> None:
         for rid in request_ids:
@@ -115,10 +142,38 @@ class OutputProcessor:
                                            stop_reason, finished,
                                            out.num_cached_tokens)
             if ro is not None:
-                result.request_outputs.append(ro)
+                if state.parent_id is not None:
+                    ro = self._fold_into_parent(state, ro, finished)
+                if ro is not None:
+                    result.request_outputs.append(ro)
             if finished:
                 self.states.pop(out.request_id, None)
         return result
+
+    def _fold_into_parent(self, state: RequestState,
+                          ro: RequestOutput, finished: bool):
+        """Re-tag child outputs under the parent id; emit the combined
+        final output once every child finished."""
+        parent = self.parents[state.parent_id]
+        ro.request_id = parent.parent_id
+        for co in ro.outputs:
+            co.index = state.index
+        if not finished:
+            return ro  # streaming partials pass through, re-tagged
+        parent.finished[state.index] = ro.outputs[0]
+        if len(parent.finished) < parent.n:
+            return None
+        self.parents.pop(parent.parent_id, None)
+        return RequestOutput(
+            request_id=parent.parent_id,
+            prompt=parent.prompt,
+            prompt_token_ids=parent.prompt_token_ids,
+            outputs=[
+                parent.finished[i] for i in range(parent.n)
+            ],
+            finished=True,
+            metrics=ro.metrics,
+        )
 
     def _decorate_logprobs(self, logprobs_dicts, state) -> None:
         if self.tokenizer is None:
