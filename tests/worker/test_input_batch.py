@@ -67,6 +67,8 @@ def _mk_runner():
     runner.input_batch = InputBatch(max_num_reqs=8, max_model_len=64,
                                     max_blocks_per_req=8)
     runner.requests = {}
+    runner.enable_lora = False
+    runner.lora_manager = None
     return runner
 
 

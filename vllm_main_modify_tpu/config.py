@@ -224,6 +224,15 @@ class LoadConfig:
 
 
 @dataclass
+class LoRAConfig:
+    """Multi-LoRA serving (reference: vllm/config/lora.py)."""
+
+    enable_lora: bool = False
+    max_loras: int = 4
+    max_lora_rank: int = 16
+
+
+@dataclass
 class SpeculativeConfig:
     """Spec-decode config (reference: vllm/config/speculative.py)."""
 
@@ -277,6 +286,7 @@ class EngineConfig:
     parallel_config: ParallelConfig = field(default_factory=ParallelConfig)
     device_config: DeviceConfig = field(default_factory=DeviceConfig)
     load_config: LoadConfig = field(default_factory=LoadConfig)
+    lora_config: LoRAConfig = field(default_factory=LoRAConfig)
     speculative_config: SpeculativeConfig = field(
         default_factory=SpeculativeConfig)
     structured_outputs_config: StructuredOutputsConfig = field(

@@ -62,6 +62,7 @@ class Request:
         client_index: int = 0,
         prompt: Optional[str] = None,
         lora_name: Optional[str] = None,
+        lora_path: Optional[str] = None,
         trace_headers: Optional[dict[str, str]] = None,
     ) -> None:
         self.request_id = request_id
@@ -77,6 +78,7 @@ class Request:
         self.client_index = client_index
         self.cache_salt = cache_salt
         self.lora_name = lora_name
+        self.lora_path = lora_path
         self.trace_headers = trace_headers
 
         self.status = RequestStatus.WAITING

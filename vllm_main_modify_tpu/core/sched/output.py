@@ -25,6 +25,7 @@ class NewRequestData:
     block_ids: list[int]
     num_computed_tokens: int
     lora_name: Optional[str] = None
+    lora_path: Optional[str] = None
     pooling_params: Optional[object] = None
 
     @classmethod
@@ -37,6 +38,7 @@ class NewRequestData:
             block_ids=block_ids,
             num_computed_tokens=request.num_computed_tokens,
             lora_name=request.lora_name,
+            lora_path=getattr(request, "lora_path", None),
             pooling_params=request.pooling_params,
         )
 

@@ -157,7 +157,7 @@ class AsyncLLM:
         prompt: Union[str, list[int], dict],
         sampling_params: SamplingParams,
         request_id: str,
-        lora_name: Optional[str] = None,
+        lora_request=None,
         priority: int = 0,
         trace_headers: Optional[dict[str, str]] = None,
     ) -> AsyncGenerator[RequestOutput, None]:
@@ -166,7 +166,7 @@ class AsyncLLM:
         self._loop = asyncio.get_running_loop()
         request = self.processor.process_inputs(
             request_id, prompt, sampling_params, priority=priority,
-            lora_name=lora_name, trace_headers=trace_headers)
+            lora_request=lora_request, trace_headers=trace_headers)
         q: asyncio.Queue = asyncio.Queue()
         self._output_streams[request_id] = q
         self._input_queue.put(("add", request))

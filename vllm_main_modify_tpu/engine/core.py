@@ -102,6 +102,7 @@ class EngineCore:
             client_index=request.client_index,
             prompt=request.prompt,
             lora_name=request.lora_name,
+            lora_path=request.lora_path,
             trace_headers=request.trace_headers,
         )
         if self.structured_output_manager is not None and \

@@ -33,7 +33,7 @@ class Processor:
         params: Optional[Union[SamplingParams, PoolingParams]] = None,
         arrival_time: Optional[float] = None,
         priority: int = 0,
-        lora_name: Optional[str] = None,
+        lora_request=None,
         trace_headers: Optional[dict[str, str]] = None,
     ) -> EngineCoreRequest:
         if isinstance(prompt, dict):
@@ -85,7 +85,10 @@ class Processor:
             arrival_time=arrival_time if arrival_time is not None else
             time.monotonic(),
             priority=priority,
-            lora_name=lora_name,
+            lora_name=(lora_request.lora_name
+                       if lora_request is not None else None),
+            lora_path=(lora_request.lora_path
+                       if lora_request is not None else None),
             prompt=prompt_text,
             trace_headers=trace_headers,
         )

@@ -38,6 +38,7 @@ class EngineCoreRequest:
     cache_salt: Optional[str] = None
     client_index: int = 0
     lora_name: Optional[str] = None
+    lora_path: Optional[str] = None
     prompt: Optional[str] = None  # original text, kept for outputs
     trace_headers: Optional[dict[str, str]] = None
 

@@ -13,8 +13,9 @@ from tqdm.auto import tqdm
 
 from vllm_main_modify_tpu.config import (CacheConfig, CompilationConfig,
                                          DeviceConfig, EngineConfig,
-                                         LoadConfig, ModelConfig,
-                                         ParallelConfig, SchedulerConfig,
+                                         LoadConfig, LoRAConfig,
+                                         ModelConfig, ParallelConfig,
+                                         SchedulerConfig,
                                          SpeculativeConfig)
 from vllm_main_modify_tpu.engine.llm_engine import LLMEngine
 from vllm_main_modify_tpu.outputs import (PoolingRequestOutput,
@@ -42,6 +43,10 @@ class LLM:
         trust_remote_code: bool = False,
         async_scheduling: bool = False,
         speculative_config: Optional[dict] = None,
+        enable_lora: bool = False,
+        max_loras: int = 4,
+        max_lora_rank: int = 16,
+        quantization: Optional[str] = None,
         mesh=None,
         **kwargs,
     ) -> None:
@@ -50,6 +55,7 @@ class LLM:
                                      dtype=dtype,
                                      max_model_len=max_model_len,
                                      seed=seed,
+                                     quantization=quantization,
                                      trust_remote_code=trust_remote_code),
             cache_config=CacheConfig(
                 block_size=block_size,
@@ -63,6 +69,9 @@ class LLM:
             parallel_config=ParallelConfig(
                 tensor_parallel_size=tensor_parallel_size),
             load_config=LoadConfig(load_format=load_format),
+            lora_config=LoRAConfig(enable_lora=enable_lora,
+                                   max_loras=max_loras,
+                                   max_lora_rank=max_lora_rank),
             speculative_config=SpeculativeConfig(
                 **(speculative_config or {})),
         )
@@ -78,6 +87,7 @@ class LLM:
         sampling_params: Optional[Union[SamplingParams,
                                         Sequence[SamplingParams]]] = None,
         use_tqdm: bool = False,
+        lora_request=None,
     ) -> list[RequestOutput]:
         if isinstance(prompts, str):
             prompts = [prompts]
@@ -94,7 +104,8 @@ class LLM:
         for prompt, params in zip(prompts, params_list):
             rid = str(next(self._counter))
             order.append(rid)
-            self.engine.add_request(rid, prompt, params)
+            self.engine.add_request(rid, prompt, params,
+                                    lora_request=lora_request)
 
         finished: dict[str, RequestOutput] = {}
         pbar = tqdm(total=n, desc="generate") if use_tqdm else None

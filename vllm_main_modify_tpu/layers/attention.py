@@ -33,6 +33,9 @@ class AttentionMetadata(NamedTuple):
     # [3, S] (cache_start, new_start, len) + real count [1]
     kv_update_slices: Optional[jax.Array] = None
     num_kv_update_slices: Optional[jax.Array] = None
+    # multi-LoRA: adapter slot per token (0 = no adapter); carried in
+    # the metadata pytree so models stay (params, inputs) pure fns
+    token_lora_slots: Optional[jax.Array] = None
 
 
 def attention(

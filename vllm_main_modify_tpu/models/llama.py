@@ -31,6 +31,7 @@ from vllm_main_modify_tpu.layers.normalization import rms_norm
 from vllm_main_modify_tpu.layers.rotary import (apply_rope,
                                                 compute_inv_freq)
 from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
+from vllm_main_modify_tpu.lora.ops import lora_apply
 from vllm_main_modify_tpu.quantization.weights import matmul
 
 
@@ -116,6 +117,20 @@ class LlamaForCausalLM:
     def kv_cache_spec(self) -> tuple[int, int, int]:
         return self.num_kv, self.head_dim, self.L
 
+    def lora_target_shapes(self) -> dict[str, tuple[int, int]]:
+        """target module -> (in_dim, out_dim) for stacked LoRA slots."""
+        qd = self.num_q * self.head_dim
+        kd = self.num_kv * self.head_dim
+        return {
+            "q_proj": (self.hidden, qd),
+            "k_proj": (self.hidden, kd),
+            "v_proj": (self.hidden, kd),
+            "o_proj": (qd, self.hidden),
+            "gate_proj": (self.hidden, self.inter),
+            "up_proj": (self.hidden, self.inter),
+            "down_proj": (self.inter, self.hidden),
+        }
+
     # ------------------------------------------------------------------
 
     def __call__(
@@ -141,9 +156,20 @@ class LlamaForCausalLM:
                     a, l, 0, keepdims=False), layers)
             res = x
             h = rms_norm(x, w["input_layernorm"], cfg.rms_norm_eps)
-            q = matmul(h, w["q_proj"])
-            k = matmul(h, w["k_proj"])
-            v = matmul(h, w["v_proj"])
+            has_lora = "lora_q_proj_a" in w
+            lora_slots = attn_meta.token_lora_slots
+            lora_scales = params.get("lora_scales")
+
+            def lora(y, base, target):
+                if not has_lora:
+                    return y
+                return y + lora_apply(base, w[f"lora_{target}_a"],
+                                      w[f"lora_{target}_b"],
+                                      lora_scales, lora_slots)
+
+            q = lora(matmul(h, w["q_proj"]), h, "q_proj")
+            k = lora(matmul(h, w["k_proj"]), h, "k_proj")
+            v = lora(matmul(h, w["v_proj"]), h, "v_proj")
             if self.qkv_bias:
                 q = q + w["q_bias"]
                 k = k + w["k_bias"]
@@ -156,14 +182,18 @@ class LlamaForCausalLM:
                                      self.sm_scale,
                                      sliding_window=cfg.sliding_window,
                                      use_pallas=use_pallas)
-            x = res + matmul(o.reshape(t, -1), w["o_proj"])
+            o_flat = o.reshape(t, -1)
+            x = res + lora(matmul(o_flat, w["o_proj"]), o_flat,
+                           "o_proj")
 
             res = x
             h = rms_norm(x, w["post_attention_layernorm"],
                          cfg.rms_norm_eps)
-            h = self.act_fn(matmul(h, w["gate_proj"]),
-                            matmul(h, w["up_proj"]))
-            x = res + matmul(h, w["down_proj"])
+            h = self.act_fn(lora(matmul(h, w["gate_proj"]), h,
+                                 "gate_proj"),
+                            lora(matmul(h, w["up_proj"]), h,
+                                 "up_proj"))
+            x = res + lora(matmul(h, w["down_proj"]), h, "down_proj")
             return x, kv_caches
 
         # fori_loop with the KV cache as carry: in-place page updates.

@@ -72,6 +72,8 @@ class InputBatch:
         self.min_p = np.zeros(max_num_reqs, dtype=np.float32)
         self.seeds = np.zeros(max_num_reqs, dtype=np.uint32)
         self.num_logprobs = np.zeros(max_num_reqs, dtype=np.int32)
+        # multi-LoRA: adapter slot per request (0 = none)
+        self.lora_slots = np.zeros(max_num_reqs, dtype=np.int32)
 
         self.greedy_reqs: set[str] = set()
         self.random_reqs: set[str] = set()
@@ -138,6 +140,7 @@ class InputBatch:
         self.seeds[row] = np.uint32((sp.seed if sp.seed is not None else
                                      hash(req_id)) & 0xFFFFFFFF)
         self.num_logprobs[row] = sp.logprobs or 0
+        self.lora_slots[row] = 0  # runner sets the slot when enabled
         return row
 
     def remove_request(self, req_id: str) -> Optional[int]:
@@ -175,7 +178,8 @@ class InputBatch:
             for arr in (self.num_tokens, self.num_prompt_tokens,
                         self.num_computed_tokens, self.num_blocks,
                         self.temperature, self.top_k, self.top_p,
-                        self.min_p, self.seeds, self.num_logprobs):
+                        self.min_p, self.seeds, self.num_logprobs,
+                        self.lora_slots):
                 arr[dst] = arr[src]
             last -= 1
 

@@ -117,8 +117,19 @@ class TPUModelRunner:
                                           spec.prompt_lookup_min,
                                           spec.prompt_lookup_max)
 
+        # multi-LoRA
+        lc = config.lora_config
+        self.enable_lora = lc.enable_lora
+        self.lora_manager = None
+        if self.enable_lora:
+            from vllm_main_modify_tpu.lora.manager import LoRAManager
+
+            self.lora_manager = LoRAManager(lc.max_loras,
+                                            lc.max_lora_rank,
+                                            mc.num_layers)
+
         # cache stored width-native [L, P, page, 2K*D]; 'model' shards
-        # the width axis (whole (k,v,D) blocks per head stay contiguous)
+        # the width axis (whole (k,v,D) pairs per head stay contiguous)
         self._kv_sharding = NamedSharding(
             self.mesh, P(None, None, None, "model"))
         self._replicated = NamedSharding(self.mesh, P())
@@ -147,8 +158,48 @@ class TPUModelRunner:
         self.params = load_model_weights(
             self.model, self.config.model_config, self.mesh,
             self.config.load_config.load_format)
+        if self.enable_lora:
+            self._init_lora_stacks()
         jax.block_until_ready(jax.tree.leaves(self.params))
         logger.info("model loaded in %.1fs", time.monotonic() - t0)
+
+    def _init_lora_stacks(self) -> None:
+        """Zero-initialized stacked adapter slots live inside the param
+        tree, so adapter loads are slot-slice updates and the jitted
+        step never changes shape (reference capability:
+        vllm/lora/models.py LoRAModelManager slots)."""
+        shapes = self.model.lora_target_shapes()
+        s_slots = self.lora_manager.num_slots
+        r = self.config.lora_config.max_lora_rank
+        num_l = self.config.model_config.num_layers
+        layers = self.params["layers"]
+        for target, (din, dout) in shapes.items():
+            layers[f"lora_{target}_a"] = jnp.zeros(
+                (num_l, s_slots, din, r), dtype=jnp.float32)
+            layers[f"lora_{target}_b"] = jnp.zeros(
+                (num_l, s_slots, r, dout), dtype=jnp.float32)
+        self.params["lora_scales"] = jnp.zeros(s_slots,
+                                               dtype=jnp.float32)
+
+    def _lora_update_fn(self, key: str, slot: int,
+                        array: np.ndarray) -> None:
+        layers = self.params["layers"]
+        layers[key] = layers[key].at[:, slot].set(
+            jnp.asarray(array))
+
+    def _activate_loras(self,
+                        scheduler_output: SchedulerOutput) -> None:
+        for new_req in scheduler_output.scheduled_new_reqs:
+            if new_req.lora_name is None:
+                continue
+            if new_req.lora_path is not None:
+                self.lora_manager.register(new_req.lora_name,
+                                           new_req.lora_path)
+            self.lora_manager.activate(new_req.lora_name,
+                                       self.params["layers"],
+                                       self._lora_update_fn)
+            self.params["lora_scales"] = jnp.asarray(
+                self.lora_manager.scales)
 
     # HBM per chip by device kind (fallback when the runtime exposes
     # no allocator stats, e.g. through the axon tunnel)
@@ -212,6 +263,8 @@ class TPUModelRunner:
     # ------------------------------------------------------------------
 
     def _update_states(self, scheduler_output: SchedulerOutput) -> None:
+        if self.enable_lora:
+            self._activate_loras(scheduler_output)
         for req_id in scheduler_output.finished_req_ids:
             self.requests.pop(req_id, None)
             self.input_batch.remove_request(req_id)
@@ -256,7 +309,10 @@ class TPUModelRunner:
         # condense BEFORE adding so new rows land on free tail slots
         self.input_batch.condense()
         for state in reqs_to_add:
-            self.input_batch.add_request(state)
+            row = self.input_batch.add_request(state)
+            if self.enable_lora:
+                self.input_batch.lora_slots[row] = \
+                    self.lora_manager.slot_of(state.lora_name)
 
     # ------------------------------------------------------------------
     # per-step input build (reference: _prepare_inputs
@@ -305,6 +361,7 @@ class TPUModelRunner:
 
         sample_rows: list[int] = []
         kv_slices: list[tuple[int, int, int]] = []
+        lora_seg = seg("lora_slots") if self.enable_lora else None
         spec_counts: dict[int, int] = {}
         proposed: dict[int, list[int]] = {}
         prev_scatter = seg("prev_scatter")
@@ -359,6 +416,9 @@ class TPUModelRunner:
                         (int(batch.block_table[row, pg]) * page +
                          seg_lo % page, offset + seg_lo - start_pos,
                          seg_hi - seg_lo))
+            if lora_seg is not None and n_sched > 0:
+                lora_seg[offset:offset + n_sched] = \
+                    batch.lora_slots[row]
             offset += n_sched
             query_start_loc[row + 1] = offset
             seq_lens[row] = end_pos
@@ -436,6 +496,7 @@ class TPUModelRunner:
             ("prev_gather", r_pad),
             ("prev2_scatter", r_pad),
             ("prev2_gather", r_pad),
+            ("lora_slots", t_pad if self.enable_lora else 0),
             ("grammar_words", r_pad * self.num_words),
         ]
         layout = {}
@@ -482,6 +543,7 @@ class TPUModelRunner:
         mp = self.max_blocks_per_req
         num_words = self.num_words
         nsp = self.num_sample_positions
+        enable_lora = self.enable_lora
 
         def step(params, kv_caches, packed, prev_sampled=None,
                  prev_sampled2=None):
@@ -521,6 +583,8 @@ class TPUModelRunner:
                 kv_update_slices=seg("kv_slices").reshape(3, s_pad),
                 num_kv_update_slices=jax.lax.slice_in_dim(
                     seg("scalars"), 0, 1),
+                token_lora_slots=(seg("lora_slots")
+                                  if enable_lora else None),
             )
             logits_indices = seg("logits_indices")  # [r_pad * nsp]
             hidden, kv_caches = model(params, input_ids,
