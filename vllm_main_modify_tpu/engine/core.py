@@ -160,6 +160,18 @@ class EngineCore:
     def reset_prefix_cache(self) -> bool:
         return self.scheduler.reset_prefix_cache()
 
+    def sleep(self, level: int = 1) -> None:
+        self.model_runner.sleep(level)
+
+    def wake_up(self) -> None:
+        self.model_runner.wake_up()
+
+    def reload_weights(self) -> None:
+        self.model_runner.reload_weights()
+
+    def save_sharded_state(self, path: str) -> None:
+        self.model_runner.save_sharded_state(path)
+
     def profile_start(self) -> None:
         import jax
 

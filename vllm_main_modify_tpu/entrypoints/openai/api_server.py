@@ -66,6 +66,10 @@ class OpenAIServer:
         r.add_post("/detokenize", self.detokenize)
         r.add_get("/metrics", self.prometheus_metrics)
         r.add_post("/reset_prefix_cache", self.reset_prefix_cache)
+        r.add_post("/sleep", self.sleep)
+        r.add_post("/wake_up", self.wake_up)
+        r.add_post("/reload_weights", self.reload_weights)
+        r.add_post("/v1/load_lora_adapter", self.load_lora_adapter)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
         try:
@@ -120,6 +124,30 @@ class OpenAIServer:
     async def reset_prefix_cache(self,
                                  request: web.Request) -> web.Response:
         self.engine.engine_core.reset_prefix_cache()
+        return web.Response(text="")
+
+    async def sleep(self, request: web.Request) -> web.Response:
+        level = int(request.query.get("level", "1"))
+        self.engine.engine_core.sleep(level)
+        return web.Response(text="")
+
+    async def wake_up(self, request: web.Request) -> web.Response:
+        self.engine.engine_core.wake_up()
+        return web.Response(text="")
+
+    async def reload_weights(self,
+                             request: web.Request) -> web.Response:
+        self.engine.engine_core.reload_weights()
+        return web.Response(text="")
+
+    async def load_lora_adapter(self,
+                                request: web.Request) -> web.Response:
+        body = await request.json()
+        runner = self.engine.engine_core.model_runner
+        if runner.lora_manager is None:
+            return error_json(400, "LoRA is not enabled")
+        runner.lora_manager.register(body["lora_name"],
+                                     body["lora_path"])
         return web.Response(text="")
 
     async def start_profile(self, request: web.Request) -> web.Response:

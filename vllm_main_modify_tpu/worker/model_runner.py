@@ -93,6 +93,9 @@ class TPUModelRunner:
         self._prev_sampled = None
         self._prev_sampled2 = None
         self._pending_fill: dict[str, tuple[int, int, int]] = {}
+        # sleep/wake state
+        self._host_params = None
+        self._param_shardings = None
         # jit-cache-miss sanitizer (SURVEY.md §5.2 build note)
         self.num_compilations = 0
         self._compiled_keys: set[tuple] = set()
@@ -256,6 +259,73 @@ class TPUModelRunner:
         self.kv_caches = jax.jit(
             lambda: jnp.zeros(shape, dtype=mc.jax_dtype),
             out_shardings=self._kv_sharding)()
+
+    # ------------------------------------------------------------------
+    # sleep / wake / weight reload (reference: CuMem sleep mode
+    # gpu_worker.py:98-135, reload_weights :218, save_sharded_state
+    # core.py:402-411 — TPU-native: host-offload the param pytree and
+    # free the device arrays; XLA reallocates on wake)
+    # ------------------------------------------------------------------
+
+    def sleep(self, level: int = 1) -> None:
+        """Offload weights to host RAM and free device HBM (used for
+        RLHF-style weight swaps). Level 2 also drops the KV cache."""
+        if self.params is None:
+            return
+        self._host_params = jax.tree.map(
+            lambda a: np.asarray(a) if isinstance(a, jax.Array) else a,
+            self.params)
+        self._param_shardings = jax.tree.map(
+            lambda a: a.sharding if isinstance(a, jax.Array) else None,
+            self.params)
+        for leaf in jax.tree.leaves(self.params):
+            if isinstance(leaf, jax.Array):
+                leaf.delete()
+        self.params = None
+        if level >= 2 and self.kv_caches is not None:
+            self.kv_caches.delete()
+            self.kv_caches = None
+        self._get_step_fn.cache_clear()
+
+    def wake_up(self) -> None:
+        assert self._host_params is not None, "not sleeping"
+        self.params = jax.tree.map(
+            lambda host, sh: jax.device_put(host, sh)
+            if sh is not None else host,
+            self._host_params, self._param_shardings)
+        self._host_params = None
+        if self.kv_caches is None and self.num_pages:
+            self.initialize_kv_cache(self.num_pages)
+
+    def reload_weights(self) -> None:
+        """Re-read the checkpoint in place (post weight-update swap)."""
+        old = self.params
+        self.params = None
+        if old is not None:
+            for leaf in jax.tree.leaves(old):
+                if isinstance(leaf, jax.Array):
+                    leaf.delete()
+        self.load_model()
+        self._get_step_fn.cache_clear()
+
+    def save_sharded_state(self, path: str) -> None:
+        """Persist the (host-gathered) param pytree as safetensors for
+        fast reload (reference: save_sharded_state gpu_worker.py:665)."""
+        import os
+
+        from safetensors.numpy import save_file
+
+        os.makedirs(path, exist_ok=True)
+        flat = {}
+        leaves, treedef = jax.tree.flatten_with_path(self.params)
+        for path_elems, leaf in leaves:
+            if not isinstance(leaf, jax.Array):
+                continue
+            name = ".".join(
+                str(getattr(p, "key", getattr(p, "idx", p)))
+                for p in path_elems)
+            flat[name] = np.asarray(leaf)
+        save_file(flat, os.path.join(path, "model.safetensors"))
 
     # ------------------------------------------------------------------
     # persistent-batch sync (reference: _update_states
