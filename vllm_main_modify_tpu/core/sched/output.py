@@ -82,6 +82,11 @@ class SchedulerOutput:
     grammar_bitmask: Optional[np.ndarray] = None
     structured_output_request_ids: dict[str, int] = field(
         default_factory=dict)
+    # host-RAM KV offload ops (kv_offload/manager.py):
+    # save = snapshot these device blocks to host before the step;
+    # load = restore host data into these freshly allocated blocks
+    kv_save_blocks: list = field(default_factory=list)  # (hash, id)
+    kv_load_blocks: list = field(default_factory=list)  # (hash, id)
 
     @property
     def num_scheduled_reqs(self) -> int:

@@ -48,6 +48,7 @@ class Scheduler:
         num_kv_blocks: int,
         structured_output_manager=None,
         kv_event_callback=None,
+        offload_index=None,
     ) -> None:
         sched_cfg = config.scheduler_config
         cache_cfg = config.cache_config
@@ -62,12 +63,18 @@ class Scheduler:
         self.policy = sched_cfg.policy
         self.block_size = cache_cfg.block_size
 
+        # host-RAM KV offload: evicted device blocks snapshot to host
+        # and extend future prefix-cache hits (kv_offload/manager.py)
+        self.offload_index = offload_index
+        self._step_kv_saves: list = []
+        self._ext_event_callback = kv_event_callback
+
         self.kv_cache_manager = KVCacheManager(
             block_size=cache_cfg.block_size,
             num_blocks=num_kv_blocks,
             max_model_len=sched_cfg.max_model_len,
             enable_caching=cache_cfg.enable_prefix_caching,
-            event_callback=kv_event_callback,
+            event_callback=self._on_kv_event,
         )
         self.structured_output_manager = structured_output_manager
 
@@ -84,6 +91,14 @@ class Scheduler:
     # ------------------------------------------------------------------
     # request lifecycle
     # ------------------------------------------------------------------
+
+    def _on_kv_event(self, kind: str, block_id: int,
+                     block_hash) -> None:
+        if kind == "block_removed" and self.offload_index is not None:
+            self.offload_index.add(block_hash)
+            self._step_kv_saves.append((block_hash, block_id))
+        if self._ext_event_callback is not None:
+            self._ext_event_callback(kind, block_id, block_hash)
 
     def add_request(self, request: Request) -> None:
         self.requests[request.request_id] = request
@@ -192,6 +207,7 @@ class Scheduler:
             req_index += 1
 
         # ---- pass 2: waiting requests ---------------------------------
+        self._step_kv_loads: list = []
         skipped: list[Request] = []
         if not preempted_this_step:
             while self.waiting and token_budget > 0:
@@ -210,11 +226,29 @@ class Scheduler:
                 # prefix-cache lookup only on first-ever scheduling
                 new_computed_blocks = KVCacheBlocks()
                 num_new_local_computed = 0
+                restore_hashes: list = []
                 if request.num_computed_tokens == 0:
                     new_computed_blocks, num_new_local_computed = (
                         self.kv_cache_manager.get_computed_blocks(request))
+                    # extend the device hit with host-offloaded blocks
+                    if self.offload_index is not None:
+                        start = len(new_computed_blocks.blocks)
+                        hashes = request.block_hashes
+                        while (start + len(restore_hashes) <
+                               len(hashes)
+                               and (start + len(restore_hashes) + 1) *
+                               self.block_size <
+                               request.num_prompt_tokens
+                               and self.offload_index.has(
+                                   hashes[start + len(restore_hashes)])):
+                            h = hashes[start + len(restore_hashes)]
+                            self.offload_index.touch(h)
+                            restore_hashes.append(h)
+                num_restored_tokens = (len(restore_hashes) *
+                                       self.block_size)
                 num_computed_tokens = (request.num_computed_tokens +
-                                       num_new_local_computed)
+                                       num_new_local_computed +
+                                       num_restored_tokens)
 
                 num_new_tokens = request.num_tokens - num_computed_tokens
                 if (0 < self.long_prefill_token_threshold <
@@ -229,11 +263,18 @@ class Scheduler:
                 new_blocks = self.kv_cache_manager.allocate_slots(
                     request,
                     num_new_tokens,
-                    num_new_computed_tokens=num_new_local_computed,
+                    num_new_computed_tokens=(num_new_local_computed +
+                                             num_restored_tokens),
                     new_computed_blocks=new_computed_blocks,
                     num_lookahead_tokens=self.num_lookahead_tokens)
                 if new_blocks is None:
                     break  # out of pages
+                if restore_hashes:
+                    # the restored blocks are the first new allocations
+                    ids = new_blocks.get_block_ids()
+                    self._step_kv_loads.extend(
+                        zip(restore_hashes,
+                            ids[:len(restore_hashes)]))
 
                 self.waiting.pop_request()
                 if request.status == RequestStatus.PREEMPTED:
@@ -296,7 +337,11 @@ class Scheduler:
             finished_req_ids=self.finished_req_ids,
             grammar_bitmask=grammar_bitmask,
             structured_output_request_ids=structured_output_request_ids,
+            kv_save_blocks=self._step_kv_saves,
+            kv_load_blocks=self._step_kv_loads,
         )
+        self._step_kv_saves = []
+        self._step_kv_loads = []
         self._update_after_schedule(scheduler_output)
         return scheduler_output
 

@@ -60,10 +60,23 @@ class EngineCore:
         logger.info("KV cache: %d pages x %d tokens", num_pages,
                     config.cache_config.block_size)
 
+        offload_index = None
+        swap_gb = config.cache_config.swap_space_gb
+        if swap_gb > 0 and config.cache_config.enable_prefix_caching:
+            from vllm_main_modify_tpu.kv_offload.manager import \
+                KVOffloadIndex
+
+            cap = int(swap_gb * (1 << 30) //
+                      self.model_runner.page_bytes())
+            offload_index = KVOffloadIndex(cap)
+            self.model_runner.init_kv_offload(cap)
+            logger.info("KV offload: %d host blocks", cap)
+
         self.structured_output_manager = structured_output_manager
         self.scheduler = create_scheduler(
             config, num_kv_blocks=num_pages,
-            structured_output_manager=structured_output_manager)
+            structured_output_manager=structured_output_manager,
+            offload_index=offload_index)
         self.async_scheduling = config.scheduler_config.async_scheduling
         # async mode: FIFO of (scheduler_output, AsyncStepHandle) in
         # flight; depth 2 hides both the dispatch latency and the

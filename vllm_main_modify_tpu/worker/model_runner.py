@@ -96,6 +96,8 @@ class TPUModelRunner:
         # sleep/wake state
         self._host_params = None
         self._param_shardings = None
+        # host-RAM KV offload store (kv_offload/manager.py)
+        self.kv_offload_store = None
         # jit-cache-miss sanitizer (SURVEY.md §5.2 build note)
         self.num_compilations = 0
         self._compiled_keys: set[tuple] = set()
@@ -259,6 +261,41 @@ class TPUModelRunner:
         self.kv_caches = jax.jit(
             lambda: jnp.zeros(shape, dtype=mc.jax_dtype),
             out_shardings=self._kv_sharding)()
+
+    def init_kv_offload(self, capacity_blocks: int) -> None:
+        from vllm_main_modify_tpu.kv_offload.manager import \
+            KVOffloadStore
+
+        self.kv_offload_store = KVOffloadStore(capacity_blocks)
+
+    def _process_kv_offload_ops(self,
+                                scheduler_output: SchedulerOutput
+                                ) -> None:
+        """Snapshot evicted blocks to host / restore offload hits into
+        fresh blocks, BEFORE the step that reuses or reads them (device
+        ordering makes the gather consistent with in-flight steps)."""
+        store = self.kv_offload_store
+        if store is None:
+            return
+        saves = scheduler_output.kv_save_blocks
+        if saves:
+            ids = jnp.asarray([bid for _, bid in saves],
+                              dtype=jnp.int32)
+            data = np.asarray(self.kv_caches[:, ids])  # [L, n, pg, W]
+            for i, (h, _) in enumerate(saves):
+                store.put(h, data[:, i])
+        loads = scheduler_output.kv_load_blocks
+        if loads:
+            datas = []
+            for h, _ in loads:
+                d = store.get(h)
+                assert d is not None, "offload index/store divergence"
+                datas.append(d)
+            ids = jnp.asarray([bid for _, bid in loads],
+                              dtype=jnp.int32)
+            arr = jnp.asarray(np.stack(datas, axis=1),
+                              dtype=self.kv_caches.dtype)
+            self.kv_caches = _kv_restore(self.kv_caches, ids, arr)
 
     # ------------------------------------------------------------------
     # sleep / wake / weight reload (reference: CuMem sleep mode
@@ -708,6 +745,7 @@ class TPUModelRunner:
     def execute_model(
             self, scheduler_output: SchedulerOutput) -> ModelRunnerOutput:
         self._update_states(scheduler_output)
+        self._process_kv_offload_ops(scheduler_output)
         if scheduler_output.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput(req_ids=[], req_id_to_index={},
                                      sampled_token_ids=[])
@@ -847,6 +885,7 @@ class TPUModelRunner:
         tokens stay on device and feed the next step's inputs; the
         returned handle materializes them one step later."""
         self._update_states(scheduler_output)
+        self._process_kv_offload_ops(scheduler_output)
         if scheduler_output.total_num_scheduled_tokens == 0:
             return None
 
@@ -1005,3 +1044,9 @@ class AsyncStepHandle:
             sampled_token_ids=sampled_token_ids,
             logprobs=logprobs_lists,
         )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, ))
+def _kv_restore(kv_caches, block_ids, data):
+    """In-place restore of offloaded pages: kv[:, ids] = data."""
+    return kv_caches.at[:, block_ids].set(data)
