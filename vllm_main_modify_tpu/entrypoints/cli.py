@@ -69,7 +69,9 @@ def cmd_serve(args) -> None:
     engine = AsyncLLM(config)
     asyncio.run(
         run_server(engine, host=args.host, port=args.port,
-                   served_model_name=args.served_model_name))
+                   served_model_name=args.served_model_name,
+                   tool_call_parser=args.tool_call_parser,
+                   reasoning_parser=args.reasoning_parser))
 
 
 def _build_llm(args):
@@ -138,6 +140,8 @@ def main(argv=None) -> None:
     _add_engine_args(serve)
     serve.add_argument("--host", default="0.0.0.0")
     serve.add_argument("--port", type=int, default=8000)
+    serve.add_argument("--tool-call-parser", default=None)
+    serve.add_argument("--reasoning-parser", default=None)
     serve.set_defaults(func=cmd_serve)
 
     bench = sub.add_parser("bench", help="benchmarks")

@@ -44,12 +44,27 @@ def error_json(status: int, message: str, etype: str = "BadRequestError"):
 
 class OpenAIServer:
 
-    def __init__(self, engine: AsyncLLM, served_model_name: str) -> None:
+    def __init__(self, engine: AsyncLLM, served_model_name: str,
+                 tool_call_parser: Optional[str] = None,
+                 reasoning_parser: Optional[str] = None) -> None:
         self.engine = engine
         self.model_name = served_model_name
         self.tokenizer = engine.tokenizer
         self.max_model_len = engine.config.model_config.max_model_len
         self.metrics = PrometheusMetrics(engine)
+        self.tool_parser = None
+        if tool_call_parser:
+            from vllm_main_modify_tpu.entrypoints.openai.tool_parsers \
+                import get_tool_parser
+
+            self.tool_parser = get_tool_parser(tool_call_parser)
+        self.reasoning_parser = None
+        if reasoning_parser:
+            from vllm_main_modify_tpu.reasoning import \
+                get_reasoning_parser
+
+            self.reasoning_parser = get_reasoning_parser(
+                reasoning_parser)
 
     # ------------------------------------------------------------------
 
@@ -342,13 +357,32 @@ class OpenAIServer:
         except EngineDeadError as e:
             return error_json(500, str(e), "InternalServerError")
         co = final.outputs[0]
+        content = co.text
+        finish_reason = co.finish_reason
+        reasoning_content = None
+        tool_calls = None
+        if self.reasoning_parser is not None:
+            ro = self.reasoning_parser.extract(content)
+            reasoning_content = ro.reasoning_content
+            content = ro.content or ""
+        if self.tool_parser is not None and body.tools:
+            extracted = self.tool_parser.extract(content)
+            if extracted.tools_called:
+                tool_calls = [c.to_openai()
+                              for c in extracted.tool_calls]
+                content = extracted.content
+                finish_reason = "tool_calls"
+        message = ChatMessage(role="assistant", content=content,
+                              tool_calls=tool_calls)
+        if reasoning_content is not None:
+            message.reasoning_content = reasoning_content
         resp = ChatCompletionResponse(
             id=request_id, model=body.model or self.model_name,
             choices=[
                 ChatCompletionChoice(
                     index=0,
-                    message=ChatMessage(role="assistant", content=co.text),
-                    finish_reason=co.finish_reason,
+                    message=message,
+                    finish_reason=finish_reason,
                     logprobs=self._fmt_chat_logprobs(co))
             ],
             usage=UsageInfo(
@@ -435,9 +469,13 @@ class OpenAIServer:
 
 async def run_server(engine: AsyncLLM, host: str = "0.0.0.0",
                      port: int = 8000,
-                     served_model_name: Optional[str] = None) -> None:
+                     served_model_name: Optional[str] = None,
+                     tool_call_parser: Optional[str] = None,
+                     reasoning_parser: Optional[str] = None) -> None:
     server = OpenAIServer(
-        engine, served_model_name or engine.config.model_config.model)
+        engine, served_model_name or engine.config.model_config.model,
+        tool_call_parser=tool_call_parser,
+        reasoning_parser=reasoning_parser)
     app = server.build_app()
     runner = web.AppRunner(app)
     await runner.setup()
