@@ -75,6 +75,19 @@ class Processor:
                     import spec_to_regex
 
                 spec_to_regex(sampling_params.structured_outputs)
+            if sampling_params.bad_words and self.tokenizer is not None:
+                # tokenize bad words (both with and without a leading
+                # space — reference: vllm/v1/sample/ops/bad_words.py)
+                seqs = []
+                for w in sampling_params.bad_words:
+                    for variant in (w, " " + w):
+                        ids = self.tokenizer.encode(
+                            variant, add_special_tokens=False)
+                        if ids and ids not in seqs:
+                            seqs.append(ids)
+                extra = dict(sampling_params.extra_args or {})
+                extra["bad_words_token_ids"] = seqs
+                sampling_params.extra_args = extra
 
         return EngineCoreRequest(
             request_id=request_id,

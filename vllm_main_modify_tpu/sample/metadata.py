@@ -39,3 +39,16 @@ class SamplingMetadata(NamedTuple):
     # number of top logprobs to return; 0 = none. Static (bucketed by
     # the runner to limit recompiles).
     max_num_logprobs: int = 0
+    # ---- penalties (None unless a scheduled request uses them) -----
+    # presence/frequency/repetition per row [R] f32
+    presence_penalties: Optional[jax.Array] = None
+    frequency_penalties: Optional[jax.Array] = None
+    repetition_penalties: Optional[jax.Array] = None
+    # token history [R, Lmax] (-1 padded) + prompt boundary [R]
+    token_history: Optional[jax.Array] = None
+    num_prompt_tokens: Optional[jax.Array] = None
+    need_penalties: bool = False
+    # ---- additive logit bias: (token_id, bias) pairs, id -1 = pad --
+    bias_token_ids: Optional[jax.Array] = None  # [R, B]
+    bias_values: Optional[jax.Array] = None  # [R, B] f32
+    need_logit_bias: bool = False

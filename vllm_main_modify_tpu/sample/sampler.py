@@ -61,6 +61,51 @@ def apply_top_k_top_p(logits: jax.Array, top_k: jax.Array,
     return jnp.where(logits >= cutoff, logits, _NEG_INF)
 
 
+def apply_penalties(logits: jax.Array,
+                    meta: SamplingMetadata) -> jax.Array:
+    """Presence/frequency penalties over OUTPUT tokens, repetition
+    penalty over prompt+output (reference semantics:
+    vllm/v1/sample/ops/penalties.py + csrc/sampler.cu
+    apply_repetition_penalties)."""
+    r, vocab = logits.shape
+    hist = meta.token_history  # [R, L]
+    length = hist.shape[1]
+    rows = jnp.repeat(jnp.arange(r, dtype=jnp.int32), length)
+    toks = hist.reshape(-1)
+    pos = jnp.tile(jnp.arange(length, dtype=jnp.int32), r)
+    valid = toks >= 0
+    is_output = pos >= jnp.repeat(meta.num_prompt_tokens, length)
+    safe = jnp.where(valid, toks, 0)
+
+    out_counts = jnp.zeros((r, vocab), jnp.float32).at[
+        rows, safe].add((valid & is_output).astype(jnp.float32))
+    seen_any = jnp.zeros((r, vocab), jnp.float32).at[
+        rows, safe].add(valid.astype(jnp.float32))
+
+    rep = meta.repetition_penalties[:, None]
+    seen = seen_any > 0
+    logits = jnp.where(seen & (logits > 0), logits / rep,
+                       jnp.where(seen, logits * rep, logits))
+    logits = logits - meta.frequency_penalties[:, None] * out_counts
+    logits = logits - meta.presence_penalties[:, None] *         (out_counts > 0).astype(jnp.float32)
+    return logits
+
+
+def apply_logit_bias(logits: jax.Array,
+                     meta: SamplingMetadata) -> jax.Array:
+    """Sparse additive bias (OpenAI logit_bias semantics)."""
+    r = logits.shape[0]
+    ids = meta.bias_token_ids  # [R, B]
+    vals = meta.bias_values
+    b = ids.shape[1]
+    rows = jnp.repeat(jnp.arange(r, dtype=jnp.int32), b)
+    flat_ids = ids.reshape(-1)
+    valid = flat_ids >= 0
+    safe = jnp.where(valid, flat_ids, 0)
+    add = jnp.where(valid, vals.reshape(-1), 0.0)
+    return logits.at[rows, safe].add(add)
+
+
 def apply_min_p(logits: jax.Array, min_p: jax.Array) -> jax.Array:
     """Drop tokens with prob < min_p * max_prob (reference:
     vllm/v1/sample/tpu/sampler.py ``apply_min_p``)."""
@@ -98,6 +143,11 @@ def sample(
     # ---- logprobs from *raw* logits (reference: sampler.py computes
     # raw logprobs before processors) --------------------------------
     k_lp = meta.max_num_logprobs
+
+    if meta.need_penalties:
+        logits = apply_penalties(logits, meta)
+    if meta.need_logit_bias:
+        logits = apply_logit_bias(logits, meta)
 
     if meta.all_greedy:
         sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)

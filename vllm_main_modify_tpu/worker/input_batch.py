@@ -74,12 +74,26 @@ class InputBatch:
         self.num_logprobs = np.zeros(max_num_reqs, dtype=np.int32)
         # multi-LoRA: adapter slot per request (0 = none)
         self.lora_slots = np.zeros(max_num_reqs, dtype=np.int32)
+        # penalties (reference: vllm/v1/sample/ops/penalties.py)
+        self.presence_penalties = np.zeros(max_num_reqs,
+                                           dtype=np.float32)
+        self.frequency_penalties = np.zeros(max_num_reqs,
+                                            dtype=np.float32)
+        self.repetition_penalties = np.ones(max_num_reqs,
+                                            dtype=np.float32)
+        # sparse extras, host objects per row
+        self.logit_bias: list = [None] * max_num_reqs
+        self.allowed_token_ids: list = [None] * max_num_reqs
+        self.bad_words_ids: list = [None] * max_num_reqs
 
         self.greedy_reqs: set[str] = set()
         self.random_reqs: set[str] = set()
         self.top_k_reqs: set[str] = set()
         self.top_p_reqs: set[str] = set()
         self.min_p_reqs: set[str] = set()
+        self.penalty_reqs: set[str] = set()
+        self.logit_bias_reqs: set[str] = set()
+        self.word_mask_reqs: set[str] = set()  # allowed/bad words
 
     # ------------------------------------------------------------------
 
@@ -141,6 +155,28 @@ class InputBatch:
                                      hash(req_id)) & 0xFFFFFFFF)
         self.num_logprobs[row] = sp.logprobs or 0
         self.lora_slots[row] = 0  # runner sets the slot when enabled
+
+        self.presence_penalties[row] = sp.presence_penalty or 0.0
+        self.frequency_penalties[row] = sp.frequency_penalty or 0.0
+        self.repetition_penalties[row] = sp.repetition_penalty or 1.0
+        if (self.presence_penalties[row] != 0.0
+                or self.frequency_penalties[row] != 0.0
+                or self.repetition_penalties[row] != 1.0):
+            self.penalty_reqs.add(req_id)
+        else:
+            self.penalty_reqs.discard(req_id)
+        self.logit_bias[row] = sp.logit_bias or None
+        if sp.logit_bias:
+            self.logit_bias_reqs.add(req_id)
+        else:
+            self.logit_bias_reqs.discard(req_id)
+        self.allowed_token_ids[row] = sp.allowed_token_ids or None
+        bad = (sp.extra_args or {}).get("bad_words_token_ids")
+        self.bad_words_ids[row] = bad or None
+        if sp.allowed_token_ids or bad:
+            self.word_mask_reqs.add(req_id)
+        else:
+            self.word_mask_reqs.discard(req_id)
         return row
 
     def remove_request(self, req_id: str) -> Optional[int]:
@@ -149,7 +185,8 @@ class InputBatch:
             return None
         self.req_ids[row] = None
         for s in (self.greedy_reqs, self.random_reqs, self.top_k_reqs,
-                  self.top_p_reqs, self.min_p_reqs):
+                  self.top_p_reqs, self.min_p_reqs, self.penalty_reqs,
+                  self.logit_bias_reqs, self.word_mask_reqs):
             s.discard(req_id)
         return row
 
@@ -179,8 +216,14 @@ class InputBatch:
                         self.num_computed_tokens, self.num_blocks,
                         self.temperature, self.top_k, self.top_p,
                         self.min_p, self.seeds, self.num_logprobs,
-                        self.lora_slots):
+                        self.lora_slots, self.presence_penalties,
+                        self.frequency_penalties,
+                        self.repetition_penalties):
                 arr[dst] = arr[src]
+            for lst in (self.logit_bias, self.allowed_token_ids,
+                        self.bad_words_ids):
+                lst[dst] = lst[src]
+                lst[src] = None
             last -= 1
 
     def append_block_ids(self, row: int, new_block_ids: list[int],

@@ -446,8 +446,11 @@ class TPUModelRunner:
         page = self.page_size
         s_pad = t_pad // page + r_pad + 1
         mp = self.max_blocks_per_req
+        has_penalties = bool(batch.penalty_reqs)
+        has_bias = bool(batch.logit_bias_reqs)
 
-        layout = self._packed_layout(t_pad, r_pad, s_pad)
+        layout = self._packed_layout(t_pad, r_pad, s_pad,
+                                     has_penalties, has_bias)
         packed = np.zeros(layout["total"], dtype=np.int32)
 
         def seg(name):
@@ -560,24 +563,99 @@ class TPUModelRunner:
         seg("seeds").view(np.uint32)[:n] = batch.seeds[:n]
         seg("sample_pos")[:n] = batch.num_tokens[:n]
 
-        apply_grammar = scheduler_output.grammar_bitmask is not None
+        apply_grammar = (scheduler_output.grammar_bitmask is not None
+                         or bool(batch.word_mask_reqs))
         if apply_grammar:
-            bm = scheduler_output.grammar_bitmask
             words = seg("grammar_words").reshape(r_pad, self.num_words)
             words[:] = -1
-            for req_id, row_i in (
-                    scheduler_output.structured_output_request_ids
-                    .items()):
-                batch_row = batch.req_id_to_index.get(req_id)
-                if batch_row is not None and batch_row < r_pad:
-                    words[batch_row] = bm[row_i]
+            bm = scheduler_output.grammar_bitmask
+            if bm is not None:
+                for req_id, row_i in (
+                        scheduler_output.structured_output_request_ids
+                        .items()):
+                    batch_row = batch.req_id_to_index.get(req_id)
+                    if batch_row is not None and batch_row < r_pad:
+                        words[batch_row] = bm[row_i]
+            # allowed_token_ids / bad_words fold into the same mask
+            for row in range(num_reqs):
+                allowed = batch.allowed_token_ids[row]
+                if allowed is not None:
+                    mask = np.zeros(self.num_words * 32, dtype=bool)
+                    ids = np.asarray(allowed)
+                    mask[ids[ids < self.num_words * 32]] = True
+                    # bit j of word w = token w*32+j (TokenIndex
+                    # pack_bitmask convention)
+                    packed_mask = (
+                        mask.reshape(-1, 32).astype(np.uint64) *
+                        (1 << np.arange(32, dtype=np.uint64))
+                    ).sum(axis=1).astype(np.uint32).view(np.int32)
+                    words[row] &= packed_mask
+                banned = self._banned_next_tokens(row)
+                for tok in banned:
+                    if tok < self.num_words * 32:
+                        words[row, tok // 32] &= ~np.int32(
+                            1 << (tok % 32))
+
+        if has_penalties:
+            pp = seg("pen_params").view(np.float32).reshape(3, r_pad)
+            pp[0, :num_reqs] = batch.presence_penalties[:num_reqs]
+            pp[1, :num_reqs] = batch.frequency_penalties[:num_reqs]
+            pp[2, :] = 1.0
+            pp[2, :num_reqs] = batch.repetition_penalties[:num_reqs]
+            hist = seg("pen_history").reshape(r_pad,
+                                              self.max_model_len)
+            hist[:] = -1
+            for row in range(num_reqs):
+                n = batch.num_tokens[row]
+                hist[row, :n] = batch.token_ids[row, :n]
+            seg("pen_num_prompt")[:num_reqs] = \
+                batch.num_prompt_tokens[:num_reqs]
+
+        if has_bias:
+            bias_ids = seg("bias_ids").reshape(r_pad, self.BIAS_MAX)
+            bias_ids[:] = -1
+            bias_vals = seg("bias_vals").view(np.float32).reshape(
+                r_pad, self.BIAS_MAX)
+            for row in range(num_reqs):
+                lb = batch.logit_bias[row]
+                if not lb:
+                    continue
+                for j, (tid, val) in enumerate(
+                        list(lb.items())[:self.BIAS_MAX]):
+                    bias_ids[row, j] = tid
+                    bias_vals[row, j] = val
 
         return (packed, sample_rows, t_pad, r_pad, s_pad,
-                apply_grammar, spec_counts, proposed)
+                apply_grammar, spec_counts, proposed, has_penalties,
+                has_bias)
+
+    def _banned_next_tokens(self, row: int) -> list[int]:
+        """bad_words: last tokens banned when the preceding history
+        matches the word's prefix (reference:
+        vllm/v1/sample/ops/bad_words.py)."""
+        batch = self.input_batch
+        bad = batch.bad_words_ids[row]
+        if not bad:
+            return []
+        n = int(batch.num_tokens[row])
+        history = batch.token_ids[row, :n]
+        banned = []
+        for word in bad:
+            if len(word) == 1:
+                banned.append(word[0])
+                continue
+            prefix = word[:-1]
+            if n >= len(prefix) and list(
+                    history[n - len(prefix):]) == list(prefix):
+                banned.append(word[-1])
+        return banned
+
+    BIAS_MAX = 64  # logit_bias entries per request (clamped)
 
     @functools.lru_cache(maxsize=None)
-    def _packed_layout(self, t_pad: int, r_pad: int,
-                       s_pad: int) -> dict:
+    def _packed_layout(self, t_pad: int, r_pad: int, s_pad: int,
+                       has_penalties: bool = False,
+                       has_bias: bool = False) -> dict:
         """Static segment offsets of the packed step buffer."""
         mp = self.max_blocks_per_req
         sizes = [
@@ -605,6 +683,14 @@ class TPUModelRunner:
             ("prev2_gather", r_pad),
             ("lora_slots", t_pad if self.enable_lora else 0),
             ("grammar_words", r_pad * self.num_words),
+            # penalties: per-row params + full token history
+            ("pen_params", 3 * r_pad if has_penalties else 0),
+            ("pen_history",
+             r_pad * self.max_model_len if has_penalties else 0),
+            ("pen_num_prompt", r_pad if has_penalties else 0),
+            # sparse logit bias (token id, f32 bias) pairs
+            ("bias_ids", r_pad * self.BIAS_MAX if has_bias else 0),
+            ("bias_vals", r_pad * self.BIAS_MAX if has_bias else 0),
         ]
         layout = {}
         off = 0
@@ -637,7 +723,9 @@ class TPUModelRunner:
                      need_min_p: bool, max_num_logprobs: int,
                      apply_grammar: bool, has_prev: bool = False,
                      return_hidden: bool = False,
-                     has_prev2: bool = False):
+                     has_prev2: bool = False,
+                     has_penalties: bool = False,
+                     has_bias: bool = False):
         """One compiled executable per (bucket, sampler-static)
         combination. The step consumes ONE packed int32 buffer (see
         _prepare_inputs) and unpacks with static slices on device."""
@@ -646,8 +734,11 @@ class TPUModelRunner:
         base_seed = self.config.model_config.seed
         page = self.page_size
         s_pad = t_pad // page + r_pad + 1
-        layout = self._packed_layout(t_pad, r_pad, s_pad)
+        layout = self._packed_layout(t_pad, r_pad, s_pad,
+                                     has_penalties, has_bias)
         mp = self.max_blocks_per_req
+        max_model_len = self.max_model_len
+        bias_max = self.BIAS_MAX
         num_words = self.num_words
         nsp = self.num_sample_positions
         enable_lora = self.enable_lora
@@ -716,6 +807,30 @@ class TPUModelRunner:
                     allowed = jnp.repeat(allowed, nsp, axis=0)
                 logits = jnp.where(allowed.astype(bool), logits,
                                    jnp.float32(-jnp.inf))
+            pen_kwargs = {}
+            if has_penalties:
+                pp = seg_f32("pen_params").reshape(3, r_pad)
+                pen_kwargs = dict(
+                    presence_penalties=rep(pp[0]),
+                    frequency_penalties=rep(pp[1]),
+                    repetition_penalties=rep(pp[2]),
+                    token_history=(jnp.repeat(
+                        seg("pen_history").reshape(
+                            r_pad, max_model_len), nsp, axis=0)
+                                   if nsp > 1 else
+                                   seg("pen_history").reshape(
+                                       r_pad, max_model_len)),
+                    num_prompt_tokens=rep(seg("pen_num_prompt")),
+                    need_penalties=True)
+            bias_kwargs = {}
+            if has_bias:
+                bi = seg("bias_ids").reshape(r_pad, bias_max)
+                bv = seg_f32("bias_vals").reshape(r_pad, bias_max)
+                if nsp > 1:
+                    bi = jnp.repeat(bi, nsp, axis=0)
+                    bv = jnp.repeat(bv, nsp, axis=0)
+                bias_kwargs = dict(bias_token_ids=bi, bias_values=bv,
+                                   need_logit_bias=True)
             meta = SamplingMetadata(
                 temperature=rep(seg_f32("temperature")),
                 top_k=rep(seg("top_k")),
@@ -727,7 +842,8 @@ class TPUModelRunner:
                 all_greedy=all_greedy,
                 need_top_k=need_top_k, need_top_p=need_top_p,
                 need_min_p=need_min_p,
-                max_num_logprobs=max_num_logprobs)
+                max_num_logprobs=max_num_logprobs,
+                **pen_kwargs, **bias_kwargs)
             key = jax.random.PRNGKey(base_seed)
             out = sample(logits, meta, key)
             if return_hidden:
@@ -751,7 +867,8 @@ class TPUModelRunner:
                                      sampled_token_ids=[])
 
         (packed, sample_rows, t_pad, r_pad, s_pad, apply_grammar,
-         spec_counts, proposed) = self._prepare_inputs(scheduler_output)
+         spec_counts, proposed, has_penalties,
+         has_bias) = self._prepare_inputs(scheduler_output)
         statics = self._sampling_statics()
         max_num_logprobs = statics[-1]
         pooling_rows = [
@@ -764,9 +881,10 @@ class TPUModelRunner:
 
         step_fn = self._get_step_fn(t_pad, r_pad, *statics,
                                     apply_grammar, False,
-                                    return_hidden)
+                                    return_hidden, False,
+                                    has_penalties, has_bias)
         compile_key = (t_pad, r_pad, *statics, apply_grammar,
-                       return_hidden)
+                       return_hidden, has_penalties, has_bias)
         if compile_key not in self._compiled_keys:
             self._compiled_keys.add(compile_key)
             self.num_compilations += 1
@@ -890,8 +1008,8 @@ class TPUModelRunner:
             return None
 
         (packed, sample_rows, t_pad, r_pad, s_pad, apply_grammar,
-         _spec_counts, _proposed) = self._prepare_inputs(
-             scheduler_output)
+         _spec_counts, _proposed, has_penalties,
+         has_bias) = self._prepare_inputs(scheduler_output)
         statics = self._sampling_statics()
         max_num_logprobs = statics[-1]
         has_prev = self._prev_sampled is not None
@@ -900,9 +1018,9 @@ class TPUModelRunner:
 
         step_fn = self._get_step_fn(t_pad, r_pad, *statics,
                                     apply_grammar, has_prev, False,
-                                    has_prev2)
+                                    has_prev2, has_penalties, has_bias)
         compile_key = (t_pad, r_pad, *statics, apply_grammar, has_prev,
-                       has_prev2,
+                       has_prev2, has_penalties, has_bias,
                        None if not has_prev
                        else self._prev_sampled.shape[0])
         if compile_key not in self._compiled_keys:
