@@ -65,7 +65,7 @@ def test_int4_matmul_close(wx):
 
 def test_int4_pallas_matches_xla_interpret():
     rng = np.random.default_rng(2)
-    k_dim, o_dim, g = 256, 256, 128
+    k_dim, o_dim, g = 512, 1024, 128
     w = jnp.asarray(rng.standard_normal((k_dim, o_dim)) * 0.05,
                     jnp.float32)
     x = jnp.asarray(rng.standard_normal((16, k_dim)), jnp.float32)

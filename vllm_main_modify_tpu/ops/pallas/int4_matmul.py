@@ -5,13 +5,19 @@ Replaces the reference's GPTQ/AWQ/Marlin/Machete CUDA GEMMs
 over the canonical packed layout (quantization/weights.py Int4Weight).
 
 Decode is HBM-bandwidth-bound: streaming 4-bit weights instead of
-bf16 is a 4x traffic cut, which is the whole point — the nibble
-unpack + dequant runs on the VPU while the MXU consumes the previous
-tile (automatic BlockSpec pipelining double-buffers the weight
-stream). Accumulation is f32 in VMEM scratch across K tiles.
+bf16 is a 4x traffic cut — the nibble unpack + dequant runs on the
+VPU while the MXU consumes the previous tile (automatic BlockSpec
+pipelining double-buffers the weight stream). Accumulation is f32 in
+VMEM scratch across K tiles.
 
 Grid: (num_out_tiles, num_k_tiles) — K is the inner (fastest) axis so
 the output tile stays resident while partial products accumulate.
+
+Measured on this environment's tunneled v5e: numerically exact vs the
+XLA oracle; currently VPU-bound on the unpack+dequant (the chip also
+delivers only ~160 GB/s effective HBM through the tunnel, so neither
+path is memory-bound here). Round-2 candidates: W4A8 (int8 MXU
+consumes nibbles directly) and a 2-nibble-per-op unpack.
 """
 
 from __future__ import annotations
@@ -28,18 +34,33 @@ def _int4_kernel(x_ref, packed_ref, scales_ref, zeros_ref, out_ref,
                  acc_ref, *, group_size: int, n_k_tiles: int):
     j = pl.program_id(1)
 
-    # unpack nibbles: [BK, BO/8] int32 → [BK, BO]
+    # unpack nibbles WITHOUT reshapes or repeats (Mosaic lowers
+    # neither lane-dim splits nor element-repeat): the lane-blocked
+    # packing (quantization/weights.py int4_pack) puts nibble j of
+    # word w at column j*128 + w of each 1024-column tile, so an
+    # 8-way lane concat of shifted copies IS the unpack
     packed = packed_ref[...]
     bk, bo8 = packed.shape
-    shifts = jnp.arange(8, dtype=jnp.int32) * 4
-    nib = (packed[:, :, None] >> shifts) & 0xF  # [BK, BO/8, 8]
-    q = nib.reshape(bk, bo8 * 8).astype(jnp.float32)
+    q = jnp.concatenate(
+        [(packed >> (4 * j)) & 0xF for j in range(8)],
+        axis=1).astype(jnp.float32)  # [BK, BO]
 
-    scales = scales_ref[...]  # [BK/g, BO]
-    zeros = zeros_ref[...]
-    deq = (q.reshape(bk // group_size, group_size, bo8 * 8) -
-           zeros[:, None, :]) * scales[:, None, :]
-    deq = deq.reshape(bk, bo8 * 8).astype(x_ref.dtype)
+    # per-row scales/zeros: the scales block is this K tile's groups
+    # (BlockSpec-sliced; the tile is 8-group aligned so the thin axis
+    # is legal). Expand groups → rows with a COMPILE-TIME one-hot
+    # matmul (Mosaic lowers neither sublane element-repeat nor
+    # value dynamic_slice; a constant [BK, BK/g] one-hot GEMM is
+    # cheap and fuses)
+    gpt = bk // group_size
+    row_group = jax.lax.broadcasted_iota(jnp.int32, (bk, gpt),
+                                         0) // group_size
+    have = jax.lax.broadcasted_iota(jnp.int32, (bk, gpt), 1)
+    sel = (row_group == have).astype(jnp.float32)
+    scales_rows = jnp.dot(sel, scales_ref[...],
+                          preferred_element_type=jnp.float32)
+    zeros_rows = jnp.dot(sel, zeros_ref[...],
+                         preferred_element_type=jnp.float32)
+    deq = ((q - zeros_rows) * scales_rows).astype(x_ref.dtype)
 
     partial = jnp.dot(x_ref[...], deq,
                       preferred_element_type=jnp.float32)
@@ -68,6 +89,21 @@ def _pick_tile(dim: int, group: int, cap: int) -> int:
     return best
 
 
+def _pick_k_tile(k: int, g: int, cap: int = 1024) -> int:
+    """K tile must cover a multiple of 8 groups (Mosaic thin-axis
+    rule for the scales block)."""
+    step = 8 * g
+    best = 0
+    t = step
+    while t <= min(k, cap):
+        if k % t == 0:
+            best = t
+        t += step
+    if best == 0 and k % step == 0:
+        best = step
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=["interpret"])
 def int4_matmul_pallas(x: jax.Array, w, interpret: bool = False
                        ) -> jax.Array:
@@ -81,13 +117,14 @@ def int4_matmul_pallas(x: jax.Array, w, interpret: bool = False
     o = packed.shape[-1] * 8
     g = k // scales.shape[-2]
 
-    bk = _pick_tile(k, g, 512)
+    bk = _pick_k_tile(k, g)
     bo = 0
-    for cand in (512, 384, 256, 128):
+    # packed tile width bo/8 must be a multiple of 128 lanes
+    for cand in (1024, 2048, 3072):
         if o % cand == 0:
             bo = cand
             break
-    if bk == 0 or bo == 0 or t % 8 != 0:
+    if bk == 0 or bo == 0 or t % 8 != 0 or (k // g) % (k // bk) != 0:
         return int4_matmul_xla(x, w)
 
     n_k_tiles = k // bk

@@ -49,9 +49,15 @@ def _unpack_cols(packed: np.ndarray,
 
 
 def _pack_cols(q: np.ndarray) -> np.ndarray:
-    """[a, b] nibbles → canonical int32 [a, b/8] (linear order)."""
+    """[a, b] nibbles → canonical int32 [a, b/8] (lane-blocked when
+    b % 1024 == 0 — must match quantization/weights.py int4_pack)."""
     a, b = q.shape
-    qr = q.reshape(a, b // 8, 8).astype(np.uint32)
+    if b % 1024 == 0:
+        qt = q.reshape(a, b // 1024, 8, 128)
+        qt = np.swapaxes(qt, -1, -2)
+        qr = qt.reshape(a, b // 8, 8).astype(np.uint32)
+    else:
+        qr = q.reshape(a, b // 8, 8).astype(np.uint32)
     shifts = (np.arange(8, dtype=np.uint32) * 4).reshape(1, 1, 8)
     return (qr << shifts).sum(axis=2, dtype=np.uint32).astype(np.int32)
 

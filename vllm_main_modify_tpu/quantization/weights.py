@@ -113,11 +113,28 @@ class Int4Weight:
 QuantizedWeight = Union[Int8Weight, Fp8Weight, Int4Weight]
 
 
+INT4_TILE = 1024  # lane-blocked packing tile (see int4_pack)
+
+
+def _int4_blocked(out_dim: int) -> bool:
+    """Blocked layout iff the Pallas kernel can run (o % 1024 == 0);
+    both pack and unpack and the kernel share this predicate."""
+    return out_dim % INT4_TILE == 0
+
+
 def int4_unpack(packed: jax.Array) -> jax.Array:
     """[..., in, out//8] int32 → [..., in, out] int32 nibbles."""
+    o = packed.shape[-1] * 8
     shifts = jnp.arange(8, dtype=jnp.int32) * 4
     nib = (packed[..., :, :, None] >> shifts) & 0xF
-    return nib.reshape(*packed.shape[:-1], packed.shape[-1] * 8)
+    if not _int4_blocked(o):
+        return nib.reshape(*packed.shape[:-1], o)
+    # blocked layout: words grouped 128 per tile; nibble j of word
+    # t*128+w holds column t*1024 + j*128 + w
+    *lead, k, o8 = packed.shape
+    nib = nib.reshape(*lead, k, o8 // 128, 128, 8)
+    nib = jnp.swapaxes(nib, -1, -2)  # [..., tiles, 8, 128]
+    return nib.reshape(*lead, k, o)
 
 
 def dequant_int4(w: Int4Weight, dtype=jnp.bfloat16) -> jax.Array:
@@ -199,9 +216,21 @@ def quantize_int4(w: jax.Array, group_size: int = 128) -> Int4Weight:
 
 
 def int4_pack(q: jax.Array) -> jax.Array:
-    """[..., in, out] int32 nibbles → [..., in, out//8] int32."""
+    """[..., in, out] int32 nibbles → [..., in, out//8] int32.
+
+    Lane-blocked layout when out % 1024 == 0 (the Pallas kernel's
+    tile): within each 1024-column tile, nibble j of word w holds
+    column j*128 + w — so the kernel unpacks with an 8-way lane
+    concat, which Mosaic lowers (lane-expanding reshapes and
+    element-repeat do not). Linear layout otherwise (XLA path only).
+    """
     *lead, k, o = q.shape
-    qr = q.reshape(*lead, k, o // 8, 8).astype(jnp.uint32)
+    if _int4_blocked(o):
+        qt = q.reshape(*lead, k, o // INT4_TILE, 8, 128)
+        qt = jnp.swapaxes(qt, -1, -2)  # [..., tiles, 128, 8]
+        qr = qt.reshape(*lead, k, o // 8, 8).astype(jnp.uint32)
+    else:
+        qr = q.reshape(*lead, k, o // 8, 8).astype(jnp.uint32)
     shifts = jnp.arange(8, dtype=jnp.uint32) * 4
     words = (qr << shifts).sum(axis=-1, dtype=jnp.uint32)
     return words.astype(jnp.int32)
