@@ -51,6 +51,21 @@ def build_checkpoint(tmp_path, arch: str):
             shared_expert_intermediate_size=96,
             decoder_sparse_step=1, norm_topk_prob=False)
         cls = transformers.Qwen2MoeForCausalLM
+    elif arch.startswith("deepseek_v2"):
+        dskw = dict(kw, num_hidden_layers=3, num_key_value_heads=4,
+                    kv_lora_rank=32, q_lora_rank=48,
+                    qk_nope_head_dim=16, qk_rope_head_dim=8,
+                    v_head_dim=16, n_routed_experts=4,
+                    num_experts_per_tok=2, n_shared_experts=1,
+                    moe_intermediate_size=32, first_k_dense_replace=1,
+                    topk_method="greedy", norm_topk_prob=False,
+                    routed_scaling_factor=1.0, aux_loss_alpha=0.0)
+        if arch == "deepseek_v2_group":
+            dskw.update(topk_method="group_limited_greedy", n_group=2,
+                        topk_group=1, routed_scaling_factor=1.5,
+                        q_lora_rank=None)
+        cfg = transformers.DeepseekV2Config(**dskw)
+        cls = transformers.DeepseekV2ForCausalLM
     else:
         raise ValueError(arch)
     torch.manual_seed(0)
@@ -73,8 +88,8 @@ def run_ours(model_dir: str, token_ids: list[int]) -> np.ndarray:
     t = len(token_ids)
     t_pad = 32
     page = 8
-    kv = jnp.zeros((config.num_layers, 8, page,
-                    2 * config.num_kv_heads, config.head_dim),
+    kv_heads, kv_dim, kv_layers = model.kv_cache_spec()
+    kv = jnp.zeros((kv_layers, 8, page, 2 * kv_heads, kv_dim),
                    jnp.float32)
     n_pages = -(-t // page)
     bt = np.zeros((8, 4), np.int32)
@@ -104,7 +119,8 @@ def run_hf(hf_model, token_ids: list[int]) -> np.ndarray:
     return out[0].float().numpy()
 
 
-ARCHS = ["qwen2", "qwen3", "gemma", "gemma2", "mixtral", "qwen2_moe"]
+ARCHS = ["qwen2", "qwen3", "gemma", "gemma2", "mixtral", "qwen2_moe",
+         "deepseek_v2", "deepseek_v2_group"]
 
 
 @pytest.mark.parametrize("arch", ARCHS)

@@ -17,6 +17,26 @@ import jax
 import jax.numpy as jnp
 
 
+def group_limited_topk(
+    probs: jax.Array,  # [T, E] f32
+    top_k: int,
+    n_group: int,
+    topk_group: int,
+) -> tuple[jax.Array, jax.Array]:
+    """DeepSeek group-limited greedy routing (reference:
+    fused_moe grouped_topk / HF DeepseekV2MoEGate
+    topk_method='group_limited_greedy'): experts partition into
+    ``n_group`` groups; only the ``topk_group`` groups with the
+    highest per-group max score are eligible for the final top-k."""
+    t, num_experts = probs.shape
+    group_scores = probs.reshape(t, n_group, -1).max(axis=-1)
+    _, group_idx = jax.lax.top_k(group_scores, topk_group)
+    group_mask = jnp.sum(jax.nn.one_hot(group_idx, n_group,
+                                        dtype=probs.dtype), axis=1)
+    mask = jnp.repeat(group_mask, num_experts // n_group, axis=-1)
+    return jax.lax.top_k(probs * mask, top_k)
+
+
 def moe_ffn(
     x: jax.Array,  # [T, H]
     router_weight: jax.Array,  # [H, E]
@@ -26,6 +46,8 @@ def moe_ffn(
     top_k: int,
     act_fn: Callable,
     renormalize: bool = True,
+    n_group: int = 0,
+    topk_group: int = 0,
 ) -> jax.Array:
     """Top-k routed expert FFN (SwiGLU experts)."""
     t, hidden = x.shape
@@ -34,7 +56,11 @@ def moe_ffn(
     router_logits = (x.astype(jnp.float32) @
                      router_weight.astype(jnp.float32))  # [T, E]
     probs = jax.nn.softmax(router_logits, axis=-1)
-    weights, experts = jax.lax.top_k(probs, top_k)  # [T, k]
+    if n_group > 1:
+        weights, experts = group_limited_topk(probs, top_k, n_group,
+                                              topk_group)
+    else:
+        weights, experts = jax.lax.top_k(probs, top_k)  # [T, k]
     if renormalize:
         weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
 
@@ -61,12 +87,18 @@ def moe_ffn(
 
 def moe_ffn_dense_reference(x, router_weight, w_gate, w_up, w_down,
                             top_k, act_fn,
-                            renormalize: bool = True) -> jax.Array:
+                            renormalize: bool = True,
+                            n_group: int = 0,
+                            topk_group: int = 0) -> jax.Array:
     """O(T*E) oracle: run every expert on every token, mask-combine."""
     router_logits = (x.astype(jnp.float32) @
                      router_weight.astype(jnp.float32))
     probs = jax.nn.softmax(router_logits, axis=-1)
-    weights, experts = jax.lax.top_k(probs, top_k)
+    if n_group > 1:
+        weights, experts = group_limited_topk(probs, top_k, n_group,
+                                              topk_group)
+    else:
+        weights, experts = jax.lax.top_k(probs, top_k)
     if renormalize:
         weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
     num_experts = router_weight.shape[1]

@@ -31,10 +31,47 @@ def compute_inv_freq(head_dim: int, rope_theta: float,
             inv_freq = _llama3_scale(inv_freq, rope_scaling)
         elif rtype == "linear":
             inv_freq = inv_freq / rope_scaling["factor"]
+        elif rtype == "yarn":
+            inv_freq = _yarn_scale(inv_freq, head_dim, rope_theta,
+                                   rope_scaling)
         elif rtype in ("default", "", None):
             pass
-        # yarn/dynamic/mrope: added with the model families that use them
+        # dynamic/mrope: added with the model families that use them
     return inv_freq.astype(np.float32)
+
+
+def yarn_get_mscale(scale: float, mscale: float = 1.0) -> float:
+    """Attention-magnitude correction for yarn-extended context
+    (reference: rotary_embedding/yarn.py yarn_get_mscale)."""
+    if scale <= 1.0:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
+
+
+def _yarn_scale(inv_freq: np.ndarray, head_dim: int, base: float,
+                cfg: dict) -> np.ndarray:
+    """NTK-by-parts interpolation (YaRN): high-frequency dims keep the
+    original freqs, low-frequency dims interpolate by 1/factor, with a
+    linear ramp between (reference: rotary_embedding/yarn.py +
+    deepseek_scaling_rope)."""
+    factor = cfg.get("factor", 1.0)
+    orig_max = cfg.get("original_max_position_embeddings", 4096)
+    beta_fast = cfg.get("beta_fast", 32)
+    beta_slow = cfg.get("beta_slow", 1)
+
+    def correction_dim(num_rot):
+        return (head_dim *
+                math.log(orig_max / (num_rot * 2 * math.pi)) /
+                (2 * math.log(base)))
+
+    low = max(math.floor(correction_dim(beta_fast)), 0)
+    high = min(math.ceil(correction_dim(beta_slow)), head_dim - 1)
+    ramp = np.clip(
+        (np.arange(head_dim // 2, dtype=np.float64) - low) /
+        max(high - low, 0.001), 0, 1)
+    extrap_mask = 1 - ramp
+    return (inv_freq / factor) * (1 - extrap_mask) + \
+        inv_freq * extrap_mask
 
 
 def _llama3_scale(inv_freq: np.ndarray, cfg: dict) -> np.ndarray:
@@ -72,5 +109,33 @@ def apply_rope(
         o1 = xf1 * cos - xf2 * sin
         o2 = xf2 * cos + xf1 * sin
         return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
+def apply_rope_interleaved(
+    q: jax.Array,  # [T, Hq, D]
+    k: jax.Array,  # [T, Hk, D]
+    positions: jax.Array,  # [T] int32
+    inv_freq: jax.Array,  # [D/2] f32
+    scale: float = 1.0,
+) -> tuple[jax.Array, jax.Array]:
+    """GPT-J-style RoPE over adjacent pairs (x[2i], x[2i+1]) — the
+    DeepSeek-V2/V3 convention (reference: rotary_embedding with
+    is_neox_style=False; HF DeepseekV2 apply_rotary_emb via complex
+    multiply). ``scale`` is the yarn attention factor applied to
+    cos/sin (HF attention_scaling)."""
+    angles = positions[:, None].astype(jnp.float32) * inv_freq[None, :]
+    cos = (jnp.cos(angles) * scale)[:, None, :]  # [T, 1, D/2]
+    sin = (jnp.sin(angles) * scale)[:, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        x1 = xf[..., 0::2]
+        x2 = xf[..., 1::2]
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        return jnp.stack([o1, o2],
+                         axis=-1).reshape(x.shape).astype(x.dtype)
 
     return rot(q), rot(k)

@@ -1,0 +1,333 @@
+"""DeepSeek-V2/V3 family: MLA attention + DeepSeek-MoE.
+
+Reference parity: vllm/model_executor/models/deepseek_v2.py and the
+MLA backend family (vllm/v1/attention/backends/mla/common.py —
+matrix-absorption W_UK/W_UV, chunked-context prefill). Round-1
+TPU-native strategy: **decompressed-MHA MLA** — the latent KV is
+up-projected per token and the full per-head K/V written to the paged
+cache. This is mathematically identical to latent caching (the
+reference ships this exact fallback for backends without MLA
+kernels); the latent-cache + matrix-absorption variant (cache only
+[kv_lora_rank + qk_rope] per token, absorb W_UK into Q and W_UV into
+O) is the round-2 memory optimization. V is zero-padded from
+v_head_dim to the K head dim (qk_nope+qk_rope) inside the unified
+cache so the ragged paged-attention kernel applies unchanged; the pad
+is sliced off after attention — padded columns receive zero weight
+in the value combination and contribute nothing.
+
+MoE (reference: fused_moe grouped_topk + deepseek_v2.py
+DeepseekV2MoE): softmax-over-all-experts routing, greedy or
+group-limited-greedy top-k, ``routed_scaling_factor`` on the routed
+path, plus always-on shared experts. The first
+``first_k_dense_replace`` layers use a dense SwiGLU MLP; dense and
+MoE layers run as two separately-stacked ``fori_loop``s with the KV
+cache threaded through as carry.
+
+RoPE is the interleaved (GPT-J pair) convention applied only to the
+rope sub-dims, with YaRN scaling + mscale softmax correction for
+long-context checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vllm_main_modify_tpu.config import ModelConfig
+from vllm_main_modify_tpu.layers.activation import silu_and_mul
+from vllm_main_modify_tpu.layers.attention import (AttentionMetadata,
+                                                   attention)
+from vllm_main_modify_tpu.layers.moe import moe_ffn
+from vllm_main_modify_tpu.layers.normalization import rms_norm
+from vllm_main_modify_tpu.layers.rotary import (apply_rope_interleaved,
+                                                compute_inv_freq,
+                                                yarn_get_mscale)
+from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
+from vllm_main_modify_tpu.quantization.weights import matmul
+
+
+class DeepseekV2ForCausalLM:
+
+    def __init__(self, config: ModelConfig):
+        self.cfg = config
+        hf = config.hf_config
+        g = lambda k, d=None: getattr(hf, k, d)
+        self.hidden = config.hidden_size
+        self.L = config.num_layers
+        self.num_heads = config.num_attention_heads
+        self.qk_nope = g("qk_nope_head_dim", 128)
+        self.qk_rope = g("qk_rope_head_dim", 64)
+        self.v_head = g("v_head_dim", 128)
+        self.qk_head = self.qk_nope + self.qk_rope
+        self.q_lora_rank = g("q_lora_rank")
+        self.kv_lora_rank = g("kv_lora_rank", 512)
+        self.inter = config.intermediate_size
+        # MoE structure
+        self.n_routed = g("n_routed_experts") or 0
+        self.n_shared = g("n_shared_experts") or 0
+        self.top_k = g("num_experts_per_tok") or 0
+        self.moe_inter = g("moe_intermediate_size") or 0
+        self.first_dense = g("first_k_dense_replace", 0) or 0
+        self.routed_scale = g("routed_scaling_factor", 1.0) or 1.0
+        self.renormalize = bool(g("norm_topk_prob", False))
+        self.topk_method = g("topk_method", "greedy") or "greedy"
+        self.n_group = g("n_group", 1) or 1
+        self.topk_group = g("topk_group", 1) or 1
+        if self.topk_method != "group_limited_greedy":
+            self.n_group = 1
+        if self.n_routed == 0:
+            self.first_dense = self.L
+        self.n_moe = self.L - self.first_dense
+        assert (g("moe_layer_freq", 1) or 1) == 1, \
+            "moe_layer_freq > 1 not supported"
+        assert not g("attention_bias", False), \
+            "DeepseekV2 attention_bias not supported"
+
+        scale = self.qk_head**-0.5
+        self.rope_mscale = 1.0
+        rs = config.rope_scaling
+        if rs and rs.get("rope_type", rs.get("type")) == "yarn":
+            # softmax-scale correction (reference deepseek_v2.py:
+            # scaling *= yarn_get_mscale(factor, mscale_all_dim)^2) and
+            # cos/sin magnitude ratio (deepseek_scaling_rope mscale /
+            # mscale_all_dim attention factor)
+            factor = rs.get("factor", 1.0)
+            m_all = float(rs.get("mscale_all_dim", 0) or 0)
+            m = float(rs.get("mscale", 1.0) or 1.0)
+            if m_all:
+                ms = yarn_get_mscale(factor, m_all)
+                scale = scale * ms * ms
+                self.rope_mscale = (yarn_get_mscale(factor, m) /
+                                    yarn_get_mscale(factor, m_all))
+            else:
+                self.rope_mscale = yarn_get_mscale(factor, m)
+        self.sm_scale = scale
+        self.inv_freq = jnp.asarray(
+            compute_inv_freq(self.qk_rope, config.rope_theta, rs))
+        self.tie_embeddings = config.tie_word_embeddings
+
+    # ------------------------------------------------------------------
+
+    def _attn_specs(self, prefix: str, n: int, offset: int):
+        H, nh = self.hidden, self.num_heads
+        t = transpose2d
+
+        def stk(path, shape, spec, hf_w, transform=t):
+            return ParamSpec(
+                f"{prefix}.{path}", (n, *shape), spec,
+                "model.layers.{i}." + hf_w, stacked=True,
+                transform=transform, layer_offset=offset)
+
+        out = [
+            stk("input_layernorm", (H, ), P(None, None),
+                "input_layernorm.weight", transform=None),
+            stk("post_attention_layernorm", (H, ), P(None, None),
+                "post_attention_layernorm.weight", transform=None),
+            stk("kv_a_proj", (H, self.kv_lora_rank + self.qk_rope),
+                P(None, None, None),
+                "self_attn.kv_a_proj_with_mqa.weight"),
+            stk("kv_a_norm", (self.kv_lora_rank, ), P(None, None),
+                "self_attn.kv_a_layernorm.weight", transform=None),
+            stk("kv_b_proj",
+                (self.kv_lora_rank, nh * (self.qk_nope + self.v_head)),
+                P(None, None, "model"), "self_attn.kv_b_proj.weight"),
+            stk("o_proj", (nh * self.v_head, H),
+                P(None, "model", None), "self_attn.o_proj.weight"),
+        ]
+        if self.q_lora_rank:
+            out += [
+                stk("q_a_proj", (H, self.q_lora_rank),
+                    P(None, None, None), "self_attn.q_a_proj.weight"),
+                stk("q_a_norm", (self.q_lora_rank, ), P(None, None),
+                    "self_attn.q_a_layernorm.weight", transform=None),
+                stk("q_b_proj", (self.q_lora_rank, nh * self.qk_head),
+                    P(None, None, "model"),
+                    "self_attn.q_b_proj.weight"),
+            ]
+        else:
+            out.append(
+                stk("q_proj", (H, nh * self.qk_head),
+                    P(None, None, "model"), "self_attn.q_proj.weight"))
+        return out
+
+    def param_specs(self) -> list[ParamSpec]:
+        c = self.cfg
+        H, V = self.hidden, c.vocab_size
+        t = transpose2d
+
+        specs = [
+            ParamSpec("embed_tokens", (V, H), P("model", None),
+                      "model.embed_tokens.weight", transform=None),
+            ParamSpec("final_norm", (H, ), P(), "model.norm.weight",
+                      transform=None),
+            ParamSpec("lm_head", (H, V), P(None, "model"),
+                      "lm_head.weight", transform=t),
+        ]
+
+        if self.first_dense > 0:
+            n = self.first_dense
+            specs += self._attn_specs("dense_layers", n, 0)
+            for name, shape, spec in (
+                ("gate_proj", (H, self.inter), P(None, None, "model")),
+                ("up_proj", (H, self.inter), P(None, None, "model")),
+                ("down_proj", (self.inter, H), P(None, "model", None)),
+            ):
+                specs.append(
+                    ParamSpec(f"dense_layers.{name}", (n, *shape), spec,
+                              "model.layers.{i}.mlp." + name + ".weight",
+                              stacked=True, transform=t))
+
+        if self.n_moe > 0:
+            n, off = self.n_moe, self.first_dense
+            specs += self._attn_specs("moe_layers", n, off)
+            E, mi = self.n_routed, self.moe_inter
+            si = self.moe_inter * self.n_shared
+
+            def stk(path, shape, spec, hf_w, transform=t, experts=0):
+                return ParamSpec(
+                    f"moe_layers.{path}", (n, *shape), spec,
+                    "model.layers.{i}.mlp." + hf_w, stacked=True,
+                    transform=transform, layer_offset=off,
+                    num_experts=experts)
+
+            specs += [
+                stk("router", (H, E), P(None, None, None),
+                    "gate.weight"),
+                stk("w_gate", (E, H, mi), P(None, None, None, "model"),
+                    "experts.{e}.gate_proj.weight", experts=E),
+                stk("w_up", (E, H, mi), P(None, None, None, "model"),
+                    "experts.{e}.up_proj.weight", experts=E),
+                stk("w_down", (E, mi, H), P(None, None, "model", None),
+                    "experts.{e}.down_proj.weight", experts=E),
+                stk("shared_gate_proj", (H, si),
+                    P(None, None, "model"),
+                    "shared_experts.gate_proj.weight"),
+                stk("shared_up_proj", (H, si), P(None, None, "model"),
+                    "shared_experts.up_proj.weight"),
+                stk("shared_down_proj", (si, H),
+                    P(None, "model", None),
+                    "shared_experts.down_proj.weight"),
+            ]
+        return specs
+
+    def kv_cache_spec(self) -> tuple[int, int, int]:
+        # decompressed MHA: per-head K at the full qk head dim; V is
+        # zero-padded into the same width
+        return self.num_heads, self.qk_head, self.L
+
+    # ------------------------------------------------------------------
+
+    def _mla_attention(self, w, h, positions, kv_caches, layer_idx,
+                       attn_meta, use_pallas):
+        cfg = self.cfg
+        t = h.shape[0]
+        nh = self.num_heads
+
+        if self.q_lora_rank:
+            q = matmul(
+                rms_norm(matmul(h, w["q_a_proj"]), w["q_a_norm"],
+                         cfg.rms_norm_eps), w["q_b_proj"])
+        else:
+            q = matmul(h, w["q_proj"])
+        q = q.reshape(t, nh, self.qk_head)
+        q_nope, q_pe = q[..., :self.qk_nope], q[..., self.qk_nope:]
+
+        kv_a = matmul(h, w["kv_a_proj"])
+        compressed = kv_a[:, :self.kv_lora_rank]
+        k_pe = kv_a[:, self.kv_lora_rank:].reshape(t, 1, self.qk_rope)
+        compressed = rms_norm(compressed, w["kv_a_norm"],
+                              cfg.rms_norm_eps)
+        kv_b = matmul(compressed, w["kv_b_proj"]).reshape(
+            t, nh, self.qk_nope + self.v_head)
+        k_nope = kv_b[..., :self.qk_nope]
+        v = kv_b[..., self.qk_nope:]
+
+        q_pe, k_pe = apply_rope_interleaved(q_pe, k_pe, positions,
+                                            self.inv_freq,
+                                            self.rope_mscale)
+        k_pe = jnp.broadcast_to(k_pe, (t, nh, self.qk_rope))
+        q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
+        k_full = jnp.concatenate([k_nope, k_pe], axis=-1)
+        v_pad = jnp.pad(v, ((0, 0), (0, 0),
+                            (0, self.qk_head - self.v_head)))
+
+        o, kv_caches = attention(q_full, k_full, v_pad, kv_caches,
+                                 layer_idx, attn_meta, self.sm_scale,
+                                 use_pallas=use_pallas)
+        o = o[..., :self.v_head].reshape(t, nh * self.v_head)
+        return matmul(o, w["o_proj"]), kv_caches
+
+    def __call__(self, params, input_ids, positions, kv_caches,
+                 attn_meta: AttentionMetadata,
+                 use_pallas: Optional[bool] = None):
+        cfg = self.cfg
+        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+
+        def pick(tree, i):
+            return jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, i, 0, keepdims=False), tree)
+
+        def dense_body(l, carry):
+            x, kv = carry
+            w = pick(params["dense_layers"], l)
+            res = x
+            h = rms_norm(x, w["input_layernorm"], cfg.rms_norm_eps)
+            o, kv = self._mla_attention(w, h, positions, kv, l,
+                                        attn_meta, use_pallas)
+            x = res + o
+            res = x
+            h = rms_norm(x, w["post_attention_layernorm"],
+                         cfg.rms_norm_eps)
+            h = silu_and_mul(matmul(h, w["gate_proj"]),
+                             matmul(h, w["up_proj"]))
+            return res + matmul(h, w["down_proj"]), kv
+
+        def moe_body(i, carry):
+            x, kv = carry
+            w = pick(params["moe_layers"], i)
+            res = x
+            h = rms_norm(x, w["input_layernorm"], cfg.rms_norm_eps)
+            o, kv = self._mla_attention(w, h, positions, kv,
+                                        i + self.first_dense,
+                                        attn_meta, use_pallas)
+            x = res + o
+            res = x
+            h = rms_norm(x, w["post_attention_layernorm"],
+                         cfg.rms_norm_eps)
+            y = moe_ffn(h, w["router"], w["w_gate"], w["w_up"],
+                        w["w_down"], self.top_k, silu_and_mul,
+                        renormalize=self.renormalize,
+                        n_group=self.n_group,
+                        topk_group=self.topk_group)
+            y = y.astype(jnp.float32) * self.routed_scale
+            sh = silu_and_mul(matmul(h, w["shared_gate_proj"]),
+                              matmul(h, w["shared_up_proj"]))
+            y = (y + matmul(sh, w["shared_down_proj"]).astype(
+                jnp.float32)).astype(x.dtype)
+            return res + y, kv
+
+        if self.first_dense > 0:
+            x, kv_caches = jax.lax.fori_loop(0, self.first_dense,
+                                             dense_body,
+                                             (x, kv_caches))
+        if self.n_moe > 0:
+            x, kv_caches = jax.lax.fori_loop(0, self.n_moe, moe_body,
+                                             (x, kv_caches))
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return x, kv_caches
+
+    def compute_logits(self, params, hidden):
+        w = params["embed_tokens"].T if self.tie_embeddings \
+            else params["lm_head"]
+        return hidden.astype(jnp.float32) @ w.astype(jnp.float32)
+
+
+# DeepSeek-V3's decoder graph is config-compatible for inference with
+# the V2 module modulo the sigmoid+bias ("noaux_tc") router, which is
+# selected by config (scoring_func / topk_method); the V3 router
+# variant lands with its checkpoints.
+DeepseekV3ForCausalLM = DeepseekV2ForCausalLM

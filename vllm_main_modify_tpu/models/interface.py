@@ -42,6 +42,10 @@ class ParamSpec:
     # the layer axis; shape is [L, E, ...]
     num_experts: int = 0
     transform: Optional[Callable[[np.ndarray], np.ndarray]] = None
+    # stacked params whose HF layer numbering starts past 0 (e.g.
+    # DeepSeek MoE layers begin at first_k_dense_replace): "{i}"
+    # expands to i + layer_offset
+    layer_offset: int = 0
 
 
 def transpose2d(x: np.ndarray) -> np.ndarray:

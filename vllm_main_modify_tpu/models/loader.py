@@ -153,8 +153,8 @@ def _load_quantized(spec: ParamSpec, reader: _TensorReader, config,
         idx_range = range(num_layers) if spec.stacked else [None]
         for i in idx_range:
             def get(name, optional=False):
-                key = (base_key.format(i=i) if i is not None
-                       else base_key) + "." + name
+                key = (base_key.format(i=i + spec.layer_offset)
+                       if i is not None else base_key) + "." + name
                 if optional and key not in reader:
                     return None
                 return reader.get(key)
@@ -232,14 +232,15 @@ def _assemble_host_tensor(spec: ParamSpec, reader: _TensorReader,
         if spec.num_experts > 0:
             for i in range(num_layers):
                 for e in range(spec.num_experts):
-                    x = fetch(spec.hf_key.format(i=i, e=e))
+                    x = fetch(spec.hf_key.format(
+                        i=i + spec.layer_offset, e=e))
                     assert x.shape == spec.shape[2:], (
                         f"{spec.path} layer {i} expert {e}: got "
                         f"{x.shape}, want {spec.shape[2:]}")
                     out[i, e] = x.astype(np_dtype)
             return out
         for i in range(num_layers):
-            x = fetch(spec.hf_key.format(i=i))
+            x = fetch(spec.hf_key.format(i=i + spec.layer_offset))
             assert x.shape == spec.shape[1:], (
                 f"{spec.path} layer {i}: got {x.shape}, "
                 f"want {spec.shape[1:]}")

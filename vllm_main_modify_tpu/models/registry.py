@@ -23,6 +23,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                            "MixtralForCausalLM"),
     "Qwen2MoeForCausalLM": ("vllm_main_modify_tpu.models.moe_llama",
                             "Qwen2MoeForCausalLM"),
+    "DeepseekV2ForCausalLM": ("vllm_main_modify_tpu.models.deepseek_v2",
+                              "DeepseekV2ForCausalLM"),
     "GemmaForCausalLM": ("vllm_main_modify_tpu.models.gemma",
                          "GemmaForCausalLM"),
     "Gemma2ForCausalLM": ("vllm_main_modify_tpu.models.gemma",

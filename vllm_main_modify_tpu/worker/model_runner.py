@@ -246,18 +246,22 @@ class TPUModelRunner:
         return 64 * 1024 * 1024
 
     def page_bytes(self) -> int:
-        mc = self.config.model_config
         dtype_size = 2  # bf16/f16 KV; fp8 support halves this later
         if self.config.model_config.dtype == "float32":
             dtype_size = 4
-        return (mc.num_layers * self.page_size * 2 * mc.num_kv_heads *
-                mc.head_dim * dtype_size)
+        # the model's kv_cache_spec is authoritative — e.g. DeepSeek
+        # MLA caches num_heads x (qk_nope+qk_rope), not
+        # num_kv_heads x head_dim
+        kv_heads, kv_dim, kv_layers = self.model.kv_cache_spec()
+        return (kv_layers * self.page_size * 2 * kv_heads * kv_dim *
+                dtype_size)
 
     def initialize_kv_cache(self, num_pages: int) -> None:
         mc = self.config.model_config
         self.num_pages = num_pages
-        shape = (mc.num_layers, num_pages, self.page_size,
-                 2 * mc.num_kv_heads * mc.head_dim)
+        kv_heads, kv_dim, kv_layers = self.model.kv_cache_spec()
+        shape = (kv_layers, num_pages, self.page_size,
+                 2 * kv_heads * kv_dim)
         self.kv_caches = jax.jit(
             lambda: jnp.zeros(shape, dtype=mc.jax_dtype),
             out_shardings=self._kv_sharding)()
