@@ -66,10 +66,34 @@ def build_checkpoint(tmp_path, arch: str):
                         q_lora_rank=None)
         cfg = transformers.DeepseekV2Config(**dskw)
         cls = transformers.DeepseekV2ForCausalLM
+    elif arch == "deepseek_v3":
+        cfg = transformers.DeepseekV3Config(
+            **dict(kw, num_hidden_layers=3, num_key_value_heads=4),
+            kv_lora_rank=32, q_lora_rank=48, qk_nope_head_dim=16,
+            qk_rope_head_dim=8, v_head_dim=16, n_routed_experts=8,
+            n_group=4, topk_group=2, num_experts_per_tok=2,
+            n_shared_experts=1, moe_intermediate_size=32,
+            first_k_dense_replace=1, norm_topk_prob=True,
+            routed_scaling_factor=2.5)
+        cls = transformers.DeepseekV3ForCausalLM
+    elif arch == "qwen3_moe":
+        cfg = transformers.Qwen3MoeConfig(
+            **kw, head_dim=16, num_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=64, norm_topk_prob=True,
+            decoder_sparse_step=1, mlp_only_layers=[])
+        cls = transformers.Qwen3MoeForCausalLM
     else:
         raise ValueError(arch)
     torch.manual_seed(0)
     model = cls(cfg).to(torch.float32)
+    if arch == "deepseek_v3":
+        # exercise the selection-only correction bias (zero-init'd)
+        with torch.no_grad():
+            for layer in model.model.layers:
+                gate = getattr(layer.mlp, "gate", None)
+                if gate is not None and hasattr(
+                        gate, "e_score_correction_bias"):
+                    gate.e_score_correction_bias.normal_(std=0.5)
     path = tmp_path / arch
     model.save_pretrained(path, safe_serialization=True)
     return str(path), model
@@ -120,7 +144,8 @@ def run_hf(hf_model, token_ids: list[int]) -> np.ndarray:
 
 
 ARCHS = ["qwen2", "qwen3", "gemma", "gemma2", "mixtral", "qwen2_moe",
-         "deepseek_v2", "deepseek_v2_group"]
+         "deepseek_v2", "deepseek_v2_group", "deepseek_v3",
+         "qwen3_moe"]
 
 
 @pytest.mark.parametrize("arch", ARCHS)

@@ -63,6 +63,24 @@ def moe_ffn(
         weights, experts = jax.lax.top_k(probs, top_k)  # [T, k]
     if renormalize:
         weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    return moe_apply(x, weights, experts, w_gate, w_up, w_down, act_fn)
+
+
+def moe_apply(
+    x: jax.Array,  # [T, H]
+    weights: jax.Array,  # [T, k] f32 combine weights
+    experts: jax.Array,  # [T, k] int expert ids
+    w_gate: jax.Array,  # [E, H, I]
+    w_up: jax.Array,  # [E, H, I]
+    w_down: jax.Array,  # [E, I, H]
+    act_fn: Callable,
+) -> jax.Array:
+    """Grouped-GEMM expert application for an already-routed batch
+    (routing variants — softmax/sigmoid, group-limited, bias-corrected
+    — live in the callers; this is the shared ragged_dot machinery)."""
+    t, hidden = x.shape
+    num_experts = w_gate.shape[0]
+    top_k = experts.shape[1]
 
     # sort (token, k) slots by expert so each expert's tokens are
     # contiguous → grouped matmul
@@ -83,6 +101,42 @@ def moe_ffn(
     out = jnp.zeros((t, hidden), dtype=jnp.float32)
     out = out.at[token_idx].add(y)
     return out.astype(x.dtype)
+
+
+def deepseek_v3_routing(
+    x: jax.Array,  # [T, H]
+    router_weight: jax.Array,  # [H, E]
+    bias: jax.Array,  # [E] e_score_correction_bias
+    top_k: int,
+    n_group: int,
+    topk_group: int,
+    renormalize: bool,
+    routed_scaling: float,
+) -> tuple[jax.Array, jax.Array]:
+    """DeepSeek-V3 'noaux_tc' router (reference: deepseek_v2.py V3
+    path / HF DeepseekV3TopkRouter): sigmoid scores; the correction
+    bias shifts scores for *selection only*; group score = sum of the
+    top-2 biased scores in the group; combine weights come from the
+    UNBIASED sigmoid scores, optionally renormalized, scaled by
+    routed_scaling_factor."""
+    t = x.shape[0]
+    num_experts = router_weight.shape[1]
+    logits = x.astype(jnp.float32) @ router_weight.astype(jnp.float32)
+    scores = jax.nn.sigmoid(logits)
+    choice = scores + bias.astype(jnp.float32)[None, :]
+    grouped = choice.reshape(t, n_group, num_experts // n_group)
+    top2, _ = jax.lax.top_k(grouped, 2)
+    group_scores = top2.sum(axis=-1)  # [T, G]
+    _, group_idx = jax.lax.top_k(group_scores, topk_group)
+    group_mask = jnp.sum(jax.nn.one_hot(group_idx, n_group,
+                                        dtype=choice.dtype), axis=1)
+    mask = jnp.repeat(group_mask, num_experts // n_group, axis=-1)
+    _, experts = jax.lax.top_k(jnp.where(mask > 0, choice, 0.0), top_k)
+    weights = jnp.take_along_axis(scores, experts, axis=1)
+    if renormalize:
+        weights = weights / (jnp.sum(weights, axis=-1,
+                                     keepdims=True) + 1e-20)
+    return weights * routed_scaling, experts
 
 
 def moe_ffn_dense_reference(x, router_weight, w_gate, w_up, w_down,

@@ -40,9 +40,11 @@ from vllm_main_modify_tpu.config import ModelConfig
 from vllm_main_modify_tpu.layers.activation import silu_and_mul
 from vllm_main_modify_tpu.layers.attention import (AttentionMetadata,
                                                    attention)
-from vllm_main_modify_tpu.layers.moe import moe_ffn
+from vllm_main_modify_tpu.layers.moe import (deepseek_v3_routing,
+                                             moe_apply, moe_ffn)
 from vllm_main_modify_tpu.layers.normalization import rms_norm
-from vllm_main_modify_tpu.layers.rotary import (apply_rope_interleaved,
+from vllm_main_modify_tpu.layers.rotary import (apply_rope,
+                                                apply_rope_interleaved,
                                                 compute_inv_freq,
                                                 yarn_get_mscale)
 from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
@@ -76,7 +78,14 @@ class DeepseekV2ForCausalLM:
         self.topk_method = g("topk_method", "greedy") or "greedy"
         self.n_group = g("n_group", 1) or 1
         self.topk_group = g("topk_group", 1) or 1
-        if self.topk_method != "group_limited_greedy":
+        # V3 "noaux_tc" router: sigmoid scoring + e_score_correction
+        # bias (HF hardcodes it in DeepseekV3Config; remote-code
+        # checkpoints carry scoring_func/topk_method)
+        self.v3_router = (type(hf).__name__ == "DeepseekV3Config"
+                          or g("scoring_func") == "sigmoid"
+                          or self.topk_method == "noaux_tc")
+        if (self.topk_method != "group_limited_greedy"
+                and not self.v3_router):
             self.n_group = 1
         if self.n_routed == 0:
             self.first_dense = self.L
@@ -105,6 +114,9 @@ class DeepseekV2ForCausalLM:
             else:
                 self.rope_mscale = yarn_get_mscale(factor, m)
         self.sm_scale = scale
+        # DeepSeek checkpoints use interleaved (GPT-J pair) rope by
+        # convention; V3 configs can opt out via rope_interleave
+        self.rope_interleave = bool(g("rope_interleave", True))
         self.inv_freq = jnp.asarray(
             compute_inv_freq(self.qk_rope, config.rope_theta, rs))
         self.tie_embeddings = config.tie_word_embeddings
@@ -193,6 +205,11 @@ class DeepseekV2ForCausalLM:
                     transform=transform, layer_offset=off,
                     num_experts=experts)
 
+            if self.v3_router:
+                specs.append(
+                    stk("router_bias", (E, ), P(None, None),
+                        "gate.e_score_correction_bias",
+                        transform=None))
             specs += [
                 stk("router", (H, E), P(None, None, None),
                     "gate.weight"),
@@ -245,9 +262,13 @@ class DeepseekV2ForCausalLM:
         k_nope = kv_b[..., :self.qk_nope]
         v = kv_b[..., self.qk_nope:]
 
-        q_pe, k_pe = apply_rope_interleaved(q_pe, k_pe, positions,
-                                            self.inv_freq,
-                                            self.rope_mscale)
+        if self.rope_interleave:
+            q_pe, k_pe = apply_rope_interleaved(q_pe, k_pe, positions,
+                                                self.inv_freq,
+                                                self.rope_mscale)
+        else:
+            q_pe, k_pe = apply_rope(q_pe, k_pe, positions,
+                                    self.inv_freq)
         k_pe = jnp.broadcast_to(k_pe, (t, nh, self.qk_rope))
         q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
         k_full = jnp.concatenate([k_nope, k_pe], axis=-1)
@@ -298,12 +319,21 @@ class DeepseekV2ForCausalLM:
             res = x
             h = rms_norm(x, w["post_attention_layernorm"],
                          cfg.rms_norm_eps)
-            y = moe_ffn(h, w["router"], w["w_gate"], w["w_up"],
-                        w["w_down"], self.top_k, silu_and_mul,
-                        renormalize=self.renormalize,
-                        n_group=self.n_group,
-                        topk_group=self.topk_group)
-            y = y.astype(jnp.float32) * self.routed_scale
+            if self.v3_router:
+                weights, experts = deepseek_v3_routing(
+                    h, w["router"], w["router_bias"], self.top_k,
+                    self.n_group, self.topk_group, self.renormalize,
+                    self.routed_scale)
+                y = moe_apply(h, weights, experts, w["w_gate"],
+                              w["w_up"], w["w_down"],
+                              silu_and_mul).astype(jnp.float32)
+            else:
+                y = moe_ffn(h, w["router"], w["w_gate"], w["w_up"],
+                            w["w_down"], self.top_k, silu_and_mul,
+                            renormalize=self.renormalize,
+                            n_group=self.n_group,
+                            topk_group=self.topk_group)
+                y = y.astype(jnp.float32) * self.routed_scale
             sh = silu_and_mul(matmul(h, w["shared_gate_proj"]),
                               matmul(h, w["shared_up_proj"]))
             y = (y + matmul(sh, w["shared_down_proj"]).astype(
@@ -326,8 +356,6 @@ class DeepseekV2ForCausalLM:
         return hidden.astype(jnp.float32) @ w.astype(jnp.float32)
 
 
-# DeepSeek-V3's decoder graph is config-compatible for inference with
-# the V2 module modulo the sigmoid+bias ("noaux_tc") router, which is
-# selected by config (scoring_func / topk_method); the V3 router
-# variant lands with its checkpoints.
+# DeepSeek-V3 shares the decoder graph; the sigmoid+bias ("noaux_tc")
+# router is selected by config in __init__ (v3_router).
 DeepseekV3ForCausalLM = DeepseekV2ForCausalLM

@@ -1,9 +1,11 @@
-"""Qwen3 decoder.
+"""Qwen3 / Qwen3-MoE decoders.
 
-Reference parity: vllm/model_executor/models/qwen3.py. Differences vs
-the Llama family: per-head RMSNorm on Q and K after projection (before
-RoPE), explicit head_dim (may differ from hidden/heads), no qkv bias.
-Same stacked-layer lax.scan structure as models/llama.py.
+Reference parity: vllm/model_executor/models/qwen3.py + qwen3_moe.py.
+Differences vs the Llama family: per-head RMSNorm on Q and K after
+projection (before RoPE), explicit head_dim (may differ from
+hidden/heads), no qkv bias. Qwen3-MoE swaps the dense SwiGLU MLP for
+a softmax top-k expert block (no shared expert, unlike Qwen2-MoE).
+Same stacked-layer fori_loop structure as models/llama.py.
 """
 
 from __future__ import annotations
@@ -26,6 +28,8 @@ from vllm_main_modify_tpu.quantization.weights import matmul
 
 
 class Qwen3ForCausalLM:
+
+    is_moe = False
 
     def __init__(self, config: ModelConfig):
         self.cfg = config
@@ -80,13 +84,40 @@ class Qwen3ForCausalLM:
             stk("layers.post_attention_layernorm", (H, ), P(None, None),
                 "model.layers.{i}.post_attention_layernorm.weight",
                 transform=None),
-            stk("layers.gate_proj", (H, I), P(None, None, "model"),
-                "model.layers.{i}.mlp.gate_proj.weight"),
-            stk("layers.up_proj", (H, I), P(None, None, "model"),
-                "model.layers.{i}.mlp.up_proj.weight"),
-            stk("layers.down_proj", (I, H), P(None, "model", None),
-                "model.layers.{i}.mlp.down_proj.weight"),
         ]
+        if self.is_moe:
+            E, mi = c.num_experts, c.moe_intermediate_size
+
+            def expert(path, shape, spec, hf_key):
+                return ParamSpec(path, (L, E, *shape), spec, hf_key,
+                                 stacked=True, num_experts=E,
+                                 transform=t)
+
+            specs += [
+                stk("layers.router", (H, E), P(None, None, None),
+                    "model.layers.{i}.mlp.gate.weight"),
+                expert("layers.w_gate", (H, mi),
+                       P(None, None, None, "model"),
+                       "model.layers.{i}.mlp.experts.{e}"
+                       ".gate_proj.weight"),
+                expert("layers.w_up", (H, mi),
+                       P(None, None, None, "model"),
+                       "model.layers.{i}.mlp.experts.{e}"
+                       ".up_proj.weight"),
+                expert("layers.w_down", (mi, H),
+                       P(None, None, "model", None),
+                       "model.layers.{i}.mlp.experts.{e}"
+                       ".down_proj.weight"),
+            ]
+        else:
+            specs += [
+                stk("layers.gate_proj", (H, I), P(None, None, "model"),
+                    "model.layers.{i}.mlp.gate_proj.weight"),
+                stk("layers.up_proj", (H, I), P(None, None, "model"),
+                    "model.layers.{i}.mlp.up_proj.weight"),
+                stk("layers.down_proj", (I, H), P(None, "model", None),
+                    "model.layers.{i}.mlp.down_proj.weight"),
+            ]
         if not self.tie_embeddings:
             specs.append(
                 ParamSpec("lm_head", (H, V), P(None, "model"),
@@ -130,9 +161,17 @@ class Qwen3ForCausalLM:
             res = x
             h = rms_norm(x, w["post_attention_layernorm"],
                          cfg.rms_norm_eps)
-            h = self.act_fn(matmul(h, w["gate_proj"]),
-                            matmul(h, w["up_proj"]))
-            x = res + matmul(h, w["down_proj"])
+            if self.is_moe:
+                from vllm_main_modify_tpu.layers.moe import moe_ffn
+
+                x = res + moe_ffn(h, w["router"], w["w_gate"],
+                                  w["w_up"], w["w_down"],
+                                  cfg.num_experts_per_tok, self.act_fn,
+                                  renormalize=self.renormalize)
+            else:
+                h = self.act_fn(matmul(h, w["gate_proj"]),
+                                matmul(h, w["up_proj"]))
+                x = res + matmul(h, w["down_proj"])
             return x, kv_caches
 
         # fori_loop with the KV cache as carry: in-place page updates.
@@ -147,3 +186,21 @@ class Qwen3ForCausalLM:
         w = params["embed_tokens"].T if self.tie_embeddings \
             else params["lm_head"]
         return hidden.astype(jnp.float32) @ w.astype(jnp.float32)
+
+
+class Qwen3MoeForCausalLM(Qwen3ForCausalLM):
+    """Reference: vllm/model_executor/models/qwen3_moe.py. Softmax
+    top-k routing with norm_topk_prob renormalization; every layer is
+    sparse (mlp_only_layers / decoder_sparse_step variants are not
+    supported)."""
+
+    is_moe = True
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.hf_config
+        self.renormalize = bool(getattr(hf, "norm_topk_prob", True))
+        assert not getattr(hf, "mlp_only_layers", None), \
+            "mlp_only_layers not supported"
+        assert getattr(hf, "decoder_sparse_step", 1) in (0, 1), \
+            "decoder_sparse_step > 1 not supported"

@@ -19,12 +19,16 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                          "_qwen2_factory"),
     "Qwen3ForCausalLM": ("vllm_main_modify_tpu.models.qwen3",
                          "Qwen3ForCausalLM"),
+    "Qwen3MoeForCausalLM": ("vllm_main_modify_tpu.models.qwen3",
+                            "Qwen3MoeForCausalLM"),
     "MixtralForCausalLM": ("vllm_main_modify_tpu.models.moe_llama",
                            "MixtralForCausalLM"),
     "Qwen2MoeForCausalLM": ("vllm_main_modify_tpu.models.moe_llama",
                             "Qwen2MoeForCausalLM"),
     "DeepseekV2ForCausalLM": ("vllm_main_modify_tpu.models.deepseek_v2",
                               "DeepseekV2ForCausalLM"),
+    "DeepseekV3ForCausalLM": ("vllm_main_modify_tpu.models.deepseek_v2",
+                              "DeepseekV3ForCausalLM"),
     "GemmaForCausalLM": ("vllm_main_modify_tpu.models.gemma",
                          "GemmaForCausalLM"),
     "Gemma2ForCausalLM": ("vllm_main_modify_tpu.models.gemma",
