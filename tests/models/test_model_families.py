@@ -76,6 +76,31 @@ def build_checkpoint(tmp_path, arch: str):
             first_k_dense_replace=1, norm_topk_prob=True,
             routed_scaling_factor=2.5)
         cls = transformers.DeepseekV3ForCausalLM
+    elif arch == "gpt2":
+        cfg = transformers.GPT2Config(
+            vocab_size=256, n_embd=64, n_layer=2, n_head=4,
+            n_positions=128)
+        cls = transformers.GPT2LMHeadModel
+    elif arch.startswith("gpt_neox"):
+        nx = dict(kw, num_key_value_heads=4, rotary_pct=0.25,
+                  use_parallel_residual=True)
+        if arch == "gpt_neox_seq":
+            nx.update(use_parallel_residual=False, rotary_pct=1.0)
+        cfg = transformers.GPTNeoXConfig(**nx)
+        cls = transformers.GPTNeoXForCausalLM
+    elif arch.startswith("falcon"):
+        fkw = dict(vocab_size=256, hidden_size=64,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   alibi=False, bias=False, multi_query=True,
+                   parallel_attn=True, new_decoder_architecture=False,
+                   tie_word_embeddings=True)
+        if arch == "falcon_40b":
+            fkw.update(new_decoder_architecture=True, num_kv_heads=2)
+        elif arch == "falcon_rw":
+            fkw.update(multi_query=False, parallel_attn=False,
+                       bias=True)
+        cfg = transformers.FalconConfig(**fkw)
+        cls = transformers.FalconForCausalLM
     elif arch == "qwen3_moe":
         cfg = transformers.Qwen3MoeConfig(
             **kw, head_dim=16, num_experts=4, num_experts_per_tok=2,
@@ -85,7 +110,8 @@ def build_checkpoint(tmp_path, arch: str):
     else:
         raise ValueError(arch)
     torch.manual_seed(0)
-    model = cls(cfg).to(torch.float32)
+    model = cls(cfg).to(torch.float32).eval()  # GPT-2 defaults to
+    # nonzero dropout; eval() makes every family deterministic
     if arch == "deepseek_v3":
         # exercise the selection-only correction bias (zero-init'd)
         with torch.no_grad():
@@ -145,7 +171,8 @@ def run_hf(hf_model, token_ids: list[int]) -> np.ndarray:
 
 ARCHS = ["qwen2", "qwen3", "gemma", "gemma2", "mixtral", "qwen2_moe",
          "deepseek_v2", "deepseek_v2_group", "deepseek_v3",
-         "qwen3_moe"]
+         "qwen3_moe", "gpt2", "gpt_neox", "gpt_neox_seq", "falcon",
+         "falcon_40b", "falcon_rw"]
 
 
 @pytest.mark.parametrize("arch", ARCHS)

@@ -17,6 +17,22 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (xf * weight.astype(jnp.float32)).astype(orig_dtype)
 
 
+def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array,
+               eps: float) -> jax.Array:
+    """Full LayerNorm (mean-centering + bias) for the GPT-2/NeoX/
+    Falcon/Starcoder lineages; XLA fuses it like rms_norm."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xf = xf - mean
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    out = xf * weight.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
 def fused_add_rms_norm(x: jax.Array, residual: jax.Array,
                        weight: jax.Array,
                        eps: float) -> tuple[jax.Array, jax.Array]:

@@ -214,10 +214,13 @@ def _assemble_host_tensor(spec: ParamSpec, reader: _TensorReader,
         jnp.bfloat16 else np.dtype("bfloat16")
 
     def fetch(name: str) -> np.ndarray:
-        if name not in reader and name.startswith("model."):
-            # bare-backbone checkpoints (e.g. LlamaModel embedders)
-            # store tensors without the "model." prefix
-            name = name[len("model."):]
+        if name not in reader and "." in name:
+            # bare-backbone checkpoints (e.g. LlamaModel embedders,
+            # original GPT-2) store tensors without the base-model
+            # prefix ("model." / "transformer." / "gpt_neox." ...)
+            stripped = name.split(".", 1)[1]
+            if stripped in reader:
+                name = stripped
         if name not in reader:
             raise KeyError(f"missing HF tensor {name!r} "
                            f"for param {spec.path!r}")

@@ -29,6 +29,12 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                               "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("vllm_main_modify_tpu.models.deepseek_v2",
                               "DeepseekV3ForCausalLM"),
+    "GPT2LMHeadModel": ("vllm_main_modify_tpu.models.gpt2",
+                        "GPT2LMHeadModel"),
+    "GPTNeoXForCausalLM": ("vllm_main_modify_tpu.models.gpt_neox",
+                           "GPTNeoXForCausalLM"),
+    "FalconForCausalLM": ("vllm_main_modify_tpu.models.falcon",
+                          "FalconForCausalLM"),
     "GemmaForCausalLM": ("vllm_main_modify_tpu.models.gemma",
                          "GemmaForCausalLM"),
     "Gemma2ForCausalLM": ("vllm_main_modify_tpu.models.gemma",
