@@ -76,6 +76,30 @@ def build_checkpoint(tmp_path, arch: str):
             first_k_dense_replace=1, norm_topk_prob=True,
             routed_scaling_factor=2.5)
         cls = transformers.DeepseekV3ForCausalLM
+    elif arch == "phi3":
+        cfg = transformers.Phi3Config(**kw, pad_token_id=0)
+        cls = transformers.Phi3ForCausalLM
+    elif arch == "granite":
+        cfg = transformers.GraniteConfig(
+            **kw, embedding_multiplier=2.0, residual_multiplier=0.5,
+            logits_scaling=3.0, attention_multiplier=0.1)
+        cls = transformers.GraniteForCausalLM
+    elif arch == "starcoder2":
+        cfg = transformers.Starcoder2Config(**kw, use_bias=True)
+        cls = transformers.Starcoder2ForCausalLM
+    elif arch == "stablelm":
+        cfg = transformers.StableLmConfig(**kw, use_qkv_bias=True)
+        cls = transformers.StableLmForCausalLM
+    elif arch == "phi":
+        cfg = transformers.PhiConfig(**kw)
+        cls = transformers.PhiForCausalLM
+    elif arch == "cohere":
+        cfg = transformers.CohereConfig(**kw, use_qk_norm=True,
+                                        logit_scale=0.0625)
+        cls = transformers.CohereForCausalLM
+    elif arch == "olmo2":
+        cfg = transformers.Olmo2Config(**kw)
+        cls = transformers.Olmo2ForCausalLM
     elif arch == "gpt2":
         cfg = transformers.GPT2Config(
             vocab_size=256, n_embd=64, n_layer=2, n_head=4,
@@ -172,7 +196,8 @@ def run_hf(hf_model, token_ids: list[int]) -> np.ndarray:
 ARCHS = ["qwen2", "qwen3", "gemma", "gemma2", "mixtral", "qwen2_moe",
          "deepseek_v2", "deepseek_v2_group", "deepseek_v3",
          "qwen3_moe", "gpt2", "gpt_neox", "gpt_neox_seq", "falcon",
-         "falcon_40b", "falcon_rw"]
+         "falcon_40b", "falcon_rw", "phi3", "granite", "starcoder2",
+         "stablelm", "phi", "cohere", "olmo2"]
 
 
 @pytest.mark.parametrize("arch", ARCHS)

@@ -36,7 +36,12 @@ def compute_inv_freq(head_dim: int, rope_theta: float,
                                    rope_scaling)
         elif rtype in ("default", "", None):
             pass
-        # dynamic/mrope: added with the model families that use them
+        else:
+            # dynamic/mrope/longrope land with the families that use
+            # them; silently ignoring a scaling type would produce
+            # wrong positions, so fail loudly
+            raise ValueError(
+                f"rope scaling type {rtype!r} not supported")
     return inv_freq.astype(np.float32)
 
 

@@ -55,6 +55,11 @@ class LlamaForCausalLM:
         self.act_fn = ACT2FN[act]
         self.qkv_bias = bool(config.attention_bias)
         self.tie_embeddings = config.tie_word_embeddings
+        # Granite-style scalar multipliers (1.0 = plain Llama; the
+        # multiplies are elided from the graph when unset)
+        self.embed_mult = 1.0
+        self.residual_mult = 1.0
+        self.logits_div = 1.0
 
     # ------------------------------------------------------------------
 
@@ -145,6 +150,8 @@ class LlamaForCausalLM:
         cfg = self.cfg
         x = jnp.take(params["embed_tokens"], input_ids,
                      axis=0)  # [T, H]
+        if self.embed_mult != 1.0:
+            x = x * jnp.asarray(self.embed_mult, dtype=x.dtype)
         t = x.shape[0]
 
         layers = params["layers"]
@@ -183,8 +190,12 @@ class LlamaForCausalLM:
                                      sliding_window=cfg.sliding_window,
                                      use_pallas=use_pallas)
             o_flat = o.reshape(t, -1)
-            x = res + lora(matmul(o_flat, w["o_proj"]), o_flat,
-                           "o_proj")
+            attn_out = lora(matmul(o_flat, w["o_proj"]), o_flat,
+                            "o_proj")
+            if self.residual_mult != 1.0:
+                attn_out = attn_out * jnp.asarray(
+                    self.residual_mult, dtype=attn_out.dtype)
+            x = res + attn_out
 
             res = x
             h = rms_norm(x, w["post_attention_layernorm"],
@@ -193,7 +204,11 @@ class LlamaForCausalLM:
                                  "gate_proj"),
                             lora(matmul(h, w["up_proj"]), h,
                                  "up_proj"))
-            x = res + lora(matmul(h, w["down_proj"]), h, "down_proj")
+            mlp_out = lora(matmul(h, w["down_proj"]), h, "down_proj")
+            if self.residual_mult != 1.0:
+                mlp_out = mlp_out * jnp.asarray(
+                    self.residual_mult, dtype=mlp_out.dtype)
+            x = res + mlp_out
             return x, kv_caches
 
         # fori_loop with the KV cache as carry: in-place page updates.
@@ -211,6 +226,8 @@ class LlamaForCausalLM:
         else:
             w = params["lm_head"]
         logits = hidden.astype(jnp.float32) @ w.astype(jnp.float32)
+        if self.logits_div != 1.0:
+            logits = logits / self.logits_div
         if self.cfg.logit_softcap:
             cap = self.cfg.logit_softcap
             logits = jnp.tanh(logits / cap) * cap
@@ -222,3 +239,53 @@ class LlamaForCausalLM:
 Qwen2ForCausalLM = LlamaForCausalLM
 MistralForCausalLM = LlamaForCausalLM
 TinyLlamaForCausalLM = LlamaForCausalLM
+
+
+def _slice_rows_t(lo: int, hi: int):
+    """Torch [out, in] fused weight → [in, hi-lo] slice."""
+    import numpy as np
+
+    return lambda x: np.ascontiguousarray(x[lo:hi].T)
+
+
+class Phi3ForCausalLM(LlamaForCausalLM):
+    """Reference: vllm/model_executor/models/phi3.py — Llama graph
+    with fused qkv_proj / gate_up_proj checkpoint tensors, sliced into
+    the standard q/k/v/gate/up ParamSpecs at load."""
+
+    def param_specs(self) -> list[ParamSpec]:
+        qd = self.num_q * self.head_dim
+        kd = self.num_kv * self.head_dim
+        I = self.inter
+        remap = {
+            "layers.q_proj": ("self_attn.qkv_proj.weight", 0, qd),
+            "layers.k_proj": ("self_attn.qkv_proj.weight", qd,
+                              qd + kd),
+            "layers.v_proj": ("self_attn.qkv_proj.weight", qd + kd,
+                              qd + 2 * kd),
+            "layers.gate_proj": ("mlp.gate_up_proj.weight", 0, I),
+            "layers.up_proj": ("mlp.gate_up_proj.weight", I, 2 * I),
+        }
+        specs = super().param_specs()
+        for s in specs:
+            if s.path in remap:
+                key, lo, hi = remap[s.path]
+                s.hf_key = "model.layers.{i}." + key
+                s.transform = _slice_rows_t(lo, hi)
+        return specs
+
+
+class GraniteForCausalLM(LlamaForCausalLM):
+    """Reference: vllm/model_executor/models/granite.py — Llama graph
+    with scalar multipliers on embeddings, residual branches, the
+    attention scale, and the logits."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.hf_config
+        self.embed_mult = getattr(hf, "embedding_multiplier", 1.0)
+        self.residual_mult = getattr(hf, "residual_multiplier", 1.0)
+        self.logits_div = getattr(hf, "logits_scaling", 1.0)
+        am = getattr(hf, "attention_multiplier", None)
+        if am:
+            self.sm_scale = am

@@ -1,0 +1,411 @@
+"""Mid-size decoder families sharing one configurable scaffold:
+Starcoder2, StableLM, Phi (1/1.5/2), Cohere (Command-R), OLMo2.
+
+Reference parity: vllm/model_executor/models/{starcoder2.py,
+stablelm.py, phi.py, commandr.py, olmo2.py}. Each family is the same
+token-mix/channel-mix skeleton with a different combination of:
+norm type (RMS / LayerNorm±bias), residual wiring (sequential,
+parallel-shared-LN, OLMo2 post-norm), MLP style (gated SwiGLU vs
+plain fc→act→fc), partial/interleaved rotary, q/k normalization
+(full-width RMS vs per-head LayerNorm), biases, tied/untied (±bias)
+lm_head, and a logit scale. One scaffold + class attrs replaces five
+near-identical files; the structure choices are static Python, so
+each family still jits to a single clean layer body.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from vllm_main_modify_tpu.config import ModelConfig
+from vllm_main_modify_tpu.layers.activation import ACT2FN
+from vllm_main_modify_tpu.layers.attention import (AttentionMetadata,
+                                                   attention)
+from vllm_main_modify_tpu.layers.normalization import (layer_norm,
+                                                       rms_norm)
+from vllm_main_modify_tpu.layers.rotary import (apply_rope,
+                                                apply_rope_interleaved,
+                                                compute_inv_freq)
+from vllm_main_modify_tpu.models.gpt_neox import apply_rope_partial
+from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
+from vllm_main_modify_tpu.quantization.weights import matmul
+
+
+class _ConfigurableDecoder:
+    """Class-attr switches (see subclasses for the per-family map)."""
+
+    norm_style = "ln"  # "rms" | "ln" | "ln_nobias"
+    residual = "seq"  # "seq" | "parallel" | "post_norm"
+    gated_mlp = False
+    qkv_bias = True
+    o_bias = True
+    mlp_bias = True
+    qk_norm = None  # None | "full_rms" | "head_ln"
+    rope_interleaved = False
+    lm_head_bias = False
+    eps_attr = "layer_norm_eps"
+    # HF key fragments under "model.layers.{i}."
+    KEY_O = "self_attn.o_proj"
+    KEY_FC_IN = "mlp.c_fc"
+    KEY_FC_OUT = "mlp.c_proj"
+    KEY_GATE = "mlp.gate_proj"
+    KEY_UP = "mlp.up_proj"
+    KEY_DOWN = "mlp.down_proj"
+    KEY_FINAL_NORM = "model.norm"
+
+    def __init__(self, config: ModelConfig):
+        self.cfg = config
+        hf = config.hf_config
+        g = lambda k, d=None: getattr(hf, k, d)
+        self.num_q = config.num_attention_heads
+        self.num_kv = config.num_kv_heads
+        self.head_dim = config.head_dim
+        self.hidden = config.hidden_size
+        self.inter = config.intermediate_size
+        self.L = config.num_layers
+        self.eps = g(self.eps_attr, None) or g("norm_epsilon", None) \
+            or g("rms_norm_eps", None) or 1e-5
+        self.sm_scale = self.head_dim**-0.5
+        self.rot_dim = int(self.head_dim *
+                           (g("partial_rotary_factor", 1.0) or 1.0))
+        self.inv_freq = jnp.asarray(
+            compute_inv_freq(self.rot_dim, config.rope_theta,
+                             config.rope_scaling))
+        self.act_fn = ACT2FN.get(g("hidden_act", "silu"))
+        if self.gated_mlp and self.act_fn is None:
+            raise ValueError(f"activation {g('hidden_act')!r}")
+        self.tie_embeddings = config.tie_word_embeddings
+        self.logit_scale = g("logit_scale", 1.0) or 1.0
+
+    # ------------------------------------------------------------------
+
+    def _norm(self, x, w, b):
+        if self.norm_style == "rms":
+            return rms_norm(x, w, self.eps)
+        return layer_norm(x, w, b, self.eps)
+
+    def param_specs(self) -> list[ParamSpec]:
+        c = self.cfg
+        qd = self.num_q * self.head_dim
+        kd = self.num_kv * self.head_dim
+        L, H, I, V = self.L, self.hidden, self.inter, c.vocab_size
+        t = transpose2d
+        ln_bias = self.norm_style == "ln"
+
+        def stk(path, shape, spec, hf_key, transform=t):
+            return ParamSpec(f"layers.{path}", (L, *shape), spec,
+                             "model.layers.{i}." + hf_key,
+                             stacked=True, transform=transform)
+
+        def norm(path, hf_key):
+            out = [stk(path, (H, ), P(None, None), f"{hf_key}.weight",
+                       transform=None)]
+            if ln_bias:
+                out.append(
+                    stk(f"{path}_bias", (H, ), P(None, None),
+                        f"{hf_key}.bias", transform=None))
+            return out
+
+        specs = [
+            ParamSpec("embed_tokens", (V, H), P("model", None),
+                      "model.embed_tokens.weight", transform=None),
+            ParamSpec("final_norm", (H, ), P(),
+                      self.KEY_FINAL_NORM + ".weight",
+                      transform=None),
+        ]
+        if ln_bias:
+            specs.append(
+                ParamSpec("final_norm_bias", (H, ), P(),
+                          self.KEY_FINAL_NORM + ".bias",
+                          transform=None))
+        if not self.tie_embeddings:
+            specs.append(
+                ParamSpec("lm_head", (H, V), P(None, "model"),
+                          "lm_head.weight", transform=t))
+            if self.lm_head_bias:
+                specs.append(
+                    ParamSpec("lm_head_bias", (V, ), P("model"),
+                              "lm_head.bias", transform=None))
+
+        if self.residual != "post_norm":
+            specs += norm("input_layernorm", "input_layernorm")
+        if self.residual == "seq":
+            specs += norm("post_attention_layernorm",
+                          "post_attention_layernorm")
+        if self.residual == "post_norm":  # OLMo2
+            specs += norm("post_attention_layernorm",
+                          "post_attention_layernorm")
+            specs += norm("post_feedforward_layernorm",
+                          "post_feedforward_layernorm")
+
+        for name, width in (("q", qd), ("k", kd), ("v", kd)):
+            specs.append(
+                stk(f"{name}_proj", (H, width), P(None, None, "model"),
+                    f"self_attn.{name}_proj.weight"))
+            if self.qkv_bias:
+                specs.append(
+                    stk(f"{name}_bias", (width, ), P(None, "model"),
+                        f"self_attn.{name}_proj.bias",
+                        transform=None))
+        if self.qk_norm == "full_rms":
+            specs += [
+                stk("q_norm", (qd, ), P(None, None),
+                    "self_attn.q_norm.weight", transform=None),
+                stk("k_norm", (kd, ), P(None, None),
+                    "self_attn.k_norm.weight", transform=None),
+            ]
+        elif self.qk_norm == "head_ln":
+            specs += [
+                stk("q_norm", (self.num_q, self.head_dim),
+                    P(None, "model", None),
+                    "self_attn.q_norm.weight", transform=None),
+                stk("k_norm", (self.num_kv, self.head_dim),
+                    P(None, "model", None),
+                    "self_attn.k_norm.weight", transform=None),
+            ]
+        specs.append(
+            stk("o_proj", (qd, H), P(None, "model", None),
+                self.KEY_O + ".weight"))
+        if self.o_bias:
+            specs.append(
+                stk("o_bias", (H, ), P(None, None),
+                    self.KEY_O + ".bias", transform=None))
+
+        if self.gated_mlp:
+            specs += [
+                stk("gate_proj", (H, I), P(None, None, "model"),
+                    self.KEY_GATE + ".weight"),
+                stk("up_proj", (H, I), P(None, None, "model"),
+                    self.KEY_UP + ".weight"),
+                stk("down_proj", (I, H), P(None, "model", None),
+                    self.KEY_DOWN + ".weight"),
+            ]
+        else:
+            specs += [
+                stk("fc_in", (H, I), P(None, None, "model"),
+                    self.KEY_FC_IN + ".weight"),
+                stk("fc_out", (I, H), P(None, "model", None),
+                    self.KEY_FC_OUT + ".weight"),
+            ]
+            if self.mlp_bias:
+                specs += [
+                    stk("fc_in_bias", (I, ), P(None, "model"),
+                        self.KEY_FC_IN + ".bias", transform=None),
+                    stk("fc_out_bias", (H, ), P(None, None),
+                        self.KEY_FC_OUT + ".bias", transform=None),
+                ]
+        return specs
+
+    def kv_cache_spec(self) -> tuple[int, int, int]:
+        return self.num_kv, self.head_dim, self.L
+
+    # ------------------------------------------------------------------
+
+    def _mlp(self, w, h):
+        if self.gated_mlp:
+            g = self.act_fn(matmul(h, w["gate_proj"]),
+                            matmul(h, w["up_proj"]))
+            return matmul(g, w["down_proj"])
+        h = matmul(h, w["fc_in"])
+        if self.mlp_bias:
+            h = h + w["fc_in_bias"]
+        # plain MLPs use the act on a single tensor; ACT2FN entries
+        # are gated pairs, so call with ones-like up term
+        h = self._plain_act(h)
+        out = matmul(h, w["fc_out"])
+        if self.mlp_bias:
+            out = out + w["fc_out_bias"]
+        return out
+
+    _PLAIN_ACTS = {
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+        "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x,
+                                                   approximate=True),
+        "relu": jax.nn.relu,
+        "silu": jax.nn.silu,
+    }
+
+    def _plain_act(self, x):
+        hf = self.cfg.hf_config
+        act = getattr(hf, "hidden_act", "gelu")
+        return self._PLAIN_ACTS[act](x)
+
+    def _attention(self, w, h, positions, kv_caches, l, attn_meta,
+                   use_pallas):
+        t = h.shape[0]
+        q = matmul(h, w["q_proj"])
+        k = matmul(h, w["k_proj"])
+        v = matmul(h, w["v_proj"])
+        if self.qkv_bias:
+            q, k, v = q + w["q_bias"], k + w["k_bias"], v + w["v_bias"]
+        if self.qk_norm == "full_rms":
+            q = rms_norm(q, w["q_norm"], self.eps)
+            k = rms_norm(k, w["k_norm"], self.eps)
+        q = q.reshape(t, self.num_q, self.head_dim)
+        k = k.reshape(t, self.num_kv, self.head_dim)
+        v = v.reshape(t, self.num_kv, self.head_dim)
+        if self.qk_norm == "head_ln":
+            q = layer_norm(q, w["q_norm"], None, self.eps)
+            k = layer_norm(k, w["k_norm"], None, self.eps)
+        if self.rope_interleaved:
+            q, k = apply_rope_interleaved(q, k, positions,
+                                          self.inv_freq)
+        else:
+            q, k = apply_rope_partial(q, k, positions, self.inv_freq,
+                                      self.rot_dim)
+        o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
+                                 self.sm_scale,
+                                 sliding_window=self.cfg.sliding_window,
+                                 use_pallas=use_pallas)
+        out = matmul(o.reshape(t, -1), w["o_proj"])
+        if self.o_bias:
+            out = out + w["o_bias"]
+        return out, kv_caches
+
+    def __call__(self, params, input_ids, positions, kv_caches,
+                 attn_meta: AttentionMetadata,
+                 use_pallas: Optional[bool] = None):
+        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        layers = params["layers"]
+
+        def layer_fn(l, carry):
+            x, kv_caches = carry
+            w = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False), layers)
+
+            if self.residual == "post_norm":  # OLMo2
+                attn_out, kv_caches = self._attention(
+                    w, x, positions, kv_caches, l, attn_meta,
+                    use_pallas)
+                x = x + self._norm(attn_out,
+                                   w["post_attention_layernorm"],
+                                   w.get("post_attention_layernorm"
+                                         "_bias"))
+                mlp_out = self._mlp(w, x)
+                x = x + self._norm(mlp_out,
+                                   w["post_feedforward_layernorm"],
+                                   w.get("post_feedforward_layernorm"
+                                         "_bias"))
+                return x, kv_caches
+
+            h = self._norm(x, w["input_layernorm"],
+                           w.get("input_layernorm_bias"))
+            attn_out, kv_caches = self._attention(
+                w, h, positions, kv_caches, l, attn_meta, use_pallas)
+            if self.residual == "parallel":
+                x = x + attn_out + self._mlp(w, h)
+            else:
+                x = x + attn_out
+                h2 = self._norm(x, w["post_attention_layernorm"],
+                                w.get("post_attention_layernorm"
+                                      "_bias"))
+                x = x + self._mlp(w, h2)
+            return x, kv_caches
+
+        x, kv_caches = jax.lax.fori_loop(0, self.L, layer_fn,
+                                         (x, kv_caches))
+        x = self._norm(x, params["final_norm"],
+                       params.get("final_norm_bias"))
+        return x, kv_caches
+
+    def compute_logits(self, params, hidden):
+        w = params["embed_tokens"].T if self.tie_embeddings \
+            else params["lm_head"]
+        logits = hidden.astype(jnp.float32) @ w.astype(jnp.float32)
+        if not self.tie_embeddings and "lm_head_bias" in params:
+            logits = logits + params["lm_head_bias"].astype(
+                jnp.float32)
+        if self.logit_scale != 1.0:
+            logits = logits * self.logit_scale
+        return logits
+
+
+class Starcoder2ForCausalLM(_ConfigurableDecoder):
+    """Reference: vllm/model_executor/models/starcoder2.py — LN+bias,
+    plain gelu MLP (c_fc/c_proj), biases everywhere, full rotary."""
+
+    norm_style = "ln"
+    residual = "seq"
+    gated_mlp = False
+    eps_attr = "norm_epsilon"
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        use_bias = getattr(config.hf_config, "use_bias", True)
+        self.qkv_bias = self.o_bias = self.mlp_bias = bool(use_bias)
+        # re-run spec-affecting flags is unnecessary: param_specs reads
+        # the instance attrs at call time
+
+
+class StableLmForCausalLM(_ConfigurableDecoder):
+    """Reference: vllm/model_executor/models/stablelm.py — LN+bias
+    norms, partial rotary, gated silu MLP, optional qkv bias."""
+
+    norm_style = "ln"
+    residual = "seq"
+    gated_mlp = True
+    o_bias = False
+    mlp_bias = False
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.hf_config
+        self.qkv_bias = bool(getattr(hf, "use_qkv_bias", False))
+        assert not getattr(hf, "use_parallel_residual", False), \
+            "StableLM parallel residual not supported"
+
+
+class PhiForCausalLM(_ConfigurableDecoder):
+    """Reference: vllm/model_executor/models/phi.py — phi-1/1.5/2:
+    parallel attn+MLP from one LN, partial rotary, lm_head with
+    bias."""
+
+    norm_style = "ln"
+    residual = "parallel"
+    gated_mlp = False
+    lm_head_bias = True
+    KEY_O = "self_attn.dense"
+    KEY_FC_IN = "mlp.fc1"
+    KEY_FC_OUT = "mlp.fc2"
+    KEY_FINAL_NORM = "model.final_layernorm"
+
+
+class CohereForCausalLM(_ConfigurableDecoder):
+    """Reference: vllm/model_executor/models/commandr.py — LayerNorm
+    without bias, parallel attn+MLP, interleaved rotary, tied
+    embeddings with logit_scale, optional per-head q/k LayerNorm."""
+
+    norm_style = "ln_nobias"
+    residual = "parallel"
+    gated_mlp = True
+    qkv_bias = False
+    o_bias = False
+    mlp_bias = False
+    rope_interleaved = True
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        if getattr(config.hf_config, "use_qk_norm", False):
+            self.qk_norm = "head_ln"
+
+
+class Olmo2ForCausalLM(_ConfigurableDecoder):
+    """Reference: vllm/model_executor/models/olmo2.py — RMSNorm
+    applied to the attention/MLP *outputs* (post-norm residual),
+    full-width RMS q/k norm before head split."""
+
+    norm_style = "rms"
+    residual = "post_norm"
+    gated_mlp = True
+    qkv_bias = False
+    o_bias = False
+    mlp_bias = False
+    qk_norm = "full_rms"
+    eps_attr = "rms_norm_eps"

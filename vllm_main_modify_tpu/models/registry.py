@@ -29,6 +29,21 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                               "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("vllm_main_modify_tpu.models.deepseek_v2",
                               "DeepseekV3ForCausalLM"),
+    "Phi3ForCausalLM": ("vllm_main_modify_tpu.models.llama",
+                        "Phi3ForCausalLM"),
+    "GraniteForCausalLM": ("vllm_main_modify_tpu.models.llama",
+                           "GraniteForCausalLM"),
+    "Starcoder2ForCausalLM": ("vllm_main_modify_tpu.models"
+                              ".misc_decoders",
+                              "Starcoder2ForCausalLM"),
+    "StableLmForCausalLM": ("vllm_main_modify_tpu.models"
+                            ".misc_decoders", "StableLmForCausalLM"),
+    "PhiForCausalLM": ("vllm_main_modify_tpu.models.misc_decoders",
+                       "PhiForCausalLM"),
+    "CohereForCausalLM": ("vllm_main_modify_tpu.models.misc_decoders",
+                          "CohereForCausalLM"),
+    "Olmo2ForCausalLM": ("vllm_main_modify_tpu.models.misc_decoders",
+                         "Olmo2ForCausalLM"),
     "GPT2LMHeadModel": ("vllm_main_modify_tpu.models.gpt2",
                         "GPT2LMHeadModel"),
     "GPTNeoXForCausalLM": ("vllm_main_modify_tpu.models.gpt_neox",
