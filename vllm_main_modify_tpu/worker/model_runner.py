@@ -950,15 +950,14 @@ class TPUModelRunner:
 
         if self.proposer is not None:
             draft_token_ids = [[] for _ in range(num_reqs)]
-            for row in sample_rows:
-                sp = batch.temperature[row] <= 0.0  # greedy only
-                if not sp:
-                    continue
-                n = int(batch.num_tokens[row])
-                drafts = self.proposer.propose(
-                    batch.token_ids[row, :n])
-                if drafts is not None:
-                    draft_token_ids[row] = [int(d) for d in drafts]
+            greedy_rows = [
+                row for row in sample_rows
+                if batch.temperature[row] <= 0.0  # greedy only
+            ]
+            for row, draft in self.proposer.propose_batch(
+                    batch.token_ids, batch.num_tokens,
+                    greedy_rows).items():
+                draft_token_ids[row] = draft
 
         logprobs_lists = None
         if max_num_logprobs > 0:
