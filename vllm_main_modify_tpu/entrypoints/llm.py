@@ -119,6 +119,19 @@ class LLM:
             pbar.close()
         return [finished[rid] for rid in order]
 
+    def beam_search(
+        self,
+        prompts: Sequence[Union[str, list[int]]],
+        params=None,
+    ):
+        """Beam search (reference: LLM.beam_search,
+        vllm/entrypoints/llm.py + vllm/beam_search.py)."""
+        from vllm_main_modify_tpu.beam_search import (BeamSearchParams,
+                                                      beam_search)
+
+        return beam_search(self, prompts,
+                           params or BeamSearchParams())
+
     def embed(
         self,
         prompts: Union[str, Sequence[Union[str, list[int]]]],
