@@ -40,6 +40,14 @@ def build_checkpoint(tmp_path, arch: str):
             attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
             sliding_window=32)
         cls = transformers.Gemma2ForCausalLM
+    elif arch == "gemma3":
+        cfg = transformers.Gemma3TextConfig(
+            **dict(kw, num_hidden_layers=4), head_dim=16,
+            query_pre_attn_scalar=16, sliding_window=8,
+            sliding_window_pattern=2, rope_local_base_freq=10000.0,
+            rope_theta=1000000.0,
+            rope_scaling={"rope_type": "linear", "factor": 8.0})
+        cls = transformers.Gemma3ForCausalLM
     elif arch == "mixtral":
         cfg = transformers.MixtralConfig(
             **kw, num_local_experts=4, num_experts_per_tok=2)
@@ -193,7 +201,8 @@ def run_hf(hf_model, token_ids: list[int]) -> np.ndarray:
     return out[0].float().numpy()
 
 
-ARCHS = ["qwen2", "qwen3", "gemma", "gemma2", "mixtral", "qwen2_moe",
+ARCHS = ["qwen2", "qwen3", "gemma", "gemma2", "gemma3", "mixtral",
+         "qwen2_moe",
          "deepseek_v2", "deepseek_v2_group", "deepseek_v3",
          "qwen3_moe", "gpt2", "gpt_neox", "gpt_neox_seq", "falcon",
          "falcon_40b", "falcon_rw", "phi3", "granite", "starcoder2",

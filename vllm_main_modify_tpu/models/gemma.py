@@ -45,6 +45,7 @@ def gemma_rms_norm(x: jax.Array, weight: jax.Array,
 class GemmaForCausalLM:
 
     is_gemma2 = False
+    is_gemma3 = False
 
     def __init__(self, config: ModelConfig):
         self.cfg = config
@@ -120,6 +121,15 @@ class GemmaForCausalLM:
                     "model.layers.{i}.post_feedforward_layernorm.weight",
                     transform=None),
             ]
+        if self.is_gemma3:
+            specs += [
+                stk("layers.q_norm", (self.head_dim, ), P(None, None),
+                    "model.layers.{i}.self_attn.q_norm.weight",
+                    transform=None),
+                stk("layers.k_norm", (self.head_dim, ), P(None, None),
+                    "model.layers.{i}.self_attn.k_norm.weight",
+                    transform=None),
+            ]
         return specs
 
     def kv_cache_spec(self) -> tuple[int, int, int]:
@@ -128,7 +138,7 @@ class GemmaForCausalLM:
     # ------------------------------------------------------------------
 
     def _attn(self, w, x, positions, kv_caches, layer_idx, attn_meta,
-              use_pallas, sliding_window):
+              use_pallas, sliding_window, inv_freq=None):
         t = x.shape[0]
         cfg = self.cfg
         res = x
@@ -139,7 +149,13 @@ class GemmaForCausalLM:
                                            self.head_dim)
         v = matmul(h, w["v_proj"]).reshape(t, self.num_kv,
                                            self.head_dim)
-        q, k = apply_rope(q, k, positions, self.inv_freq)
+        if self.is_gemma3:
+            # per-head zero-centered q/k RMSNorm (the Gemma3 delta)
+            q = gemma_rms_norm(q, w["q_norm"], cfg.rms_norm_eps)
+            k = gemma_rms_norm(k, w["k_norm"], cfg.rms_norm_eps)
+        q, k = apply_rope(q, k, positions,
+                          self.inv_freq if inv_freq is None
+                          else inv_freq)
         o, kv_caches = attention(q, k, v, kv_caches, layer_idx,
                                  attn_meta, self.sm_scale,
                                  sliding_window=sliding_window,
@@ -215,3 +231,65 @@ class GemmaForCausalLM:
 
 class Gemma2ForCausalLM(GemmaForCausalLM):
     is_gemma2 = True
+
+
+class Gemma3ForCausalLM(GemmaForCausalLM):
+    """Reference: vllm/model_executor/models/gemma3.py. Gemma2's
+    sandwich-norm block plus: per-head q/k RMSNorm, no softcaps,
+    config-driven sliding/full layer pattern (5:1), and DUAL rope —
+    global layers use rope_theta (+linear scaling), sliding layers use
+    rope_local_base_freq unscaled."""
+
+    is_gemma2 = True
+    is_gemma3 = True
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.hf_config
+        self.attn_softcap = getattr(hf, "attn_logit_softcapping",
+                                    None)
+        self.final_softcap = getattr(hf, "final_logit_softcapping",
+                                     None)
+        self.sliding_window = getattr(hf, "sliding_window", None)
+        layer_types = getattr(hf, "layer_types", None)
+        if layer_types is None:
+            pattern = getattr(hf, "sliding_window_pattern", 6)
+            layer_types = [
+                "sliding_attention" if (i + 1) % pattern else
+                "full_attention" for i in range(self.L)
+            ]
+        self._is_sliding = jnp.asarray(
+            [lt == "sliding_attention" for lt in layer_types],
+            dtype=jnp.bool_)
+        local_theta = getattr(hf, "rope_local_base_freq", 10000.0)
+        self.inv_freq_local = jnp.asarray(
+            compute_inv_freq(self.head_dim, local_theta, None))
+
+    def __call__(self, params, input_ids, positions, kv_caches,
+                 attn_meta: AttentionMetadata,
+                 use_pallas: Optional[bool] = None):
+        cfg = self.cfg
+        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        x = x * jnp.asarray(self.embed_scale, dtype=x.dtype)
+        layers = params["layers"]
+
+        def layer_fn(l, carry):
+            x, kv = carry
+            w = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False), layers)
+            return jax.lax.cond(
+                self._is_sliding[l],
+                lambda x, kv: self._attn(w, x, positions, kv, l,
+                                         attn_meta, use_pallas,
+                                         self.sliding_window,
+                                         self.inv_freq_local),
+                lambda x, kv: self._attn(w, x, positions, kv, l,
+                                         attn_meta, use_pallas, None,
+                                         self.inv_freq),
+                x, kv)
+
+        x, kv_caches = jax.lax.fori_loop(0, self.L, layer_fn,
+                                         (x, kv_caches))
+        x = gemma_rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return x, kv_caches

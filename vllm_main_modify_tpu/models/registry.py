@@ -54,6 +54,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                          "GemmaForCausalLM"),
     "Gemma2ForCausalLM": ("vllm_main_modify_tpu.models.gemma",
                           "Gemma2ForCausalLM"),
+    "Gemma3ForCausalLM": ("vllm_main_modify_tpu.models.gemma",
+                          "Gemma3ForCausalLM"),
     # embedding/pooling checkpoints (decoder backbone, no lm_head;
     # reference: pooling adapters vllm/model_executor/layers/pooler.py)
     "LlamaModel": ("vllm_main_modify_tpu.models.registry",
