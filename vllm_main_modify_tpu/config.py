@@ -66,6 +66,9 @@ class ModelConfig:
     quantization: Optional[str] = None
     # embedding/pooling checkpoints (no lm_head; last-token pooling)
     is_pooling_model: bool = False
+    # multimodal composite configs (text_config + vision_config)
+    is_multimodal: bool = False
+    image_token_index: int = -1
 
     def __post_init__(self) -> None:
         if self.tokenizer is None:
@@ -86,9 +89,18 @@ class ModelConfig:
 
     def _derive_from_hf(self) -> None:
         hf = self.hf_config
-        get = lambda k, d=None: getattr(hf, k, d)
-        archs = get("architectures") or []
+        top_get = lambda k, d=None: getattr(hf, k, d)
+        archs = top_get("architectures") or []
         self.architecture = archs[0] if archs else type(hf).__name__
+        # composite multimodal configs: the decoder fields live in
+        # text_config (reference: vllm/config/model.py hf_text_config)
+        text = top_get("text_config")
+        if text is not None and top_get("hidden_size") is None:
+            self.is_multimodal = True
+            self.image_token_index = top_get("image_token_index",
+                                             -1) or -1
+            hf = text
+        get = lambda k, d=None: getattr(hf, k, d)
         self.vocab_size = get("vocab_size", self.vocab_size)
         self.hidden_size = get("hidden_size", self.hidden_size)
         self.num_layers = get("num_hidden_layers", self.num_layers)

@@ -64,6 +64,7 @@ class Request:
         lora_name: Optional[str] = None,
         lora_path: Optional[str] = None,
         trace_headers: Optional[dict[str, str]] = None,
+        mm_inputs: Optional[list] = None,
     ) -> None:
         self.request_id = request_id
         self.prompt = prompt
@@ -80,6 +81,7 @@ class Request:
         self.lora_name = lora_name
         self.lora_path = lora_path
         self.trace_headers = trace_headers
+        self.mm_inputs = mm_inputs
 
         self.status = RequestStatus.WAITING
         self.stop_reason: Optional[object] = None

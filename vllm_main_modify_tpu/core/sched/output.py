@@ -27,6 +27,7 @@ class NewRequestData:
     lora_name: Optional[str] = None
     lora_path: Optional[str] = None
     pooling_params: Optional[object] = None
+    mm_inputs: Optional[list] = None
 
     @classmethod
     def from_request(cls, request, block_ids: list[int]) -> \
@@ -37,6 +38,7 @@ class NewRequestData:
             sampling_params=request.sampling_params,
             block_ids=block_ids,
             num_computed_tokens=request.num_computed_tokens,
+            mm_inputs=getattr(request, "mm_inputs", None),
             lora_name=request.lora_name,
             lora_path=getattr(request, "lora_path", None),
             pooling_params=request.pooling_params,

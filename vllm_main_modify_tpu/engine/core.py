@@ -117,6 +117,7 @@ class EngineCore:
             lora_name=request.lora_name,
             lora_path=request.lora_path,
             trace_headers=request.trace_headers,
+            mm_inputs=request.mm_inputs,
         )
         if self.structured_output_manager is not None and \
                 req.use_structured_output:

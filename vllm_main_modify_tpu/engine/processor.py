@@ -36,11 +36,25 @@ class Processor:
         lora_request=None,
         trace_headers: Optional[dict[str, str]] = None,
     ) -> EngineCoreRequest:
+        mm_inputs = None
+        mm_salt = None
         if isinstance(prompt, dict):
             prompt_text = prompt.get("prompt")
             token_ids = prompt.get("prompt_token_ids")
             if token_ids is None:
                 token_ids = self._tokenize(prompt_text)
+            mm_data = prompt.get("multi_modal_data")
+            if mm_data:
+                if not self.config.model_config.is_multimodal:
+                    raise ValueError(
+                        f"request {request_id}: multi_modal_data "
+                        "given but the model is text-only")
+                from vllm_main_modify_tpu.multimodal import \
+                    build_mm_inputs
+
+                token_ids, mm_inputs, mm_salt = build_mm_inputs(
+                    token_ids, mm_data["image"],
+                    self.config.model_config)
         elif isinstance(prompt, str):
             prompt_text = prompt
             token_ids = self._tokenize(prompt)
@@ -104,6 +118,10 @@ class Processor:
                        if lora_request is not None else None),
             prompt=prompt_text,
             trace_headers=trace_headers,
+            mm_inputs=mm_inputs,
+            # image content feeds the prefix-cache key: identical text
+            # with different images must never share KV blocks
+            cache_salt=mm_salt,
         )
 
     def _tokenize(self, text: str) -> list[int]:

@@ -41,6 +41,10 @@ class EngineCoreRequest:
     lora_path: Optional[str] = None
     prompt: Optional[str] = None  # original text, kept for outputs
     trace_headers: Optional[dict[str, str]] = None
+    # multimodal: [{"pixel_values": np [3,S,S] f32, "offset": int,
+    #               "num_tokens": int}] per image, offsets into the
+    # (already placeholder-expanded) prompt_token_ids
+    mm_inputs: Optional[list] = None
 
 
 @dataclass

@@ -146,9 +146,12 @@ class LlamaForCausalLM:
         kv_caches: jax.Array,  # [L, P, page, 2*Hk, D]
         attn_meta: AttentionMetadata,
         use_pallas: Optional[bool] = None,
+        inputs_embeds: Optional[jax.Array] = None,
     ) -> tuple[jax.Array, jax.Array]:
         cfg = self.cfg
-        x = jnp.take(params["embed_tokens"], input_ids,
+        # multimodal wrappers (models/llava.py) pass merged embeddings
+        x = inputs_embeds if inputs_embeds is not None else \
+            jnp.take(params["embed_tokens"], input_ids,
                      axis=0)  # [T, H]
         if self.embed_mult != 1.0:
             x = x * jnp.asarray(self.embed_mult, dtype=x.dtype)

@@ -44,6 +44,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                           "CohereForCausalLM"),
     "Olmo2ForCausalLM": ("vllm_main_modify_tpu.models.misc_decoders",
                          "Olmo2ForCausalLM"),
+    "LlavaForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.llava",
+        "LlavaForConditionalGeneration"),
     "GPT2LMHeadModel": ("vllm_main_modify_tpu.models.gpt2",
                         "GPT2LMHeadModel"),
     "GPTNeoXForCausalLM": ("vllm_main_modify_tpu.models.gpt_neox",

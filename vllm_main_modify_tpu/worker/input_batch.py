@@ -24,7 +24,7 @@ class CachedRequestState:
 
     __slots__ = ("req_id", "prompt_token_ids", "sampling_params",
                  "pooling_params", "block_ids", "num_computed_tokens",
-                 "output_token_ids", "lora_name")
+                 "output_token_ids", "lora_name", "mm_inputs")
 
     def __init__(self, new_req: NewRequestData) -> None:
         self.req_id = new_req.req_id
@@ -35,6 +35,7 @@ class CachedRequestState:
         self.num_computed_tokens = new_req.num_computed_tokens
         self.output_token_ids: list[int] = []
         self.lora_name = new_req.lora_name
+        self.mm_inputs = getattr(new_req, "mm_inputs", None)
 
     @property
     def num_tokens(self) -> int:

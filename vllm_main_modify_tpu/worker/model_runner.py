@@ -122,6 +122,19 @@ class TPUModelRunner:
                                           spec.prompt_lookup_min,
                                           spec.prompt_lookup_max)
 
+        # multimodal: image features live in a fixed device-side
+        # buffer (rows allocated per request, written once by the
+        # jitted vision encoder, gathered into the step by mm_gather /
+        # mm_scatter packed segments). Reference capability:
+        # EncoderCacheManager (vllm/v1/core/encoder_cache_manager.py)
+        # — here the "cache" IS the device buffer.
+        self.is_mm = mc.is_multimodal
+        self.mm_buffer: Optional[jax.Array] = None
+        self.mm_rows = 4096
+        self.mm_ranges: dict[str, list[tuple[int, int, int]]] = {}
+        self._mm_free: list[list[int]] = [[0, self.mm_rows]]
+        self._mm_encode_write = None
+
         # multi-LoRA
         lc = config.lora_config
         self.enable_lora = lc.enable_lora
@@ -265,6 +278,9 @@ class TPUModelRunner:
         self.kv_caches = jax.jit(
             lambda: jnp.zeros(shape, dtype=mc.jax_dtype),
             out_shardings=self._kv_sharding)()
+        if self.is_mm and self.mm_buffer is None:
+            self.mm_buffer = jnp.zeros((self.mm_rows, mc.hidden_size),
+                                       dtype=mc.jax_dtype)
 
     def init_kv_offload(self, capacity_blocks: int) -> None:
         from vllm_main_modify_tpu.kv_offload.manager import \
@@ -379,6 +395,7 @@ class TPUModelRunner:
         for req_id in scheduler_output.finished_req_ids:
             self.requests.pop(req_id, None)
             self.input_batch.remove_request(req_id)
+            self._free_mm(req_id)
 
         # Evict unscheduled rows (preempted, or running-but-unscheduled)
         # while keeping their cached state for future re-admission
@@ -416,6 +433,8 @@ class TPUModelRunner:
             state = CachedRequestState(new_req)
             self.requests[new_req.req_id] = state
             reqs_to_add.append(state)
+            if state.mm_inputs:
+                self._ingest_mm(state)
 
         # condense BEFORE adding so new rows land on free tail slots
         self.input_batch.condense()
@@ -424,6 +443,52 @@ class TPUModelRunner:
             if self.enable_lora:
                 self.input_batch.lora_slots[row] = \
                     self.lora_manager.slot_of(state.lora_name)
+
+    # ------------------------------------------------------------------
+    # multimodal feature ingestion
+    # ------------------------------------------------------------------
+
+    def _mm_alloc(self, n: int) -> int:
+        for blk in self._mm_free:
+            if blk[1] >= n:
+                start = blk[0]
+                blk[0] += n
+                blk[1] -= n
+                return start
+        raise RuntimeError(
+            f"multimodal feature buffer exhausted (need {n} rows; "
+            f"mm_rows={self.mm_rows})")
+
+    def _free_mm(self, req_id: str) -> None:
+        ranges = self.mm_ranges.pop(req_id, None)
+        if ranges:
+            for _, n, start in ranges:
+                self._mm_free.append([start, n])
+
+    def _ingest_mm(self, state) -> None:
+        """Run the vision encoder for a new request's images and write
+        the projected features into the device buffer (one jit,
+        compiled once; reference: _execute_mm_encoder
+        gpu_model_runner.py:1565)."""
+        if self._mm_encode_write is None:
+            model = self.model
+
+            def encode_write(params, pix, buf, start):
+                feats = model.encode_images(params, pix)
+                feats = feats.reshape(-1, buf.shape[1])
+                return jax.lax.dynamic_update_slice(
+                    buf, feats.astype(buf.dtype), (start, 0))
+
+            self._mm_encode_write = jax.jit(encode_write)
+        ranges = []
+        for mm in state.mm_inputs:
+            n = int(mm["num_tokens"])
+            start = self._mm_alloc(n)
+            pix = jnp.asarray(mm["pixel_values"][None])
+            self.mm_buffer = self._mm_encode_write(
+                self.params, pix, self.mm_buffer, start)
+            ranges.append((int(mm["offset"]), n, start))
+        self.mm_ranges[state.req_id] = ranges
 
     # ------------------------------------------------------------------
     # per-step input build (reference: _prepare_inputs
@@ -453,8 +518,28 @@ class TPUModelRunner:
         has_penalties = bool(batch.penalty_reqs)
         has_bias = bool(batch.logit_bias_reqs)
 
+        # multimodal pre-pass: image-token rows in this step's chunks
+        # (gather row in the feature buffer → scatter row in packed)
+        mm_pairs: list[tuple[int, int]] = []
+        if self.mm_ranges:
+            off = 0
+            for row in range(num_reqs):
+                rid = batch.req_ids[row]
+                ns = sched.get(rid, 0)
+                sp = int(batch.num_computed_tokens[row])
+                ep = sp + ns
+                for (ioff, ntok, buf_start) in \
+                        self.mm_ranges.get(rid, ()):
+                    lo, hi = max(sp, ioff), min(ep, ioff + ntok)
+                    for p in range(lo, hi):
+                        mm_pairs.append((buf_start + (p - ioff),
+                                         off + (p - sp)))
+                off += ns
+        mm_pad = next_power_of_2(max(len(mm_pairs),
+                                     64)) if mm_pairs else 0
+
         layout = self._packed_layout(t_pad, r_pad, s_pad,
-                                     has_penalties, has_bias)
+                                     has_penalties, has_bias, mm_pad)
         packed = np.zeros(layout["total"], dtype=np.int32)
 
         def seg(name):
@@ -629,9 +714,15 @@ class TPUModelRunner:
                     bias_ids[row, j] = tid
                     bias_vals[row, j] = val
 
+        if mm_pad:
+            seg("mm_gather")[:len(mm_pairs)] = [g for g, _ in mm_pairs]
+            mm_scatter = seg("mm_scatter")
+            mm_scatter[:] = -1
+            mm_scatter[:len(mm_pairs)] = [s for _, s in mm_pairs]
+
         return (packed, sample_rows, t_pad, r_pad, s_pad,
                 apply_grammar, spec_counts, proposed, has_penalties,
-                has_bias)
+                has_bias, mm_pad)
 
     def _banned_next_tokens(self, row: int) -> list[int]:
         """bad_words: last tokens banned when the preceding history
@@ -659,7 +750,8 @@ class TPUModelRunner:
     @functools.lru_cache(maxsize=None)
     def _packed_layout(self, t_pad: int, r_pad: int, s_pad: int,
                        has_penalties: bool = False,
-                       has_bias: bool = False) -> dict:
+                       has_bias: bool = False,
+                       mm_pad: int = 0) -> dict:
         """Static segment offsets of the packed step buffer."""
         mp = self.max_blocks_per_req
         sizes = [
@@ -695,6 +787,9 @@ class TPUModelRunner:
             # sparse logit bias (token id, f32 bias) pairs
             ("bias_ids", r_pad * self.BIAS_MAX if has_bias else 0),
             ("bias_vals", r_pad * self.BIAS_MAX if has_bias else 0),
+            # multimodal merge: feature-buffer row → packed token row
+            ("mm_gather", mm_pad),
+            ("mm_scatter", mm_pad),
         ]
         layout = {}
         off = 0
@@ -729,7 +824,8 @@ class TPUModelRunner:
                      return_hidden: bool = False,
                      has_prev2: bool = False,
                      has_penalties: bool = False,
-                     has_bias: bool = False):
+                     has_bias: bool = False,
+                     mm_pad: int = 0):
         """One compiled executable per (bucket, sampler-static)
         combination. The step consumes ONE packed int32 buffer (see
         _prepare_inputs) and unpacks with static slices on device."""
@@ -739,7 +835,7 @@ class TPUModelRunner:
         page = self.page_size
         s_pad = t_pad // page + r_pad + 1
         layout = self._packed_layout(t_pad, r_pad, s_pad,
-                                     has_penalties, has_bias)
+                                     has_penalties, has_bias, mm_pad)
         mp = self.max_blocks_per_req
         max_model_len = self.max_model_len
         bias_max = self.BIAS_MAX
@@ -748,7 +844,7 @@ class TPUModelRunner:
         enable_lora = self.enable_lora
 
         def step(params, kv_caches, packed, prev_sampled=None,
-                 prev_sampled2=None):
+                 prev_sampled2=None, mm_buffer=None):
             def seg(name):
                 a, b = layout[name]
                 return jax.lax.slice_in_dim(packed, a, b)
@@ -789,9 +885,17 @@ class TPUModelRunner:
                                   if enable_lora else None),
             )
             logits_indices = seg("logits_indices")  # [r_pad * nsp]
+            mm_kwargs = {}
+            if mm_pad:
+                g = jnp.clip(seg("mm_gather"), 0,
+                             mm_buffer.shape[0] - 1)
+                mm_kwargs = dict(
+                    mm_embeds=jnp.take(mm_buffer, g, axis=0),
+                    mm_scatter=seg("mm_scatter"))
             hidden, kv_caches = model(params, input_ids,
                                       seg("positions"), kv_caches,
-                                      attn_meta, use_pallas=use_pallas)
+                                      attn_meta, use_pallas=use_pallas,
+                                      **mm_kwargs)
             sampled_hidden = jnp.take(hidden, logits_indices, axis=0)
             logits = model.compute_logits(params, sampled_hidden)
 
@@ -871,8 +975,8 @@ class TPUModelRunner:
                                      sampled_token_ids=[])
 
         (packed, sample_rows, t_pad, r_pad, s_pad, apply_grammar,
-         spec_counts, proposed, has_penalties,
-         has_bias) = self._prepare_inputs(scheduler_output)
+         spec_counts, proposed, has_penalties, has_bias,
+         mm_pad) = self._prepare_inputs(scheduler_output)
         statics = self._sampling_statics()
         max_num_logprobs = statics[-1]
         pooling_rows = [
@@ -886,9 +990,9 @@ class TPUModelRunner:
         step_fn = self._get_step_fn(t_pad, r_pad, *statics,
                                     apply_grammar, False,
                                     return_hidden, False,
-                                    has_penalties, has_bias)
+                                    has_penalties, has_bias, mm_pad)
         compile_key = (t_pad, r_pad, *statics, apply_grammar,
-                       return_hidden, has_penalties, has_bias)
+                       return_hidden, has_penalties, has_bias, mm_pad)
         if compile_key not in self._compiled_keys:
             self._compiled_keys.add(compile_key)
             self.num_compilations += 1
@@ -897,7 +1001,9 @@ class TPUModelRunner:
         packed_dev = jnp.asarray(packed, device=self._replicated)
         self.kv_caches, out, hidden = step_fn(self.params,
                                               self.kv_caches,
-                                              packed_dev)
+                                              packed_dev,
+                                              mm_buffer=self.mm_buffer
+                                              if mm_pad else None)
 
         # device -> host (single transfer of the small sampled arrays)
         sampled_np = np.asarray(out.sampled)
@@ -1011,8 +1117,8 @@ class TPUModelRunner:
             return None
 
         (packed, sample_rows, t_pad, r_pad, s_pad, apply_grammar,
-         _spec_counts, _proposed, has_penalties,
-         has_bias) = self._prepare_inputs(scheduler_output)
+         _spec_counts, _proposed, has_penalties, has_bias,
+         mm_pad) = self._prepare_inputs(scheduler_output)
         statics = self._sampling_statics()
         max_num_logprobs = statics[-1]
         has_prev = self._prev_sampled is not None
@@ -1021,9 +1127,10 @@ class TPUModelRunner:
 
         step_fn = self._get_step_fn(t_pad, r_pad, *statics,
                                     apply_grammar, has_prev, False,
-                                    has_prev2, has_penalties, has_bias)
+                                    has_prev2, has_penalties, has_bias,
+                                    mm_pad)
         compile_key = (t_pad, r_pad, *statics, apply_grammar, has_prev,
-                       has_prev2, has_penalties, has_bias,
+                       has_prev2, has_penalties, has_bias, mm_pad,
                        None if not has_prev
                        else self._prev_sampled.shape[0])
         if compile_key not in self._compiled_keys:
@@ -1035,7 +1142,8 @@ class TPUModelRunner:
         self.kv_caches, out, _ = step_fn(
             self.params, self.kv_caches, packed_dev,
             self._prev_sampled if has_prev else None,
-            self._prev_sampled2 if has_prev2 else None)
+            self._prev_sampled2 if has_prev2 else None,
+            mm_buffer=self.mm_buffer if mm_pad else None)
 
         batch = self.input_batch
         num_reqs = batch.num_reqs
