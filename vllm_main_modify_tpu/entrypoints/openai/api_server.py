@@ -48,6 +48,7 @@ class OpenAIServer:
                  tool_call_parser: Optional[str] = None,
                  reasoning_parser: Optional[str] = None) -> None:
         self.engine = engine
+        self.config = engine.config
         self.model_name = served_model_name
         self.tokenizer = engine.tokenizer
         self.max_model_len = engine.config.model_config.max_model_len
@@ -115,7 +116,7 @@ class OpenAIServer:
     async def tokenize(self, request: web.Request) -> web.Response:
         body = TokenizeRequest(**await request.json())
         if body.messages is not None:
-            text = self._apply_chat_template(body.messages, True)
+            text, _ = self._apply_chat_template(body.messages, True)
         else:
             text = body.prompt or ""
         ids = self.tokenizer.encode(
@@ -301,29 +302,85 @@ class OpenAIServer:
 
     # ---- /v1/chat/completions ----------------------------------------
 
+    # sentinel spliced where image content parts sit; the final token
+    # stream replaces each with image_token_index, avoiding any
+    # placeholder-string/tokenizer round-trip ambiguity
+    _MM_SENTINEL = "\x00<mm-image>\x00"
+
     def _apply_chat_template(self, messages: list[ChatMessage],
                              add_generation_prompt: bool,
-                             chat_template: Optional[str] = None) -> str:
+                             chat_template: Optional[str] = None
+                             ) -> tuple[str, list]:
+        """→ (templated text with image sentinels, decoded images)."""
         msg_dicts = []
+        images: list = []
         for m in messages:
             content = m.content
             if isinstance(content, list):
-                # multimodal-style content parts: concatenate text parts
-                content = "".join(
-                    p.get("text", "") for p in content
-                    if isinstance(p, dict) and p.get("type") == "text")
+                # OpenAI-style content parts (text + image_url)
+                parts = []
+                for p in content:
+                    if not isinstance(p, dict):
+                        continue
+                    if p.get("type") == "text":
+                        parts.append(p.get("text", ""))
+                    elif p.get("type") == "image_url":
+                        url = (p.get("image_url") or {}).get("url", "")
+                        images.append(self._decode_image_url(url))
+                        parts.append(self._MM_SENTINEL)
+                content = "".join(parts)
             msg_dicts.append({"role": m.role, "content": content or ""})
         if getattr(self.tokenizer, "chat_template", None) or chat_template:
-            return self.tokenizer.apply_chat_template(
+            text = self.tokenizer.apply_chat_template(
                 msg_dicts, tokenize=False,
                 chat_template=chat_template,
                 add_generation_prompt=add_generation_prompt)
-        # no template: simple role-tagged fallback
-        text = "".join(f"{m['role']}: {m['content']}\n"
-                       for m in msg_dicts)
-        if add_generation_prompt:
-            text += "assistant:"
-        return text
+        else:
+            # no template: simple role-tagged fallback
+            text = "".join(f"{m['role']}: {m['content']}\n"
+                           for m in msg_dicts)
+            if add_generation_prompt:
+                text += "assistant:"
+        return text, images
+
+    @staticmethod
+    def _decode_image_url(url: str):
+        """data: URLs only — the serving host has no egress and MUST
+        not be made to fetch attacker-chosen URLs (SSRF)."""
+        if not url.startswith("data:"):
+            raise ValueError(
+                "only data: image URLs are supported")
+        import base64
+        import io
+
+        from PIL import Image
+
+        _, b64 = url.split(",", 1)
+        return Image.open(io.BytesIO(
+            base64.b64decode(b64))).convert("RGB")
+
+    def _build_mm_prompt(self, text: str, images: list):
+        """Templated text + images → engine prompt dict: tokenize the
+        text segments around each sentinel and splice the model's
+        image token id between them."""
+        if not images:
+            return text
+        if not self.config.model_config.is_multimodal:
+            raise ValueError("image content given but the model is "
+                             "text-only")
+        image_token = self.config.model_config.image_token_index
+        segments = text.split(self._MM_SENTINEL)
+        token_ids: list[int] = []
+        for i, seg_text in enumerate(segments):
+            if seg_text:
+                token_ids.extend(
+                    self.tokenizer.encode(
+                        seg_text, add_special_tokens=(i == 0)))
+            if i < len(segments) - 1:
+                token_ids.append(image_token)
+        return {"prompt_token_ids": token_ids,
+                "prompt": text.replace(self._MM_SENTINEL, ""),
+                "multi_modal_data": {"image": images}}
 
     async def chat_completions(self,
                                request: web.Request) -> web.Response:
@@ -334,9 +391,10 @@ class OpenAIServer:
         if not body.messages:
             return error_json(400, "messages must be non-empty")
         try:
-            prompt = self._apply_chat_template(body.messages,
-                                               body.add_generation_prompt,
-                                               body.chat_template)
+            text, images = self._apply_chat_template(
+                body.messages, body.add_generation_prompt,
+                body.chat_template)
+            prompt = self._build_mm_prompt(text, images)
             params = body.to_sampling_params(
                 default_max_tokens=self.max_model_len)
         except ValueError as e:
