@@ -25,6 +25,9 @@ if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+# NOTE: do NOT enable jax_compilation_cache_dir here — on the axon
+# remote-compile platform it slows every compile ~150x (measured
+# 0.8s -> 133.8s for one matmul) and writes no cache files.
 
 BASELINE_S = 1.7  # v6e, reference tests/v1/tpu/test_perf.py:62-73
 

@@ -114,3 +114,36 @@ def test_pallas_padded_rows_are_zero():
     got = ragged_paged_attention_pallas(q, kv, bt, qsl, lens, 0.125,
                                         interpret=True)
     assert np.all(np.asarray(got[3:]) == 0.0)
+
+
+def test_pallas_fp8_kv_interpret():
+    """fp8 KV pages: kernel upcast path vs the oracle on an fp8 cache
+    (reference capability: pallas.py fp8 kv-cache quantization)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vllm_main_modify_tpu.ops.attention import \
+        ragged_paged_attention_xla
+    from vllm_main_modify_tpu.ops.pallas.ragged_attn import \
+        ragged_paged_attention_pallas
+
+    rng = np.random.default_rng(11)
+    pages, page, hk, hq, d = 8, 32, 2, 4, 128
+    t = 16
+    kv = (rng.standard_normal((pages, page, 2 * hk, d)) * 0.3)
+    kv_fp8 = jnp.asarray(kv, jnp.float32).astype(jnp.float8_e4m3fn)
+    q = jnp.asarray(rng.standard_normal((t, hq, d)) * 0.3,
+                    jnp.float32)
+    bt = np.zeros((4, pages), np.int32)
+    bt[0] = np.arange(pages)
+    qsl = jnp.asarray([0, t, t, t, t], jnp.int32)
+    sl = jnp.asarray([t + 8, 0, 0, 0], jnp.int32)
+    ref = ragged_paged_attention_xla(
+        q, kv_fp8.astype(jnp.float32).reshape(pages, page, 2 * hk, d),
+        jnp.asarray(bt), qsl, sl, sm_scale=d**-0.5)
+    got = ragged_paged_attention_pallas(
+        q, kv_fp8.reshape(pages, page, 2 * hk * d), jnp.asarray(bt),
+        qsl, sl, sm_scale=d**-0.5, num_kv_heads=hk,
+        num_seqs=jnp.asarray([1], jnp.int32), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)

@@ -19,6 +19,9 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-num-seqs", type=int, default=64)
     p.add_argument("--max-num-batched-tokens", type=int, default=1024)
     p.add_argument("--block-size", type=int, default=16)
+    p.add_argument("--kv-cache-dtype", default="auto",
+                   choices=["auto", "bfloat16", "float32", "fp8",
+                            "fp8_e4m3", "fp8_e5m2"])
     p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
     p.add_argument("--gpu-memory-utilization", type=float, default=0.9)
     p.add_argument("--no-enable-prefix-caching", action="store_true")
@@ -49,6 +52,7 @@ def _build_config(args):
             block_size=args.block_size,
             num_gpu_blocks=args.num_kv_blocks,
             gpu_memory_utilization=args.gpu_memory_utilization,
+            cache_dtype=args.kv_cache_dtype,
             enable_prefix_caching=not args.no_enable_prefix_caching),
         scheduler_config=SchedulerConfig(
             max_num_batched_tokens=args.max_num_batched_tokens,

@@ -35,6 +35,7 @@ class LLM:
         max_num_seqs: int = 64,
         max_num_batched_tokens: int = 1024,
         block_size: int = 16,
+        kv_cache_dtype: str = "auto",
         tensor_parallel_size: int = 1,
         enable_prefix_caching: bool = True,
         num_kv_blocks: Optional[int] = None,
@@ -60,6 +61,7 @@ class LLM:
             cache_config=CacheConfig(
                 block_size=block_size,
                 num_gpu_blocks=num_kv_blocks,
+                cache_dtype=kv_cache_dtype,
                 enable_prefix_caching=enable_prefix_caching),
             scheduler_config=SchedulerConfig(
                 max_num_batched_tokens=max_num_batched_tokens,

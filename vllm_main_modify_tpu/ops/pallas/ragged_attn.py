@@ -178,6 +178,12 @@ def _rpa_kernel(
         kv = kv_vmem[slot].reshape(kvb, num_kv_heads, 2, head_dim)
         k = kv[:, :, 0, :]  # [KVB, Hk, D]
         v = kv[:, :, 1, :]
+        if kv.dtype != q_all.dtype:
+            # quantized (fp8) KV cache: stream 1-byte pages, upcast
+            # in VMEM right before the MXU (reference capability:
+            # pallas.py:335-343 fp8 kv-cache quantization)
+            k = k.astype(q_all.dtype)
+            v = v.astype(q_all.dtype)
 
         new_m, new_l, new_acc = [], [], []
         for h in range(num_kv_heads):

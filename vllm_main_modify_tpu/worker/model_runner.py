@@ -258,10 +258,35 @@ class TPUModelRunner:
         # CPU/test fallback: fixed small budget
         return 64 * 1024 * 1024
 
+    def kv_dtype(self):
+        """KV-cache element dtype (reference: cache_config.cache_dtype
+        + Fp8KVCacheMethod, quantization/kv_cache.py:14-56). fp8
+        halves KV HBM → 2x batch/context capacity; the attention
+        kernel upcasts in VMEM."""
+        cd = (self.config.cache_config.cache_dtype or "auto").lower()
+        mc = self.config.model_config
+        if cd in ("auto", ""):
+            return mc.jax_dtype
+        table = {
+            "bfloat16": jnp.bfloat16,
+            "float32": jnp.float32,
+            "fp8": jnp.float8_e4m3fn,
+            "fp8_e4m3": jnp.float8_e4m3fn,
+            "fp8_e5m2": jnp.float8_e5m2,
+        }
+        if cd not in table:
+            raise ValueError(f"unknown kv cache dtype {cd!r}")
+        if jnp.dtype(table[cd]).itemsize == 1 and self.use_pallas and \
+                self.page_size % 32 != 0:
+            # 1-byte types tile (32, 128) on TPU: page-granular DMA
+            # slices need 32-row alignment
+            raise ValueError(
+                "fp8 KV cache on TPU requires block_size % 32 == 0 "
+                f"(got {self.page_size})")
+        return table[cd]
+
     def page_bytes(self) -> int:
-        dtype_size = 2  # bf16/f16 KV; fp8 support halves this later
-        if self.config.model_config.dtype == "float32":
-            dtype_size = 4
+        dtype_size = jnp.dtype(self.kv_dtype()).itemsize
         # the model's kv_cache_spec is authoritative — e.g. DeepSeek
         # MLA caches num_heads x (qk_nope+qk_rope), not
         # num_kv_heads x head_dim
@@ -275,8 +300,9 @@ class TPUModelRunner:
         kv_heads, kv_dim, kv_layers = self.model.kv_cache_spec()
         shape = (kv_layers, num_pages, self.page_size,
                  2 * kv_heads * kv_dim)
+        kv_dtype = self.kv_dtype()
         self.kv_caches = jax.jit(
-            lambda: jnp.zeros(shape, dtype=mc.jax_dtype),
+            lambda: jnp.zeros(shape, dtype=kv_dtype),
             out_shardings=self._kv_sharding)()
         if self.is_mm and self.mm_buffer is None:
             self.mm_buffer = jnp.zeros((self.mm_rows, mc.hidden_size),
