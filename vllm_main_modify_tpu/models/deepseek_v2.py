@@ -1,19 +1,26 @@
 """DeepSeek-V2/V3 family: MLA attention + DeepSeek-MoE.
 
 Reference parity: vllm/model_executor/models/deepseek_v2.py and the
-MLA backend family (vllm/v1/attention/backends/mla/common.py —
-matrix-absorption W_UK/W_UV, chunked-context prefill). Round-1
-TPU-native strategy: **decompressed-MHA MLA** — the latent KV is
-up-projected per token and the full per-head K/V written to the paged
-cache. This is mathematically identical to latent caching (the
-reference ships this exact fallback for backends without MLA
-kernels); the latent-cache + matrix-absorption variant (cache only
-[kv_lora_rank + qk_rope] per token, absorb W_UK into Q and W_UV into
-O) is the round-2 memory optimization. V is zero-padded from
-v_head_dim to the K head dim (qk_nope+qk_rope) inside the unified
-cache so the ragged paged-attention kernel applies unchanged; the pad
-is sliced off after attention — padded columns receive zero weight
-in the value combination and contribute nothing.
+MLA backend family (vllm/v1/attention/backends/mla/common.py).
+TPU-native strategy: **latent KV cache with matrix absorption** —
+exactly the reference's decode math, applied uniformly:
+
+- the cache stores ONE "head" per token: K = [c_kv | k_pe]
+  (kv_lora_rank + qk_rope wide), V = [c_kv | 0-pad] — ~2*(rank+rope)
+  elements/token instead of the decompressed 2*nh*(nope+rope)
+  (~21x less KV HBM and decode bandwidth for DeepSeek-V2);
+- W_UK is absorbed into the query (q_latent[h] = q_nope[h] @ W_UK[h],
+  scores = q_latent . c_kv + q_pe . k_pe) and W_UV into the output
+  (o[h] = ctx_latent[h] @ W_UV[h]), so attention becomes MQA with a
+  single wide kv head and runs on the unchanged ragged paged kernel
+  (group = num_heads); the absorption is an exact algebraic identity,
+  so HF logit parity holds to float tolerance.
+
+The reference decompresses for prefill (compute-bound) and absorbs
+for decode (bandwidth-bound); this build absorbs everywhere — chunked
+prefill scores cost more FLOPs (rank+rope vs nope per pair) but every
+token's KV is written and read once in latent form, and serving is
+dominated by decode bandwidth.
 
 MoE (reference: fused_moe grouped_topk + deepseek_v2.py
 DeepseekV2MoE): softmax-over-all-experts routing, greedy or
@@ -230,10 +237,17 @@ class DeepseekV2ForCausalLM:
             ]
         return specs
 
+    @property
+    def latent_width(self) -> int:
+        # [c_kv | k_pe] padded to a lane multiple: Mosaic cannot
+        # lane-split reshapes on non-128-multiple head dims (e.g.
+        # 512+64=576 → 640); zero pad dims are exact no-ops in the
+        # score/value math
+        return -(-(self.kv_lora_rank + self.qk_rope) // 128) * 128
+
     def kv_cache_spec(self) -> tuple[int, int, int]:
-        # decompressed MHA: per-head K at the full qk head dim; V is
-        # zero-padded into the same width
-        return self.num_heads, self.qk_head, self.L
+        # latent cache: one wide MQA head of [c_kv | k_pe | pad]
+        return 1, self.latent_width, self.L
 
     # ------------------------------------------------------------------
 
@@ -242,6 +256,7 @@ class DeepseekV2ForCausalLM:
         cfg = self.cfg
         t = h.shape[0]
         nh = self.num_heads
+        rank = self.kv_lora_rank
 
         if self.q_lora_rank:
             q = matmul(
@@ -253,14 +268,9 @@ class DeepseekV2ForCausalLM:
         q_nope, q_pe = q[..., :self.qk_nope], q[..., self.qk_nope:]
 
         kv_a = matmul(h, w["kv_a_proj"])
-        compressed = kv_a[:, :self.kv_lora_rank]
-        k_pe = kv_a[:, self.kv_lora_rank:].reshape(t, 1, self.qk_rope)
-        compressed = rms_norm(compressed, w["kv_a_norm"],
-                              cfg.rms_norm_eps)
-        kv_b = matmul(compressed, w["kv_b_proj"]).reshape(
-            t, nh, self.qk_nope + self.v_head)
-        k_nope = kv_b[..., :self.qk_nope]
-        v = kv_b[..., self.qk_nope:]
+        c_kv = rms_norm(kv_a[:, :rank], w["kv_a_norm"],
+                        cfg.rms_norm_eps)
+        k_pe = kv_a[:, rank:].reshape(t, 1, self.qk_rope)
 
         if self.rope_interleave:
             q_pe, k_pe = apply_rope_interleaved(q_pe, k_pe, positions,
@@ -269,17 +279,32 @@ class DeepseekV2ForCausalLM:
         else:
             q_pe, k_pe = apply_rope(q_pe, k_pe, positions,
                                     self.inv_freq)
-        k_pe = jnp.broadcast_to(k_pe, (t, nh, self.qk_rope))
-        q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
-        k_full = jnp.concatenate([k_nope, k_pe], axis=-1)
-        v_pad = jnp.pad(v, ((0, 0), (0, 0),
-                            (0, self.qk_head - self.v_head)))
 
-        o, kv_caches = attention(q_full, k_full, v_pad, kv_caches,
+        # matrix absorption (reference: mla/common.py W_UK/W_UV):
+        # kv_b_proj [rank, nh*(nope+v)] → per-head up-projections
+        w_kv_b = w["kv_b_proj"].reshape(rank, nh,
+                                        self.qk_nope + self.v_head)
+        w_uk = w_kv_b[..., :self.qk_nope]  # [rank, nh, nope]
+        w_uv = w_kv_b[..., self.qk_nope:]  # [rank, nh, v]
+        q_lat = jnp.einsum("thd,rhd->thr", q_nope, w_uk)
+
+        pad = self.latent_width - rank - self.qk_rope
+        q_full = jnp.pad(
+            jnp.concatenate([q_lat, q_pe], axis=-1),
+            ((0, 0), (0, 0), (0, pad)))
+        k_tok = jnp.pad(
+            jnp.concatenate([c_kv, k_pe[:, 0, :]], axis=-1),
+            ((0, 0), (0, pad)))[:, None, :]  # [T, 1, W]
+        v_tok = jnp.pad(
+            c_kv, ((0, 0), (0, self.qk_rope + pad)))[:, None, :]
+
+        o, kv_caches = attention(q_full, k_tok, v_tok, kv_caches,
                                  layer_idx, attn_meta, self.sm_scale,
                                  use_pallas=use_pallas)
-        o = o[..., :self.v_head].reshape(t, nh * self.v_head)
-        return matmul(o, w["o_proj"]), kv_caches
+        ctx_lat = o[..., :rank]  # [T, nh, rank] (pad region is zero)
+        o = jnp.einsum("thr,rhd->thd", ctx_lat, w_uv)
+        return matmul(o.reshape(t, nh * self.v_head), w["o_proj"]), \
+            kv_caches
 
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,

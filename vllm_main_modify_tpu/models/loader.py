@@ -84,7 +84,10 @@ class _TensorReader:
 
 
 QUANT_EXCLUDE = ("embed", "lm_head", "router", "norm", "bias",
-                 "shared_expert_gate")
+                 "shared_expert_gate",
+                 # MLA absorption reshapes kv_b_proj per head at
+                 # runtime (models/deepseek_v2.py); keep it dense
+                 "kv_b_proj")
 
 
 def _is_quantizable(spec: ParamSpec) -> bool:

@@ -285,7 +285,13 @@ def ragged_paged_attention_pallas(
     if num_seqs is None:
         num_seqs = jnp.asarray([num_reqs], dtype=jnp.int32)
 
-    bq = min(t, 128)
+    group_ratio = num_q_heads // (num_kv_heads or 1)
+    # scores live in VMEM as [bq*group, kvb] f32 — clamp bq so huge
+    # MQA groups (MLA: group == num_heads) stay inside the budget
+    bq = min(t, max(1024 // max(group_ratio, 1), 16), 128)
+    bq = 1 << (bq.bit_length() - 1)  # power of 2; t buckets are too
+    while t % bq:
+        bq //= 2
     num_q_blocks = t // bq
     # kv stream block: as many pages as fit the VMEM budget, at least
     # 128 tokens, at most 512
@@ -344,7 +350,10 @@ def ragged_paged_attention_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q2.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", )),
+            dimension_semantics=("arbitrary", ),
+            # wide-head MQA (MLA latent: D=640) needs more scoped
+            # VMEM than the 16M default for its mask/score temporaries
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(query_start_loc, seq_lens, block_tables, first_seq, num_seqs,
       page_base, q2, kv2)
