@@ -307,6 +307,7 @@ class EngineConfig:
         default_factory=ObservabilityConfig)
     compilation_config: CompilationConfig = field(
         default_factory=CompilationConfig)
+    kv_events_config: Optional[object] = None  # KVEventsConfig
 
     def __post_init__(self) -> None:
         # keep max_model_len consistent across sub-configs

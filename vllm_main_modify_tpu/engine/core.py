@@ -73,10 +73,19 @@ class EngineCore:
             logger.info("KV offload: %d host blocks", cap)
 
         self.structured_output_manager = structured_output_manager
+        # KV event stream for external prefix-cache-aware routers
+        # (reference: vllm/distributed/kv_events.py emission from
+        # block_pool.py:244-255,310-319)
+        from vllm_main_modify_tpu.kv_events import \
+            create_kv_event_publisher
+
+        self.kv_event_publisher = create_kv_event_publisher(
+            config.kv_events_config)
         self.scheduler = create_scheduler(
             config, num_kv_blocks=num_pages,
             structured_output_manager=structured_output_manager,
-            offload_index=offload_index)
+            offload_index=offload_index,
+            kv_event_callback=self.kv_event_publisher.record)
         self.async_scheduling = config.scheduler_config.async_scheduling
         # async mode: FIFO of (scheduler_output, AsyncStepHandle) in
         # flight; depth 2 hides both the dispatch latency and the
@@ -132,13 +141,17 @@ class EngineCore:
         """One engine iteration (reference: core.py:273-292; async
         variant mirrors step_with_batch_queue core.py:301)."""
         if self.async_scheduling:
-            return self._step_async()
+            out = self._step_async()
+            self.kv_event_publisher.flush()
+            return out
         if not self.scheduler.has_unfinished_requests():
             return EngineCoreOutputs()
         scheduler_output = self.scheduler.schedule()
         runner_output = self.model_runner.execute_model(scheduler_output)
-        return self.scheduler.update_from_output(scheduler_output,
-                                                 runner_output)
+        outputs = self.scheduler.update_from_output(scheduler_output,
+                                                    runner_output)
+        self.kv_event_publisher.flush()
+        return outputs
 
     def _step_async(self) -> EngineCoreOutputs:
         """Pipelined step: dispatch step N+1 (and N+2) before

@@ -78,6 +78,66 @@ def cmd_serve(args) -> None:
                    reasoning_parser=args.reasoning_parser))
 
 
+def cmd_run_batch(args) -> None:
+    """OpenAI batch-file processing (reference: vllm run-batch,
+    vllm/entrypoints/openai/run_batch.py): input JSONL of
+    {custom_id, method, url, body}; output JSONL of
+    {id, custom_id, response, error}. Each line dispatches through
+    the REAL server app in-process, so behavior (templating,
+    multimodal, errors) is identical to serving."""
+    import json
+    import uuid
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from vllm_main_modify_tpu.engine.async_llm import AsyncLLM
+    from vllm_main_modify_tpu.entrypoints.openai.api_server import \
+        OpenAIServer
+
+    config = _build_config(args)
+    engine = AsyncLLM(config)
+    server = OpenAIServer(engine,
+                          served_model_name=args.served_model_name
+                          or config.model_config.model)
+    app = server.build_app()
+
+    async def run() -> None:
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        out_lines = []
+        with open(args.input_file) as f:
+            lines = [json.loads(ln) for ln in f if ln.strip()]
+        for item in lines:
+            cid = item.get("custom_id")
+            url = item.get("url", "/v1/chat/completions")
+            try:
+                resp = await client.post(url, json=item.get("body",
+                                                            {}))
+                body = await resp.json()
+                out_lines.append({
+                    "id": f"batch_req_{uuid.uuid4().hex[:16]}",
+                    "custom_id": cid,
+                    "response": {"status_code": resp.status,
+                                 "body": body},
+                    "error": None,
+                })
+            except Exception as e:  # noqa: BLE001
+                out_lines.append({
+                    "id": f"batch_req_{uuid.uuid4().hex[:16]}",
+                    "custom_id": cid,
+                    "response": None,
+                    "error": {"message": str(e)},
+                })
+        with open(args.output_file, "w") as f:
+            for ln in out_lines:
+                f.write(json.dumps(ln) + "\n")
+        await client.close()
+        engine.shutdown()
+
+    asyncio.run(run())
+    print(f"wrote {args.output_file}")
+
+
 def _build_llm(args):
     from vllm_main_modify_tpu.entrypoints.llm import LLM
 
@@ -147,6 +207,13 @@ def main(argv=None) -> None:
     serve.add_argument("--tool-call-parser", default=None)
     serve.add_argument("--reasoning-parser", default=None)
     serve.set_defaults(func=cmd_serve)
+
+    rb = sub.add_parser("run-batch",
+                        help="process an OpenAI batch file")
+    _add_engine_args(rb)
+    rb.add_argument("-i", "--input-file", required=True)
+    rb.add_argument("-o", "--output-file", required=True)
+    rb.set_defaults(func=cmd_run_batch)
 
     bench = sub.add_parser("bench", help="benchmarks")
     bench_sub = bench.add_subparsers(dest="bench_command",
