@@ -121,6 +121,51 @@ class LLM:
             pbar.close()
         return [finished[rid] for rid in order]
 
+    def classify(
+        self,
+        prompts: Union[str, Sequence[str]],
+    ) -> list[PoolingRequestOutput]:
+        """Classification over a *ForSequenceClassification model
+        (reference: LLM.classify): returns softmax probs per prompt."""
+        return self.embed(prompts,
+                          PoolingParams(task="classify"))
+
+    def score(
+        self,
+        text_1: Union[str, Sequence[str]],
+        text_2: Union[str, Sequence[str]],
+    ) -> list[float]:
+        """Similarity scores for text pairs via the embedding model
+        (reference: LLM.score embed-model path — cosine similarity of
+        normalized embeddings)."""
+        import numpy as np
+
+        if isinstance(text_1, str):
+            text_1 = [text_1]
+        if isinstance(text_2, str):
+            text_2 = [text_2]
+        if len(text_1) == 1 and len(text_2) > 1:
+            text_1 = list(text_1) * len(text_2)
+        assert len(text_1) == len(text_2), \
+            "text_1/text_2 length mismatch"
+        embeds = self.embed(list(text_1) + list(text_2))
+        n = len(text_1)
+        a = np.asarray([e.data for e in embeds[:n]])
+        b = np.asarray([e.data for e in embeds[n:]])
+        return [float(x) for x in (a * b).sum(axis=1)]
+
+    def rerank(
+        self,
+        query: str,
+        documents: Sequence[str],
+    ) -> list[tuple[int, float]]:
+        """(index, relevance) sorted best-first (reference: the
+        /rerank serving path over embed models)."""
+        scores = self.score([query] * len(documents), list(documents))
+        order = sorted(range(len(documents)),
+                       key=lambda i: scores[i], reverse=True)
+        return [(i, scores[i]) for i in order]
+
     def beam_search(
         self,
         prompts: Sequence[Union[str, list[int]]],

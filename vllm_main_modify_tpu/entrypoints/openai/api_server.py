@@ -78,6 +78,12 @@ class OpenAIServer:
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/chat/completions", self.chat_completions)
         r.add_post("/v1/embeddings", self.embeddings)
+        r.add_post("/score", self.score)
+        r.add_post("/v1/score", self.score)
+        r.add_post("/rerank", self.rerank)
+        r.add_post("/v1/rerank", self.rerank)
+        r.add_post("/v2/rerank", self.rerank)
+        r.add_post("/classify", self.classify)
         r.add_post("/tokenize", self.tokenize)
         r.add_post("/detokenize", self.detokenize)
         r.add_get("/metrics", self.prometheus_metrics)
@@ -173,6 +179,112 @@ class OpenAIServer:
     async def stop_profile(self, request: web.Request) -> web.Response:
         self.engine.engine_core.profile_stop()
         return web.Response(text="")
+
+    # ---- /score /rerank /classify ------------------------------------
+
+    async def _pooled_vec(self, text, params):
+        import numpy as np
+
+        final = None
+        async for out in self.engine.generate(
+                text, params, f"pool-{random_uuid()}"):
+            final = out
+        return np.asarray(final.data, dtype=np.float32)
+
+    async def score(self, request: web.Request) -> web.Response:
+        """Pairwise similarity over the embedding model (reference:
+        /score route, embed-model path)."""
+        from vllm_main_modify_tpu.sampling_params import PoolingParams
+
+        try:
+            body = await request.json()
+            t1 = body.get("text_1") or body.get("query")
+            t2 = body.get("text_2") or body.get("documents")
+            if t1 is None or t2 is None:
+                return error_json(400, "text_1 and text_2 required")
+            if isinstance(t1, str):
+                t1 = [t1]
+            if isinstance(t2, str):
+                t2 = [t2]
+            if len(t1) == 1 and len(t2) > 1:
+                t1 = t1 * len(t2)
+            if len(t1) != len(t2):
+                return error_json(
+                    400, "text_1/text_2 length mismatch")
+            data = []
+            total = 0
+            for i, (a, b) in enumerate(zip(t1, t2)):
+                va = await self._pooled_vec(a, PoolingParams())
+                vb = await self._pooled_vec(b, PoolingParams())
+                data.append({"index": i, "object": "score",
+                             "score": float((va * vb).sum())})
+        except ValueError as e:
+            return error_json(400, str(e))
+        return web.json_response({
+            "id": f"score-{random_uuid()}", "object": "list",
+            "model": self.model_name, "data": data,
+            "usage": {"prompt_tokens": total, "total_tokens": total},
+        })
+
+    async def rerank(self, request: web.Request) -> web.Response:
+        """Cohere-style rerank (reference: /rerank /v1/rerank
+        /v2/rerank routes)."""
+        from vllm_main_modify_tpu.sampling_params import PoolingParams
+
+        try:
+            body = await request.json()
+            query = body.get("query")
+            docs = body.get("documents") or []
+            if not query or not docs:
+                return error_json(400, "query and documents required")
+            top_n = int(body.get("top_n", len(docs)))
+            vq = await self._pooled_vec(query, PoolingParams())
+            results = []
+            for i, doc in enumerate(docs):
+                vd = await self._pooled_vec(doc, PoolingParams())
+                results.append({
+                    "index": i,
+                    "document": {"text": doc},
+                    "relevance_score": float((vq * vd).sum()),
+                })
+            results.sort(key=lambda r: r["relevance_score"],
+                         reverse=True)
+        except ValueError as e:
+            return error_json(400, str(e))
+        return web.json_response({
+            "id": f"rerank-{random_uuid()}",
+            "model": self.model_name,
+            "results": results[:top_n],
+        })
+
+    async def classify(self, request: web.Request) -> web.Response:
+        """Classification over a sequence-classification model
+        (reference: /classify route, pooler 'classify')."""
+        from vllm_main_modify_tpu.sampling_params import PoolingParams
+
+        try:
+            body = await request.json()
+            inputs = body.get("input")
+            if isinstance(inputs, str):
+                inputs = [inputs]
+            if not inputs:
+                return error_json(400, "input required")
+            data = []
+            for i, item in enumerate(inputs):
+                probs = await self._pooled_vec(
+                    item, PoolingParams(task="classify"))
+                data.append({
+                    "index": i,
+                    "label": int(probs.argmax()),
+                    "probs": [float(p) for p in probs],
+                    "num_classes": len(probs),
+                })
+        except ValueError as e:
+            return error_json(400, str(e))
+        return web.json_response({
+            "id": f"classify-{random_uuid()}", "object": "list",
+            "model": self.model_name, "data": data,
+        })
 
     # ---- /v1/embeddings ----------------------------------------------
 

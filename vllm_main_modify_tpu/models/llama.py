@@ -278,6 +278,30 @@ class Phi3ForCausalLM(LlamaForCausalLM):
         return specs
 
 
+class LlamaForSequenceClassification(LlamaForCausalLM):
+    """Reference: classification pooling models (vllm pooler 'classify'
+    + HF GenericForSequenceClassification): decoder backbone,
+    last-token pooling, a bias-free score head [H, num_labels]."""
+
+    def __init__(self, config: ModelConfig):
+        config.is_pooling_model = True
+        super().__init__(config)
+        self.num_labels = getattr(config.hf_config, "num_labels", 2)
+
+    def param_specs(self) -> list[ParamSpec]:
+        specs = super().param_specs()
+        specs.append(
+            ParamSpec("score", (self.hidden, self.num_labels),
+                      P(None, None), "score.weight",
+                      transform=transpose2d))
+        return specs
+
+    def classify_logits(self, params, pooled_hidden):
+        """[N, H] last-token hidden → [N, num_labels] logits."""
+        return pooled_hidden.astype(jnp.float32) @ \
+            params["score"].astype(jnp.float32)
+
+
 class GraniteForCausalLM(LlamaForCausalLM):
     """Reference: vllm/model_executor/models/granite.py — Llama graph
     with scalar multipliers on embeddings, residual branches, the

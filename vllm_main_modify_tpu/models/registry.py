@@ -67,7 +67,23 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                      "_pooling_llama_factory"),
     "Qwen2Model": ("vllm_main_modify_tpu.models.registry",
                    "_pooling_qwen2_factory"),
+    # sequence classification (pooler 'classify'): backbone +
+    # score head, last-token pooling
+    "LlamaForSequenceClassification": (
+        "vllm_main_modify_tpu.models.llama",
+        "LlamaForSequenceClassification"),
+    "Qwen2ForSequenceClassification": (
+        "vllm_main_modify_tpu.models.registry",
+        "_seq_cls_qwen2_factory"),
 }
+
+
+def _seq_cls_qwen2_factory(config: ModelConfig):
+    from vllm_main_modify_tpu.models.llama import \
+        LlamaForSequenceClassification
+
+    config.attention_bias = True  # Qwen2 unconditional qkv biases
+    return LlamaForSequenceClassification(config)
 
 
 def _pooling_llama_factory(config: ModelConfig):

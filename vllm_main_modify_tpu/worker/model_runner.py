@@ -128,6 +128,7 @@ class TPUModelRunner:
         # mm_scatter packed segments). Reference capability:
         # EncoderCacheManager (vllm/v1/core/encoder_cache_manager.py)
         # — here the "cache" IS the device buffer.
+        self._score_np = None  # classification head, host-cached
         self.is_mm = mc.is_multimodal
         self.mm_buffer: Optional[jax.Array] = None
         self.mm_rows = 4096
@@ -1056,6 +1057,19 @@ class TPUModelRunner:
                 vec = hidden_np[row * nsp].astype(np.float32)
                 state = self.requests.get(req_id)
                 pp = state.pooling_params if state else None
+                if hasattr(self.model, "classify_logits"):
+                    # classification pooler: score head + softmax
+                    # (reference: pooler 'classify' activation)
+                    if self._score_np is None:
+                        self._score_np = np.asarray(
+                            self.params["score"], dtype=np.float32)
+                    logits = vec @ self._score_np
+                    if pp is None or pp.activation != "none":
+                        logits = logits - logits.max()
+                        e = np.exp(logits)
+                        logits = e / e.sum()
+                    pooler_output[req_id] = logits
+                    continue
                 if pp is None or pp.normalize:
                     vec = vec / max(np.linalg.norm(vec), 1e-12)
                 pooler_output[req_id] = vec
