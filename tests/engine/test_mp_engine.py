@@ -1,0 +1,56 @@
+"""Background-process engine core + DP load balancing (reference:
+EngineCoreProc core.py:454, SyncMPClient core_client.py:597,
+DPEngineCoreProc :948)."""
+
+import pytest
+
+from vllm_main_modify_tpu.entrypoints.llm import LLM
+from vllm_main_modify_tpu.sampling_params import SamplingParams
+
+
+def test_mp_engine_matches_inproc(tiny_llama_dir):
+    sp = SamplingParams(temperature=0.0, max_tokens=10,
+                        ignore_eos=True)
+    prompts = ["hello world this is", "a test of the"]
+    inproc = LLM(model=tiny_llama_dir, dtype="float32",
+                 max_model_len=128, max_num_seqs=8,
+                 max_num_batched_tokens=64, block_size=4,
+                 num_kv_blocks=128)
+    ref = [o.outputs[0].token_ids
+           for o in inproc.generate(prompts, sp)]
+    del inproc
+    mp_llm = LLM(model=tiny_llama_dir, dtype="float32",
+                 max_model_len=128, max_num_seqs=8,
+                 max_num_batched_tokens=64, block_size=4,
+                 num_kv_blocks=128, engine_multiprocess=True)
+    got = [o.outputs[0].token_ids
+           for o in mp_llm.generate(prompts, sp)]
+    assert got == ref
+    # engine survives a second batch (socket/process reuse)
+    got2 = [o.outputs[0].token_ids
+            for o in mp_llm.generate(prompts, sp)]
+    assert got2 == ref
+    mp_llm.engine.engine_core.shutdown()
+
+
+def test_dp_engines_balance_and_match(tiny_llama_dir):
+    sp = SamplingParams(temperature=0.0, max_tokens=8,
+                        ignore_eos=True)
+    prompts = [f"prompt number {i} words" for i in range(6)]
+    base = LLM(model=tiny_llama_dir, dtype="float32",
+               max_model_len=128, max_num_seqs=8,
+               max_num_batched_tokens=64, block_size=4,
+               num_kv_blocks=128)
+    ref = [o.outputs[0].token_ids for o in base.generate(prompts, sp)]
+    del base
+    dp = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+             max_num_seqs=8, max_num_batched_tokens=64, block_size=4,
+             num_kv_blocks=128, data_parallel_size=2)
+    client = dp.engine.engine_core
+    assert len(client.engines) == 2
+    got = [o.outputs[0].token_ids for o in dp.generate(prompts, sp)]
+    assert got == ref
+    # both engines took requests (least-loaded round robin)
+    # loads drain to zero after completion
+    assert client.get_num_unfinished_requests() == 0
+    client.shutdown()

@@ -199,6 +199,10 @@ class ParallelConfig:
 
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # run the engine core in a background process over ZMQ RPC
+    # (reference: VLLM_ENABLE_V1_MULTIPROCESSING / EngineCoreProc);
+    # dp > 1 implies one process per DP engine
+    engine_multiprocess: bool = False
     expert_parallel_size: int = 1
     enable_expert_parallel: bool = False
     # axis names used in sharding rules

@@ -47,7 +47,10 @@ class LLMEngine:
                 tokenizer, config.model_config.vocab_size)
         self.processor = Processor(config, tokenizer)
         self.output_processor = OutputProcessor(tokenizer)
-        self.engine_core = EngineCore(
+        from vllm_main_modify_tpu.engine.core_client import \
+            make_engine_core_client
+
+        self.engine_core = make_engine_core_client(
             config, structured_output_manager=structured_output_manager,
             mesh=mesh)
         self.request_counter = Counter()
@@ -108,7 +111,10 @@ class LLMEngine:
         return self.engine_core.has_unfinished_requests()
 
     def get_num_unfinished_requests(self) -> int:
-        return self.engine_core.scheduler.get_num_unfinished_requests()
+        core = self.engine_core
+        if hasattr(core, "get_num_unfinished_requests"):
+            return core.get_num_unfinished_requests()
+        return core.scheduler.get_num_unfinished_requests()
 
     def reset_prefix_cache(self) -> bool:
         return self.engine_core.reset_prefix_cache()

@@ -37,6 +37,8 @@ class LLM:
         block_size: int = 16,
         kv_cache_dtype: str = "auto",
         tensor_parallel_size: int = 1,
+        data_parallel_size: int = 1,
+        engine_multiprocess: bool = False,
         enable_prefix_caching: bool = True,
         num_kv_blocks: Optional[int] = None,
         load_format: str = "auto",
@@ -69,7 +71,9 @@ class LLM:
                 max_model_len=max_model_len,
                 async_scheduling=async_scheduling),
             parallel_config=ParallelConfig(
-                tensor_parallel_size=tensor_parallel_size),
+                tensor_parallel_size=tensor_parallel_size,
+                data_parallel_size=data_parallel_size,
+                engine_multiprocess=engine_multiprocess),
             load_config=LoadConfig(load_format=load_format),
             lora_config=LoRAConfig(enable_lora=enable_lora,
                                    max_loras=max_loras,
