@@ -52,3 +52,7 @@ class SamplingMetadata(NamedTuple):
     bias_token_ids: Optional[jax.Array] = None  # [R, B]
     bias_values: Optional[jax.Array] = None  # [R, B] f32
     need_logit_bias: bool = False
+    # ---- speculative decoding: per-position draft token (-1 = no
+    # draft at this position); enables device-side rejection sampling
+    draft_token_ids: Optional[jax.Array] = None  # [R] i32
+    need_rejection: bool = False

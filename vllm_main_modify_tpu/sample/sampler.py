@@ -30,6 +30,12 @@ class SamplerOutput(NamedTuple):
     logprob_token_ids: jax.Array  # [R, K+1] i32 (sampled first)
     logprobs: jax.Array  # [R, K+1] f32
     sampled_ranks: jax.Array  # [R] i32 (1-based rank of sampled token)
+    # spec decode: per-position draft acceptance (zero-size unless
+    # need_rejection). For accepted positions the host emits the
+    # draft; at the first rejection it emits `sampled` (the recovery
+    # sample, drawn from max(0, p - q) — with one-hot ngram drafts
+    # that is p with the draft token excluded, renormalized).
+    spec_accept: jax.Array = None  # [R] bool
 
 
 def apply_top_k_top_p(logits: jax.Array, top_k: jax.Array,
@@ -115,21 +121,36 @@ def apply_min_p(logits: jax.Array, min_p: jax.Array) -> jax.Array:
 
 
 def _gumbel_sample(logits: jax.Array, seeds: jax.Array,
-                   sample_pos: jax.Array,
-                   step_key: jax.Array) -> jax.Array:
+                   sample_pos: jax.Array, step_key: jax.Array,
+                   tag: int = 0) -> jax.Array:
     """Per-row gumbel-argmax. Each row's key is
     fold_in(fold_in(base, seed), position-in-sequence), so a seeded
     request reproduces its sequence across runs and batch
-    compositions (vLLM per-request-generator semantics)."""
+    compositions (vLLM per-request-generator semantics). ``tag``
+    decouples independent draws at the same position (rejection
+    recovery samples)."""
     r, vocab = logits.shape
 
     def row_bits(seed, pos):
         k = jax.random.fold_in(jax.random.fold_in(step_key, seed), pos)
+        if tag:
+            k = jax.random.fold_in(k, tag)
         return jax.random.uniform(k, (vocab, ), minval=1e-20, maxval=1.0)
 
     u = jax.vmap(row_bits)(seeds, sample_pos)
     gumbel = -jnp.log(-jnp.log(u))
     return jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
+
+
+def _row_uniform(seeds: jax.Array, sample_pos: jax.Array,
+                 step_key: jax.Array, tag: int) -> jax.Array:
+    """One decoupled U(0,1) per row (rejection-acceptance draws)."""
+
+    def row_u(seed, pos):
+        k = jax.random.fold_in(jax.random.fold_in(step_key, seed), pos)
+        return jax.random.uniform(jax.random.fold_in(k, tag), ())
+
+    return jax.vmap(row_u)(seeds, sample_pos)
 
 
 def sample(
@@ -149,17 +170,50 @@ def sample(
     if meta.need_logit_bias:
         logits = apply_logit_bias(logits, meta)
 
+    spec_accept = None
     if meta.all_greedy:
         sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if meta.need_rejection:
+            # greedy "rejection" = exact match (reference:
+            # rejection_sampler.py greedy path)
+            spec_accept = sampled == meta.draft_token_ids
     else:
         x = logits / jnp.maximum(meta.temperature, 1e-6)[:, None]
         x = apply_top_k_top_p(x, meta.top_k, meta.top_p,
                               meta.need_top_k, meta.need_top_p)
         if meta.need_min_p:
             x = apply_min_p(x, meta.min_p)
-        random = _gumbel_sample(x, meta.seeds, meta.sample_pos,
-                                step_key)
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if meta.need_rejection:
+            # device-side rejection sampling (reference:
+            # vllm/v1/sample/rejection_sampler.py): with the ngram
+            # proposer's implicit one-hot draft distribution q, the
+            # acceptance probability is p[d] and the recovery
+            # distribution max(0, p-q)/Z is p with d excluded.
+            d = meta.draft_token_ids
+            has_draft = d >= 0
+            p = jax.nn.softmax(x, axis=-1)
+            p_d = jnp.take_along_axis(
+                p, jnp.clip(d, 0, vocab - 1)[:, None], axis=-1)[:, 0]
+            u = _row_uniform(meta.seeds, meta.sample_pos, step_key,
+                             tag=1)
+            accept_rand = u < p_d
+            x_excl = jnp.where(
+                jnp.arange(vocab, dtype=jnp.int32)[None, :] ==
+                d[:, None], _NEG_INF, x)
+            recovery = _gumbel_sample(x_excl, meta.seeds,
+                                      meta.sample_pos, step_key,
+                                      tag=2)
+            regular = _gumbel_sample(x, meta.seeds, meta.sample_pos,
+                                     step_key)
+            random = jnp.where(has_draft, recovery, regular)
+            accept_greedy = greedy == d
+            spec_accept = jnp.where(meta.temperature <= 0.0,
+                                    accept_greedy, accept_rand) & \
+                has_draft
+        else:
+            random = _gumbel_sample(x, meta.seeds, meta.sample_pos,
+                                    step_key)
         sampled = jnp.where(meta.temperature <= 0.0, greedy, random)
 
     if k_lp > 0:
@@ -177,5 +231,8 @@ def sample(
         lps = jnp.zeros((r, 0), dtype=jnp.float32)
         ranks = jnp.zeros((r, ), dtype=jnp.int32)
 
+    if spec_accept is None:
+        spec_accept = jnp.zeros((0, ), dtype=bool)
     return SamplerOutput(sampled=sampled, logprob_token_ids=lp_ids,
-                         logprobs=lps, sampled_ranks=ranks)
+                         logprobs=lps, sampled_ranks=ranks,
+                         spec_accept=spec_accept)

@@ -587,6 +587,8 @@ class TPUModelRunner:
 
         sample_rows: list[int] = []
         kv_slices: list[tuple[int, int, int]] = []
+        if self.max_spec > 0:
+            seg("spec_drafts")[:] = -1
         lora_seg = seg("lora_slots") if self.enable_lora else None
         spec_counts: dict[int, int] = {}
         proposed: dict[int, list[int]] = {}
@@ -615,6 +617,8 @@ class TPUModelRunner:
                     spec_toks
                 spec_counts[row] = ns
                 proposed[row] = spec_toks
+                seg("spec_drafts")[row * nsp:row * nsp + ns] = \
+                    spec_toks
             pending = self._pending_fill.get(req_id)
             if pending is not None:
                 age, prev_row, pos = pending
@@ -817,6 +821,10 @@ class TPUModelRunner:
             # multimodal merge: feature-buffer row → packed token row
             ("mm_gather", mm_pad),
             ("mm_scatter", mm_pad),
+            # spec decode: draft token per sample position (-1 = none)
+            ("spec_drafts",
+             r_pad * self.num_sample_positions
+             if self.max_spec > 0 else 0),
         ]
         layout = {}
         off = 0
@@ -966,6 +974,16 @@ class TPUModelRunner:
                     bv = jnp.repeat(bv, nsp, axis=0)
                 bias_kwargs = dict(bias_token_ids=bi, bias_values=bv,
                                    need_logit_bias=True)
+            sample_pos = rep(seg("sample_pos"))
+            spec_kwargs = {}
+            if nsp > 1:
+                # decouple the nsp per-row draws: position j samples
+                # the token at sequence index pos + j
+                sample_pos = sample_pos + jnp.tile(
+                    jnp.arange(nsp, dtype=jnp.int32), r_pad)
+                spec_kwargs = dict(
+                    draft_token_ids=seg("spec_drafts"),
+                    need_rejection=True)
             meta = SamplingMetadata(
                 temperature=rep(seg_f32("temperature")),
                 top_k=rep(seg("top_k")),
@@ -973,8 +991,9 @@ class TPUModelRunner:
                 min_p=rep(seg_f32("min_p")),
                 seeds=rep(jax.lax.bitcast_convert_type(
                     seg("seeds"), jnp.uint32)),
-                sample_pos=rep(seg("sample_pos")),
+                sample_pos=sample_pos,
                 all_greedy=all_greedy,
+                **spec_kwargs,
                 need_top_k=need_top_k, need_top_p=need_top_p,
                 need_min_p=need_min_p,
                 max_num_logprobs=max_num_logprobs,
@@ -1035,8 +1054,10 @@ class TPUModelRunner:
         # device -> host (single transfer of the small sampled arrays)
         sampled_np = np.asarray(out.sampled)
         nsp = self.num_sample_positions
+        accept_np = None
         if nsp > 1:
             sampled_np = sampled_np.reshape(r_pad, nsp)
+            accept_np = np.asarray(out.spec_accept).reshape(r_pad, nsp)
         if max_num_logprobs > 0:
             lp_ids_np = np.asarray(out.logprob_token_ids)
             lps_np = np.asarray(out.logprobs)
@@ -1078,16 +1099,21 @@ class TPUModelRunner:
             if row in pooling_row_set:
                 continue  # embedding request: no token emitted
             if nsp > 1:
-                # greedy draft verification (reference:
-                # RejectionSampler, vllm/v1/sample/rejection_sampler.py
-                # — exact-match variant for ngram greedy drafts):
-                # accept drafts while they equal the model's own argmax
+                # draft verification via device-side rejection
+                # sampling (reference: RejectionSampler,
+                # vllm/v1/sample/rejection_sampler.py): accepted
+                # positions emit the draft; the first rejection emits
+                # the recovery sample; full acceptance emits a bonus
                 drafts = proposed.get(row, [])
-                toks = [int(sampled_np[row, 0])]
+                toks = []
                 for j, d in enumerate(drafts):
-                    if toks[-1] != d:
+                    if accept_np[row, j]:
+                        toks.append(int(d))
+                    else:
+                        toks.append(int(sampled_np[row, j]))
                         break
-                    toks.append(int(sampled_np[row, j + 1]))
+                else:
+                    toks.append(int(sampled_np[row, len(drafts)]))
             else:
                 toks = [int(sampled_np[row])]
             sampled_token_ids[row] = toks
@@ -1096,13 +1122,10 @@ class TPUModelRunner:
 
         if self.proposer is not None:
             draft_token_ids = [[] for _ in range(num_reqs)]
-            greedy_rows = [
-                row for row in sample_rows
-                if batch.temperature[row] <= 0.0  # greedy only
-            ]
+            # rejection sampling verifies drafts for random rows too
             for row, draft in self.proposer.propose_batch(
                     batch.token_ids, batch.num_tokens,
-                    greedy_rows).items():
+                    list(sample_rows)).items():
                 draft_token_ids[row] = draft
 
         logprobs_lists = None
