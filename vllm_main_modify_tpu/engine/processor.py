@@ -42,9 +42,19 @@ class Processor:
             prompt_text = prompt.get("prompt")
             token_ids = prompt.get("prompt_token_ids")
             if token_ids is None:
-                token_ids = self._tokenize(prompt_text)
+                # audio requests may omit the decoder prompt entirely
+                # (default task tokens come from the generation config)
+                token_ids = (self._tokenize(prompt_text)
+                             if prompt_text is not None else [])
             mm_data = prompt.get("multi_modal_data")
-            if mm_data:
+            if mm_data and "audio" in mm_data:
+                from vllm_main_modify_tpu.multimodal.audio import \
+                    build_audio_inputs
+
+                token_ids, mm_inputs, mm_salt = build_audio_inputs(
+                    token_ids, mm_data["audio"],
+                    self.config.model_config)
+            elif mm_data:
                 if not self.config.model_config.is_multimodal:
                     raise ValueError(
                         f"request {request_id}: multi_modal_data "

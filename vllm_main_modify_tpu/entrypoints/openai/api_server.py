@@ -84,6 +84,8 @@ class OpenAIServer:
         r.add_post("/v1/rerank", self.rerank)
         r.add_post("/v2/rerank", self.rerank)
         r.add_post("/classify", self.classify)
+        r.add_post("/v1/audio/transcriptions", self.transcriptions)
+        r.add_post("/v1/audio/translations", self.transcriptions)
         r.add_post("/tokenize", self.tokenize)
         r.add_post("/detokenize", self.detokenize)
         r.add_get("/metrics", self.prometheus_metrics)
@@ -179,6 +181,65 @@ class OpenAIServer:
     async def stop_profile(self, request: web.Request) -> web.Response:
         self.engine.engine_core.profile_stop()
         return web.Response(text="")
+
+    # ---- /v1/audio/transcriptions ------------------------------------
+
+    @staticmethod
+    def _decode_wav(data: bytes):
+        """PCM WAV → mono float32 waveform + rate (stdlib only — no
+        audio-codec deps in this environment)."""
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(data)) as w:
+            n = w.getnframes()
+            raw = w.readframes(n)
+            width = w.getsampwidth()
+            channels = w.getnchannels()
+            rate = w.getframerate()
+        if width == 2:
+            wav = np.frombuffer(raw, dtype=np.int16).astype(
+                np.float32) / 32768.0
+        elif width == 1:
+            wav = (np.frombuffer(raw, dtype=np.uint8).astype(
+                np.float32) - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported WAV sample width {width}")
+        if channels > 1:
+            wav = wav.reshape(-1, channels).mean(axis=1)
+        return wav, rate
+
+    async def transcriptions(self,
+                             request: web.Request) -> web.Response:
+        """Whisper transcription (reference: /v1/audio/transcriptions
+        serving_transcription.py). Multipart form: file (WAV), model,
+        temperature."""
+        from vllm_main_modify_tpu.sampling_params import SamplingParams
+
+        try:
+            form = await request.post()
+            file_field = form.get("file")
+            if file_field is None:
+                return error_json(400, "file is required")
+            wav, rate = self._decode_wav(file_field.file.read())
+            temperature = float(form.get("temperature", 0.0))
+        except ValueError as e:
+            return error_json(400, str(e))
+        except Exception as e:  # noqa: BLE001
+            return error_json(400, f"could not decode audio: {e}")
+        params = SamplingParams(temperature=temperature,
+                                max_tokens=self.max_model_len // 2)
+        try:
+            final = None
+            async for out in self.engine.generate(
+                    {"multi_modal_data": {"audio": (wav, rate)}},
+                    params, f"transcribe-{random_uuid()}"):
+                final = out
+        except ValueError as e:
+            return error_json(400, str(e))
+        return web.json_response({"text": final.outputs[0].text})
 
     # ---- /score /rerank /classify ------------------------------------
 

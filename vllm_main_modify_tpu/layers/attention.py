@@ -36,6 +36,10 @@ class AttentionMetadata(NamedTuple):
     # multi-LoRA: adapter slot per token (0 = no adapter); carried in
     # the metadata pytree so models stay (params, inputs) pure fns
     token_lora_slots: Optional[jax.Array] = None
+    # encoder-decoder cross-attention (Whisper): pages of the separate
+    # cross-KV pool per request + encoder lengths
+    cross_block_tables: Optional[jax.Array] = None  # [R, max_cp]
+    cross_seq_lens: Optional[jax.Array] = None  # [R]
 
 
 def attention(
@@ -101,3 +105,37 @@ def attention(
         page_base=layer_idx * num_pages,
     )
     return out, flat.reshape(kv_caches.shape)
+
+
+def cross_attention(
+    q: jax.Array,  # [T, Hq, D]
+    cross_kv_cache: jax.Array,  # [L, P2, page, 2*Hk*D] read-only
+    layer_idx,
+    meta: AttentionMetadata,
+    sm_scale: float,
+    num_kv_heads: int,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Encoder-decoder cross attention (reference capability:
+    CrossAttentionSpec + whisper.py): every decoder token attends
+    NON-causally to its request's encoder states, which live in a
+    separate paged pool written once at ingest. Same ragged kernel,
+    causal mask off, no KV write."""
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    num_layers, num_pages, page_size = cross_kv_cache.shape[:3]
+    flat = cross_kv_cache.reshape(num_layers * num_pages, page_size,
+                                  cross_kv_cache.shape[-1])
+    return ragged_paged_attention(
+        q,
+        flat,
+        meta.cross_block_tables,
+        meta.query_start_loc,
+        meta.cross_seq_lens,
+        sm_scale,
+        num_kv_heads=num_kv_heads,
+        use_pallas=use_pallas,
+        num_seqs=meta.num_seqs,
+        page_base=layer_idx * num_pages,
+        causal=False,
+    )

@@ -44,6 +44,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                           "CohereForCausalLM"),
     "Olmo2ForCausalLM": ("vllm_main_modify_tpu.models.misc_decoders",
                          "Olmo2ForCausalLM"),
+    "WhisperForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.whisper",
+        "WhisperForConditionalGeneration"),
     "LlavaForConditionalGeneration": (
         "vllm_main_modify_tpu.models.llava",
         "LlavaForConditionalGeneration"),

@@ -1,0 +1,80 @@
+"""Audio input processing for encoder-decoder (Whisper) requests.
+
+Reference: vllm whisper serving — raw waveform → log-mel features via
+the checkpoint's HF feature extractor; the decoder prompt (task /
+language tokens) travels as normal token ids, and the audio content
+hashes into the prefix-cache key.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any
+
+import numpy as np
+
+_EXTRACTOR_CACHE: dict[str, Any] = {}
+
+
+def _feature_extractor(model_dir: str):
+    if model_dir not in _EXTRACTOR_CACHE:
+        from transformers import AutoFeatureExtractor
+
+        _EXTRACTOR_CACHE[model_dir] = \
+            AutoFeatureExtractor.from_pretrained(model_dir)
+    return _EXTRACTOR_CACHE[model_dir]
+
+
+def default_decoder_prompt(model_config) -> list[int]:
+    """<|startoftranscript|> (+ forced task tokens) from the
+    checkpoint's generation config."""
+    hf = model_config.hf_config
+    ids = []
+    start = getattr(hf, "decoder_start_token_id", None)
+    if start is not None:
+        ids.append(int(start))
+    forced = getattr(hf, "forced_decoder_ids", None) or []
+    for _, tok in forced:
+        ids.append(int(tok))
+    return ids or [0]
+
+
+def build_audio_inputs(
+    token_ids,
+    audio,
+    model_config,
+) -> tuple[list[int], list[dict], str]:
+    """→ (decoder_prompt_ids, mm_inputs, content_salt). ``audio`` is a
+    raw waveform (float array at the extractor's sampling rate) or an
+    (array, sampling_rate) pair; a precomputed [mel, frames] feature
+    array passes through."""
+    if isinstance(audio, tuple):
+        wav, sr = audio
+    else:
+        wav, sr = audio, None
+    wav = np.asarray(wav, dtype=np.float32)
+
+    hf = model_config.hf_config
+    n_mel = getattr(hf, "num_mel_bins", 80)
+    if wav.ndim == 2 and wav.shape[0] == n_mel:
+        feats = wav  # precomputed log-mel [mel, frames]
+    else:
+        ex = _feature_extractor(model_config.model)
+        if sr and sr != ex.sampling_rate:
+            # linear resample to the extractor's rate (no audio-codec
+            # deps in this environment)
+            n_out = int(round(len(wav) * ex.sampling_rate / sr))
+            wav = np.interp(
+                np.linspace(0.0, len(wav) - 1.0, n_out),
+                np.arange(len(wav), dtype=np.float64),
+                wav).astype(np.float32)
+        feats = ex(wav, return_tensors="np",
+                   sampling_rate=ex.sampling_rate)[
+            "input_features"][0].astype(np.float32)
+
+    if not token_ids:
+        token_ids = default_decoder_prompt(model_config)
+    salt = hashlib.sha256(feats.tobytes()).hexdigest()[:16]
+    mm_inputs = [{"input_features": feats, "offset": -1,
+                  "num_tokens": 0}]
+    return list(token_ids), mm_inputs, salt

@@ -44,6 +44,7 @@ def ragged_paged_attention_xla(
     sm_scale: float,
     sliding_window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
+    causal: bool = True,
 ) -> jax.Array:
     """Token-parallel reference: each token gathers its request's pages.
 
@@ -84,9 +85,10 @@ def ragged_paged_attention_xla(
         scores = jnp.tanh(scores / logit_softcap) * logit_softcap
 
     kv_idx = jnp.arange(max_kv, dtype=jnp.int32)[None, :]  # [1, max_kv]
-    causal = kv_idx <= kv_pos[:, None]
     in_len = kv_idx < seq_lens[seq_ids][:, None]
-    mask = causal & in_len
+    mask = in_len
+    if causal:
+        mask = mask & (kv_idx <= kv_pos[:, None])
     if sliding_window is not None and sliding_window > 0:
         mask &= kv_idx > (kv_pos[:, None] - sliding_window)
     scores = jnp.where(mask[:, None, None, :], scores, MIN_MASK)
@@ -110,6 +112,7 @@ def ragged_paged_attention(
     use_pallas: Optional[bool] = None,
     num_seqs: Optional[jax.Array] = None,
     page_base=0,
+    causal: bool = True,
 ) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, XLA reference elsewhere.
     ``page_base`` offsets block-table entries into a stacked
@@ -131,7 +134,7 @@ def ragged_paged_attention(
             sm_scale, num_kv_heads=num_kv_heads,
             sliding_window=sliding_window,
             logit_softcap=logit_softcap, num_seqs=num_seqs,
-            page_base=page_base)
+            page_base=page_base, causal=causal)
     bt = block_tables + page_base if page_base is not None else \
         block_tables
     if kv_cache.ndim == 3:
@@ -142,5 +145,6 @@ def ragged_paged_attention(
                                     head_dim)
     return ragged_paged_attention_xla(q, kv_cache, bt,
                                       query_start_loc, seq_lens, sm_scale,
+                                      causal=causal,
                                       sliding_window=sliding_window,
                                       logit_softcap=logit_softcap)

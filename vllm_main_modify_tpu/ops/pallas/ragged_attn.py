@@ -73,6 +73,7 @@ def _rpa_kernel(
     page_size: int,
     sliding_window: Optional[int],
     logit_softcap: Optional[float],
+    causal: bool,
 ):
     i = pl.program_id(0)
     bq = q_vmem.shape[0]
@@ -171,7 +172,9 @@ def _rpa_kernel(
         pos = kv_len - q_len + (b_abs_base - q_start)
         row_owned = (b_abs_base >= q_start) & (b_abs_base < q_end)
         kv_idx = kb * kvb + col
-        mask = row_owned & (kv_idx <= pos) & (kv_idx < kv_len)
+        mask = row_owned & (kv_idx < kv_len)
+        if causal:
+            mask &= kv_idx <= pos
         if sliding_window is not None:
             mask &= kv_idx > pos - sliding_window
 
@@ -258,7 +261,7 @@ def _rpa_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=["sm_scale", "num_kv_heads", "sliding_window",
-                     "logit_softcap", "interpret"],
+                     "logit_softcap", "interpret", "causal"],
 )
 def ragged_paged_attention_pallas(
     q: jax.Array,  # [T, Hq, D]
@@ -273,6 +276,7 @@ def ragged_paged_attention_pallas(
     num_seqs: Optional[jax.Array] = None,
     page_base=0,
     interpret: bool = False,
+    causal: bool = True,
 ) -> jax.Array:
     t, num_q_heads, head_dim = q.shape
     num_pages, page_size = kv_cache.shape[:2]
@@ -321,6 +325,7 @@ def ragged_paged_attention_pallas(
         page_size=page_size,
         sliding_window=sliding_window,
         logit_softcap=logit_softcap,
+        causal=causal,
     )
     # 2-D HBM layouts keep every DMA slice tile-aligned (see kernel).
     # The production cache is already width-layout, so this reshape

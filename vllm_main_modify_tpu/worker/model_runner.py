@@ -130,6 +130,15 @@ class TPUModelRunner:
         # — here the "cache" IS the device buffer.
         self._score_np = None  # classification head, host-cached
         self.is_mm = mc.is_multimodal
+        # encoder-decoder (Whisper): separate paged pool of per-layer
+        # cross K/V, written once per request at ingest
+        self.is_enc_dec = getattr(self.model, "is_encoder_decoder",
+                                  False)
+        self.cross_cache: Optional[jax.Array] = None
+        self.cross_tables: dict[str, int] = {}  # req_id -> slot
+        self._cross_free: list[int] = []
+        self._cross_pages_per_req = 0
+        self._cross_encode = None
         self.mm_buffer: Optional[jax.Array] = None
         self.mm_rows = 4096
         self.mm_ranges: dict[str, list[tuple[int, int, int]]] = {}
@@ -308,6 +317,17 @@ class TPUModelRunner:
         if self.is_mm and self.mm_buffer is None:
             self.mm_buffer = jnp.zeros((self.mm_rows, mc.hidden_size),
                                        dtype=mc.jax_dtype)
+        if self.is_enc_dec and self.cross_cache is None:
+            kvh, kvd, xl, t_enc = self.model.cross_cache_spec()
+            cp = cdiv(t_enc, self.page_size)
+            self._cross_pages_per_req = cp
+            # page 0 is the null page (padded block-table entries)
+            p2 = self.max_num_reqs * cp + 1
+            self.cross_cache = jnp.zeros(
+                (xl, p2, self.page_size, 2 * kvh * kvd),
+                dtype=mc.jax_dtype)
+            self._cross_free = list(range(self.max_num_reqs))
+            self._packed_layout.cache_clear()
 
     def init_kv_offload(self, capacity_blocks: int) -> None:
         from vllm_main_modify_tpu.kv_offload.manager import \
@@ -491,12 +511,46 @@ class TPUModelRunner:
         if ranges:
             for _, n, start in ranges:
                 self._mm_free.append([start, n])
+        slot = self.cross_tables.pop(req_id, None)
+        if slot is not None:
+            self._cross_free.append(slot)
+
+    def _ingest_audio(self, state) -> None:
+        """Encoder-decoder ingest: run the audio encoder and write the
+        per-layer cross K/V into this request's pages of the cross
+        pool (reference capability: whisper encoder execution +
+        CrossAttentionSpec)."""
+        if self._cross_encode is None:
+            model = self.model
+            page = self.page_size
+
+            def enc_write(params, feats, cache, start_row):
+                enc = model.encode_audio(params, feats[None])[0]
+                ckv = model.encode_cross_kv(params, enc)  # [L, T, W]
+                xl, p2, pg, wdt = cache.shape
+                flat = cache.reshape(xl, p2 * pg, wdt)
+                flat = jax.lax.dynamic_update_slice(
+                    flat, ckv.astype(flat.dtype), (0, start_row, 0))
+                return flat.reshape(cache.shape)
+
+            self._cross_encode = jax.jit(enc_write,
+                                         donate_argnums=(2, ))
+        feats = state.mm_inputs[0]["input_features"]
+        slot = self._cross_free.pop()
+        first_page = 1 + slot * self._cross_pages_per_req
+        self.cross_cache = self._cross_encode(
+            self.params, jnp.asarray(feats), self.cross_cache,
+            first_page * self.page_size)
+        self.cross_tables[state.req_id] = slot
 
     def _ingest_mm(self, state) -> None:
         """Run the vision encoder for a new request's images and write
         the projected features into the device buffer (one jit,
         compiled once; reference: _execute_mm_encoder
         gpu_model_runner.py:1565)."""
+        if state.mm_inputs and "input_features" in state.mm_inputs[0]:
+            self._ingest_audio(state)
+            return
         if self._mm_encode_write is None:
             model = self.model
 
@@ -589,6 +643,17 @@ class TPUModelRunner:
         kv_slices: list[tuple[int, int, int]] = []
         if self.max_spec > 0:
             seg("spec_drafts")[:] = -1
+        if self.is_enc_dec:
+            cp = self._cross_pages_per_req
+            cbt = seg("cross_block_tables").reshape(r_pad, cp)
+            csl = seg("cross_seq_lens")
+            t_enc = self.model.cross_cache_spec()[3]
+            for row in range(num_reqs):
+                slot = self.cross_tables.get(batch.req_ids[row])
+                if slot is not None:
+                    first = 1 + slot * cp
+                    cbt[row] = np.arange(first, first + cp)
+                    csl[row] = t_enc
         lora_seg = seg("lora_slots") if self.enable_lora else None
         spec_counts: dict[int, int] = {}
         proposed: dict[int, list[int]] = {}
@@ -825,6 +890,11 @@ class TPUModelRunner:
             ("spec_drafts",
              r_pad * self.num_sample_positions
              if self.max_spec > 0 else 0),
+            # encoder-decoder: cross pool pages + encoder lengths
+            ("cross_block_tables",
+             r_pad * self._cross_pages_per_req
+             if self.is_enc_dec else 0),
+            ("cross_seq_lens", r_pad if self.is_enc_dec else 0),
         ]
         layout = {}
         off = 0
@@ -877,9 +947,12 @@ class TPUModelRunner:
         num_words = self.num_words
         nsp = self.num_sample_positions
         enable_lora = self.enable_lora
+        is_enc_dec = self.is_enc_dec
+        cross_pages = self._cross_pages_per_req
 
         def step(params, kv_caches, packed, prev_sampled=None,
-                 prev_sampled2=None, mm_buffer=None):
+                 prev_sampled2=None, mm_buffer=None,
+                 cross_cache=None):
             def seg(name):
                 a, b = layout[name]
                 return jax.lax.slice_in_dim(packed, a, b)
@@ -918,6 +991,11 @@ class TPUModelRunner:
                     seg("scalars"), 0, 1),
                 token_lora_slots=(seg("lora_slots")
                                   if enable_lora else None),
+                cross_block_tables=(
+                    seg("cross_block_tables").reshape(
+                        r_pad, cross_pages) if is_enc_dec else None),
+                cross_seq_lens=(seg("cross_seq_lens")
+                                if is_enc_dec else None),
             )
             logits_indices = seg("logits_indices")  # [r_pad * nsp]
             mm_kwargs = {}
@@ -927,6 +1005,8 @@ class TPUModelRunner:
                 mm_kwargs = dict(
                     mm_embeds=jnp.take(mm_buffer, g, axis=0),
                     mm_scatter=seg("mm_scatter"))
+            if is_enc_dec:
+                mm_kwargs = dict(cross_kv_cache=cross_cache)
             hidden, kv_caches = model(params, input_ids,
                                       seg("positions"), kv_caches,
                                       attn_meta, use_pallas=use_pallas,
@@ -1049,7 +1129,11 @@ class TPUModelRunner:
                                               self.kv_caches,
                                               packed_dev,
                                               mm_buffer=self.mm_buffer
-                                              if mm_pad else None)
+                                              if mm_pad else None,
+                                              cross_cache=(
+                                                  self.cross_cache
+                                                  if self.is_enc_dec
+                                                  else None))
 
         # device -> host (single transfer of the small sampled arrays)
         sampled_np = np.asarray(out.sampled)
@@ -1206,7 +1290,8 @@ class TPUModelRunner:
             self.params, self.kv_caches, packed_dev,
             self._prev_sampled if has_prev else None,
             self._prev_sampled2 if has_prev2 else None,
-            mm_buffer=self.mm_buffer if mm_pad else None)
+            mm_buffer=self.mm_buffer if mm_pad else None,
+            cross_cache=self.cross_cache if self.is_enc_dec else None)
 
         batch = self.input_batch
         num_reqs = batch.num_reqs
