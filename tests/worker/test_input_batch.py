@@ -66,6 +66,8 @@ def _mk_runner():
     runner = object.__new__(TPUModelRunner)
     runner.mm_ranges = {}
     runner._mm_free = []
+    runner.cross_tables = {}
+    runner._cross_free = []
     runner.input_batch = InputBatch(max_num_reqs=8, max_model_len=64,
                                     max_blocks_per_req=8)
     runner.requests = {}
