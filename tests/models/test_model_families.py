@@ -108,6 +108,19 @@ def build_checkpoint(tmp_path, arch: str):
     elif arch == "olmo2":
         cfg = transformers.Olmo2Config(**kw)
         cls = transformers.Olmo2ForCausalLM
+    elif arch == "smollm3":
+        cfg = transformers.SmolLM3Config(
+            **kw, no_rope_layers=[1, 0], no_rope_layer_interval=2,
+            pad_token_id=0)
+        cls = transformers.SmolLM3ForCausalLM
+    elif arch == "glm4":
+        cfg = transformers.Glm4Config(
+            **kw, head_dim=16, partial_rotary_factor=0.5,
+            attention_bias=True, pad_token_id=0)
+        cls = transformers.Glm4ForCausalLM
+    elif arch == "nemotron":
+        cfg = transformers.NemotronConfig(**kw)
+        cls = transformers.NemotronForCausalLM
     elif arch == "gpt2":
         cfg = transformers.GPT2Config(
             vocab_size=256, n_embd=64, n_layer=2, n_head=4,
@@ -206,7 +219,8 @@ ARCHS = ["qwen2", "qwen3", "gemma", "gemma2", "gemma3", "mixtral",
          "deepseek_v2", "deepseek_v2_group", "deepseek_v3",
          "qwen3_moe", "gpt2", "gpt_neox", "gpt_neox_seq", "falcon",
          "falcon_40b", "falcon_rw", "phi3", "granite", "starcoder2",
-         "stablelm", "phi", "cohere", "olmo2"]
+         "stablelm", "phi", "cohere", "olmo2", "smollm3", "glm4",
+         "nemotron"]
 
 
 @pytest.mark.parametrize("arch", ARCHS)

@@ -60,6 +60,8 @@ class LlamaForCausalLM:
         self.embed_mult = 1.0
         self.residual_mult = 1.0
         self.logits_div = 1.0
+        # SmolLM3-style per-layer rope gating (None = rope everywhere)
+        self.rope_layer_mask = None
 
     # ------------------------------------------------------------------
 
@@ -187,7 +189,14 @@ class LlamaForCausalLM:
             q = q.reshape(t, self.num_q, self.head_dim)
             k = k.reshape(t, self.num_kv, self.head_dim)
             v = v.reshape(t, self.num_kv, self.head_dim)
-            q, k = apply_rope(q, k, positions, self.inv_freq)
+            if self.rope_layer_mask is None:
+                q, k = apply_rope(q, k, positions, self.inv_freq)
+            else:
+                # SmolLM3 nope layers: every Nth layer skips rope
+                qr, kr = apply_rope(q, k, positions, self.inv_freq)
+                use = self.rope_layer_mask[l]
+                q = jnp.where(use, qr, q)
+                k = jnp.where(use, kr, k)
             o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
                                      self.sm_scale,
                                      sliding_window=cfg.sliding_window,
@@ -300,6 +309,20 @@ class LlamaForSequenceClassification(LlamaForCausalLM):
         """[N, H] last-token hidden → [N, num_labels] logits."""
         return pooled_hidden.astype(jnp.float32) @ \
             params["score"].astype(jnp.float32)
+
+
+class SmolLM3ForCausalLM(LlamaForCausalLM):
+    """Reference: vllm/model_executor/models/smollm3.py — Llama graph
+    with rope disabled on every ``no_rope_layer_interval``-th layer
+    (config no_rope_layers: 1 = rope, 0 = nope)."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.hf_config
+        mask = getattr(hf, "no_rope_layers", None)
+        if mask is not None:
+            self.rope_layer_mask = jnp.asarray(
+                [bool(m) for m in mask], dtype=bool)
 
 
 class GraniteForCausalLM(LlamaForCausalLM):

@@ -87,6 +87,9 @@ class _ConfigurableDecoder:
     def _norm(self, x, w, b):
         if self.norm_style == "rms":
             return rms_norm(x, w, self.eps)
+        if self.norm_style == "ln1p":
+            # zero-centered LayerNorm weight (Nemotron LayerNorm1P)
+            return layer_norm(x, w + 1.0, b, self.eps)
         return layer_norm(x, w, b, self.eps)
 
     def param_specs(self) -> list[ParamSpec]:
@@ -95,7 +98,7 @@ class _ConfigurableDecoder:
         kd = self.num_kv * self.head_dim
         L, H, I, V = self.L, self.hidden, self.inter, c.vocab_size
         t = transpose2d
-        ln_bias = self.norm_style == "ln"
+        ln_bias = self.norm_style in ("ln", "ln1p")
 
         def stk(path, shape, spec, hf_key, transform=t):
             return ParamSpec(f"layers.{path}", (L, *shape), spec,
@@ -228,6 +231,7 @@ class _ConfigurableDecoder:
         "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x,
                                                    approximate=True),
         "relu": jax.nn.relu,
+        "relu2": lambda x: jnp.square(jax.nn.relu(x)),
         "silu": jax.nn.silu,
     }
 
@@ -409,3 +413,19 @@ class Olmo2ForCausalLM(_ConfigurableDecoder):
     mlp_bias = False
     qk_norm = "full_rms"
     eps_attr = "rms_norm_eps"
+
+
+class NemotronForCausalLM(_ConfigurableDecoder):
+    """Reference: vllm/model_executor/models/nemotron.py — LayerNorm1P
+    ((1+w) zero-centered LN), partial rotary, plain relu^2 MLP
+    (up_proj -> relu2 -> down_proj, no gate)."""
+
+    norm_style = "ln1p"
+    residual = "seq"
+    gated_mlp = False
+    qkv_bias = False
+    o_bias = False
+    mlp_bias = False
+    eps_attr = "norm_eps"
+    KEY_FC_IN = "mlp.up_proj"
+    KEY_FC_OUT = "mlp.down_proj"

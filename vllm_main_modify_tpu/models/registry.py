@@ -31,6 +31,12 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                               "DeepseekV3ForCausalLM"),
     "Phi3ForCausalLM": ("vllm_main_modify_tpu.models.llama",
                         "Phi3ForCausalLM"),
+    "SmolLM3ForCausalLM": ("vllm_main_modify_tpu.models.llama",
+                           "SmolLM3ForCausalLM"),
+    "Glm4ForCausalLM": ("vllm_main_modify_tpu.models.glm4",
+                        "Glm4ForCausalLM"),
+    "NemotronForCausalLM": ("vllm_main_modify_tpu.models"
+                            ".misc_decoders", "NemotronForCausalLM"),
     "GraniteForCausalLM": ("vllm_main_modify_tpu.models.llama",
                            "GraniteForCausalLM"),
     "Starcoder2ForCausalLM": ("vllm_main_modify_tpu.models"
