@@ -101,6 +101,9 @@ class TPUModelRunner:
         # jit-cache-miss sanitizer (SURVEY.md §5.2 build note)
         self.num_compilations = 0
         self._compiled_keys: set[tuple] = set()
+        self._compile_baseline: Optional[int] = None
+        self._check_recompilation = bool(
+            config.compilation_config.check_recompilation)
 
         # grammar bitmask width (int32 words over the model vocab)
         self.num_words = (mc.vocab_size + 31) // 32
@@ -904,6 +907,17 @@ class TPUModelRunner:
         layout["total"] = off
         return layout
 
+    def _note_compile(self, compile_key) -> None:
+        if compile_key in self._compiled_keys:
+            return
+        self._compiled_keys.add(compile_key)
+        self.num_compilations += 1
+        if self._check_recompilation and \
+                self._compile_baseline is not None:
+            raise RuntimeError(
+                "recompilation detected after the capture phase "
+                f"(check_recompilation): {compile_key}")
+
     def _sampling_statics(self):
         batch = self.input_batch
         n = batch.num_reqs
@@ -1117,11 +1131,9 @@ class TPUModelRunner:
                                     apply_grammar, False,
                                     return_hidden, False,
                                     has_penalties, has_bias, mm_pad)
-        compile_key = (t_pad, r_pad, *statics, apply_grammar,
-                       return_hidden, has_penalties, has_bias, mm_pad)
-        if compile_key not in self._compiled_keys:
-            self._compiled_keys.add(compile_key)
-            self.num_compilations += 1
+        self._note_compile((t_pad, r_pad, *statics, apply_grammar,
+                            return_hidden, has_penalties, has_bias,
+                            mm_pad))
 
         self._step_count += 1
         packed_dev = jnp.asarray(packed, device=self._replicated)
@@ -1276,13 +1288,11 @@ class TPUModelRunner:
                                     apply_grammar, has_prev, False,
                                     has_prev2, has_penalties, has_bias,
                                     mm_pad)
-        compile_key = (t_pad, r_pad, *statics, apply_grammar, has_prev,
-                       has_prev2, has_penalties, has_bias, mm_pad,
-                       None if not has_prev
-                       else self._prev_sampled.shape[0])
-        if compile_key not in self._compiled_keys:
-            self._compiled_keys.add(compile_key)
-            self.num_compilations += 1
+        self._note_compile((t_pad, r_pad, *statics, apply_grammar,
+                            has_prev, has_prev2, has_penalties,
+                            has_bias, mm_pad,
+                            None if not has_prev
+                            else self._prev_sampled.shape[0]))
 
         self._step_count += 1
         packed_dev = jnp.asarray(packed, device=self._replicated)
@@ -1344,6 +1354,10 @@ class TPUModelRunner:
                 n += 1
         logger.info("precompiled %d buckets in %.1fs", n,
                     time.monotonic() - t0)
+        # VLLM_XLA_CHECK_RECOMPILATION semantics (reference:
+        # _verify_num_xla_graphs tpu_model_runner.py:329): after the
+        # capture phase, any new compile during serving is a bug
+        self._compile_baseline = self.num_compilations
 
     def _run_dummy_step(self, t_pad: int, r_pad: int) -> None:
         s_pad = t_pad // self.page_size + r_pad + 1
