@@ -121,6 +121,10 @@ def build_checkpoint(tmp_path, arch: str):
     elif arch == "nemotron":
         cfg = transformers.NemotronConfig(**kw)
         cls = transformers.NemotronForCausalLM
+    elif arch == "bloom":
+        cfg = transformers.BloomConfig(
+            vocab_size=256, hidden_size=64, n_layer=2, n_head=4)
+        cls = transformers.BloomForCausalLM
     elif arch == "gpt2":
         cfg = transformers.GPT2Config(
             vocab_size=256, n_embd=64, n_layer=2, n_head=4,
@@ -220,7 +224,7 @@ ARCHS = ["qwen2", "qwen3", "gemma", "gemma2", "gemma3", "mixtral",
          "qwen3_moe", "gpt2", "gpt_neox", "gpt_neox_seq", "falcon",
          "falcon_40b", "falcon_rw", "phi3", "granite", "starcoder2",
          "stablelm", "phi", "cohere", "olmo2", "smollm3", "glm4",
-         "nemotron"]
+         "nemotron", "bloom"]
 
 
 @pytest.mark.parametrize("arch", ARCHS)

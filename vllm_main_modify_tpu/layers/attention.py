@@ -53,6 +53,7 @@ def attention(
     sliding_window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
     use_pallas: Optional[bool] = None,
+    alibi_slopes: Optional[tuple] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Write new KV into this layer's pages of the FULL cache, then
     ragged paged attention over them. The cache is a loop carry updated
@@ -103,6 +104,7 @@ def attention(
         use_pallas=use_pallas,
         num_seqs=meta.num_seqs,
         page_base=layer_idx * num_pages,
+        alibi_slopes=alibi_slopes,
     )
     return out, flat.reshape(kv_caches.shape)
 

@@ -56,6 +56,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "LlavaForConditionalGeneration": (
         "vllm_main_modify_tpu.models.llava",
         "LlavaForConditionalGeneration"),
+    "BloomForCausalLM": ("vllm_main_modify_tpu.models.bloom",
+                         "BloomForCausalLM"),
     "GPT2LMHeadModel": ("vllm_main_modify_tpu.models.gpt2",
                         "GPT2LMHeadModel"),
     "GPTNeoXForCausalLM": ("vllm_main_modify_tpu.models.gpt_neox",

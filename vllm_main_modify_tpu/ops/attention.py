@@ -45,6 +45,7 @@ def ragged_paged_attention_xla(
     sliding_window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
     causal: bool = True,
+    alibi_slopes: Optional[tuple] = None,
 ) -> jax.Array:
     """Token-parallel reference: each token gathers its request's pages.
 
@@ -81,6 +82,15 @@ def ragged_paged_attention_xla(
     vf = v.astype(jnp.float32)
     # scores: [T, K, group, max_kv]
     scores = jnp.einsum("tkgd,tskd->tkgs", qf, kf) * sm_scale
+    if alibi_slopes is not None:
+        # ALiBi: bias = slope_h * (kv_idx - q_pos) (<= 0 in the causal
+        # region); reference: BLOOM/MPT positional scheme
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(
+            num_kv_heads, group)
+        kv_idx_b = jnp.arange(max_kv, dtype=jnp.int32)[None, :]
+        dist = (kv_idx_b - kv_pos[:, None]).astype(jnp.float32)
+        scores = scores + slopes[None, :, :, None] * \
+            dist[:, None, None, :]
     if logit_softcap is not None and logit_softcap > 0:
         scores = jnp.tanh(scores / logit_softcap) * logit_softcap
 
@@ -113,6 +123,7 @@ def ragged_paged_attention(
     num_seqs: Optional[jax.Array] = None,
     page_base=0,
     causal: bool = True,
+    alibi_slopes: Optional[tuple] = None,
 ) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, XLA reference elsewhere.
     ``page_base`` offsets block-table entries into a stacked
@@ -134,7 +145,8 @@ def ragged_paged_attention(
             sm_scale, num_kv_heads=num_kv_heads,
             sliding_window=sliding_window,
             logit_softcap=logit_softcap, num_seqs=num_seqs,
-            page_base=page_base, causal=causal)
+            page_base=page_base, causal=causal,
+            alibi_slopes=alibi_slopes)
     bt = block_tables + page_base if page_base is not None else \
         block_tables
     if kv_cache.ndim == 3:
@@ -146,5 +158,6 @@ def ragged_paged_attention(
     return ragged_paged_attention_xla(q, kv_cache, bt,
                                       query_start_loc, seq_lens, sm_scale,
                                       causal=causal,
+                                      alibi_slopes=alibi_slopes,
                                       sliding_window=sliding_window,
                                       logit_softcap=logit_softcap)

@@ -74,6 +74,7 @@ def _rpa_kernel(
     sliding_window: Optional[int],
     logit_softcap: Optional[float],
     causal: bool,
+    alibi_slopes: Optional[tuple],
 ):
     i = pl.program_id(0)
     bq = q_vmem.shape[0]
@@ -196,6 +197,26 @@ def _rpa_kernel(
                 qh, k[:, h, :],
                 dimension_numbers=(((1, ), (1, )), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale
+            if alibi_slopes is not None:
+                # per-row slope: row r of this head block is q head
+                # h*group + (r % group). Slopes are python floats —
+                # Pallas forbids captured ARRAY constants, so build
+                # the column from scalar selects (group is 1 for the
+                # MHA ALiBi families, so this is usually one scalar)
+                if group == 1:
+                    slope_col = float(alibi_slopes[h])
+                else:
+                    g_idx = jax.lax.rem(
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (rows, 1), 0), group)
+                    slope_col = jnp.zeros((rows, 1), jnp.float32)
+                    for gi in range(group):
+                        slope_col = jnp.where(
+                            g_idx == gi,
+                            float(alibi_slopes[h * group + gi]),
+                            slope_col)
+                scores = scores + slope_col * (
+                    kv_idx - pos).astype(jnp.float32)
             if logit_softcap is not None:
                 scores = jnp.tanh(scores / logit_softcap) * logit_softcap
             scores = jnp.where(mask, scores, NEG_INF)
@@ -261,7 +282,8 @@ def _rpa_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=["sm_scale", "num_kv_heads", "sliding_window",
-                     "logit_softcap", "interpret", "causal"],
+                     "logit_softcap", "interpret", "causal",
+                     "alibi_slopes"],
 )
 def ragged_paged_attention_pallas(
     q: jax.Array,  # [T, Hq, D]
@@ -277,6 +299,7 @@ def ragged_paged_attention_pallas(
     page_base=0,
     interpret: bool = False,
     causal: bool = True,
+    alibi_slopes: Optional[tuple] = None,
 ) -> jax.Array:
     t, num_q_heads, head_dim = q.shape
     num_pages, page_size = kv_cache.shape[:2]
@@ -326,6 +349,7 @@ def ragged_paged_attention_pallas(
         sliding_window=sliding_window,
         logit_softcap=logit_softcap,
         causal=causal,
+        alibi_slopes=alibi_slopes,
     )
     # 2-D HBM layouts keep every DMA slice tile-aligned (see kernel).
     # The production cache is already width-layout, so this reshape
