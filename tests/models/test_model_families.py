@@ -125,6 +125,17 @@ def build_checkpoint(tmp_path, arch: str):
         cfg = transformers.BloomConfig(
             vocab_size=256, hidden_size=64, n_layer=2, n_head=4)
         cls = transformers.BloomForCausalLM
+    elif arch == "mpt":
+        cfg = transformers.MptConfig(
+            vocab_size=256, d_model=64, n_layers=2, n_heads=4)
+        cls = transformers.MptForCausalLM
+    elif arch == "opt":
+        cfg = transformers.OPTConfig(
+            vocab_size=256, hidden_size=64, ffn_dim=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=128, do_layer_norm_before=True,
+            word_embed_proj_dim=64)
+        cls = transformers.OPTForCausalLM
     elif arch == "gpt2":
         cfg = transformers.GPT2Config(
             vocab_size=256, n_embd=64, n_layer=2, n_head=4,
@@ -224,7 +235,7 @@ ARCHS = ["qwen2", "qwen3", "gemma", "gemma2", "gemma3", "mixtral",
          "qwen3_moe", "gpt2", "gpt_neox", "gpt_neox_seq", "falcon",
          "falcon_40b", "falcon_rw", "phi3", "granite", "starcoder2",
          "stablelm", "phi", "cohere", "olmo2", "smollm3", "glm4",
-         "nemotron", "bloom"]
+         "nemotron", "bloom", "mpt", "opt"]
 
 
 @pytest.mark.parametrize("arch", ARCHS)

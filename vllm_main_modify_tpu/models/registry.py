@@ -58,6 +58,12 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "LlavaForConditionalGeneration"),
     "BloomForCausalLM": ("vllm_main_modify_tpu.models.bloom",
                          "BloomForCausalLM"),
+    "MptForCausalLM": ("vllm_main_modify_tpu.models.mpt",
+                       "MptForCausalLM"),
+    "MPTForCausalLM": ("vllm_main_modify_tpu.models.mpt",
+                       "MptForCausalLM"),
+    "OPTForCausalLM": ("vllm_main_modify_tpu.models.opt",
+                       "OPTForCausalLM"),
     "GPT2LMHeadModel": ("vllm_main_modify_tpu.models.gpt2",
                         "GPT2LMHeadModel"),
     "GPTNeoXForCausalLM": ("vllm_main_modify_tpu.models.gpt_neox",
