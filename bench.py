@@ -34,7 +34,7 @@ BASELINE_S = 1.7  # v6e, reference tests/v1/tpu/test_perf.py:62-73
 NUM_PROMPTS = 64
 PREFIX_LEN = 500
 DECODE_LEN = 50
-MAX_NUM_SEQS = 32
+MAX_NUM_SEQS = int(os.environ.get("BENCH_SEQS", "32"))
 MAX_MODEL_LEN = 1024
 MAX_BATCHED_TOKENS = int(os.environ.get("BENCH_MBT", "1024"))
 
