@@ -116,7 +116,9 @@ def main() -> None:
             max_num_seqs=MAX_NUM_SEQS,
             max_model_len=MAX_MODEL_LEN,
             async_scheduling=os.environ.get("BENCH_ASYNC",
-                                            "1") == "1"),
+                                            "1") == "1",
+            num_decode_steps_per_dispatch=int(
+                os.environ.get("BENCH_DECODE_STEPS", "8"))),
         load_config=LoadConfig(load_format="dummy"),
     )
     core = EngineCore(config)

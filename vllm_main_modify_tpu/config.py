@@ -179,6 +179,15 @@ class SchedulerConfig:
     num_lookahead_tokens: int = 0
     # Async scheduling (schedule step t+1 while t executes).
     async_scheduling: bool = False
+    # Multi-step decode: when every running request is in steady
+    # decode, run up to this many decode iterations inside ONE device
+    # dispatch (a jitted lax.scan with on-device token chaining).
+    # Amortizes host->device dispatch latency K-fold on the
+    # decode-dominated phase. 1 disables (exact reference step
+    # semantics); the LLM / server entrypoints default to 8.
+    # TPU-native analogue of the reference's multi-step execution loop
+    # (vllm/v1/worker/tpu_model_runner.py:981).
+    num_decode_steps_per_dispatch: int = 1
 
     def __post_init__(self) -> None:
         self.max_num_batched_tokens = max(self.max_num_batched_tokens,

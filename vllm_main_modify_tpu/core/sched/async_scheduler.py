@@ -21,9 +21,14 @@ class AsyncScheduler(Scheduler):
     def _update_after_schedule(
             self, scheduler_output: SchedulerOutput) -> None:
         super()._update_after_schedule(scheduler_output)
+        k = scheduler_output.num_decode_steps
         for req_id in scheduler_output.num_scheduled_tokens:
             request = self.requests[req_id]
-            if (request.num_computed_tokens == request.num_tokens +
+            if k > 1:
+                # multi-step decode chunk: K tokens will be sampled on
+                # device before the host sees any of them
+                request.num_output_placeholders += k
+            elif (request.num_computed_tokens == request.num_tokens +
                     request.num_output_placeholders):
                 # this step will sample a token whose value the host
                 # has not seen yet

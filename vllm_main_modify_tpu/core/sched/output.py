@@ -89,6 +89,11 @@ class SchedulerOutput:
     # load = restore host data into these freshly allocated blocks
     kv_save_blocks: list = field(default_factory=list)  # (hash, id)
     kv_load_blocks: list = field(default_factory=list)  # (hash, id)
+    # multi-step decode: >1 means every scheduled request is in steady
+    # decode and was scheduled exactly this many tokens, to be produced
+    # by one K-iteration device dispatch (scan with on-device token
+    # chaining). num_scheduled_tokens[rid] == num_decode_steps for all.
+    num_decode_steps: int = 1
 
     @property
     def num_scheduled_reqs(self) -> int:

@@ -62,6 +62,13 @@ class Scheduler:
         self.num_lookahead_tokens = sched_cfg.num_lookahead_tokens
         self.policy = sched_cfg.policy
         self.block_size = cache_cfg.block_size
+        # multi-step decode (see SchedulerConfig). The engine may
+        # force this to 1 for model classes the runner's scan path
+        # does not cover (enc-dec, multimodal, LoRA, spec decode).
+        self.decode_steps_per_dispatch = max(
+            sched_cfg.num_decode_steps_per_dispatch, 1)
+        if self.num_lookahead_tokens > 0:
+            self.decode_steps_per_dispatch = 1
 
         # host-RAM KV offload: evicted device blocks snapshot to host
         # and extend future prefix-cache hits (kv_offload/manager.py)
@@ -141,6 +148,52 @@ class Scheduler:
     # schedule
     # ------------------------------------------------------------------
 
+    def _eligible_decode_steps(self, token_budget: int) -> int:
+        """How many decode iterations one dispatch may run (1 = the
+        normal single-step path).
+
+        Eligible only when every running request needs exactly one new
+        token (steady decode) and uses no feature that requires host
+        intervention between tokens (grammar FSM advance, logprobs,
+        penalties, logit bias, token masks, pooling). Waiting requests
+        must be blocked by the seq limit anyway, so admission is
+        delayed by at most K steps.
+        """
+        k = self.decode_steps_per_dispatch
+        if k <= 1 or not self.running:
+            return 1
+        if self.waiting and \
+                len(self.running) < self.max_num_running_reqs:
+            return 1
+        if 0 < self.long_prefill_token_threshold < k:
+            k = self.long_prefill_token_threshold
+        k = min(k, token_budget // len(self.running))
+        for request in self.running:
+            num_new = (request.num_tokens_with_spec +
+                       request.num_output_placeholders -
+                       request.num_computed_tokens)
+            if num_new != 1 or request.spec_token_ids:
+                return 1
+            if request.pooling_params is not None or \
+                    request.use_structured_output:
+                return 1
+            sp = request.sampling_params
+            if sp is None:
+                return 1
+            if (sp.logprobs is not None
+                    or sp.prompt_logprobs is not None
+                    or sp.logit_bias or sp.allowed_token_ids
+                    or (sp.presence_penalty or 0.0) != 0.0
+                    or (sp.frequency_penalty or 0.0) != 0.0
+                    or (sp.repetition_penalty or 1.0) != 1.0
+                    or (sp.extra_args or {}).get(
+                        "bad_words_token_ids")):
+                return 1
+            # stay inside the model context for the whole chunk
+            k = min(k, self.max_model_len - 1 -
+                    request.num_computed_tokens)
+        return max(k, 1)
+
     def schedule(self) -> SchedulerOutput:
         scheduled_new_reqs: list[Request] = []
         scheduled_resumed_reqs: list[Request] = []
@@ -152,6 +205,14 @@ class Scheduler:
         spec_decode_tokens: dict[str, list[int]] = {}
         token_budget = self.max_num_scheduled_tokens
 
+        # ---- multi-step decode eligibility (pre-pass) ----------------
+        # When every running request is in steady single-token decode
+        # (and no waiting request could be admitted anyway), schedule K
+        # tokens per request to be produced by ONE K-iteration device
+        # dispatch. Keeps exact stop semantics: tokens sampled past a
+        # stop are discarded in update_from_output, same as spec decode.
+        decode_steps = self._eligible_decode_steps(token_budget)
+
         # ---- pass 1: running requests --------------------------------
         req_index = 0
         while req_index < len(self.running) and token_budget > 0:
@@ -159,6 +220,8 @@ class Scheduler:
             num_new_tokens = (request.num_tokens_with_spec +
                               request.num_output_placeholders -
                               request.num_computed_tokens)
+            if decode_steps > 1:
+                num_new_tokens = decode_steps
             if (0 < self.long_prefill_token_threshold < num_new_tokens):
                 num_new_tokens = self.long_prefill_token_threshold
             num_new_tokens = min(num_new_tokens, token_budget)
@@ -339,6 +402,7 @@ class Scheduler:
             structured_output_request_ids=structured_output_request_ids,
             kv_save_blocks=self._step_kv_saves,
             kv_load_blocks=self._step_kv_loads,
+            num_decode_steps=decode_steps,
         )
         self._step_kv_saves = []
         self._step_kv_loads = []

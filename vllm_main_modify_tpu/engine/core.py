@@ -86,6 +86,11 @@ class EngineCore:
             structured_output_manager=structured_output_manager,
             offload_index=offload_index,
             kv_event_callback=self.kv_event_publisher.record)
+        # multi-step decode chunks cover plain decoder LMs; the runner
+        # decides eligibility (enc-dec/mm/LoRA/spec keep single-step)
+        self.scheduler.decode_steps_per_dispatch = min(
+            self.scheduler.decode_steps_per_dispatch,
+            self.model_runner.decode_chunk_steps)
         self.async_scheduling = config.scheduler_config.async_scheduling
         # async mode: FIFO of (scheduler_output, AsyncStepHandle) in
         # flight; depth 2 hides both the dispatch latency and the

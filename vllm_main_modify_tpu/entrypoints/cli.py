@@ -17,6 +17,9 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
                    choices=["bfloat16", "float32", "float16"])
     p.add_argument("--max-model-len", type=int, default=2048)
     p.add_argument("--max-num-seqs", type=int, default=64)
+    p.add_argument("--num-decode-steps", type=int, default=8,
+                   help="decode iterations per device dispatch "
+                   "(multi-step decode; 1 disables)")
     p.add_argument("--max-num-batched-tokens", type=int, default=1024)
     p.add_argument("--block-size", type=int, default=16)
     p.add_argument("--kv-cache-dtype", default="auto",
@@ -57,7 +60,8 @@ def _build_config(args):
         scheduler_config=SchedulerConfig(
             max_num_batched_tokens=args.max_num_batched_tokens,
             max_num_seqs=args.max_num_seqs,
-            max_model_len=args.max_model_len),
+            max_model_len=args.max_model_len,
+            num_decode_steps_per_dispatch=args.num_decode_steps),
         parallel_config=ParallelConfig(
             tensor_parallel_size=args.tensor_parallel_size),
         load_config=LoadConfig(load_format=args.load_format),

@@ -45,6 +45,7 @@ class LLM:
         seed: int = 0,
         trust_remote_code: bool = False,
         async_scheduling: bool = False,
+        num_decode_steps_per_dispatch: int = 8,
         speculative_config: Optional[dict] = None,
         enable_lora: bool = False,
         max_loras: int = 4,
@@ -69,7 +70,9 @@ class LLM:
                 max_num_batched_tokens=max_num_batched_tokens,
                 max_num_seqs=max_num_seqs,
                 max_model_len=max_model_len,
-                async_scheduling=async_scheduling),
+                async_scheduling=async_scheduling,
+                num_decode_steps_per_dispatch=(
+                    num_decode_steps_per_dispatch)),
             parallel_config=ParallelConfig(
                 tensor_parallel_size=tensor_parallel_size,
                 data_parallel_size=data_parallel_size,

@@ -159,6 +159,15 @@ class TPUModelRunner:
                                             lc.max_lora_rank,
                                             mc.num_layers)
 
+        # multi-step decode chunks (scan path): only for plain decoder
+        # LMs — enc-dec / multimodal / LoRA / spec decode keep the
+        # single-step path (extra per-step state)
+        self.decode_chunk_steps = 1
+        if not (self.is_enc_dec or self.is_mm or self.enable_lora
+                or self.max_spec > 0):
+            self.decode_chunk_steps = max(
+                sc.num_decode_steps_per_dispatch, 1)
+
         # cache stored width-native [L, P, page, 2K*D]; 'model' shards
         # the width axis (whole (k,v,D) pairs per head stay contiguous)
         self._kv_sharding = NamedSharding(
@@ -667,76 +676,101 @@ class TPUModelRunner:
         prev2_scatter[:] = -1
         prev2_gather = seg("prev2_gather")
 
-        offset = 0
-        for row in range(num_reqs):
-            req_id = batch.req_ids[row]
-            n_sched = sched.get(req_id, 0)
-            start_pos = batch.num_computed_tokens[row]
-            end_pos = start_pos + n_sched
-            input_ids[offset:offset + n_sched] = \
-                batch.token_ids[row, start_pos:end_pos]
-            spec_toks = scheduler_output.scheduled_spec_decode_tokens \
-                .get(req_id)
-            if spec_toks:
-                # draft tokens are not in the batch's token history;
-                # they occupy the tail of this row's scheduled range
-                ns = len(spec_toks)
-                input_ids[offset + n_sched - ns:offset + n_sched] = \
-                    spec_toks
-                spec_counts[row] = ns
-                proposed[row] = spec_toks
-                seg("spec_drafts")[row * nsp:row * nsp + ns] = \
-                    spec_toks
-            pending = self._pending_fill.get(req_id)
-            if pending is not None:
-                age, prev_row, pos = pending
-                if start_pos <= pos < end_pos:
-                    # value still on device: chain it in the jitted step
-                    if age == 0:
-                        prev_scatter[row] = offset + (pos - start_pos)
-                        prev_gather[row] = prev_row
-                    else:
-                        prev2_scatter[row] = offset + (pos - start_pos)
-                        prev2_gather[row] = prev_row
-            positions[offset:offset + n_sched] = np.arange(
-                start_pos, end_pos, dtype=np.int32)
-            # flat slots: page_id * page_size + in-page offset
-            pos = np.arange(start_pos, end_pos, dtype=np.int32)
-            page_ids = batch.block_table[row, pos // page]
-            slot_mapping[offset:offset + n_sched] = \
-                page_ids * page + pos % page
-            if n_sched > 0:
-                for pg in range(start_pos // page,
-                                (end_pos - 1) // page + 1):
-                    seg_lo = max(start_pos, pg * page)
-                    seg_hi = min(end_pos, (pg + 1) * page)
-                    kv_slices.append(
-                        (int(batch.block_table[row, pg]) * page +
-                         seg_lo % page, offset + seg_lo - start_pos,
-                         seg_hi - seg_lo))
-            if lora_seg is not None and n_sched > 0:
-                lora_seg[offset:offset + n_sched] = \
-                    batch.lora_slots[row]
-            offset += n_sched
-            query_start_loc[row + 1] = offset
-            seq_lens[row] = end_pos
-            ns = spec_counts.get(row, 0)
-            # sample positions: the last real token plus each draft
-            # (position j predicts draft j / the correction token)
-            for j in range(nsp):
-                logits_indices[row, j] = offset - 1 - max(ns - j, 0) \
-                    if j <= ns else offset - 1
-            if end_pos >= batch.num_tokens[row] + ns:
-                sample_rows.append(row)
+        # ---- vectorized token-level build (reference style:
+        # gpu_model_runner.py:939 numpy _prepare_inputs) -------------
+        rows_r = np.arange(num_reqs, dtype=np.int32)
+        n_sched_arr = np.fromiter(
+            (sched.get(batch.req_ids[i], 0) for i in range(num_reqs)),
+            dtype=np.int32, count=num_reqs)
+        starts = batch.num_computed_tokens[:num_reqs].astype(np.int32)
+        ends = starts + n_sched_arr
+        cu = np.zeros(num_reqs + 1, dtype=np.int32)
+        np.cumsum(n_sched_arr, out=cu[1:])
+        offset = int(cu[-1])
+        assert offset == total
+        # per-token row index and within-request offset
+        req_of_tok = np.repeat(rows_r, n_sched_arr)
+        tok_off = (np.arange(total, dtype=np.int32) -
+                   np.repeat(cu[:-1], n_sched_arr))
+        tok_pos = starts[req_of_tok] + tok_off
+        input_ids[:total] = batch.token_ids[req_of_tok, tok_pos]
+        positions[:total] = tok_pos
+        page_ids_tok = batch.block_table[req_of_tok, tok_pos // page]
+        slot_mapping[:total] = page_ids_tok * page + tok_pos % page
+        if lora_seg is not None:
+            lora_seg[:total] = batch.lora_slots[req_of_tok]
+
+        # per-(row,page) KV-update slices, vectorized at page level
+        sched_rows = rows_r[n_sched_arr > 0]
+        p_start = starts[sched_rows] // page
+        p_end = (ends[sched_rows] - 1) // page
+        nseg = p_end - p_start + 1
+        total_segs = int(nseg.sum())
+        seg_cu = np.zeros(len(sched_rows) + 1, dtype=np.int32)
+        np.cumsum(nseg, out=seg_cu[1:])
+        seg_of = np.repeat(np.arange(len(sched_rows), dtype=np.int32),
+                           nseg)
+        seg_page = (p_start[seg_of] +
+                    np.arange(total_segs, dtype=np.int32) -
+                    np.repeat(seg_cu[:-1], nseg))
+        seg_row = sched_rows[seg_of]
+        seg_lo = np.maximum(starts[seg_row], seg_page * page)
+        seg_hi = np.minimum(ends[seg_row], (seg_page + 1) * page)
+        kv_slices_arr[0, :total_segs] = \
+            batch.block_table[seg_row, seg_page] * page + seg_lo % page
+        kv_slices_arr[1, :total_segs] = \
+            cu[seg_row] + seg_lo - starts[seg_row]
+        kv_slices_arr[2, :total_segs] = seg_hi - seg_lo
+
+        query_start_loc[1:num_reqs + 1] = cu[1:]
         # padded rows repeat the cumulative sum so searchsorted maps
         # padded tokens to a padded row
         query_start_loc[num_reqs + 1:] = offset
-        block_tables[:num_reqs] = batch.block_table[:num_reqs, :mp]
-        if kv_slices:
-            kv_slices_arr[:, :len(kv_slices)] = np.asarray(
-                kv_slices, dtype=np.int32).T
-        scalars[0] = len(kv_slices)
+        seq_lens[:num_reqs] = ends
+        scalars[0] = total_segs
         scalars[1] = num_reqs
+        block_tables[:num_reqs] = batch.block_table[:num_reqs, :mp]
+
+        # sample rows + per-row sample positions (vector; spec rows
+        # patched below)
+        ns_row = np.zeros(num_reqs, dtype=np.int32)
+        logits_indices[:num_reqs] = (cu[1:] - 1)[:, None]
+        for req_id, spec_toks in (
+                scheduler_output.scheduled_spec_decode_tokens.items()):
+            if not spec_toks:
+                continue
+            row = batch.req_id_to_index.get(req_id)
+            if row is None:
+                continue
+            # draft tokens are not in the batch's token history; they
+            # occupy the tail of this row's scheduled range
+            ns = len(spec_toks)
+            end = cu[row + 1]
+            input_ids[end - ns:end] = spec_toks
+            spec_counts[row] = ns
+            proposed[row] = spec_toks
+            ns_row[row] = ns
+            seg("spec_drafts")[row * nsp:row * nsp + ns] = spec_toks
+            # sample positions: the last real token plus each draft
+            # (position j predicts draft j / the correction token)
+            for j in range(nsp):
+                logits_indices[row, j] = end - 1 - max(ns - j, 0) \
+                    if j <= ns else end - 1
+        sample_rows = rows_r[
+            ends >= batch.num_tokens[:num_reqs] + ns_row].tolist()
+
+        # async token chaining: previous steps' device-resident tokens
+        for rid, (age, prev_row, pos) in self._pending_fill.items():
+            row = batch.req_id_to_index.get(rid)
+            if row is None or not (starts[row] <= pos < ends[row]):
+                continue
+            # value still on device: chain it in the jitted step
+            if age == 0:
+                prev_scatter[row] = cu[row] + (pos - starts[row])
+                prev_gather[row] = prev_row
+            else:
+                prev2_scatter[row] = cu[row] + (pos - starts[row])
+                prev2_gather[row] = prev_row
 
         # sampling knobs (floats bitcast into the int32 buffer)
         n = num_reqs
@@ -1103,6 +1137,266 @@ class TPUModelRunner:
         return jax.jit(step, donate_argnums=(1, ))
 
     # ------------------------------------------------------------------
+    # multi-step decode: K decode iterations per device dispatch
+    # ------------------------------------------------------------------
+    # When the scheduler marks a step as a pure-decode chunk
+    # (SchedulerOutput.num_decode_steps > 1), the runner executes K
+    # decode iterations inside ONE jitted lax.scan: each iteration is
+    # shape-identical to a normal single-token decode step (r_pad
+    # tokens, one per request), and the sampled tokens chain through
+    # the scan carry — zero host round trips between iterations.
+    # TPU-native replacement for the reference's per-step dispatch
+    # (tpu_model_runner.py:981 runs multiple forwards per schedule for
+    # the opposite reason: oversized batches).
+
+    @functools.lru_cache(maxsize=None)
+    def _decode_layout(self, r_pad: int) -> dict:
+        """Packed int32 buffer layout for one decode chunk."""
+        mp = self.max_blocks_per_req
+        sizes = [
+            ("tokens0", r_pad),  # input token per row (may be -1)
+            ("positions0", r_pad),  # first position per row
+            ("block_tables", r_pad * mp),
+            ("temperature", r_pad),
+            ("top_k", r_pad),
+            ("top_p", r_pad),
+            ("min_p", r_pad),
+            ("seeds", r_pad),
+            ("sample_pos", r_pad),
+            # on-device chaining of the previous dispatch's sampled
+            # tokens (row-indexed, -1 = no chain), depth-2 as in the
+            # single-step path
+            ("prev_scatter", r_pad),
+            ("prev_gather", r_pad),
+            ("prev2_scatter", r_pad),
+            ("prev2_gather", r_pad),
+            ("scalars", 1),  # num_reqs
+        ]
+        layout = {}
+        off = 0
+        for name, size in sizes:
+            layout[name] = (off, off + size)
+            off += size
+        layout["total"] = off
+        return layout
+
+    @functools.lru_cache(maxsize=64)
+    def _get_decode_step_fn(self, r_pad: int, num_steps: int,
+                            all_greedy: bool, need_top_k: bool,
+                            need_top_p: bool, need_min_p: bool,
+                            has_prev: bool, has_prev2: bool):
+        model = self.model
+        use_pallas = self.use_pallas
+        base_seed = self.config.model_config.seed
+        page = self.page_size
+        mp = self.max_blocks_per_req
+        layout = self._decode_layout(r_pad)
+
+        def chunk(params, kv_caches, packed, prev_sampled=None,
+                  prev_sampled2=None):
+            def seg(name):
+                a, b = layout[name]
+                return jax.lax.slice_in_dim(packed, a, b)
+
+            def seg_f32(name):
+                return jax.lax.bitcast_convert_type(
+                    seg(name), jnp.float32)
+
+            tokens = seg("tokens0")
+            if has_prev:
+                gather = jnp.clip(seg("prev_gather"), 0,
+                                  prev_sampled.shape[0] - 1)
+                vals = jnp.take(prev_sampled, gather)
+                scat = seg("prev_scatter")
+                idx = jnp.where(scat >= 0, scat, r_pad)
+                tokens = tokens.at[idx].set(vals, mode="drop")
+            if has_prev2:
+                gather = jnp.clip(seg("prev2_gather"), 0,
+                                  prev_sampled2.shape[0] - 1)
+                vals = jnp.take(prev_sampled2, gather)
+                scat = jnp.asarray(seg("prev2_scatter"))
+                idx = jnp.where(scat >= 0, scat, r_pad)
+                tokens = tokens.at[idx].set(vals, mode="drop")
+
+            positions0 = seg("positions0")
+            block_tables = seg("block_tables").reshape(r_pad, mp)
+            num_seqs = jax.lax.slice_in_dim(seg("scalars"), 0, 1)
+            num_reqs = num_seqs[0]
+            rows = jnp.arange(r_pad, dtype=jnp.int32)
+            active = rows < num_reqs
+            qsl = jnp.minimum(jnp.arange(r_pad + 1, dtype=jnp.int32),
+                              num_reqs)
+            sample_pos0 = seg("sample_pos")
+            meta0 = SamplingMetadata(
+                temperature=seg_f32("temperature"),
+                top_k=seg("top_k"),
+                top_p=seg_f32("top_p"),
+                min_p=seg_f32("min_p"),
+                seeds=jax.lax.bitcast_convert_type(
+                    seg("seeds"), jnp.uint32),
+                sample_pos=sample_pos0,
+                all_greedy=all_greedy,
+                need_top_k=need_top_k, need_top_p=need_top_p,
+                need_min_p=need_min_p, max_num_logprobs=0)
+            key = jax.random.PRNGKey(base_seed)
+
+            def body(carry, j):
+                kv, toks = carry
+                pos = positions0 + j
+                seq_lens = jnp.where(active, pos + 1, 0)
+                page_ids = jnp.take_along_axis(
+                    block_tables, (pos // page)[:, None], axis=1)[:, 0]
+                slots = page_ids * page + pos % page
+                attn_meta = AttentionMetadata(
+                    block_tables=block_tables,
+                    query_start_loc=qsl,
+                    seq_lens=seq_lens,
+                    slot_mapping=jnp.where(active, slots, -1),
+                    num_seqs=num_seqs,
+                    kv_update_slices=jnp.stack([
+                        slots, rows,
+                        jnp.where(active, 1, 0).astype(jnp.int32)
+                    ]),
+                    num_kv_update_slices=num_seqs,
+                )
+                hidden, kv = model(params, toks, pos, kv, attn_meta,
+                                   use_pallas=use_pallas)
+                logits = model.compute_logits(params, hidden)
+                out = sample(logits,
+                             meta0._replace(sample_pos=sample_pos0 + j),
+                             key)
+                return (kv, out.sampled), out.sampled
+
+            (kv_caches, last), sampled_steps = jax.lax.scan(
+                body, (kv_caches, tokens),
+                jnp.arange(num_steps, dtype=jnp.int32))
+            return kv_caches, sampled_steps, last
+
+        return jax.jit(chunk, donate_argnums=(1, ))
+
+    def _prepare_decode_chunk(self, scheduler_output: SchedulerOutput):
+        """Vectorized numpy build of the decode-chunk buffer (one row
+        per request; reference for the vectorized style:
+        gpu_model_runner.py:939 ``_prepare_inputs``)."""
+        batch = self.input_batch
+        n = batch.num_reqs
+        assert n > 0
+        r_pad = self._pad_to_bucket(n, self.req_buckets)
+        layout = self._decode_layout(r_pad)
+        packed = np.zeros(layout["total"], dtype=np.int32)
+
+        def seg(name):
+            a, b = layout[name]
+            return packed[a:b]
+
+        mp = self.max_blocks_per_req
+        pos0 = batch.num_computed_tokens[:n]
+        seg("positions0")[:n] = pos0
+        seg("tokens0")[:n] = batch.token_ids[np.arange(n), pos0]
+        seg("block_tables").reshape(r_pad, mp)[:n] = \
+            batch.block_table[:n, :mp]
+        temp = seg("temperature").view(np.float32)
+        temp[:] = -1.0
+        temp[:n] = batch.temperature[:n]
+        seg("top_k")[:n] = batch.top_k[:n]
+        top_p = seg("top_p").view(np.float32)
+        top_p[:] = 1.0
+        top_p[:n] = batch.top_p[:n]
+        seg("min_p").view(np.float32)[:n] = batch.min_p[:n]
+        seg("seeds").view(np.uint32)[:n] = batch.seeds[:n]
+        seg("sample_pos")[:n] = batch.num_tokens[:n]
+        seg("scalars")[0] = n
+
+        prev_scatter = seg("prev_scatter")
+        prev_scatter[:] = -1
+        prev2_scatter = seg("prev2_scatter")
+        prev2_scatter[:] = -1
+        has_prev = has_prev2 = False
+        for rid, (age, prev_row, pos) in self._pending_fill.items():
+            row = batch.req_id_to_index.get(rid)
+            if row is None or pos0[row] != pos:
+                continue
+            if age == 0:
+                prev_scatter[row] = row
+                seg("prev_gather")[row] = prev_row
+                has_prev = True
+            else:
+                prev2_scatter[row] = row
+                seg("prev2_gather")[row] = prev_row
+                has_prev2 = True
+        return packed, r_pad, has_prev, has_prev2
+
+    def _execute_decode_chunk(self, scheduler_output: SchedulerOutput,
+                              num_steps: int, is_async: bool):
+        packed, r_pad, row_prev, row_prev2 = \
+            self._prepare_decode_chunk(scheduler_output)
+        (all_greedy, need_top_k, need_top_p, need_min_p,
+         max_lp) = self._sampling_statics()
+        assert max_lp == 0, \
+            "scheduler must not multi-step logprobs requests"
+        has_prev = is_async and self._prev_sampled is not None
+        has_prev2 = (is_async and row_prev2
+                     and self._prev_sampled2 is not None)
+
+        chunk_fn = self._get_decode_step_fn(r_pad, num_steps,
+                                            all_greedy, need_top_k,
+                                            need_top_p, need_min_p,
+                                            has_prev, has_prev2)
+        self._note_compile(
+            ("decode_chunk", r_pad, num_steps, all_greedy, need_top_k,
+             need_top_p, need_min_p, has_prev, has_prev2,
+             None if not has_prev else self._prev_sampled.shape[0]))
+
+        self._step_count += 1
+        packed_dev = jnp.asarray(packed, device=self._replicated)
+        self.kv_caches, sampled_steps, last = chunk_fn(
+            self.params, self.kv_caches, packed_dev,
+            self._prev_sampled if has_prev else None,
+            self._prev_sampled2 if has_prev2 else None)
+
+        batch = self.input_batch
+        num_reqs = batch.num_reqs
+        req_ids = [batch.req_ids[i] for i in range(num_reqs)]
+
+        if not is_async:
+            sampled_np = np.asarray(sampled_steps)  # [K, r_pad]
+            sampled_token_ids = []
+            for row in range(num_reqs):
+                toks = sampled_np[:, row].tolist()
+                sampled_token_ids.append(toks)
+                for tok in toks:
+                    self._append_token(row, tok)
+            return ModelRunnerOutput(
+                req_ids=req_ids,
+                req_id_to_index={r: i for i, r in enumerate(req_ids)},
+                sampled_token_ids=sampled_token_ids)
+
+        # async: K placeholders per row; chain the chunk's LAST token
+        # into the next dispatch exactly like the single-step path
+        pending: list[tuple[str, int, int]] = []
+        new_fill: dict[str, tuple[int, int, int]] = {
+            rid: (1, row, pos)
+            for rid, (age, row, pos) in self._pending_fill.items()
+            if age == 0
+        }
+        for row in range(num_reqs):
+            req_id = batch.req_ids[row]
+            first_pos = int(batch.num_tokens[row])
+            for _ in range(num_steps):
+                self._append_token(row, -1)
+            pending.append((req_id, row, first_pos))
+            new_fill[req_id] = (0, row, first_pos + num_steps - 1)
+        self._prev_sampled2 = self._prev_sampled
+        self._prev_sampled = last
+        self._pending_fill = new_fill
+        try:
+            sampled_steps.copy_to_host_async()
+        except AttributeError:
+            pass
+        return AsyncChunkHandle(self, sampled_steps, req_ids, pending,
+                                num_steps)
+
+    # ------------------------------------------------------------------
     # execute (reference: execute_model tpu_model_runner.py:981)
     # ------------------------------------------------------------------
 
@@ -1113,6 +1407,10 @@ class TPUModelRunner:
         if scheduler_output.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput(req_ids=[], req_id_to_index={},
                                      sampled_token_ids=[])
+        if scheduler_output.num_decode_steps > 1:
+            return self._execute_decode_chunk(
+                scheduler_output, scheduler_output.num_decode_steps,
+                is_async=False)
 
         (packed, sample_rows, t_pad, r_pad, s_pad, apply_grammar,
          spec_counts, proposed, has_penalties, has_bias,
@@ -1274,6 +1572,10 @@ class TPUModelRunner:
         self._process_kv_offload_ops(scheduler_output)
         if scheduler_output.total_num_scheduled_tokens == 0:
             return None
+        if scheduler_output.num_decode_steps > 1:
+            return self._execute_decode_chunk(
+                scheduler_output, scheduler_output.num_decode_steps,
+                is_async=True)
 
         (packed, sample_rows, t_pad, r_pad, s_pad, apply_grammar,
          _spec_counts, _proposed, has_penalties, has_bias,
@@ -1352,6 +1654,12 @@ class TPUModelRunner:
                     continue
                 self._run_dummy_step(t_pad, r_pad)
                 n += 1
+        if self.decode_chunk_steps > 1:
+            for r_pad in self.req_buckets:
+                for hp, hp2 in ((False, False), (True, False),
+                                (True, True)):
+                    self._run_dummy_chunk(r_pad, hp, hp2)
+                    n += 1
         logger.info("precompiled %d buckets in %.1fs", n,
                     time.monotonic() - t0)
         # VLLM_XLA_CHECK_RECOMPILATION semantics (reference:
@@ -1372,6 +1680,69 @@ class TPUModelRunner:
         self.kv_caches, _, _ = step_fn(
             self.params, self.kv_caches,
             jnp.asarray(packed, device=self._replicated))
+
+    def _run_dummy_chunk(self, r_pad: int, has_prev: bool,
+                         has_prev2: bool) -> None:
+        layout = self._decode_layout(r_pad)
+        packed = np.zeros(layout["total"], dtype=np.int32)
+        a, b = layout["temperature"]
+        packed[a:b].view(np.float32)[:] = -1.0
+        a, b = layout["top_p"]
+        packed[a:b].view(np.float32)[:] = 1.0
+        for name in ("prev_scatter", "prev2_scatter"):
+            a, b = layout[name]
+            packed[a:b] = -1
+        # scalars[0] (num_reqs) stays 0: no KV writes, inert rows
+        chunk_fn = self._get_decode_step_fn(r_pad,
+                                            self.decode_chunk_steps,
+                                            True, False, False, False,
+                                            has_prev, has_prev2)
+        prev = (jnp.zeros(r_pad, dtype=jnp.int32)
+                if has_prev else None)
+        prev2 = (jnp.zeros(r_pad, dtype=jnp.int32)
+                 if has_prev2 else None)
+        self.kv_caches, _, _ = chunk_fn(
+            self.params, self.kv_caches,
+            jnp.asarray(packed, device=self._replicated), prev, prev2)
+
+
+class AsyncChunkHandle:
+    """Deferred multi-step chunk result: `.get()` materializes the
+    [K, r_pad] sampled-token matrix and patches the K placeholder
+    tokens per request into runner state."""
+
+    def __init__(self, runner: TPUModelRunner, sampled_steps, req_ids,
+                 pending, num_steps: int) -> None:
+        self.runner = runner
+        self.sampled_steps = sampled_steps  # [K, r_pad] device
+        self.req_ids = req_ids
+        self.pending = pending  # (req_id, dispatch_row, first_pos)
+        self.num_steps = num_steps
+
+    def get(self) -> ModelRunnerOutput:
+        runner = self.runner
+        sampled_np = np.asarray(self.sampled_steps)  # [K, r_pad]
+        req_id_to_index = {r: i for i, r in enumerate(self.req_ids)}
+        sampled_token_ids: list[list[int]] = [[] for _ in self.req_ids]
+        for req_id, dispatch_row, first_pos in self.pending:
+            toks = sampled_np[:, dispatch_row].tolist()
+            sampled_token_ids[req_id_to_index[req_id]] = toks
+            cur_row = runner.input_batch.req_id_to_index.get(req_id)
+            if cur_row is not None:
+                runner.input_batch.token_ids[
+                    cur_row, first_pos:first_pos + self.num_steps] = \
+                    toks
+            state = runner.requests.get(req_id)
+            if state is not None:
+                base = first_pos - len(state.prompt_token_ids)
+                for j, tok in enumerate(toks):
+                    out_idx = base + j
+                    if 0 <= out_idx < len(state.output_token_ids):
+                        state.output_token_ids[out_idx] = tok
+        return ModelRunnerOutput(
+            req_ids=self.req_ids,
+            req_id_to_index=req_id_to_index,
+            sampled_token_ids=sampled_token_ids)
 
 
 class AsyncStepHandle:
