@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from vllm_main_modify_tpu.config import ModelConfig
-from vllm_main_modify_tpu.models.interface import ParamSpec
+from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
 
 
 def _set_path(tree: dict, path: str, value) -> None:
@@ -197,18 +197,96 @@ def _load_quantized(spec: ParamSpec, reader: _TensorReader, config,
                              put(stack(scs), True),
                              put(stack(zps), True), perm_arr)
 
+    # pre-quantized W8 checkpoints (compressed-tensors INT8 / HF FP8:
+    # <proj>.weight int8|f8e4m3 + <proj>.weight_scale [out] f32 +
+    # optional <proj>.input_scale — reference: fp8.py:209 scale
+    # loading, compressed_tensors/ schemes)
+    if quant in _SCALED_METHODS:
+        value = _load_prequantized(spec, reader, config, mesh, quant)
+        if value is not None:
+            return value
+
     # on-the-fly quantization of a float checkpoint
     host = _assemble_host_tensor(spec, reader, dtype)
     arr = jax.device_put(jnp.asarray(host),
                          NamedSharding(mesh, spec.sharding))
     del host
-    if quant == "int8":
-        return QW.quantize_int8(arr)
-    if quant == "fp8":
-        return QW.quantize_fp8(arr)
-    if quant == "int4":
-        return QW.quantize_int4(arr)
-    raise ValueError(f"unknown quantization method {quant!r}")
+    fn = _ON_THE_FLY.get(quant)
+    if fn is None:
+        raise ValueError(f"unknown quantization method {quant!r}")
+    return fn(arr)
+
+
+_SCALED_METHODS = ("int8", "fp8", "int8_w8a8", "fp8_w8a8", "w8a8",
+                   "compressed-tensors")
+
+
+def _quant_dtypes(quant: str):
+    import ml_dtypes
+
+    if "int8" in quant or quant in ("w8a8", "compressed-tensors"):
+        return np.int8, None
+    return np.dtype(ml_dtypes.float8_e4m3fn), ml_dtypes.float8_e4m3fn
+
+
+def _load_prequantized(spec: ParamSpec, reader: _TensorReader, config,
+                       mesh: Mesh, quant: str):
+    """Load checkpoint-provided int8/fp8 weights + scales directly.
+    Returns None if this param has no ``weight_scale`` (then the float
+    path quantizes on the fly)."""
+    from vllm_main_modify_tpu.quantization import weights as QW
+
+    base_key = spec.hf_key.rsplit(".weight", 1)[0]
+    probe = (base_key.format(i=spec.layer_offset)
+             if spec.stacked else base_key) + ".weight_scale"
+    if probe not in reader:
+        return None
+    if spec.transform is not None and spec.transform is not transpose2d:
+        return None  # model-specific transform: use the float path
+    want_np, _f8 = _quant_dtypes(quant)
+
+    qs, ss, acts = [], [], []
+    has_act = True
+    idx_range = (range(spec.shape[0]) if spec.stacked else [None])
+    for i in idx_range:
+        key = (base_key.format(i=i + spec.layer_offset)
+               if i is not None else base_key)
+        w = reader.get(key + ".weight")
+        if w.dtype == np.uint8 and want_np != np.int8:
+            w = w.view(want_np)  # safetensors fp8 fallback view
+        assert w.dtype == want_np, (key, w.dtype, want_np)
+        qs.append(np.ascontiguousarray(w.T))  # [out,in] -> [in,out]
+        s = reader.get(key + ".weight_scale").astype(np.float32)
+        s = s.reshape(-1)  # [out,1] / [out] / [1] (per-tensor)
+        if s.shape[0] == 1:
+            s = np.broadcast_to(s, (w.shape[0], )).copy()
+        ss.append(s)
+        akey = key + ".input_scale"
+        if akey in reader:
+            acts.append(
+                reader.get(akey).astype(np.float32).reshape(1))
+        else:
+            has_act = False
+    stack = (lambda xs: np.stack(xs)) if spec.stacked else \
+        (lambda xs: xs[0])
+
+    def put(a, last_from_spec):
+        return jax.device_put(
+            jnp.asarray(a),
+            _sub_sharding(mesh, spec,
+                          a.ndim - (1 if spec.stacked else 0),
+                          last_from_spec))
+
+    qweight = put(stack(qs), True)
+    scale = put(stack(ss), True)
+    act_scale = put(stack(acts), False) if has_act else None
+    w8a8 = quant in ("int8_w8a8", "fp8_w8a8", "w8a8",
+                     "compressed-tensors")
+    if want_np == np.int8:
+        return (QW.Int8W8A8Weight(qweight, scale, act_scale)
+                if w8a8 else QW.Int8Weight(qweight, scale))
+    return (QW.Fp8W8A8Weight(qweight, scale, act_scale)
+            if w8a8 else QW.Fp8Weight(qweight, scale))
 
 
 def _assemble_host_tensor(spec: ParamSpec, reader: _TensorReader,
@@ -277,13 +355,37 @@ def init_dummy_params(model, config: ModelConfig, mesh: Mesh) -> dict:
         arr = jax.jit(init, out_shardings=sharding)(sub)
         quant = (config.quantization or "").lower() or None
         if quant and _is_quantizable(spec):
-            from vllm_main_modify_tpu.quantization import weights as QW
-
-            method = {"int8": QW.quantize_int8,
-                      "fp8": QW.quantize_fp8,
-                      "int4": QW.quantize_int4,
-                      "gptq": QW.quantize_int4,
-                      "awq": QW.quantize_int4}[quant]
-            arr = method(arr)
+            arr = _ON_THE_FLY[quant](arr)
         _set_path(params, spec.path, arr)
     return params
+
+
+def _on_the_fly_table():
+    from vllm_main_modify_tpu.quantization import weights as QW
+
+    return {
+        "int8": QW.quantize_int8,
+        "fp8": QW.quantize_fp8,
+        "int4": QW.quantize_int4,
+        "gptq": QW.quantize_int4,
+        "awq": QW.quantize_int4,
+        "int8_w8a8": QW.quantize_int8_w8a8,
+        "fp8_w8a8": QW.quantize_fp8_w8a8,
+        "w8a8": QW.quantize_fp8_w8a8,
+        "compressed-tensors": QW.quantize_int8_w8a8,
+    }
+
+
+class _LazyTable(dict):
+    def __missing__(self, key):
+        self.update(_on_the_fly_table())
+        return dict.__getitem__(self, key)
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+
+_ON_THE_FLY = _LazyTable()

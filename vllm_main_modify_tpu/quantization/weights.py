@@ -110,7 +110,93 @@ class Int4Weight:
         return self.packed.shape[-2] // self.scales.shape[-2]
 
 
-QuantizedWeight = Union[Int8Weight, Fp8Weight, Int4Weight]
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Fp8W8A8Weight:
+    """FP8 weights *and* FP8 activations (W8A8): the matmul runs on
+    the fp8 MXU path with f32 accumulation. Activations are quantized
+    per-token dynamically unless a static ``act_scale`` was loaded
+    from the checkpoint (reference: Fp8LinearOp
+    vllm/model_executor/layers/quantization/fp8.py:71,209 →
+    cutlass_scaled_mm, csrc/quantization/cutlass_w8a8/)."""
+
+    qweight: jax.Array  # [..., in, out] f8e4m3
+    scale: jax.Array  # [..., out] or [..., 1] f32 (per-chan / tensor)
+    act_scale: jax.Array | None = None  # [..., 1] f32 static, or None
+
+    def tree_flatten(self):
+        if self.act_scale is None:
+            return (self.qweight, self.scale), False
+        return (self.qweight, self.scale, self.act_scale), True
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.qweight.shape
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Int8W8A8Weight:
+    """INT8 weights and INT8 activations: s8 x s8 → s32 MXU matmul
+    (reference: compressed-tensors INT8 w8a8 schemes +
+    csrc/quantization/w8a8/)."""
+
+    qweight: jax.Array  # [..., in, out] int8
+    scale: jax.Array  # [..., out] f32
+    act_scale: jax.Array | None = None  # [..., 1] f32 static, or None
+
+    def tree_flatten(self):
+        if self.act_scale is None:
+            return (self.qweight, self.scale), False
+        return (self.qweight, self.scale, self.act_scale), True
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.qweight.shape
+
+
+QuantizedWeight = Union[Int8Weight, Fp8Weight, Int4Weight,
+                        Fp8W8A8Weight, Int8W8A8Weight]
+
+FP8_MAX = 448.0  # float8_e4m3fn max normal
+
+
+def quantize_activations_fp8(x: jax.Array, act_scale=None):
+    """Per-token (row) dynamic fp8 quantization — or static when the
+    checkpoint carries an input_scale. XLA fuses the amax/scale/cast
+    into the producer's epilogue (reference: per-token dynamic quant
+    kernels, csrc/quantization/fp8/)."""
+    xf = x.astype(jnp.float32)
+    if act_scale is not None:
+        s = jnp.broadcast_to(act_scale.astype(jnp.float32).reshape(-1),
+                             (1, ))[0]
+        q = jnp.clip(xf / s, -FP8_MAX, FP8_MAX).astype(
+            jnp.float8_e4m3fn)
+        return q, s
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.maximum(amax / FP8_MAX, 1e-12)
+    q = (xf / s).astype(jnp.float8_e4m3fn)
+    return q, s
+
+
+def quantize_activations_int8(x: jax.Array, act_scale=None):
+    xf = x.astype(jnp.float32)
+    if act_scale is not None:
+        s = jnp.broadcast_to(act_scale.astype(jnp.float32).reshape(-1),
+                             (1, ))[0]
+    else:
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        s = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
 
 
 INT4_TILE = 1024  # lane-blocked packing tile (see int4_pack)
@@ -163,6 +249,22 @@ def matmul(x: jax.Array, w) -> jax.Array:
             dimension_numbers=(((x.ndim - 1, ), (0, )), ((), ())),
             preferred_element_type=jnp.float32)
         return (acc * w.scale.astype(jnp.float32)).astype(x.dtype)
+    if isinstance(w, Fp8W8A8Weight):
+        qx, s_a = quantize_activations_fp8(x, w.act_scale)
+        acc = jax.lax.dot_general(
+            qx, w.qweight,
+            dimension_numbers=(((x.ndim - 1, ), (0, )), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (acc * s_a * w.scale.astype(jnp.float32)).astype(
+            x.dtype)
+    if isinstance(w, Int8W8A8Weight):
+        qx, s_a = quantize_activations_int8(x, w.act_scale)
+        acc = jax.lax.dot_general(
+            qx, w.qweight,
+            dimension_numbers=(((x.ndim - 1, ), (0, )), ((), ())),
+            preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * s_a *
+                w.scale.astype(jnp.float32)).astype(x.dtype)
     if isinstance(w, Int4Weight):
         from vllm_main_modify_tpu.quantization.int4_dispatch import \
             int4_matmul
@@ -196,6 +298,16 @@ def quantize_fp8(w: jax.Array) -> Fp8Weight:
     q = (w.astype(jnp.float32) / scale[..., None, :]).astype(
         jnp.float8_e4m3fn)
     return Fp8Weight(q, scale.astype(jnp.float32))
+
+
+def quantize_fp8_w8a8(w: jax.Array) -> Fp8W8A8Weight:
+    wo = quantize_fp8(w)
+    return Fp8W8A8Weight(wo.qweight, wo.scale)
+
+
+def quantize_int8_w8a8(w: jax.Array) -> Int8W8A8Weight:
+    wo = quantize_int8(w)
+    return Int8W8A8Weight(wo.qweight, wo.scale)
 
 
 def quantize_int4(w: jax.Array, group_size: int = 128) -> Int4Weight:
