@@ -62,3 +62,20 @@ def test_async_rejects_structured_outputs(llm_pair):
         structured_outputs=StructuredOutputParams(choice=["a", "b"]))
     with pytest.raises(ValueError, match="async"):
         async_llm.generate(["x"], p)
+
+
+def test_async_prompt_logprobs(llm_pair):
+    """Prompt logprobs must flow through the async (deferred-handle)
+    path and match the sync engine exactly."""
+    sync_llm, async_llm = llm_pair
+    p = SamplingParams(temperature=0.0, max_tokens=2,
+                       prompt_logprobs=3, ignore_eos=True)
+    s = sync_llm.generate([PROMPTS[2]], p)[0].prompt_logprobs
+    a = async_llm.generate([PROMPTS[2]], p)[0].prompt_logprobs
+    assert a is not None and len(a) == len(s)
+    assert a[0] is None
+    for ds, da in zip(s[1:], a[1:]):
+        assert set(ds) == set(da)
+        for tid in ds:
+            assert abs(ds[tid].logprob - da[tid].logprob) < 1e-4
+            assert ds[tid].rank == da[tid].rank

@@ -111,6 +111,59 @@ def test_logprobs(llm):
         assert d[tok].logprob <= 0.0
 
 
+def test_prompt_logprobs_vs_hf(llm, tiny_llama_dir):
+    """prompt_logprobs=k returns, per prompt position >= 1, the top-k
+    dict plus the actual token's logprob — values checked against an
+    HF forward pass (reference: _get_prompt_logprobs_dict,
+    vllm/v1/worker/gpu_model_runner.py)."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    tok = llm.get_tokenizer()
+    prompt = PROMPTS[2]
+    ids = tok.encode(prompt)
+    p = SamplingParams(temperature=0.0, max_tokens=2,
+                       prompt_logprobs=3, ignore_eos=True)
+    out = llm.generate([prompt], p)[0]
+    plp = out.prompt_logprobs
+    assert plp is not None and len(plp) == len(ids)
+    assert plp[0] is None
+
+    model = AutoModelForCausalLM.from_pretrained(
+        tiny_llama_dir, torch_dtype=torch.float32)
+    model.eval()
+    with torch.no_grad():
+        logits = model(torch.tensor([ids])).logits[0]
+    ref_lp = torch.log_softmax(logits.float(), dim=-1)
+    for pos in range(1, len(ids)):
+        d = plp[pos]
+        actual = ids[pos]
+        assert actual in d
+        # top-3 + possibly the actual token
+        assert 3 <= len(d) <= 4
+        want = float(ref_lp[pos - 1, actual])
+        assert abs(d[actual].logprob - want) < 5e-2, (pos, d[actual])
+        if d[actual].rank == 1:
+            # argmax token must agree with HF
+            assert actual == int(torch.argmax(logits[pos - 1]))
+
+
+def test_prompt_logprobs_chunked(llm):
+    """A prompt longer than max_num_batched_tokens exercises the
+    multi-chunk accumulator path."""
+    prompt = "hello world this is a test of the tokenizer " * 12
+    tok = llm.get_tokenizer()
+    n = len(tok.encode(prompt))
+    assert 64 < n <= 120  # > max_num_batched_tokens: at least 2 chunks
+    p = SamplingParams(temperature=0.0, max_tokens=2,
+                       prompt_logprobs=2, ignore_eos=True)
+    out = llm.generate([prompt], p)[0]
+    plp = out.prompt_logprobs
+    assert plp is not None and len(plp) == n
+    assert plp[0] is None
+    assert all(d for d in plp[1:])
+
+
 def test_prefix_cache_reuse(llm):
     """Second generation sharing a long prefix must report cached
     tokens AND produce identical tokens (regression: double-counted

@@ -71,6 +71,7 @@ def _mk_runner():
     runner.input_batch = InputBatch(max_num_reqs=8, max_model_len=64,
                                     max_blocks_per_req=8)
     runner.requests = {}
+    runner._prompt_lp_acc = {}
     runner.enable_lora = False
     runner.lora_manager = None
     return runner

@@ -168,6 +168,21 @@ class Scheduler:
         if 0 < self.long_prefill_token_threshold < k:
             k = self.long_prefill_token_threshold
         k = min(k, token_budget // len(self.running))
+        # clamp the chunk to the most any request can still produce
+        # (max_tokens cap, counting in-flight placeholders) — without
+        # this, the async pipeline schedules whole chunks past every
+        # request's stop and the device burns K iterations per overrun
+        max_remaining = 0
+        for request in self.running:
+            sp = request.sampling_params
+            if sp is None or sp.max_tokens is None:
+                max_remaining = k
+                break
+            max_remaining = max(
+                max_remaining,
+                sp.max_tokens - request.num_output_tokens -
+                request.num_output_placeholders)
+        k = min(k, max(max_remaining, 1))
         for request in self.running:
             num_new = (request.num_tokens_with_spec +
                        request.num_output_placeholders -
@@ -286,11 +301,20 @@ class Scheduler:
                         continue
                     request.status = RequestStatus.WAITING
 
-                # prefix-cache lookup only on first-ever scheduling
+                # prefix-cache lookup only on first-ever scheduling.
+                # prompt_logprobs needs logits at EVERY prompt position,
+                # so cached-prefix skipping is disabled for those
+                # requests (reference: vllm/v1/core/sched/scheduler.py
+                # prompt_logprobs prefix-cache carve-out)
                 new_computed_blocks = KVCacheBlocks()
                 num_new_local_computed = 0
                 restore_hashes: list = []
-                if request.num_computed_tokens == 0:
+                wants_prompt_lp = (
+                    request.sampling_params is not None
+                    and request.sampling_params.prompt_logprobs
+                    is not None)
+                if request.num_computed_tokens == 0 and \
+                        not wants_prompt_lp:
                     new_computed_blocks, num_new_local_computed = (
                         self.kv_cache_manager.get_computed_blocks(request))
                     # extend the device hit with host-offloaded blocks

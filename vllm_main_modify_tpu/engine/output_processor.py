@@ -49,6 +49,7 @@ class RequestState:
         self.detokenizer = (make_detokenizer(tokenizer, params)
                             if tokenizer is not None else None)
         self.logprobs: list = []  # accumulated LogprobsDict
+        self.prompt_logprobs: Optional[list] = None
         self.num_tokens_sent = 0  # for DELTA streaming
         self.text_sent = 0
         self.all_token_ids: list[int] = []
@@ -133,6 +134,13 @@ class OutputProcessor:
             if out.new_logprobs:
                 self._decorate_logprobs(out.new_logprobs, state)
                 state.logprobs.extend(out.new_logprobs)
+            if out.new_prompt_logprobs:
+                # arrives once, on the step that finishes the prompt
+                # (reference: prompt_logprobs in RequestOutput; first
+                # entry is None — no logprob for position 0)
+                self._decorate_logprobs(
+                    [d for d in out.new_prompt_logprobs if d], state)
+                state.prompt_logprobs = list(out.new_prompt_logprobs)
 
             finished = finish_reason is not None
             if finished:
@@ -220,6 +228,7 @@ class OutputProcessor:
             request_id=state.request_id,
             prompt=state.prompt,
             prompt_token_ids=state.prompt_token_ids,
+            prompt_logprobs=state.prompt_logprobs,
             outputs=[co],
             finished=finished,
             num_cached_tokens=num_cached_tokens,

@@ -130,6 +130,9 @@ class StepBroadcaster:
         arr = np.frombuffer(raw, dtype=np.dtype(dtype)).reshape(shape)
         return step_id, statics, arr
 
+    def publish_shutdown(self) -> None:
+        self.publish(-1, (), np.zeros(0, dtype=np.int32))
+
     def close(self) -> None:
         for sock in (self._pub, self._sub):
             if sock is not None:
@@ -137,17 +140,53 @@ class StepBroadcaster:
 
 
 def worker_loop(runner, broadcaster: StepBroadcaster) -> None:
-    """Non-leader hosts: execute each broadcast step against the
-    global GSPMD arrays (the jitted step fn is identical on every
-    host; per-host shards stay consistent by construction)."""
+    """Non-leader hosts: execute each broadcast dispatch against the
+    global GSPMD arrays (the jitted program is identical on every
+    host; per-host shards stay consistent by construction).
+
+    Sampled tokens are replicated across hosts, so the async
+    prev-token chain is maintained LOCALLY from this host's own step
+    outputs — the leader never ships token values, only the packed
+    int32 input buffer plus the statics key that selects the compiled
+    executable. Messages mirror the leader's dispatch sites in
+    worker/model_runner.py: ("step", <_get_step_fn args>) for the
+    fused single step and ("chunk", <_get_decode_step_fn args>) for
+    multi-step decode. (Reference analogue being replaced: per-rank
+    WorkerProc busy loop, vllm/v1/executor/multiproc_executor.py:82.)
+    """
     import jax.numpy as jnp
 
+    prev = prev2 = None
     while True:
         step_id, statics, packed = broadcaster.receive()
         if step_id < 0:  # shutdown sentinel
             return
-        t_pad, r_pad, *rest = statics
-        step_fn = runner._get_step_fn(t_pad, r_pad, *rest)
         packed_dev = jnp.asarray(packed, device=runner._replicated)
-        runner.kv_caches, _, _ = step_fn(runner.params,
-                                         runner.kv_caches, packed_dev)
+        if statics[0] == "chunk":
+            (r_pad, num_steps, all_greedy, need_top_k, need_top_p,
+             need_min_p, has_prev, has_prev2) = statics[1:]
+            chunk_fn = runner._get_decode_step_fn(
+                r_pad, num_steps, all_greedy, need_top_k, need_top_p,
+                need_min_p, has_prev, has_prev2)
+            runner.kv_caches, _steps, last = chunk_fn(
+                runner.params, runner.kv_caches, packed_dev,
+                prev if has_prev else None,
+                prev2 if has_prev2 else None)
+            prev2, prev = prev, last
+        else:
+            # statics[1:] is exactly the _get_step_fn signature:
+            # (t_pad, r_pad, all_greedy, need_top_k, need_top_p,
+            #  need_min_p, max_num_logprobs, apply_grammar, has_prev,
+            #  return_hidden, has_prev2, has_penalties, has_bias,
+            #  mm_pad)
+            step_fn = runner._get_step_fn(*statics[1:])
+            has_prev, has_prev2 = statics[9], statics[11]
+            mm_pad = statics[14]
+            runner.kv_caches, out, _, _ = step_fn(
+                runner.params, runner.kv_caches, packed_dev,
+                prev if has_prev else None,
+                prev2 if has_prev2 else None,
+                mm_buffer=runner.mm_buffer if mm_pad else None,
+                cross_cache=(runner.cross_cache
+                             if runner.is_enc_dec else None))
+            prev2, prev = prev, out.sampled

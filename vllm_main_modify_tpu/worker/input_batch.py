@@ -73,6 +73,8 @@ class InputBatch:
         self.min_p = np.zeros(max_num_reqs, dtype=np.float32)
         self.seeds = np.zeros(max_num_reqs, dtype=np.uint32)
         self.num_logprobs = np.zeros(max_num_reqs, dtype=np.int32)
+        self.num_prompt_logprobs = np.zeros(max_num_reqs,
+                                            dtype=np.int32)
         # multi-LoRA: adapter slot per request (0 = none)
         self.lora_slots = np.zeros(max_num_reqs, dtype=np.int32)
         # penalties (reference: vllm/v1/sample/ops/penalties.py)
@@ -155,6 +157,7 @@ class InputBatch:
         self.seeds[row] = np.uint32((sp.seed if sp.seed is not None else
                                      hash(req_id)) & 0xFFFFFFFF)
         self.num_logprobs[row] = sp.logprobs or 0
+        self.num_prompt_logprobs[row] = sp.prompt_logprobs or 0
         self.lora_slots[row] = 0  # runner sets the slot when enabled
 
         self.presence_penalties[row] = sp.presence_penalty or 0.0
@@ -217,6 +220,7 @@ class InputBatch:
                         self.num_computed_tokens, self.num_blocks,
                         self.temperature, self.top_k, self.top_p,
                         self.min_p, self.seeds, self.num_logprobs,
+                        self.num_prompt_logprobs,
                         self.lora_slots, self.presence_penalties,
                         self.frequency_penalties,
                         self.repetition_penalties):

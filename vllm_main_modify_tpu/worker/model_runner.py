@@ -93,6 +93,8 @@ class TPUModelRunner:
         self._prev_sampled = None
         self._prev_sampled2 = None
         self._pending_fill: dict[str, tuple[int, int, int]] = {}
+        # prompt logprobs accumulators: req_id -> [None, {tid: Logprob}...]
+        self._prompt_lp_acc: dict[str, list] = {}
         # sleep/wake state
         self._host_params = None
         self._param_shardings = None
@@ -167,6 +169,12 @@ class TPUModelRunner:
                 or self.max_spec > 0):
             self.decode_chunk_steps = max(
                 sc.num_decode_steps_per_dispatch, 1)
+
+        # multi-host fan-out (parallel/multihost.py): when set on the
+        # leader, every dispatch publishes (kind-statics, packed) so
+        # follower hosts execute the identical jitted program and the
+        # global GSPMD arrays stay consistent
+        self.step_broadcaster = None
 
         # cache stored width-native [L, P, page, 2K*D]; 'model' shards
         # the width axis (whole (k,v,D) pairs per head stay contiguous)
@@ -453,6 +461,7 @@ class TPUModelRunner:
             self._activate_loras(scheduler_output)
         for req_id in scheduler_output.finished_req_ids:
             self.requests.pop(req_id, None)
+            self._prompt_lp_acc.pop(req_id, None)
             self.input_batch.remove_request(req_id)
             self._free_mm(req_id)
 
@@ -631,8 +640,24 @@ class TPUModelRunner:
         mm_pad = next_power_of_2(max(len(mm_pairs),
                                      64)) if mm_pairs else 0
 
+        # prompt logprobs: largest k among requests with prompt
+        # positions scheduled this step (0 = fast path, no full-vocab
+        # logits). Reference: _get_prompt_logprobs_dict
+        # (vllm/v1/worker/gpu_model_runner.py).
+        prompt_lp = 0
+        if batch.num_prompt_logprobs[:num_reqs].any():
+            for row in range(num_reqs):
+                k = int(batch.num_prompt_logprobs[row])
+                if (k and sched.get(batch.req_ids[row], 0)
+                        and batch.num_computed_tokens[row] <
+                        batch.num_prompt_tokens[row]):
+                    prompt_lp = max(prompt_lp, k)
+            if prompt_lp:
+                prompt_lp = next_power_of_2(prompt_lp)
+
         layout = self._packed_layout(t_pad, r_pad, s_pad,
-                                     has_penalties, has_bias, mm_pad)
+                                     has_penalties, has_bias, mm_pad,
+                                     prompt_lp > 0)
         packed = np.zeros(layout["total"], dtype=np.int32)
 
         def seg(name):
@@ -695,6 +720,13 @@ class TPUModelRunner:
         tok_pos = starts[req_of_tok] + tok_off
         input_ids[:total] = batch.token_ids[req_of_tok, tok_pos]
         positions[:total] = tok_pos
+        if prompt_lp:
+            tgt = seg("plp_targets")
+            tgt[:] = -1
+            nxt_pos = np.minimum(tok_pos + 1, batch.max_model_len - 1)
+            tgt[:total] = np.where(
+                tok_pos + 1 < batch.num_prompt_tokens[req_of_tok],
+                batch.token_ids[req_of_tok, nxt_pos], -1)
         page_ids_tok = batch.block_table[req_of_tok, tok_pos // page]
         slot_mapping[:total] = page_ids_tok * page + tok_pos % page
         if lora_seg is not None:
@@ -855,7 +887,7 @@ class TPUModelRunner:
 
         return (packed, sample_rows, t_pad, r_pad, s_pad,
                 apply_grammar, spec_counts, proposed, has_penalties,
-                has_bias, mm_pad)
+                has_bias, mm_pad, prompt_lp)
 
     def _banned_next_tokens(self, row: int) -> list[int]:
         """bad_words: last tokens banned when the preceding history
@@ -884,7 +916,8 @@ class TPUModelRunner:
     def _packed_layout(self, t_pad: int, r_pad: int, s_pad: int,
                        has_penalties: bool = False,
                        has_bias: bool = False,
-                       mm_pad: int = 0) -> dict:
+                       mm_pad: int = 0,
+                       plp: bool = False) -> dict:
         """Static segment offsets of the packed step buffer."""
         mp = self.max_blocks_per_req
         sizes = [
@@ -932,6 +965,10 @@ class TPUModelRunner:
              r_pad * self._cross_pages_per_req
              if self.is_enc_dec else 0),
             ("cross_seq_lens", r_pad if self.is_enc_dec else 0),
+            # prompt logprobs: the ACTUAL next prompt token per packed
+            # position (-1 where undefined), so the step can gather its
+            # logprob from the full-position logits
+            ("plp_targets", t_pad if plp else 0),
         ]
         layout = {}
         off = 0
@@ -978,7 +1015,8 @@ class TPUModelRunner:
                      has_prev2: bool = False,
                      has_penalties: bool = False,
                      has_bias: bool = False,
-                     mm_pad: int = 0):
+                     mm_pad: int = 0,
+                     prompt_lp: int = 0):
         """One compiled executable per (bucket, sampler-static)
         combination. The step consumes ONE packed int32 buffer (see
         _prepare_inputs) and unpacks with static slices on device."""
@@ -988,7 +1026,8 @@ class TPUModelRunner:
         page = self.page_size
         s_pad = t_pad // page + r_pad + 1
         layout = self._packed_layout(t_pad, r_pad, s_pad,
-                                     has_penalties, has_bias, mm_pad)
+                                     has_penalties, has_bias, mm_pad,
+                                     prompt_lp > 0)
         mp = self.max_blocks_per_req
         max_model_len = self.max_model_len
         bias_max = self.BIAS_MAX
@@ -1128,11 +1167,33 @@ class TPUModelRunner:
                 **pen_kwargs, **bias_kwargs)
             key = jax.random.PRNGKey(base_seed)
             out = sample(logits, meta, key)
+            plp_aux = None
+            if prompt_lp > 0:
+                # prompt logprobs: logits over ALL packed positions
+                # (position i predicts the token at i+1; the host put
+                # that target token in plp_targets). Only compiled in
+                # when a prompt-logprobs request has prompt positions
+                # this step. Reference: _get_prompt_logprobs_dict
+                # (vllm/v1/worker/gpu_model_runner.py).
+                full_logits = model.compute_logits(params, hidden)
+                lse = jax.scipy.special.logsumexp(full_logits,
+                                                  axis=-1,
+                                                  keepdims=True)
+                tgt = seg("plp_targets")
+                tgtc = jnp.clip(tgt, 0, full_logits.shape[-1] - 1)
+                tgt_logit = jnp.take_along_axis(full_logits,
+                                                tgtc[:, None], axis=1)
+                tgt_rank = jnp.sum(full_logits > tgt_logit,
+                                   axis=-1).astype(jnp.int32) + 1
+                top_logit, top_ids = jax.lax.top_k(
+                    full_logits, prompt_lp)
+                plp_aux = ((tgt_logit - lse)[:, 0], tgt_rank, top_ids,
+                           top_logit - lse)
             if return_hidden:
                 # pooling/embedding requests: last-token hidden states
                 # (reference: pooler layer, last-token pooling)
-                return kv_caches, out, sampled_hidden
-            return kv_caches, out, None
+                return kv_caches, out, sampled_hidden, plp_aux
+            return kv_caches, out, None, plp_aux
 
         return jax.jit(step, donate_argnums=(1, ))
 
@@ -1348,6 +1409,11 @@ class TPUModelRunner:
              None if not has_prev else self._prev_sampled.shape[0]))
 
         self._step_count += 1
+        if self.step_broadcaster is not None:
+            self.step_broadcaster.publish(
+                self._step_count,
+                ("chunk", r_pad, num_steps, all_greedy, need_top_k,
+                 need_top_p, need_min_p, has_prev, has_prev2), packed)
         packed_dev = jnp.asarray(packed, device=self._replicated)
         self.kv_caches, sampled_steps, last = chunk_fn(
             self.params, self.kv_caches, packed_dev,
@@ -1413,8 +1479,8 @@ class TPUModelRunner:
                 is_async=False)
 
         (packed, sample_rows, t_pad, r_pad, s_pad, apply_grammar,
-         spec_counts, proposed, has_penalties, has_bias,
-         mm_pad) = self._prepare_inputs(scheduler_output)
+         spec_counts, proposed, has_penalties, has_bias, mm_pad,
+         prompt_lp) = self._prepare_inputs(scheduler_output)
         statics = self._sampling_statics()
         max_num_logprobs = statics[-1]
         pooling_rows = [
@@ -1424,26 +1490,31 @@ class TPUModelRunner:
             and st.sampling_params is None
         ]
         return_hidden = bool(pooling_rows)
+        plp_plan = (self._prompt_lp_plan(scheduler_output)
+                    if prompt_lp else None)
 
         step_fn = self._get_step_fn(t_pad, r_pad, *statics,
                                     apply_grammar, False,
                                     return_hidden, False,
-                                    has_penalties, has_bias, mm_pad)
+                                    has_penalties, has_bias, mm_pad,
+                                    prompt_lp)
         self._note_compile((t_pad, r_pad, *statics, apply_grammar,
                             return_hidden, has_penalties, has_bias,
-                            mm_pad))
+                            mm_pad, prompt_lp))
 
         self._step_count += 1
+        if self.step_broadcaster is not None:
+            self.step_broadcaster.publish(
+                self._step_count,
+                ("step", t_pad, r_pad, *statics, apply_grammar, False,
+                 return_hidden, False, has_penalties, has_bias,
+                 mm_pad, prompt_lp), packed)
         packed_dev = jnp.asarray(packed, device=self._replicated)
-        self.kv_caches, out, hidden = step_fn(self.params,
-                                              self.kv_caches,
-                                              packed_dev,
-                                              mm_buffer=self.mm_buffer
-                                              if mm_pad else None,
-                                              cross_cache=(
-                                                  self.cross_cache
-                                                  if self.is_enc_dec
-                                                  else None))
+        self.kv_caches, out, hidden, plp_aux = step_fn(
+            self.params, self.kv_caches, packed_dev,
+            mm_buffer=self.mm_buffer if mm_pad else None,
+            cross_cache=(self.cross_cache
+                         if self.is_enc_dec else None))
 
         # device -> host (single transfer of the small sampled arrays)
         sampled_np = np.asarray(out.sampled)
@@ -1539,14 +1610,81 @@ class TPUModelRunner:
                 ],
             )
 
+        plp_dict = {}
+        if plp_aux is not None:
+            plp_dict = self._assemble_prompt_logprobs(
+                plp_plan, plp_aux)
+
         return ModelRunnerOutput(
             req_ids=req_ids,
             req_id_to_index={r: i for i, r in enumerate(req_ids)},
             sampled_token_ids=sampled_token_ids,
             logprobs=logprobs_lists,
+            prompt_logprobs_dict=plp_dict,
             draft_token_ids=draft_token_ids,
             pooler_output=pooler_output,
         )
+
+    # ------------------------------------------------------------------
+    # prompt logprobs (reference: _get_prompt_logprobs_dict,
+    # vllm/v1/worker/gpu_model_runner.py)
+    # ------------------------------------------------------------------
+
+    def _prompt_lp_plan(self, scheduler_output: SchedulerOutput):
+        """Capture, at dispatch time, which packed positions belong to
+        which prompt-logprobs request (the batch mutates before an
+        async handle materializes)."""
+        batch = self.input_batch
+        plan = []
+        off = 0
+        for row in range(batch.num_reqs):
+            rid = batch.req_ids[row]
+            ns = scheduler_output.num_scheduled_tokens.get(rid, 0)
+            k = int(batch.num_prompt_logprobs[row])
+            start = int(batch.num_computed_tokens[row])
+            n_prompt = int(batch.num_prompt_tokens[row])
+            if k and ns and start < n_prompt:
+                # targets exist for positions p with p+1 <= n_prompt-1
+                hi = min(start + ns, n_prompt - 1)
+                targets = batch.token_ids[row,
+                                          start + 1:hi + 1].tolist()
+                plan.append((rid, off, start, hi, k, targets,
+                             start + ns >= n_prompt))
+            off += ns
+        return plan
+
+    def _assemble_prompt_logprobs(self, plan, plp_aux) -> dict:
+        """Fold one step's device plp arrays into per-request
+        accumulators; emit a request's full LogprobsDict on the step
+        that finishes its prompt."""
+        from vllm_main_modify_tpu.outputs import Logprob
+
+        tgt_lp, tgt_rank, top_ids, top_lp = (np.asarray(a)
+                                             for a in plp_aux)
+        result: dict = {}
+        for rid, off, start, hi, k, targets, done in plan:
+            acc = self._prompt_lp_acc.setdefault(rid, [None])
+            for j, tid in enumerate(targets):
+                i = off + j  # packed index of prompt position start+j
+                d = {
+                    int(t): Logprob(float(lp), rank=r + 1)
+                    for r, (t, lp) in enumerate(
+                        zip(top_ids[i, :k], top_lp[i, :k]))
+                }
+                if tid not in d:
+                    d[tid] = Logprob(float(tgt_lp[i]),
+                                     rank=int(tgt_rank[i]))
+                # index-aligned write: position start+j's target is
+                # prompt token start+j+1 — preemption/recompute may
+                # replay positions, so never blind-append
+                idx = start + 1 + j
+                if idx < len(acc):
+                    acc[idx] = d
+                else:
+                    acc.append(d)
+            if done:
+                result[rid] = self._prompt_lp_acc.pop(rid)
+        return result
 
     def _append_token(self, row: int, tok: int) -> None:
         """Keep BOTH the persistent batch arrays and the cached request
@@ -1578,27 +1716,35 @@ class TPUModelRunner:
                 is_async=True)
 
         (packed, sample_rows, t_pad, r_pad, s_pad, apply_grammar,
-         _spec_counts, _proposed, has_penalties, has_bias,
-         mm_pad) = self._prepare_inputs(scheduler_output)
+         _spec_counts, _proposed, has_penalties, has_bias, mm_pad,
+         prompt_lp) = self._prepare_inputs(scheduler_output)
         statics = self._sampling_statics()
         max_num_logprobs = statics[-1]
         has_prev = self._prev_sampled is not None
         has_prev2 = self._prev_sampled2 is not None and any(
             v[0] == 1 for v in self._pending_fill.values())
+        plp_plan = (self._prompt_lp_plan(scheduler_output)
+                    if prompt_lp else None)
 
         step_fn = self._get_step_fn(t_pad, r_pad, *statics,
                                     apply_grammar, has_prev, False,
                                     has_prev2, has_penalties, has_bias,
-                                    mm_pad)
+                                    mm_pad, prompt_lp)
         self._note_compile((t_pad, r_pad, *statics, apply_grammar,
                             has_prev, has_prev2, has_penalties,
-                            has_bias, mm_pad,
+                            has_bias, mm_pad, prompt_lp,
                             None if not has_prev
                             else self._prev_sampled.shape[0]))
 
         self._step_count += 1
+        if self.step_broadcaster is not None:
+            self.step_broadcaster.publish(
+                self._step_count,
+                ("step", t_pad, r_pad, *statics, apply_grammar,
+                 has_prev, False, has_prev2, has_penalties, has_bias,
+                 mm_pad, prompt_lp), packed)
         packed_dev = jnp.asarray(packed, device=self._replicated)
-        self.kv_caches, out, _ = step_fn(
+        self.kv_caches, out, _, plp_aux = step_fn(
             self.params, self.kv_caches, packed_dev,
             self._prev_sampled if has_prev else None,
             self._prev_sampled2 if has_prev2 else None,
@@ -1637,7 +1783,7 @@ class TPUModelRunner:
             except AttributeError:
                 break
         return AsyncStepHandle(self, out, req_ids, pending,
-                               max_num_logprobs)
+                               max_num_logprobs, plp_plan, plp_aux)
 
     # ------------------------------------------------------------------
     # precompile (reference: capture_model tpu_model_runner.py:1537)
@@ -1677,7 +1823,7 @@ class TPUModelRunner:
         packed[a:b].view(np.float32)[:] = 1.0
         step_fn = self._get_step_fn(t_pad, r_pad, True, False, False,
                                     False, 0, False)
-        self.kv_caches, _, _ = step_fn(
+        self.kv_caches, _, _, _ = step_fn(
             self.params, self.kv_caches,
             jnp.asarray(packed, device=self._replicated))
 
@@ -1751,12 +1897,15 @@ class AsyncStepHandle:
     AsyncModelRunnerOutput, vllm/v1/outputs.py deferred D2H copy)."""
 
     def __init__(self, runner: TPUModelRunner, out, req_ids, pending,
-                 max_num_logprobs: int) -> None:
+                 max_num_logprobs: int, plp_plan=None,
+                 plp_aux=None) -> None:
         self.runner = runner
         self.out = out
         self.req_ids = req_ids
         self.pending = pending  # (req_id, dispatch_row, position)
         self.max_num_logprobs = max_num_logprobs
+        self.plp_plan = plp_plan
+        self.plp_aux = plp_aux
 
     def get(self) -> ModelRunnerOutput:
         runner = self.runner
@@ -1800,11 +1949,16 @@ class AsyncStepHandle:
                     for i in range(n)
                 ],
             )
+        plp_dict = {}
+        if self.plp_aux is not None:
+            plp_dict = runner._assemble_prompt_logprobs(
+                self.plp_plan, self.plp_aux)
         return ModelRunnerOutput(
             req_ids=self.req_ids,
             req_id_to_index=req_id_to_index,
             sampled_token_ids=sampled_token_ids,
             logprobs=logprobs_lists,
+            prompt_logprobs_dict=plp_dict,
         )
 
 
