@@ -49,6 +49,57 @@ def tiny_llama_dir(tmp_path_factory):
     return str(path)
 
 
+@pytest.fixture(scope="session")
+def tiny_eagle_dir(tmp_path_factory, tiny_llama_dir):
+    """A tiny random-weight EAGLE-1 draft checkpoint whose geometry
+    matches tiny_llama_dir (hidden 64, 4 q / 2 kv heads, head_dim 16,
+    one decoder layer). Keys follow the yuhuili/EAGLE-* layout: bare
+    (no "model." prefix), fc.weight, layer 0 WITHOUT input_layernorm,
+    embed_tokens present, lm_head shared with the target (absent)."""
+    import json
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    path = tmp_path_factory.mktemp("models") / "tiny-eagle"
+    path.mkdir(exist_ok=True)
+    H, I, V, QD, KD = 64, 128, 512, 64, 32
+    rng = np.random.default_rng(7)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    tensors = {
+        "fc.weight": w(H, 2 * H),
+        "embed_tokens.weight": w(V, H),
+        "layers.0.self_attn.q_proj.weight": w(QD, H),
+        "layers.0.self_attn.k_proj.weight": w(KD, H),
+        "layers.0.self_attn.v_proj.weight": w(KD, H),
+        "layers.0.self_attn.o_proj.weight": w(H, QD),
+        "layers.0.post_attention_layernorm.weight":
+            np.ones(H, dtype=np.float32),
+        "layers.0.mlp.gate_proj.weight": w(I, H),
+        "layers.0.mlp.up_proj.weight": w(I, H),
+        "layers.0.mlp.down_proj.weight": w(H, I),
+    }
+    save_file(tensors, str(path / "model.safetensors"))
+    cfg = {
+        "architectures": ["LlamaForCausalLM"],
+        "model_type": "llama",
+        "vocab_size": V,
+        "hidden_size": H,
+        "intermediate_size": I,
+        "num_hidden_layers": 1,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-6,
+        "torch_dtype": "float32",
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+    return str(path)
+
+
 def _save_tiny_tokenizer(path):
     """Build a minimal byte-level BPE tokenizer with 512 tokens."""
     from tokenizers import (Tokenizer, decoders, models, pre_tokenizers,

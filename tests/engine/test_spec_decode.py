@@ -52,6 +52,47 @@ def test_spec_greedy_parity(llm_pair):
         assert ob.outputs[0].token_ids == os_.outputs[0].token_ids
 
 
+@pytest.fixture(scope="module")
+def eagle_pair(tiny_llama_dir, tiny_eagle_dir):
+    kw = dict(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=8, max_num_batched_tokens=64, block_size=4,
+              num_kv_blocks=256)
+    base = LLM(**kw)
+    spec = LLM(speculative_config=dict(method="eagle",
+                                       num_speculative_tokens=2,
+                                       draft_model=tiny_eagle_dir),
+               **kw)
+    return base, spec
+
+
+def test_eagle_greedy_parity(eagle_pair):
+    """Rejection sampling preserves the greedy output exactly, no
+    matter how bad the (random-weight) draft is — the accepted prefix
+    always matches what the target would emit (reference:
+    tests/v1/e2e/test_spec_decode.py same property)."""
+    base, spec = eagle_pair
+    prompts = [
+        "hello world hello world hello world hello",
+        "a test of the tokenizer",
+        "this is this is this is",
+    ]
+    p = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+    b = base.generate(prompts, p)
+    s = spec.generate(prompts, p)
+    for ob, os_ in zip(b, s):
+        assert ob.outputs[0].token_ids == os_.outputs[0].token_ids
+
+
+def test_eagle_drafts_flow(eagle_pair):
+    """Drafts are proposed on-device each step and reach the
+    scheduler (spec_num_draft_tokens grows)."""
+    _, spec = eagle_pair
+    p = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    spec.generate(["hello world hello world"], p)
+    stats = spec.engine.engine_core.scheduler.make_stats()
+    assert stats.spec_num_draft_tokens > 0
+
+
 def test_spec_acceptance_happens(llm_pair):
     _, spec = llm_pair
     p = SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True)

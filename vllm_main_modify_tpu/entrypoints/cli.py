@@ -34,23 +34,36 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--trust-remote-code", action="store_true")
     p.add_argument("--served-model-name", default=None)
+    p.add_argument("--quantization", "-q", default=None)
+    # JSON dict, e.g. '{"method": "eagle", "draft_model": "...",
+    # "num_speculative_tokens": 4}' (reference: vllm serve
+    # --speculative-config, vllm/engine/arg_utils.py)
+    p.add_argument("--speculative-config", default=None)
 
 
 def _build_config(args):
+    import json as _json
+
     from vllm_main_modify_tpu.config import (CacheConfig, EngineConfig,
                                              LoadConfig, ModelConfig,
                                              ParallelConfig,
-                                             SchedulerConfig)
+                                             SchedulerConfig,
+                                             SpeculativeConfig)
 
     model = args.model_opt or args.model
     if not model:
         raise SystemExit("error: model path required")
+    spec_kwargs = {}
+    if args.speculative_config:
+        spec_kwargs = _json.loads(args.speculative_config)
     return EngineConfig(
         model_config=ModelConfig(model=model, tokenizer=args.tokenizer,
                                  dtype=args.dtype,
                                  max_model_len=args.max_model_len,
                                  seed=args.seed,
+                                 quantization=args.quantization,
                                  trust_remote_code=args.trust_remote_code),
+        speculative_config=SpeculativeConfig(**spec_kwargs),
         cache_config=CacheConfig(
             block_size=args.block_size,
             num_gpu_blocks=args.num_kv_blocks,

@@ -36,6 +36,9 @@ class SamplerOutput(NamedTuple):
     # sample, drawn from max(0, p - q) — with one-hot ngram drafts
     # that is p with the draft token excluded, renormalized).
     spec_accept: jax.Array = None  # [R] bool
+    # EAGLE: next step's draft proposals, filled by the fused propose
+    # pass in the step fn (worker/model_runner.py), not by sample()
+    draft_tokens: jax.Array = None  # [r_pad, K] i32
 
 
 def apply_top_k_top_p(logits: jax.Array, top_k: jax.Array,

@@ -116,16 +116,28 @@ class TPUModelRunner:
                          if spec.enabled else 0)
         self.num_sample_positions = self.max_spec + 1
         self.proposer = None
+        self.eagle = None  # EAGLE draft model (spec_decode/eagle.py)
+        self.eagle_cfg = None
         if spec.enabled:
-            assert spec.method == "ngram", spec.method
+            assert spec.method in ("ngram", "eagle"), spec.method
             assert not sc.async_scheduling, \
                 "spec decode requires sync scheduling"
-            from vllm_main_modify_tpu.spec_decode.ngram_proposer import \
-                NgramProposer
+            if spec.method == "ngram":
+                from vllm_main_modify_tpu.spec_decode.ngram_proposer \
+                    import NgramProposer
 
-            self.proposer = NgramProposer(spec.num_speculative_tokens,
-                                          spec.prompt_lookup_min,
-                                          spec.prompt_lookup_max)
+                self.proposer = NgramProposer(
+                    spec.num_speculative_tokens,
+                    spec.prompt_lookup_min, spec.prompt_lookup_max)
+            else:
+                from vllm_main_modify_tpu.spec_decode.eagle import (
+                    EagleDraftModel, make_draft_config)
+
+                assert spec.draft_model, \
+                    "eagle spec decode needs --draft-model"
+                self.eagle_cfg = make_draft_config(
+                    spec.draft_model, mc)
+                self.eagle = EagleDraftModel(self.eagle_cfg, mc)
 
         # multimodal: image features live in a fixed device-side
         # buffer (rows allocated per request, written once by the
@@ -206,6 +218,12 @@ class TPUModelRunner:
         self.params = load_model_weights(
             self.model, self.config.model_config, self.mesh,
             self.config.load_config.load_format)
+        if self.eagle is not None:
+            # draft weights ride in the same tree so the fused step
+            # stays a (params, inputs) pure function
+            self.params["__draft__"] = load_model_weights(
+                self.eagle, self.eagle_cfg, self.mesh,
+                self.config.load_config.load_format)
         if self.enable_lora:
             self._init_lora_stacks()
         jax.block_until_ready(jax.tree.leaves(self.params))
@@ -321,6 +339,8 @@ class TPUModelRunner:
         # MLA caches num_heads x (qk_nope+qk_rope), not
         # num_kv_heads x head_dim
         kv_heads, kv_dim, kv_layers = self.model.kv_cache_spec()
+        if self.eagle is not None:
+            kv_layers += self.eagle.L
         return (kv_layers * self.page_size * 2 * kv_heads * kv_dim *
                 dtype_size)
 
@@ -328,6 +348,11 @@ class TPUModelRunner:
         mc = self.config.model_config
         self.num_pages = num_pages
         kv_heads, kv_dim, kv_layers = self.model.kv_cache_spec()
+        if self.eagle is not None:
+            # draft layers stack after the target's: same pages, same
+            # block tables, one donated array (reference constraint:
+            # eagle.py:984 validate_same_kv_cache_group)
+            kv_layers += self.eagle.L
         shape = (kv_layers, num_pages, self.page_size,
                  2 * kv_heads * kv_dim)
         kv_dtype = self.kv_dtype()
@@ -791,6 +816,23 @@ class TPUModelRunner:
         sample_rows = rows_r[
             ends >= batch.num_tokens[:num_reqs] + ns_row].tolist()
 
+        if self.eagle is not None:
+            # draft-model inputs: position i pairs target hidden h_i
+            # with the token at i+1 (reference: eagle.py:197-200 input
+            # shift). The host fills every position whose next token it
+            # knows; the device patches the rest (drafts via in-buffer
+            # shift, the final sampled token via scatter at the last
+            # accepted position).
+            dn = seg("draft_next")
+            dn[:] = -1
+            nxt = np.minimum(tok_pos + 1, batch.max_model_len - 1)
+            dn[:total] = np.where(
+                tok_pos + 1 < batch.num_tokens[req_of_tok],
+                batch.token_ids[req_of_tok, nxt], -1)
+            em = seg("eagle_mask")
+            em[:] = 0
+            em[sample_rows] = 1
+
         # async token chaining: previous steps' device-resident tokens
         for rid, (age, prev_row, pos) in self._pending_fill.items():
             row = batch.req_id_to_index.get(rid)
@@ -969,6 +1011,10 @@ class TPUModelRunner:
             # position (-1 where undefined), so the step can gather its
             # logprob from the full-position logits
             ("plp_targets", t_pad if plp else 0),
+            # EAGLE: host-known next token per packed position (-1
+            # where only the device knows it) + per-row sampling mask
+            ("draft_next", t_pad if self.eagle is not None else 0),
+            ("eagle_mask", r_pad if self.eagle is not None else 0),
         ]
         layout = {}
         off = 0
@@ -1036,6 +1082,88 @@ class TPUModelRunner:
         enable_lora = self.enable_lora
         is_enc_dec = self.is_enc_dec
         cross_pages = self._cross_pages_per_req
+        eagle = self.eagle
+        max_spec = self.max_spec
+        target_layers = self.model.kv_cache_spec()[2]
+
+        def eagle_propose(params, kv_caches, out, hidden, input_ids,
+                          attn_meta, seg):
+            """Fused EAGLE proposal (reference: EagleProposer.propose,
+            vllm/v1/spec_decode/eagle.py:169 — there a separate
+            dispatch + K-1 CUDA-graph replays; here part of the same
+            device program).
+
+            1. From the verification output, find each row's number of
+               accepted drafts and its final emitted token.
+            2. Draft forward over ALL packed positions with the inputs
+               shifted by one (position i pairs target hidden h_i with
+               token t_{i+1}), writing draft KV at the target's slots.
+            3. K-1 autoregressive single-token draft iterations from
+               the last accepted position.
+            Draft KV at rejected positions is junk but those sequence
+            positions are rescheduled (and rewritten) next step before
+            any attention window covers them — same invariant the
+            target KV already relies on."""
+            dparams = params["__draft__"]
+            sampled_m = out.sampled.reshape(r_pad, nsp)
+            acc = out.spec_accept.reshape(r_pad, nsp)
+            li = seg("logits_indices").reshape(r_pad, nsp)
+            # leading accepted drafts per row; position n_acc emits
+            # the final (recovery or bonus) token
+            n_acc = jnp.sum(jnp.cumprod(
+                acc[:, :nsp - 1].astype(jnp.int32), axis=1), axis=1)
+            final_tok = jnp.take_along_axis(sampled_m, n_acc[:, None],
+                                            axis=1)[:, 0]
+            last_idx = jnp.take_along_axis(li, n_acc[:, None],
+                                           axis=1)[:, 0]
+            emask = seg("eagle_mask").astype(bool)
+
+            positions = seg("positions")
+            dn = seg("draft_next")
+            shifted = jnp.roll(input_ids, -1)
+            shifted = jnp.where(dn >= 0, dn, shifted)
+            scat = jnp.where(emask, last_idx, t_pad)
+            shifted = shifted.at[scat].set(final_tok, mode="drop")
+
+            d_hidden, kv_caches = eagle(dparams, params, shifted,
+                                        hidden, positions, kv_caches,
+                                        attn_meta,
+                                        layer_offset=target_layers,
+                                        use_pallas=use_pallas)
+            h = jnp.take(d_hidden, last_idx, axis=0)  # [r_pad, H]
+            p_last = jnp.take(positions, last_idx)  # [r_pad]
+            tok = jnp.argmax(
+                eagle.compute_logits(dparams, params, model, h),
+                axis=-1).astype(jnp.int32)
+            drafts = [tok]
+
+            bt = attn_meta.block_tables
+            qsl = jnp.arange(r_pad + 1, dtype=jnp.int32)
+            for k in range(1, max_spec):
+                pos = p_last + k
+                ok = emask & (pos < max_model_len)
+                posc = jnp.where(ok, pos, 0)
+                page_idx = jnp.clip(posc // page, 0, mp - 1)
+                slot = jnp.take_along_axis(
+                    bt, page_idx[:, None], axis=1)[:, 0] * page + \
+                    posc % page
+                meta_k = AttentionMetadata(
+                    block_tables=bt,
+                    query_start_loc=qsl,
+                    seq_lens=jnp.where(ok, posc + 1, 1),
+                    slot_mapping=jnp.where(ok, slot, -1),
+                    num_seqs=attn_meta.num_seqs,
+                )
+                h, kv_caches = eagle(dparams, params, tok, h, posc,
+                                     kv_caches, meta_k,
+                                     layer_offset=target_layers,
+                                     use_pallas=use_pallas)
+                tok = jnp.argmax(
+                    eagle.compute_logits(dparams, params, model, h),
+                    axis=-1).astype(jnp.int32)
+                drafts.append(tok)
+            return out._replace(
+                draft_tokens=jnp.stack(drafts, axis=1)), kv_caches
 
         def step(params, kv_caches, packed, prev_sampled=None,
                  prev_sampled2=None, mm_buffer=None,
@@ -1167,6 +1295,10 @@ class TPUModelRunner:
                 **pen_kwargs, **bias_kwargs)
             key = jax.random.PRNGKey(base_seed)
             out = sample(logits, meta, key)
+            if eagle is not None:
+                out, kv_caches = eagle_propose(
+                    params, kv_caches, out, hidden, input_ids,
+                    attn_meta, seg)
             plp_aux = None
             if prompt_lp > 0:
                 # prompt logprobs: logits over ALL packed positions
@@ -1592,6 +1724,19 @@ class TPUModelRunner:
                     batch.token_ids, batch.num_tokens,
                     list(sample_rows)).items():
                 draft_token_ids[row] = draft
+        elif self.eagle is not None:
+            # drafts were proposed on device inside the fused step
+            drafts_np = np.asarray(out.draft_tokens)  # [r_pad, K]
+            draft_token_ids = [[] for _ in range(num_reqs)]
+            for row in sample_rows:
+                if row in pooling_row_set:
+                    continue
+                # leave room: drafts occupy positions num_tokens.. and
+                # the verifying step emits up to one more token
+                room = self.max_model_len - int(
+                    batch.num_tokens[row]) - 1
+                k = max(min(self.max_spec, room), 0)
+                draft_token_ids[row] = drafts_np[row, :k].tolist()
 
         logprobs_lists = None
         if max_num_logprobs > 0:
