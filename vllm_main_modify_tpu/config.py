@@ -160,6 +160,11 @@ class CacheConfig:
     swap_space_gb: float = 0.0
     cache_dtype: str = "auto"  # auto | bfloat16 | fp8
     enable_prefix_caching: bool = True
+    # hybrid-attention models (Gemma-2/3 style): manage sliding-window
+    # layers as their own window-sized page pool (reference:
+    # disable_hybrid_kv_cache_manager, vllm/config/scheduler.py).
+    # Disabling collapses every layer to full-attention allocation.
+    disable_hybrid_kv: bool = False
 
     def __post_init__(self) -> None:
         assert self.block_size > 0

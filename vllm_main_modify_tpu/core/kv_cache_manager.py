@@ -26,15 +26,27 @@ from vllm_main_modify_tpu.utils import cdiv
 @dataclass
 class KVCacheBlocks:
     """Opaque handle returned to the scheduler
-    (reference: kv_cache_manager.py:18)."""
+    (reference: kv_cache_manager.py:18).
+
+    ``blocks`` is group 0; hybrid models (KVCacheCoordinator) carry
+    groups 1..N-1 in ``extra_groups``. ``get_block_ids()`` keeps the
+    flat single-group wire format unless extra groups exist."""
 
     blocks: list[KVCacheBlock] = field(default_factory=list)
+    extra_groups: tuple = ()
 
-    def get_block_ids(self) -> list[int]:
-        return [b.block_id for b in self.blocks]
+    def get_block_ids(self):
+        if not self.extra_groups:
+            return [b.block_id for b in self.blocks]
+        return tuple([b.block_id for b in g]
+                     for g in (self.blocks, *self.extra_groups))
 
     def __add__(self, other: "KVCacheBlocks") -> "KVCacheBlocks":
-        return KVCacheBlocks(self.blocks + other.blocks)
+        assert len(self.extra_groups) == len(other.extra_groups)
+        return KVCacheBlocks(
+            self.blocks + other.blocks,
+            tuple(a + b for a, b in zip(self.extra_groups,
+                                        other.extra_groups)))
 
     def __len__(self) -> int:
         return len(self.blocks)

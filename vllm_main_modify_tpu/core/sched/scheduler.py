@@ -49,6 +49,8 @@ class Scheduler:
         structured_output_manager=None,
         kv_event_callback=None,
         offload_index=None,
+        kv_groups=None,
+        num_blocks_per_group=None,
     ) -> None:
         sched_cfg = config.scheduler_config
         cache_cfg = config.cache_config
@@ -76,13 +78,26 @@ class Scheduler:
         self._step_kv_saves: list = []
         self._ext_event_callback = kv_event_callback
 
-        self.kv_cache_manager = KVCacheManager(
-            block_size=cache_cfg.block_size,
-            num_blocks=num_kv_blocks,
-            max_model_len=sched_cfg.max_model_len,
-            enable_caching=cache_cfg.enable_prefix_caching,
-            event_callback=self._on_kv_event,
-        )
+        if kv_groups is not None and len(kv_groups) > 1:
+            # hybrid-attention model: per-group managers behind the
+            # same surface (core/kv_cache_coordinator.py). Prefix
+            # caching + host offload are off in this mode.
+            from vllm_main_modify_tpu.core.kv_cache_coordinator import \
+                KVCacheCoordinator
+
+            self.kv_cache_manager = KVCacheCoordinator(
+                kv_groups, num_blocks_per_group,
+                block_size=cache_cfg.block_size,
+                max_model_len=sched_cfg.max_model_len)
+            self.offload_index = None
+        else:
+            self.kv_cache_manager = KVCacheManager(
+                block_size=cache_cfg.block_size,
+                num_blocks=num_kv_blocks,
+                max_model_len=sched_cfg.max_model_len,
+                enable_caching=cache_cfg.enable_prefix_caching,
+                event_callback=self._on_kv_event,
+            )
         self.structured_output_manager = structured_output_manager
 
         self.requests: dict[str, Request] = {}

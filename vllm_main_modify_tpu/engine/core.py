@@ -55,9 +55,11 @@ class EngineCore:
         self.model_runner = TPUModelRunner(config, self.mesh)
         self.model_runner.load_model()
 
-        num_pages = self._size_kv_cache()
-        self.model_runner.initialize_kv_cache(num_pages)
-        logger.info("KV cache: %d pages x %d tokens", num_pages,
+        kv_pages = self._size_kv_cache()
+        self.model_runner.initialize_kv_cache(kv_pages)
+        num_pages = kv_pages[0]
+        logger.info("KV cache: %s pages x %d tokens",
+                    "+".join(map(str, kv_pages)),
                     config.cache_config.block_size)
 
         offload_index = None
@@ -85,7 +87,9 @@ class EngineCore:
             config, num_kv_blocks=num_pages,
             structured_output_manager=structured_output_manager,
             offload_index=offload_index,
-            kv_event_callback=self.kv_event_publisher.record)
+            kv_event_callback=self.kv_event_publisher.record,
+            kv_groups=self.model_runner.kv_groups,
+            num_blocks_per_group=kv_pages)
         # multi-step decode chunks cover plain decoder LMs; the runner
         # decides eligibility (enc-dec/mm/LoRA/spec keep single-step)
         self.scheduler.decode_steps_per_dispatch = min(
@@ -103,15 +107,16 @@ class EngineCore:
             self._block_hasher = get_request_block_hasher(
                 config.cache_config.block_size)
 
-    def _size_kv_cache(self) -> int:
+    def _size_kv_cache(self) -> list[int]:
+        """Per-KV-group page counts (one entry for single-group
+        models). Block id 0 of each group is its null block."""
         cc = self.config.cache_config
         if cc.num_gpu_blocks is not None:
-            return cc.num_gpu_blocks
+            return self.model_runner.plan_kv_pages(
+                None, full_pages=cc.num_gpu_blocks)
         avail = self.model_runner.profile_available_kv_bytes()
-        page_bytes = self.model_runner.page_bytes()
-        num_pages = max(avail // page_bytes, 16)
-        # block id 0 is the null block; +1 so capacity is as configured
-        return int(num_pages)
+        return [int(n) for n in
+                self.model_runner.plan_kv_pages(avail)]
 
     # ------------------------------------------------------------------
 

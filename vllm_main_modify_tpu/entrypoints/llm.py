@@ -65,7 +65,9 @@ class LLM:
                 block_size=block_size,
                 num_gpu_blocks=num_kv_blocks,
                 cache_dtype=kv_cache_dtype,
-                enable_prefix_caching=enable_prefix_caching),
+                enable_prefix_caching=enable_prefix_caching,
+                disable_hybrid_kv=kwargs.pop("disable_hybrid_kv",
+                                             False)),
             scheduler_config=SchedulerConfig(
                 max_num_batched_tokens=max_num_batched_tokens,
                 max_num_seqs=max_num_seqs,

@@ -40,6 +40,31 @@ class AttentionMetadata(NamedTuple):
     # cross-KV pool per request + encoder lengths
     cross_block_tables: Optional[jax.Array] = None  # [R, max_cp]
     cross_seq_lens: Optional[jax.Array] = None  # [R]
+    # hybrid KV groups (core/kv_cache_interface.py): per-group paging
+    # overrides for groups 1..N-1; group 0 lives in the base fields
+    groups: tuple = ()
+
+    def for_group(self, g: int) -> "AttentionMetadata":
+        """Metadata view for KV group ``g`` — substitutes the paging
+        fields, shares the ragged layout (query_start_loc etc.)."""
+        if g == 0:
+            return self
+        gm = self.groups[g - 1]
+        return self._replace(block_tables=gm.block_tables,
+                             slot_mapping=gm.slot_mapping,
+                             kv_update_slices=gm.kv_update_slices,
+                             num_kv_update_slices=gm.num_kv_update_slices,
+                             groups=())
+
+
+class KVGroupMeta(NamedTuple):
+    """Paging inputs of one extra KV group (hybrid models)."""
+
+    block_tables: jax.Array  # [R, max_pages]
+    slot_mapping: jax.Array  # [T]
+    kv_update_slices: Optional[jax.Array] = None  # [3, S]
+    num_kv_update_slices: Optional[jax.Array] = None  # [1]
+    state_slots: Optional[jax.Array] = None  # [R] (mamba groups)
 
 
 def attention(

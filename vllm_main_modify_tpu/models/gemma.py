@@ -135,6 +135,49 @@ class GemmaForCausalLM:
     def kv_cache_spec(self) -> tuple[int, int, int]:
         return self.num_kv, self.head_dim, self.L
 
+    def _sliding_layer_ids(self) -> list[int]:
+        """Model layers using windowed attention (Gemma2: even
+        layers; Gemma3 overrides via config layer_types)."""
+        if not (self.is_gemma2 and self.sliding_window):
+            return []
+        return [l for l in range(self.L) if l % 2 == 0]
+
+    def kv_cache_groups(self):
+        """Hybrid KV groups: window layers allocate window-sized page
+        chains (reference: SlidingWindowSpec,
+        vllm/v1/kv_cache_interface.py:215). Group 0 = full attention."""
+        from vllm_main_modify_tpu.core.kv_cache_interface import (
+            KVCacheGroupSpec, single_full_group)
+
+        sliding = self._sliding_layer_ids()
+        if not sliding:
+            return single_full_group(self.num_kv, self.head_dim, self.L)
+        full = [l for l in range(self.L) if l not in set(sliding)]
+        return [
+            KVCacheGroupSpec(kind="full", layer_ids=tuple(full),
+                             kv_heads=self.num_kv,
+                             head_dim=self.head_dim),
+            KVCacheGroupSpec(kind="window", layer_ids=tuple(sliding),
+                             kv_heads=self.num_kv,
+                             head_dim=self.head_dim,
+                             window=self.sliding_window),
+        ]
+
+    def _group_local_idx(self):
+        """[L] arrays mapping model layer -> index inside its group's
+        stacked array (valid only for layers of that group)."""
+        import numpy as np
+
+        groups = self.kv_cache_groups()
+        full_map = np.zeros(self.L, dtype=np.int32)
+        win_map = np.zeros(self.L, dtype=np.int32)
+        for i, l in enumerate(groups[0].layer_ids):
+            full_map[l] = i
+        if len(groups) > 1:
+            for i, l in enumerate(groups[1].layer_ids):
+                win_map[l] = i
+        return jnp.asarray(full_map), jnp.asarray(win_map)
+
     # ------------------------------------------------------------------
 
     def _attn(self, w, x, positions, kv_caches, layer_idx, attn_meta,
@@ -193,6 +236,14 @@ class GemmaForCausalLM:
         layers = params["layers"]
         sliding = (self.sliding_window
                    if self.is_gemma2 and self.sliding_window else None)
+        # hybrid KV groups: the runner hands a (full, window) tuple of
+        # caches; each cond branch touches only its group's array via
+        # a precomputed model-layer -> group-local index map
+        hybrid = isinstance(kv_caches, tuple)
+        if hybrid:
+            full_map, win_map = self._group_local_idx()
+            meta_full = attn_meta.for_group(0)
+            meta_win = attn_meta.for_group(1)
 
         # fori_loop with the KV cache as carry: in-place page updates
         # (a scan emitting per-layer KV would double KV HBM). Gemma2
@@ -206,6 +257,23 @@ class GemmaForCausalLM:
             if sliding is None:
                 return self._attn(w, x, positions, kv, l, attn_meta,
                                   use_pallas, None)
+            if hybrid:
+                def win_branch(x, kv):
+                    kv0, kv1 = kv
+                    x, kv1 = self._attn(w, x, positions, kv1,
+                                        win_map[l], meta_win,
+                                        use_pallas, sliding)
+                    return x, (kv0, kv1)
+
+                def full_branch(x, kv):
+                    kv0, kv1 = kv
+                    x, kv0 = self._attn(w, x, positions, kv0,
+                                        full_map[l], meta_full,
+                                        use_pallas, None)
+                    return x, (kv0, kv1)
+
+                return jax.lax.cond(l % 2 == 0, win_branch,
+                                    full_branch, x, kv)
             return jax.lax.cond(
                 l % 2 == 0,
                 lambda x, kv: self._attn(w, x, positions, kv, l,
@@ -258,12 +326,21 @@ class Gemma3ForCausalLM(GemmaForCausalLM):
                 "sliding_attention" if (i + 1) % pattern else
                 "full_attention" for i in range(self.L)
             ]
+        self._layer_types = layer_types
         self._is_sliding = jnp.asarray(
             [lt == "sliding_attention" for lt in layer_types],
             dtype=jnp.bool_)
         local_theta = getattr(hf, "rope_local_base_freq", 10000.0)
         self.inv_freq_local = jnp.asarray(
             compute_inv_freq(self.head_dim, local_theta, None))
+
+    def _sliding_layer_ids(self) -> list[int]:
+        if not self.sliding_window:
+            return []
+        return [
+            l for l, lt in enumerate(self._layer_types)
+            if lt == "sliding_attention"
+        ]
 
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,
@@ -272,12 +349,37 @@ class Gemma3ForCausalLM(GemmaForCausalLM):
         x = jnp.take(params["embed_tokens"], input_ids, axis=0)
         x = x * jnp.asarray(self.embed_scale, dtype=x.dtype)
         layers = params["layers"]
+        hybrid = isinstance(kv_caches, tuple)
+        if hybrid:
+            full_map, win_map = self._group_local_idx()
+            meta_full = attn_meta.for_group(0)
+            meta_win = attn_meta.for_group(1)
 
         def layer_fn(l, carry):
             x, kv = carry
             w = jax.tree.map(
                 lambda a: jax.lax.dynamic_index_in_dim(
                     a, l, 0, keepdims=False), layers)
+            if hybrid:
+                def win_branch(x, kv):
+                    kv0, kv1 = kv
+                    x, kv1 = self._attn(w, x, positions, kv1,
+                                        win_map[l], meta_win,
+                                        use_pallas,
+                                        self.sliding_window,
+                                        self.inv_freq_local)
+                    return x, (kv0, kv1)
+
+                def full_branch(x, kv):
+                    kv0, kv1 = kv
+                    x, kv0 = self._attn(w, x, positions, kv0,
+                                        full_map[l], meta_full,
+                                        use_pallas, None,
+                                        self.inv_freq)
+                    return x, (kv0, kv1)
+
+                return jax.lax.cond(self._is_sliding[l], win_branch,
+                                    full_branch, x, kv)
             return jax.lax.cond(
                 self._is_sliding[l],
                 lambda x, kv: self._attn(w, x, positions, kv, l,

@@ -113,12 +113,29 @@ def _rpa_kernel(
     def num_kv_blocks(s):
         return pl.cdiv(seq_lens_ref[s], kvb)
 
+    if sliding_window is not None:
+        # skip kv blocks wholly behind the window of every q row this
+        # program owns for sequence s: the smallest attended kv index
+        # is min(pos) - window + 1. Saves DMA + MXU work at long
+        # context AND guarantees pages freed behind the window by the
+        # hybrid KV manager are never read.
+        def first_kv_block(s):
+            q_start = qsl_ref[s]
+            q_len = qsl_ref[s + 1] - q_start
+            pos_min = (seq_lens_ref[s] - q_len +
+                       jnp.maximum(t0 - q_start, 0))
+            return jnp.maximum((pos_min - sliding_window + 1) // kvb,
+                               0).astype(jnp.int32)
+    else:
+        def first_kv_block(s):
+            return jnp.int32(0)
+
     def next_item(s, kb, valid):
         """Successor of item (s, kb)."""
 
         def advance_seq():
             s2, ok = first_valid_seq(s + 1)
-            return s2, jnp.int32(0), ok
+            return s2, first_kv_block(s2), ok
 
         def same_seq():
             return s, kb + 1, jnp.bool_(True)
@@ -145,13 +162,14 @@ def _rpa_kernel(
 
     # prologue: locate item0, start DMAs for item0 and item1
     s0, v0 = first_valid_seq(first_seq_ref[i])
+    kb0 = first_kv_block(s0)
 
     @pl.when(v0)
     def _():
-        start_kv_dma(s0, 0, 0)
+        start_kv_dma(s0, kb0, 0)
 
     s1, kb1, v1 = jax.lax.cond(
-        v0, lambda: next_item(s0, jnp.int32(0), v0),
+        v0, lambda: next_item(s0, kb0, v0),
         lambda: (s0, jnp.int32(0), jnp.bool_(False)))
 
     @pl.when(v1)
@@ -264,7 +282,7 @@ def _rpa_kernel(
     m0 = jnp.full((num_kv_heads, rows, 1), NEG_INF, dtype=jnp.float32)
     l0 = jnp.zeros((num_kv_heads, rows, 1), dtype=jnp.float32)
     acc0 = jnp.zeros((num_kv_heads, rows, head_dim), dtype=jnp.float32)
-    carry = (s0, jnp.int32(0), v0, s1, kb1, v1, jnp.int32(0), m0, l0,
+    carry = (s0, kb0, v0, s1, kb1, v1, jnp.int32(0), m0, l0,
              acc0)
     (*_, m, l, acc) = jax.lax.while_loop(pipe_cond, pipe_body, carry)
 

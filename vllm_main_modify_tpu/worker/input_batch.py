@@ -31,7 +31,10 @@ class CachedRequestState:
         self.prompt_token_ids = list(new_req.prompt_token_ids)
         self.sampling_params = new_req.sampling_params
         self.pooling_params = new_req.pooling_params
-        self.block_ids = list(new_req.block_ids)
+        bids = new_req.block_ids
+        # hybrid KV groups ship a tuple of per-group id lists
+        self.block_ids = (tuple(list(g) for g in bids)
+                          if isinstance(bids, tuple) else list(bids))
         self.num_computed_tokens = new_req.num_computed_tokens
         self.output_token_ids: list[int] = []
         self.lora_name = new_req.lora_name
@@ -45,10 +48,23 @@ class CachedRequestState:
 class InputBatch:
 
     def __init__(self, max_num_reqs: int, max_model_len: int,
-                 max_blocks_per_req: int) -> None:
+                 max_blocks_per_req: int,
+                 num_kv_groups: int = 1) -> None:
         self.max_num_reqs = max_num_reqs
         self.max_model_len = max_model_len
         self.max_blocks_per_req = max_blocks_per_req
+        # hybrid-attention models: groups 1..N-1 keep their own block
+        # tables; scheduler block ids arrive as a tuple of per-group
+        # lists (core/kv_cache_coordinator.py)
+        self.num_kv_groups = num_kv_groups
+        self.extra_block_tables = [
+            np.zeros((max_num_reqs, max_blocks_per_req), dtype=np.int32)
+            for _ in range(num_kv_groups - 1)
+        ]
+        self.extra_num_blocks = [
+            np.zeros(max_num_reqs, dtype=np.int32)
+            for _ in range(num_kv_groups - 1)
+        ]
 
         # row assignment
         self.req_ids: list[Optional[str]] = [None] * max_num_reqs
@@ -122,8 +138,18 @@ class InputBatch:
         self.num_prompt_tokens[row] = n_prompt
         self.num_computed_tokens[row] = state.num_computed_tokens
 
-        nb = len(state.block_ids)
-        self.block_table[row, :nb] = state.block_ids
+        ids = state.block_ids
+        if self.num_kv_groups > 1:
+            assert isinstance(ids, tuple)
+            for g in range(1, self.num_kv_groups):
+                gids = ids[g]
+                tbl = self.extra_block_tables[g - 1]
+                tbl[row, :len(gids)] = gids
+                tbl[row, len(gids):] = 0
+                self.extra_num_blocks[g - 1][row] = len(gids)
+            ids = ids[0]
+        nb = len(ids)
+        self.block_table[row, :nb] = ids
         self.block_table[row, nb:] = 0
         self.num_blocks[row] = nb
 
@@ -214,7 +240,10 @@ class InputBatch:
             self.req_ids[dst] = req_id
             self.req_ids[src] = None
             self.req_id_to_index[req_id] = dst
-            for arr in (self.token_ids, self.block_table):
+            for arr in (self.token_ids, self.block_table,
+                        *self.extra_block_tables):
+                arr[dst] = arr[src]
+            for arr in self.extra_num_blocks:
                 arr[dst] = arr[src]
             for arr in (self.num_tokens, self.num_prompt_tokens,
                         self.num_computed_tokens, self.num_blocks,
@@ -231,8 +260,20 @@ class InputBatch:
                 lst[src] = None
             last -= 1
 
-    def append_block_ids(self, row: int, new_block_ids: list[int],
+    def append_block_ids(self, row: int, new_block_ids,
                          replace: bool = False) -> None:
+        if self.num_kv_groups > 1:
+            assert isinstance(new_block_ids, tuple)
+            for g in range(1, self.num_kv_groups):
+                gids = new_block_ids[g]
+                tbl = self.extra_block_tables[g - 1]
+                cnt = self.extra_num_blocks[g - 1]
+                if replace:
+                    cnt[row] = 0
+                    tbl[row, :] = 0
+                tbl[row, cnt[row]:cnt[row] + len(gids)] = gids
+                cnt[row] += len(gids)
+            new_block_ids = new_block_ids[0]
         if replace:
             self.num_blocks[row] = 0
             self.block_table[row, :] = 0

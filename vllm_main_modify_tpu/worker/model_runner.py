@@ -32,8 +32,11 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from vllm_main_modify_tpu.config import EngineConfig
+from vllm_main_modify_tpu.core.kv_cache_interface import \
+    normalize_kv_groups
 from vllm_main_modify_tpu.core.sched.output import SchedulerOutput
-from vllm_main_modify_tpu.layers.attention import AttentionMetadata
+from vllm_main_modify_tpu.layers.attention import (AttentionMetadata,
+                                                   KVGroupMeta)
 from vllm_main_modify_tpu.models.loader import load_model_weights
 from vllm_main_modify_tpu.models.registry import create_model
 from vllm_main_modify_tpu.ops.kv_cache import kv_cache_shape
@@ -73,12 +76,18 @@ class TPUModelRunner:
 
         self.model = create_model(mc)
         self.params: Optional[dict] = None
-        self.kv_caches: Optional[jax.Array] = None
+        # single-group models: one stacked array; hybrid models: a
+        # tuple of per-group arrays (core/kv_cache_interface.py)
+        self.kv_caches = None
         self.num_pages = 0
+        self.kv_groups = normalize_kv_groups(
+            self.model, enable_hybrid=not cc.disable_hybrid_kv)
+        self.num_kv_groups = len(self.kv_groups)
 
         self.input_batch = InputBatch(self.max_num_reqs,
                                       self.max_model_len,
-                                      self.max_blocks_per_req)
+                                      self.max_blocks_per_req,
+                                      num_kv_groups=self.num_kv_groups)
         self.requests: dict[str, CachedRequestState] = {}
 
         self.token_buckets = self._get_paddings(MIN_TOKEN_BUCKET,
@@ -178,9 +187,12 @@ class TPUModelRunner:
         # single-step path (extra per-step state)
         self.decode_chunk_steps = 1
         if not (self.is_enc_dec or self.is_mm or self.enable_lora
-                or self.max_spec > 0):
+                or self.max_spec > 0 or self.num_kv_groups > 1):
             self.decode_chunk_steps = max(
                 sc.num_decode_steps_per_dispatch, 1)
+        if self.eagle is not None:
+            assert self.num_kv_groups == 1, \
+                "EAGLE requires a single full-attention KV group"
 
         # multi-host fan-out (parallel/multihost.py): when set on the
         # leader, every dispatch publishes (kind-statics, packed) so
@@ -344,8 +356,68 @@ class TPUModelRunner:
         return (kv_layers * self.page_size * 2 * kv_heads * kv_dim *
                 dtype_size)
 
-    def initialize_kv_cache(self, num_pages: int) -> None:
+    def plan_kv_pages(self, avail_bytes: Optional[int],
+                      full_pages: Optional[int] = None) -> list[int]:
+        """Per-group page counts. Bounded groups (window / mamba) are
+        sized by their per-request demand cap; full-attention groups
+        share whatever HBM remains (or take ``full_pages`` when the
+        user pinned --num-kv-blocks). Reference capability:
+        kv_cache_utils.py get_kv_cache_configs per-spec sizing."""
+        ds = jnp.dtype(self.kv_dtype()).itemsize
+        pg = self.page_size
+        if self.num_kv_groups == 1:
+            if full_pages is not None:
+                return [full_pages]
+            return [max(avail_bytes // self.page_bytes(), 16)]
+        counts = [0] * self.num_kv_groups
+        spent = 0
+        for gi, g in enumerate(self.kv_groups):
+            if g.kind in ("window", "mamba"):
+                per_req = g.max_pages_per_req(pg, self.max_model_len,
+                                              self.max_spec)
+                counts[gi] = self.max_num_reqs * per_req + 1
+                spent += counts[gi] * g.page_bytes(pg, ds)
+        fulls = [gi for gi, g in enumerate(self.kv_groups)
+                 if g.kind == "full"]
+        if fulls:
+            if full_pages is not None:
+                n = full_pages
+            else:
+                per = sum(self.kv_groups[gi].page_bytes(pg, ds)
+                          for gi in fulls)
+                n = max((avail_bytes - spent) // per, 16)
+                n = min(n, self.max_num_reqs *
+                        cdiv(self.max_model_len, pg) + 1)
+            for gi in fulls:
+                counts[gi] = n
+        return counts
+
+    def initialize_kv_cache(self, num_pages) -> None:
         mc = self.config.model_config
+        kv_dtype = self.kv_dtype()
+        if self.num_kv_groups > 1:
+            self.num_pages = list(num_pages)
+            caches = []
+            for g, n in zip(self.kv_groups, num_pages):
+                if g.kind == "mamba":
+                    # state slots, not pages: one array per state
+                    # tensor, stacked over the group's layers
+                    caches.append(tuple(
+                        jnp.zeros((g.num_layers, n, *shape),
+                                  dtype=jnp.dtype(dt))
+                        for shape, dt in g.state_shapes))
+                    continue
+                shape = (g.num_layers, n, self.page_size,
+                         2 * g.kv_heads * g.head_dim)
+                caches.append(jax.jit(
+                    functools.partial(jnp.zeros, shape,
+                                      dtype=kv_dtype),
+                    out_shardings=self._kv_sharding)())
+            self.kv_caches = tuple(caches)
+            self._init_aux_buffers(mc)
+            return
+        if isinstance(num_pages, (list, tuple)):
+            num_pages = num_pages[0]
         self.num_pages = num_pages
         kv_heads, kv_dim, kv_layers = self.model.kv_cache_spec()
         if self.eagle is not None:
@@ -355,10 +427,12 @@ class TPUModelRunner:
             kv_layers += self.eagle.L
         shape = (kv_layers, num_pages, self.page_size,
                  2 * kv_heads * kv_dim)
-        kv_dtype = self.kv_dtype()
         self.kv_caches = jax.jit(
             lambda: jnp.zeros(shape, dtype=kv_dtype),
             out_shardings=self._kv_sharding)()
+        self._init_aux_buffers(mc)
+
+    def _init_aux_buffers(self, mc) -> None:
         if self.is_mm and self.mm_buffer is None:
             self.mm_buffer = jnp.zeros((self.mm_rows, mc.hidden_size),
                                        dtype=mc.jax_dtype)
@@ -432,7 +506,8 @@ class TPUModelRunner:
                 leaf.delete()
         self.params = None
         if level >= 2 and self.kv_caches is not None:
-            self.kv_caches.delete()
+            for leaf in jax.tree.leaves(self.kv_caches):
+                leaf.delete()
             self.kv_caches = None
         self._get_step_fn.cache_clear()
 
@@ -506,12 +581,19 @@ class TPUModelRunner:
             new_blocks = cached.new_block_ids[i]
             resumed = cached.resumed_from_preemption[i]
             if resumed:
-                state.block_ids = list(new_blocks or [])
+                state.block_ids = (
+                    tuple(list(g) for g in new_blocks)
+                    if isinstance(new_blocks, tuple)
+                    else list(new_blocks or []))
                 if cached.new_token_ids[i]:
                     # tokens sampled before preemption, re-learned here
                     state.output_token_ids = list(cached.new_token_ids[i])
             elif new_blocks:
-                state.block_ids.extend(new_blocks)
+                if isinstance(new_blocks, tuple):
+                    for cur, new in zip(state.block_ids, new_blocks):
+                        cur.extend(new)
+                else:
+                    state.block_ids.extend(new_blocks)
             row = self.input_batch.req_id_to_index.get(req_id)
             if row is None:
                 # evicted earlier (preemption / scheduling gap): re-add
@@ -833,6 +915,27 @@ class TPUModelRunner:
             em[:] = 0
             em[sample_rows] = 1
 
+        # hybrid KV groups 1..N-1: same ragged structure, each group's
+        # own page ids (the seg_row/seg_page/seg_lo/seg_hi geometry is
+        # identical across paged groups — only the table differs)
+        for gi, grp in enumerate(self.kv_groups[1:], start=1):
+            tbl = batch.extra_block_tables[gi - 1]
+            if grp.kind == "mamba":
+                seg(f"state_slots@{gi}")[:num_reqs] = tbl[:num_reqs, 0]
+                continue
+            seg(f"block_tables@{gi}").reshape(
+                r_pad, mp)[:num_reqs] = tbl[:num_reqs, :mp]
+            sm_g = seg(f"slot_mapping@{gi}")
+            sm_g[:] = -1
+            pids = tbl[req_of_tok, tok_pos // page]
+            sm_g[:total] = pids * page + tok_pos % page
+            ks_g = seg(f"kv_slices@{gi}").reshape(3, s_pad)
+            ks_g[0, :total_segs] = \
+                tbl[seg_row, seg_page] * page + seg_lo % page
+            ks_g[1, :total_segs] = kv_slices_arr[1, :total_segs]
+            ks_g[2, :total_segs] = kv_slices_arr[2, :total_segs]
+            seg(f"kv_slices_n@{gi}")[0] = total_segs
+
         # async token chaining: previous steps' device-resident tokens
         for rid, (age, prev_row, pos) in self._pending_fill.items():
             row = batch.req_id_to_index.get(rid)
@@ -1016,6 +1119,19 @@ class TPUModelRunner:
             ("draft_next", t_pad if self.eagle is not None else 0),
             ("eagle_mask", r_pad if self.eagle is not None else 0),
         ]
+        # hybrid KV groups 1..N-1: per-group paging segments. Mamba
+        # groups need only a state slot per row; paged groups mirror
+        # the group-0 table/slot/slice layout (+1 scalar count each)
+        for gi, grp in enumerate(self.kv_groups[1:], start=1):
+            if grp.kind == "mamba":
+                sizes.append((f"state_slots@{gi}", r_pad))
+                continue
+            sizes += [
+                (f"block_tables@{gi}", r_pad * mp),
+                (f"slot_mapping@{gi}", t_pad),
+                (f"kv_slices@{gi}", 3 * s_pad),
+                (f"kv_slices_n@{gi}", 1),
+            ]
         layout = {}
         off = 0
         for name, size in sizes:
@@ -1085,6 +1201,7 @@ class TPUModelRunner:
         eagle = self.eagle
         max_spec = self.max_spec
         target_layers = self.model.kv_cache_spec()[2]
+        group_kinds = tuple(g.kind for g in self.kv_groups[1:])
 
         def eagle_propose(params, kv_caches, out, hidden, input_ids,
                           attn_meta, seg):
@@ -1212,6 +1329,19 @@ class TPUModelRunner:
                 cross_seq_lens=(seg("cross_seq_lens")
                                 if is_enc_dec else None),
             )
+            if group_kinds:
+                attn_meta = attn_meta._replace(groups=tuple(
+                    KVGroupMeta(block_tables=None, slot_mapping=None,
+                                state_slots=seg(f"state_slots@{gi}"))
+                    if kind == "mamba" else
+                    KVGroupMeta(
+                        block_tables=seg(f"block_tables@{gi}").reshape(
+                            r_pad, mp),
+                        slot_mapping=seg(f"slot_mapping@{gi}"),
+                        kv_update_slices=seg(f"kv_slices@{gi}").reshape(
+                            3, s_pad),
+                        num_kv_update_slices=seg(f"kv_slices_n@{gi}"))
+                    for gi, kind in enumerate(group_kinds, start=1)))
             logits_indices = seg("logits_indices")  # [r_pad * nsp]
             mm_kwargs = {}
             if mm_pad:
