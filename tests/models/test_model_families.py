@@ -161,6 +161,46 @@ def build_checkpoint(tmp_path, arch: str):
                        bias=True)
         cfg = transformers.FalconConfig(**fkw)
         cls = transformers.FalconForCausalLM
+    elif arch == "gptj":
+        cfg = transformers.GPTJConfig(
+            vocab_size=256, n_embd=64, n_layer=2, n_head=4,
+            rotary_dim=8, n_positions=128)
+        cls = transformers.GPTJForCausalLM
+    elif arch == "gpt_neo":
+        cfg = transformers.GPTNeoConfig(
+            vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+            attention_types=[[["global", "local"], 1]], window_size=8,
+            max_position_embeddings=128)
+        cls = transformers.GPTNeoForCausalLM
+    elif arch == "gpt_bigcode":
+        cfg = transformers.GPTBigCodeConfig(
+            vocab_size=256, n_embd=64, n_layer=2, n_head=4,
+            n_positions=128, multi_query=True)
+        cls = transformers.GPTBigCodeForCausalLM
+    elif arch == "persimmon":
+        cfg = transformers.PersimmonConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=128, partial_rotary_factor=0.5)
+        cls = transformers.PersimmonForCausalLM
+    elif arch == "olmo":
+        cfg = transformers.OlmoConfig(**kw, clip_qkv=0.4)
+        cls = transformers.OlmoForCausalLM
+    elif arch == "arcee":
+        cfg = transformers.ArceeConfig(**kw)
+        cls = transformers.ArceeForCausalLM
+    elif arch == "seed_oss":
+        cfg = transformers.SeedOssConfig(**kw, head_dim=16)
+        cls = transformers.SeedOssForCausalLM
+    elif arch == "ernie4_5":
+        cfg = transformers.Ernie4_5Config(**kw, use_bias=True,
+                                          pad_token_id=0)
+        cls = transformers.Ernie4_5ForCausalLM
+    elif arch == "glm":
+        cfg = transformers.GlmConfig(
+            **kw, head_dim=16, partial_rotary_factor=0.5,
+            attention_bias=True, pad_token_id=0)
+        cls = transformers.GlmForCausalLM
     elif arch == "qwen3_moe":
         cfg = transformers.Qwen3MoeConfig(
             **kw, head_dim=16, num_experts=4, num_experts_per_tok=2,
@@ -235,7 +275,9 @@ ARCHS = ["qwen2", "qwen3", "gemma", "gemma2", "gemma3", "mixtral",
          "qwen3_moe", "gpt2", "gpt_neox", "gpt_neox_seq", "falcon",
          "falcon_40b", "falcon_rw", "phi3", "granite", "starcoder2",
          "stablelm", "phi", "cohere", "olmo2", "smollm3", "glm4",
-         "nemotron", "bloom", "mpt", "opt"]
+         "nemotron", "bloom", "mpt", "opt", "gptj", "gpt_neo",
+         "gpt_bigcode", "persimmon", "olmo", "arcee", "seed_oss",
+         "ernie4_5", "glm"]
 
 
 @pytest.mark.parametrize("arch", ARCHS)

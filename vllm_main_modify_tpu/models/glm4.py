@@ -31,6 +31,10 @@ def _slice_rows_t(lo: int, hi: int):
 
 class Glm4ForCausalLM:
 
+    # GLM-4 (0414) adds post_self_attn/post_mlp sandwich norms; the
+    # older GLM-4-9B "glm" architecture is the same block without them
+    has_post_norms = True
+
     def __init__(self, config: ModelConfig):
         self.cfg = config
         hf = config.hf_config
@@ -71,8 +75,11 @@ class Glm4ForCausalLM:
             specs.append(
                 ParamSpec("lm_head", (H, V), P(None, "model"),
                           "lm_head.weight", transform=t))
-        for name in ("input_layernorm", "post_attention_layernorm",
-                     "post_self_attn_layernorm", "post_mlp_layernorm"):
+        norms = ["input_layernorm", "post_attention_layernorm"]
+        if self.has_post_norms:
+            norms += ["post_self_attn_layernorm",
+                      "post_mlp_layernorm"]
+        for name in norms:
             specs.append(
                 stk(name, (H, ), P(None, None), f"{name}.weight",
                     transform=None))
@@ -132,15 +139,18 @@ class Glm4ForCausalLM:
             o, kv = attention(q, k, v, kv, l, attn_meta, self.sm_scale,
                               use_pallas=use_pallas)
             o = o.reshape(t, -1) @ w["o_proj"]
-            o = rms_norm(o, w["post_self_attn_layernorm"],
-                         cfg.rms_norm_eps)
+            if self.has_post_norms:
+                o = rms_norm(o, w["post_self_attn_layernorm"],
+                             cfg.rms_norm_eps)
             x = res + o
             res = x
             h = rms_norm(x, w["post_attention_layernorm"],
                          cfg.rms_norm_eps)
             h = silu_and_mul(h @ w["gate_proj"], h @ w["up_proj"])
             h = h @ w["down_proj"]
-            h = rms_norm(h, w["post_mlp_layernorm"], cfg.rms_norm_eps)
+            if self.has_post_norms:
+                h = rms_norm(h, w["post_mlp_layernorm"],
+                             cfg.rms_norm_eps)
             return res + h, kv
 
         def matmul_b(h, w, name):
@@ -158,3 +168,10 @@ class Glm4ForCausalLM:
         w = params["embed_tokens"].T if self.tie_embeddings \
             else params["lm_head"]
         return hidden.astype(jnp.float32) @ w.astype(jnp.float32)
+
+
+class GlmForCausalLM(Glm4ForCausalLM):
+    """Reference: vllm/model_executor/models/glm.py — GLM-4-9B/Z1
+    (pre-0414): the Glm4 block without the sandwich post-norms."""
+
+    has_post_norms = False

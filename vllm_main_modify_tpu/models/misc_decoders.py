@@ -45,9 +45,10 @@ class _ConfigurableDecoder:
     qkv_bias = True
     o_bias = True
     mlp_bias = True
-    qk_norm = None  # None | "full_rms" | "head_ln"
+    qk_norm = None  # None | "full_rms" | "head_ln" | "head_ln_bias"
     rope_interleaved = False
     lm_head_bias = False
+    clip_qkv = None  # OLMo-v1 qkv clamp
     eps_attr = "layer_norm_eps"
     # HF key fragments under "model.layers.{i}."
     KEY_O = "self_attn.o_proj"
@@ -90,6 +91,10 @@ class _ConfigurableDecoder:
         if self.norm_style == "ln1p":
             # zero-centered LayerNorm weight (Nemotron LayerNorm1P)
             return layer_norm(x, w + 1.0, b, self.eps)
+        if self.norm_style == "ln_noparam":
+            # OLMo-v1 non-parametric LayerNorm (no weight/bias)
+            return layer_norm(x, jnp.ones((x.shape[-1], ), jnp.float32),
+                              None, self.eps)
         return layer_norm(x, w, b, self.eps)
 
     def param_specs(self) -> list[ParamSpec]:
@@ -105,7 +110,11 @@ class _ConfigurableDecoder:
                              "model.layers.{i}." + hf_key,
                              stacked=True, transform=transform)
 
+        no_norm_params = self.norm_style == "ln_noparam"
+
         def norm(path, hf_key):
+            if no_norm_params:
+                return []
             out = [stk(path, (H, ), P(None, None), f"{hf_key}.weight",
                        transform=None)]
             if ln_bias:
@@ -117,10 +126,12 @@ class _ConfigurableDecoder:
         specs = [
             ParamSpec("embed_tokens", (V, H), P("model", None),
                       "model.embed_tokens.weight", transform=None),
-            ParamSpec("final_norm", (H, ), P(),
-                      self.KEY_FINAL_NORM + ".weight",
-                      transform=None),
         ]
+        if not no_norm_params:
+            specs.append(
+                ParamSpec("final_norm", (H, ), P(),
+                          self.KEY_FINAL_NORM + ".weight",
+                          transform=None))
         if ln_bias:
             specs.append(
                 ParamSpec("final_norm_bias", (H, ), P(),
@@ -171,6 +182,18 @@ class _ConfigurableDecoder:
                     P(None, "model", None),
                     "self_attn.k_norm.weight", transform=None),
             ]
+        elif self.qk_norm == "head_ln_bias":
+            # Persimmon/Fuyu: per-head LayerNorm WITH bias on q and k
+            for n in ("q", "k"):
+                specs += [
+                    stk(f"{n}_norm", (self.head_dim, ), P(None, None),
+                        f"self_attn.{n}_layernorm.weight",
+                        transform=None),
+                    stk(f"{n}_norm_bias", (self.head_dim, ),
+                        P(None, None),
+                        f"self_attn.{n}_layernorm.bias",
+                        transform=None),
+                ]
         specs.append(
             stk("o_proj", (qd, H), P(None, "model", None),
                 self.KEY_O + ".weight"))
@@ -188,6 +211,15 @@ class _ConfigurableDecoder:
                 stk("down_proj", (I, H), P(None, "model", None),
                     self.KEY_DOWN + ".weight"),
             ]
+            if self.mlp_bias:
+                specs += [
+                    stk("gate_bias", (I, ), P(None, "model"),
+                        self.KEY_GATE + ".bias", transform=None),
+                    stk("up_bias", (I, ), P(None, "model"),
+                        self.KEY_UP + ".bias", transform=None),
+                    stk("down_bias", (H, ), P(None, None),
+                        self.KEY_DOWN + ".bias", transform=None),
+                ]
         else:
             specs += [
                 stk("fc_in", (H, I), P(None, None, "model"),
@@ -211,9 +243,15 @@ class _ConfigurableDecoder:
 
     def _mlp(self, w, h):
         if self.gated_mlp:
-            g = self.act_fn(matmul(h, w["gate_proj"]),
-                            matmul(h, w["up_proj"]))
-            return matmul(g, w["down_proj"])
+            gate = matmul(h, w["gate_proj"])
+            up = matmul(h, w["up_proj"])
+            if self.mlp_bias:
+                gate, up = gate + w["gate_bias"], up + w["up_bias"]
+            g = self.act_fn(gate, up)
+            out = matmul(g, w["down_proj"])
+            if self.mlp_bias:
+                out = out + w["down_bias"]
+            return out
         h = matmul(h, w["fc_in"])
         if self.mlp_bias:
             h = h + w["fc_in_bias"]
@@ -248,6 +286,10 @@ class _ConfigurableDecoder:
         v = matmul(h, w["v_proj"])
         if self.qkv_bias:
             q, k, v = q + w["q_bias"], k + w["k_bias"], v + w["v_bias"]
+        if self.clip_qkv is not None:
+            q = jnp.clip(q, -self.clip_qkv, self.clip_qkv)
+            k = jnp.clip(k, -self.clip_qkv, self.clip_qkv)
+            v = jnp.clip(v, -self.clip_qkv, self.clip_qkv)
         if self.qk_norm == "full_rms":
             q = rms_norm(q, w["q_norm"], self.eps)
             k = rms_norm(k, w["k_norm"], self.eps)
@@ -257,6 +299,9 @@ class _ConfigurableDecoder:
         if self.qk_norm == "head_ln":
             q = layer_norm(q, w["q_norm"], None, self.eps)
             k = layer_norm(k, w["k_norm"], None, self.eps)
+        elif self.qk_norm == "head_ln_bias":
+            q = layer_norm(q, w["q_norm"], w["q_norm_bias"], self.eps)
+            k = layer_norm(k, w["k_norm"], w["k_norm_bias"], self.eps)
         if self.rope_interleaved:
             q, k = apply_rope_interleaved(q, k, positions,
                                           self.inv_freq)
@@ -289,17 +334,17 @@ class _ConfigurableDecoder:
                     w, x, positions, kv_caches, l, attn_meta,
                     use_pallas)
                 x = x + self._norm(attn_out,
-                                   w["post_attention_layernorm"],
+                                   w.get("post_attention_layernorm"),
                                    w.get("post_attention_layernorm"
                                          "_bias"))
                 mlp_out = self._mlp(w, x)
                 x = x + self._norm(mlp_out,
-                                   w["post_feedforward_layernorm"],
+                                   w.get("post_feedforward_layernorm"),
                                    w.get("post_feedforward_layernorm"
                                          "_bias"))
                 return x, kv_caches
 
-            h = self._norm(x, w["input_layernorm"],
+            h = self._norm(x, w.get("input_layernorm"),
                            w.get("input_layernorm_bias"))
             attn_out, kv_caches = self._attention(
                 w, h, positions, kv_caches, l, attn_meta, use_pallas)
@@ -307,7 +352,7 @@ class _ConfigurableDecoder:
                 x = x + attn_out + self._mlp(w, h)
             else:
                 x = x + attn_out
-                h2 = self._norm(x, w["post_attention_layernorm"],
+                h2 = self._norm(x, w.get("post_attention_layernorm"),
                                 w.get("post_attention_layernorm"
                                       "_bias"))
                 x = x + self._mlp(w, h2)
@@ -315,7 +360,7 @@ class _ConfigurableDecoder:
 
         x, kv_caches = jax.lax.fori_loop(0, self.L, layer_fn,
                                          (x, kv_caches))
-        x = self._norm(x, params["final_norm"],
+        x = self._norm(x, params.get("final_norm"),
                        params.get("final_norm_bias"))
         return x, kv_caches
 
@@ -413,6 +458,100 @@ class Olmo2ForCausalLM(_ConfigurableDecoder):
     mlp_bias = False
     qk_norm = "full_rms"
     eps_attr = "rms_norm_eps"
+
+
+def _persimmon_qkv_slice(nh: int, hd: int, j: int, is_bias: bool):
+    """HF Persimmon fuses qkv per-head: query_key_value.weight is
+    [nh*3*hd, H] viewed as (nh, 3, hd, H); j selects q/k/v."""
+    if is_bias:
+        return lambda x: np.ascontiguousarray(
+            x.reshape(nh, 3, hd)[:, j].reshape(nh * hd))
+    return lambda x: np.ascontiguousarray(
+        x.reshape(nh, 3, hd, -1)[:, j].reshape(nh * hd, -1).T)
+
+
+class PersimmonForCausalLM(_ConfigurableDecoder):
+    """Reference: vllm/model_executor/models/persimmon.py — LN+bias,
+    fused per-head-interleaved query_key_value, per-head q/k LayerNorm
+    WITH bias, partial (0.5) rotary, relu^2 MLP, untied lm_head."""
+
+    norm_style = "ln"
+    residual = "seq"
+    gated_mlp = False
+    qk_norm = "head_ln_bias"
+    eps_attr = "layer_norm_eps"
+    KEY_O = "self_attn.dense"
+    KEY_FC_IN = "mlp.dense_h_to_4h"
+    KEY_FC_OUT = "mlp.dense_4h_to_h"
+    KEY_FINAL_NORM = "model.final_layernorm"
+
+    def param_specs(self) -> list[ParamSpec]:
+        nh, hd = self.num_q, self.head_dim
+        specs = super().param_specs()
+        for s in specs:
+            tail = s.path.split(".")[-1]
+            for j, n in enumerate(("q", "k", "v")):
+                if tail == f"{n}_proj":
+                    s.hf_key = ("model.layers.{i}.self_attn"
+                                ".query_key_value.weight")
+                    s.transform = _persimmon_qkv_slice(nh, hd, j,
+                                                       False)
+                elif tail == f"{n}_bias":
+                    s.hf_key = ("model.layers.{i}.self_attn"
+                                ".query_key_value.bias")
+                    s.transform = _persimmon_qkv_slice(nh, hd, j,
+                                                       True)
+        return specs
+
+
+class OlmoForCausalLM(_ConfigurableDecoder):
+    """Reference: vllm/model_executor/models/olmo.py — OLMo v1:
+    NON-parametric LayerNorm (no weight/bias anywhere), SwiGLU, no
+    biases, optional qkv clamp (clip_qkv), full rotary."""
+
+    norm_style = "ln_noparam"
+    residual = "seq"
+    gated_mlp = True
+    qkv_bias = False
+    o_bias = False
+    mlp_bias = False
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        self.clip_qkv = getattr(config.hf_config, "clip_qkv", None)
+
+
+class ArceeForCausalLM(_ConfigurableDecoder):
+    """Reference: vllm/model_executor/models/arcee.py (AFM-4.5B) —
+    Llama skeleton with a NON-gated relu^2 MLP (up_proj/down_proj
+    only)."""
+
+    norm_style = "rms"
+    residual = "seq"
+    gated_mlp = False
+    qkv_bias = False
+    o_bias = False
+    mlp_bias = False
+    eps_attr = "rms_norm_eps"
+    KEY_FC_IN = "mlp.up_proj"
+    KEY_FC_OUT = "mlp.down_proj"
+
+
+class Ernie4_5ForCausalLM(_ConfigurableDecoder):
+    """Reference: vllm/model_executor/models/ernie45.py — Llama
+    skeleton with INTERLEAVED rope and ``use_bias``-gated biases on
+    every projection (qkv, o, gate/up/down)."""
+
+    norm_style = "rms"
+    residual = "seq"
+    gated_mlp = True
+    rope_interleaved = True
+    eps_attr = "rms_norm_eps"
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        use_bias = bool(getattr(config.hf_config, "use_bias", False))
+        self.qkv_bias = self.o_bias = self.mlp_bias = use_bias
 
 
 class NemotronForCausalLM(_ConfigurableDecoder):

@@ -35,6 +35,50 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                            "SmolLM3ForCausalLM"),
     "Glm4ForCausalLM": ("vllm_main_modify_tpu.models.glm4",
                         "Glm4ForCausalLM"),
+    "GlmForCausalLM": ("vllm_main_modify_tpu.models.glm4",
+                       "GlmForCausalLM"),
+    "GPTJForCausalLM": ("vllm_main_modify_tpu.models"
+                        ".gptj_neo_bigcode", "GPTJForCausalLM"),
+    "GPTNeoForCausalLM": ("vllm_main_modify_tpu.models"
+                          ".gptj_neo_bigcode", "GPTNeoForCausalLM"),
+    "GPTBigCodeForCausalLM": ("vllm_main_modify_tpu.models"
+                              ".gptj_neo_bigcode",
+                              "GPTBigCodeForCausalLM"),
+    "PersimmonForCausalLM": ("vllm_main_modify_tpu.models"
+                             ".misc_decoders",
+                             "PersimmonForCausalLM"),
+    "OlmoForCausalLM": ("vllm_main_modify_tpu.models.misc_decoders",
+                        "OlmoForCausalLM"),
+    "ArceeForCausalLM": ("vllm_main_modify_tpu.models.misc_decoders",
+                         "ArceeForCausalLM"),
+    "SeedOssForCausalLM": ("vllm_main_modify_tpu.models.registry",
+                           "_qwen2_factory"),
+    "Ernie4_5ForCausalLM": ("vllm_main_modify_tpu.models"
+                            ".misc_decoders", "Ernie4_5ForCausalLM"),
+    "InternLMForCausalLM": ("vllm_main_modify_tpu.models.registry",
+                            "_use_bias_llama_factory"),
+    # exact Llama-graph clones (reference registry.py maps these
+    # architecture names straight to llama.py)
+    "AquilaModel": ("vllm_main_modify_tpu.models.llama",
+                    "LlamaForCausalLM"),
+    "AquilaForCausalLM": ("vllm_main_modify_tpu.models.llama",
+                          "LlamaForCausalLM"),
+    "CwmForCausalLM": ("vllm_main_modify_tpu.models.llama",
+                       "LlamaForCausalLM"),
+    "InternLM3ForCausalLM": ("vllm_main_modify_tpu.models.llama",
+                             "LlamaForCausalLM"),
+    "LLaMAForCausalLM": ("vllm_main_modify_tpu.models.llama",
+                         "LlamaForCausalLM"),
+    "XverseForCausalLM": ("vllm_main_modify_tpu.models.llama",
+                          "LlamaForCausalLM"),
+    "StableLMEpochForCausalLM": ("vllm_main_modify_tpu.models"
+                                 ".misc_decoders",
+                                 "StableLmForCausalLM"),
+    "RWForCausalLM": ("vllm_main_modify_tpu.models.falcon",
+                      "FalconForCausalLM"),
+    "MantisForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.llava",
+        "LlavaForConditionalGeneration"),
     "NemotronForCausalLM": ("vllm_main_modify_tpu.models"
                             ".misc_decoders", "NemotronForCausalLM"),
     "GraniteForCausalLM": ("vllm_main_modify_tpu.models.llama",
@@ -93,6 +137,17 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "vllm_main_modify_tpu.models.registry",
         "_seq_cls_qwen2_factory"),
 }
+
+
+def _use_bias_llama_factory(config: ModelConfig):
+    """Llama graph with qkv bias driven by a ``use_bias``/``bias``
+    flag (Ernie 4.5, InternLM v1)."""
+    from vllm_main_modify_tpu.models.llama import LlamaForCausalLM
+
+    hf = config.hf_config
+    config.attention_bias = bool(
+        getattr(hf, "use_bias", None) or getattr(hf, "bias", False))
+    return LlamaForCausalLM(config)
 
 
 def _seq_cls_qwen2_factory(config: ModelConfig):
