@@ -201,6 +201,32 @@ def build_checkpoint(tmp_path, arch: str):
             **kw, head_dim=16, partial_rotary_factor=0.5,
             attention_bias=True, pad_token_id=0)
         cls = transformers.GlmForCausalLM
+    elif arch == "cohere2":
+        cfg = transformers.Cohere2Config(
+            **kw, sliding_window=8, sliding_window_pattern=2,
+            logit_scale=0.0625)
+        cls = transformers.Cohere2ForCausalLM
+    elif arch == "exaone4":
+        cfg = transformers.Exaone4Config(
+            **dict(kw, num_hidden_layers=4), sliding_window=8,
+            sliding_window_pattern=4)
+        cls = transformers.Exaone4ForCausalLM
+    elif arch == "olmoe":
+        cfg = transformers.OlmoeConfig(
+            **kw, num_experts=4, num_experts_per_tok=2,
+            norm_topk_prob=False)
+        cls = transformers.OlmoeForCausalLM
+    elif arch == "granitemoe":
+        cfg = transformers.GraniteMoeConfig(
+            **kw, num_local_experts=4, num_experts_per_tok=2,
+            embedding_multiplier=2.0, residual_multiplier=0.5,
+            logits_scaling=3.0, attention_multiplier=0.1)
+        cls = transformers.GraniteMoeForCausalLM
+    elif arch == "granitemoeshared":
+        cfg = transformers.GraniteMoeSharedConfig(
+            **kw, num_local_experts=4, num_experts_per_tok=2,
+            shared_intermediate_size=48)
+        cls = transformers.GraniteMoeSharedForCausalLM
     elif arch == "qwen3_moe":
         cfg = transformers.Qwen3MoeConfig(
             **kw, head_dim=16, num_experts=4, num_experts_per_tok=2,
@@ -277,7 +303,8 @@ ARCHS = ["qwen2", "qwen3", "gemma", "gemma2", "gemma3", "mixtral",
          "stablelm", "phi", "cohere", "olmo2", "smollm3", "glm4",
          "nemotron", "bloom", "mpt", "opt", "gptj", "gpt_neo",
          "gpt_bigcode", "persimmon", "olmo", "arcee", "seed_oss",
-         "ernie4_5", "glm"]
+         "ernie4_5", "glm", "olmoe", "granitemoe", "granitemoeshared",
+         "cohere2", "exaone4"]
 
 
 @pytest.mark.parametrize("arch", ARCHS)

@@ -35,6 +35,8 @@ from vllm_main_modify_tpu.models.gpt_neox import apply_rope_partial
 from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
 from vllm_main_modify_tpu.quantization.weights import matmul
 
+_UNSET = object()
+
 
 class _ConfigurableDecoder:
     """Class-attr switches (see subclasses for the per-family map)."""
@@ -194,6 +196,14 @@ class _ConfigurableDecoder:
                         f"self_attn.{n}_layernorm.bias",
                         transform=None),
                 ]
+        elif self.qk_norm == "head_rms":
+            # Exaone4: per-head RMSNorm over head_dim
+            specs += [
+                stk("q_norm", (self.head_dim, ), P(None, None),
+                    "self_attn.q_norm.weight", transform=None),
+                stk("k_norm", (self.head_dim, ), P(None, None),
+                    "self_attn.k_norm.weight", transform=None),
+            ]
         specs.append(
             stk("o_proj", (qd, H), P(None, "model", None),
                 self.KEY_O + ".weight"))
@@ -279,7 +289,9 @@ class _ConfigurableDecoder:
         return self._PLAIN_ACTS[act](x)
 
     def _attention(self, w, h, positions, kv_caches, l, attn_meta,
-                   use_pallas):
+                   use_pallas, window=_UNSET, use_rope=True):
+        if window is _UNSET:
+            window = self.cfg.sliding_window
         t = h.shape[0]
         q = matmul(h, w["q_proj"])
         k = matmul(h, w["k_proj"])
@@ -302,61 +314,149 @@ class _ConfigurableDecoder:
         elif self.qk_norm == "head_ln_bias":
             q = layer_norm(q, w["q_norm"], w["q_norm_bias"], self.eps)
             k = layer_norm(k, w["k_norm"], w["k_norm_bias"], self.eps)
-        if self.rope_interleaved:
-            q, k = apply_rope_interleaved(q, k, positions,
-                                          self.inv_freq)
-        else:
-            q, k = apply_rope_partial(q, k, positions, self.inv_freq,
-                                      self.rot_dim)
+        elif self.qk_norm == "head_rms":
+            q = rms_norm(q, w["q_norm"], self.eps)
+            k = rms_norm(k, w["k_norm"], self.eps)
+        if use_rope:
+            if self.rope_interleaved:
+                q, k = apply_rope_interleaved(q, k, positions,
+                                              self.inv_freq)
+            else:
+                q, k = apply_rope_partial(q, k, positions,
+                                          self.inv_freq, self.rot_dim)
         o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
                                  self.sm_scale,
-                                 sliding_window=self.cfg.sliding_window,
+                                 sliding_window=window,
                                  use_pallas=use_pallas)
         out = matmul(o.reshape(t, -1), w["o_proj"])
         if self.o_bias:
             out = out + w["o_bias"]
         return out, kv_caches
 
+    def _block(self, w, x, positions, kv_caches, l, attn_meta,
+               use_pallas, window=_UNSET, use_rope=True):
+        """One full decoder layer (residual wiring per class attr)."""
+        if self.residual == "post_norm":  # OLMo2 / Exaone4
+            attn_out, kv_caches = self._attention(
+                w, x, positions, kv_caches, l, attn_meta, use_pallas,
+                window=window, use_rope=use_rope)
+            x = x + self._norm(attn_out,
+                               w.get("post_attention_layernorm"),
+                               w.get("post_attention_layernorm"
+                                     "_bias"))
+            mlp_out = self._mlp(w, x)
+            x = x + self._norm(mlp_out,
+                               w.get("post_feedforward_layernorm"),
+                               w.get("post_feedforward_layernorm"
+                                     "_bias"))
+            return x, kv_caches
+
+        h = self._norm(x, w.get("input_layernorm"),
+                       w.get("input_layernorm_bias"))
+        attn_out, kv_caches = self._attention(
+            w, h, positions, kv_caches, l, attn_meta, use_pallas,
+            window=window, use_rope=use_rope)
+        if self.residual == "parallel":
+            x = x + attn_out + self._mlp(w, h)
+        else:
+            x = x + attn_out
+            h2 = self._norm(x, w.get("post_attention_layernorm"),
+                            w.get("post_attention_layernorm"
+                                  "_bias"))
+            x = x + self._mlp(w, h2)
+        return x, kv_caches
+
+    # ---- per-layer sliding/full patterns (Cohere2, Exaone4) --------
+
+    layer_types = None  # list[str] of "sliding_attention"/"full..."
+    rope_on_full = True  # hybrid models may skip rope on full layers
+
+    def _sliding_layer_ids(self) -> list[int]:
+        if not self.layer_types or not self.cfg.sliding_window:
+            return []
+        return [l for l in range(self.L)
+                if self.layer_types[l] == "sliding_attention"]
+
+    def kv_cache_groups(self):
+        from vllm_main_modify_tpu.core.kv_cache_interface import (
+            KVCacheGroupSpec, single_full_group)
+
+        sliding = self._sliding_layer_ids()
+        if not sliding or len(sliding) == self.L:
+            return single_full_group(self.num_kv, self.head_dim,
+                                     self.L)
+        full = [l for l in range(self.L) if l not in set(sliding)]
+        return [
+            KVCacheGroupSpec(kind="full", layer_ids=tuple(full),
+                             kv_heads=self.num_kv,
+                             head_dim=self.head_dim),
+            KVCacheGroupSpec(kind="window", layer_ids=tuple(sliding),
+                             kv_heads=self.num_kv,
+                             head_dim=self.head_dim,
+                             window=self.cfg.sliding_window),
+        ]
+
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,
                  use_pallas: Optional[bool] = None):
         x = jnp.take(params["embed_tokens"], input_ids, axis=0)
         layers = params["layers"]
+        sliding = self._sliding_layer_ids()
+        window = self.cfg.sliding_window
+        hybrid = isinstance(kv_caches, tuple)
+        if sliding and 0 < len(sliding) < self.L:
+            sliding_mask = jnp.asarray(
+                [l in set(sliding) for l in range(self.L)], dtype=bool)
+            if hybrid:
+                groups = self.kv_cache_groups()
+                gmaps, metas = [], []
+                for gi, g in enumerate(groups):
+                    m = np.zeros(self.L, dtype=np.int32)
+                    for i, li in enumerate(g.layer_ids):
+                        m[li] = i
+                    gmaps.append(jnp.asarray(m))
+                    metas.append(attn_meta.for_group(gi))
 
         def layer_fn(l, carry):
             x, kv_caches = carry
             w = jax.tree.map(
                 lambda a: jax.lax.dynamic_index_in_dim(
                     a, l, 0, keepdims=False), layers)
+            if not sliding:
+                return self._block(w, x, positions, kv_caches, l,
+                                   attn_meta, use_pallas)
+            if len(sliding) == self.L:
+                return self._block(w, x, positions, kv_caches, l,
+                                   attn_meta, use_pallas,
+                                   window=window)
+            if hybrid:
+                def win_branch(x, kv):
+                    kv0, kv1 = kv
+                    x, kv1 = self._block(w, x, positions, kv1,
+                                         gmaps[1][l], metas[1],
+                                         use_pallas, window=window)
+                    return x, (kv0, kv1)
 
-            if self.residual == "post_norm":  # OLMo2
-                attn_out, kv_caches = self._attention(
-                    w, x, positions, kv_caches, l, attn_meta,
-                    use_pallas)
-                x = x + self._norm(attn_out,
-                                   w.get("post_attention_layernorm"),
-                                   w.get("post_attention_layernorm"
-                                         "_bias"))
-                mlp_out = self._mlp(w, x)
-                x = x + self._norm(mlp_out,
-                                   w.get("post_feedforward_layernorm"),
-                                   w.get("post_feedforward_layernorm"
-                                         "_bias"))
-                return x, kv_caches
+                def full_branch(x, kv):
+                    kv0, kv1 = kv
+                    x, kv0 = self._block(w, x, positions, kv0,
+                                         gmaps[0][l], metas[0],
+                                         use_pallas, window=None,
+                                         use_rope=self.rope_on_full)
+                    return x, (kv0, kv1)
 
-            h = self._norm(x, w.get("input_layernorm"),
-                           w.get("input_layernorm_bias"))
-            attn_out, kv_caches = self._attention(
-                w, h, positions, kv_caches, l, attn_meta, use_pallas)
-            if self.residual == "parallel":
-                x = x + attn_out + self._mlp(w, h)
-            else:
-                x = x + attn_out
-                h2 = self._norm(x, w.get("post_attention_layernorm"),
-                                w.get("post_attention_layernorm"
-                                      "_bias"))
-                x = x + self._mlp(w, h2)
-            return x, kv_caches
+                return jax.lax.cond(sliding_mask[l], win_branch,
+                                    full_branch, x, kv_caches)
+            return jax.lax.cond(
+                sliding_mask[l],
+                lambda x, kv: self._block(w, x, positions, kv, l,
+                                          attn_meta, use_pallas,
+                                          window=window),
+                lambda x, kv: self._block(w, x, positions, kv, l,
+                                          attn_meta, use_pallas,
+                                          window=None,
+                                          use_rope=self.rope_on_full),
+                x, kv_caches)
 
         x, kv_caches = jax.lax.fori_loop(0, self.L, layer_fn,
                                          (x, kv_caches))
@@ -443,6 +543,44 @@ class CohereForCausalLM(_ConfigurableDecoder):
         super().__init__(config)
         if getattr(config.hf_config, "use_qk_norm", False):
             self.qk_norm = "head_ln"
+
+
+class Cohere2ForCausalLM(CohereForCausalLM):
+    """Reference: vllm/model_executor/models/commandr.py (Cohere2
+    config path) — Command-R7B: Cohere block with interleaved
+    sliding/full layers; rope is applied ONLY on sliding layers."""
+
+    rope_on_full = False
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        self.layer_types = list(
+            getattr(config.hf_config, "layer_types", None) or [])
+
+
+class Exaone4ForCausalLM(_ConfigurableDecoder):
+    """Reference: vllm/model_executor/models/exaone4.py — EXAONE-4.0:
+    post-norm residual (norms on attn/MLP outputs like OLMo2),
+    per-head RMS q/k norm, hybrid sliding/full layers (LLLG) where
+    full-attention layers skip rope."""
+
+    norm_style = "rms"
+    residual = "post_norm"
+    gated_mlp = True
+    qkv_bias = False
+    o_bias = False
+    mlp_bias = False
+    qk_norm = "head_rms"
+    rope_on_full = False
+    eps_attr = "rms_norm_eps"
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        self.layer_types = list(
+            getattr(config.hf_config, "layer_types", None) or [])
+        if not self._sliding_layer_ids():
+            # non-hybrid checkpoints rope everywhere
+            self.rope_on_full = True
 
 
 class Olmo2ForCausalLM(_ConfigurableDecoder):

@@ -45,6 +45,7 @@ class MoeDecoderBase:
     qkv_bias = False
     renormalize = True
     has_shared_expert = False
+    qk_norm = False  # OLMoE: full-width RMS on q/k pre-split
     # hf key templates ({i}=layer, {e}=expert)
     ROUTER_KEY = ""
     GATE_KEY = ""
@@ -68,6 +69,10 @@ class MoeDecoderBase:
                              config.rope_scaling))
         self.act_fn = ACT2FN["silu"]
         self.tie_embeddings = config.tie_word_embeddings
+        # Granite-style scalar multipliers (1.0 = elided from graph)
+        self.embed_mult = 1.0
+        self.residual_mult = 1.0
+        self.logits_div = 1.0
 
     def param_specs(self) -> list[ParamSpec]:
         c = self.cfg
@@ -128,6 +133,15 @@ class MoeDecoderBase:
                     "model.layers.{i}.self_attn.v_proj.bias",
                     transform=None),
             ]
+        if self.qk_norm:
+            specs += [
+                stk("layers.q_norm", (qd, ), P(None, None),
+                    "model.layers.{i}.self_attn.q_norm.weight",
+                    transform=None),
+                stk("layers.k_norm", (kd, ), P(None, None),
+                    "model.layers.{i}.self_attn.k_norm.weight",
+                    transform=None),
+            ]
         if self.has_shared_expert:
             si = self.shared_inter
             specs += [
@@ -154,6 +168,8 @@ class MoeDecoderBase:
                  use_pallas: Optional[bool] = None):
         cfg = self.cfg
         x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        if self.embed_mult != 1.0:
+            x = x * jnp.asarray(self.embed_mult, dtype=x.dtype)
         t = x.shape[0]
 
         layers = params["layers"]
@@ -172,6 +188,9 @@ class MoeDecoderBase:
                 q = q + w["q_bias"]
                 k = k + w["k_bias"]
                 v = v + w["v_bias"]
+            if self.qk_norm:
+                q = rms_norm(q, w["q_norm"], cfg.rms_norm_eps)
+                k = rms_norm(k, w["k_norm"], cfg.rms_norm_eps)
             q = q.reshape(t, self.num_q, self.head_dim)
             k = k.reshape(t, self.num_kv, self.head_dim)
             v = v.reshape(t, self.num_kv, self.head_dim)
@@ -179,7 +198,11 @@ class MoeDecoderBase:
             o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
                                      self.sm_scale,
                                      use_pallas=use_pallas)
-            x = res + matmul(o.reshape(t, -1), w["o_proj"])
+            attn_out = matmul(o.reshape(t, -1), w["o_proj"])
+            if self.residual_mult != 1.0:
+                attn_out = attn_out * jnp.asarray(
+                    self.residual_mult, dtype=attn_out.dtype)
+            x = res + attn_out
 
             res = x
             h = rms_norm(x, w["post_attention_layernorm"],
@@ -191,10 +214,15 @@ class MoeDecoderBase:
                 sh = self.act_fn(matmul(h, w["shared_gate_proj"]),
                                  matmul(h, w["shared_up_proj"]))
                 sh = matmul(sh, w["shared_down_proj"])
-                gate = jax.nn.sigmoid(
-                    (h @ w["shared_expert_gate"]).astype(jnp.float32))
-                y = y + (sh.astype(jnp.float32) *
-                         gate).astype(y.dtype)
+                if "shared_expert_gate" in w:
+                    gate = jax.nn.sigmoid(
+                        (h @ w["shared_expert_gate"]).astype(
+                            jnp.float32))
+                    sh = (sh.astype(jnp.float32) * gate).astype(
+                        y.dtype)
+                y = y + sh
+            if self.residual_mult != 1.0:
+                y = y * jnp.asarray(self.residual_mult, dtype=y.dtype)
             x = res + y
             return x, kv_caches
 
@@ -209,7 +237,10 @@ class MoeDecoderBase:
     def compute_logits(self, params, hidden):
         w = params["embed_tokens"].T if self.tie_embeddings \
             else params["lm_head"]
-        return hidden.astype(jnp.float32) @ w.astype(jnp.float32)
+        logits = hidden.astype(jnp.float32) @ w.astype(jnp.float32)
+        if self.logits_div != 1.0:
+            logits = logits / self.logits_div
+        return logits
 
 
 class MixtralForCausalLM(MoeDecoderBase):
@@ -226,6 +257,114 @@ class MixtralForCausalLM(MoeDecoderBase):
         if not config.moe_intermediate_size:
             config.moe_intermediate_size = config.intermediate_size
         super().__init__(config)
+
+
+class OlmoeForCausalLM(MoeDecoderBase):
+    """Reference: vllm/model_executor/models/olmoe.py — OLMoE-1B-7B:
+    every layer MoE (64 experts top-8), full-width RMS q/k norm, no
+    biases, norm_topk_prob-driven renormalize."""
+
+    qk_norm = True
+    renormalize = False
+    ROUTER_KEY = "model.layers.{i}.mlp.gate.weight"
+    GATE_KEY = "model.layers.{i}.mlp.experts.{e}.gate_proj.weight"
+    UP_KEY = "model.layers.{i}.mlp.experts.{e}.up_proj.weight"
+    DOWN_KEY = "model.layers.{i}.mlp.experts.{e}.down_proj.weight"
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        if getattr(config.hf_config, "norm_topk_prob", False):
+            self.renormalize = True
+
+
+def _gmoe_slice(lo, hi, transpose_to_in_out=True):
+    """GraniteMoe fused [E, out, in] expert tensor → [E, in, out]."""
+    import numpy as np
+
+    def f(x):
+        y = x[:, lo:hi, :] if hi is not None else x
+        return np.ascontiguousarray(y.transpose(0, 2, 1))
+
+    return f
+
+
+class GraniteMoeForCausalLM(MoeDecoderBase):
+    """Reference: vllm/model_executor/models/granitemoe.py — Granite
+    3.x MoE: Granite scalar multipliers + experts stored FUSED per
+    layer (input_linear [E, 2*mi, H] = gate|up, output_linear
+    [E, H, mi]), router key ``block_sparse_moe.router.layer``.
+    Top-k softmax over selected logits == renormalize=True."""
+
+    renormalize = True
+
+    def __init__(self, config: ModelConfig):
+        if not config.moe_intermediate_size:
+            config.moe_intermediate_size = config.intermediate_size
+        super().__init__(config)
+        hf = config.hf_config
+        self.embed_mult = getattr(hf, "embedding_multiplier", 1.0)
+        self.residual_mult = getattr(hf, "residual_multiplier", 1.0)
+        self.logits_div = getattr(hf, "logits_scaling", 1.0)
+        am = getattr(hf, "attention_multiplier", None)
+        if am:
+            self.sm_scale = am
+
+    def param_specs(self) -> list[ParamSpec]:
+        mi = self.moe_inter
+        specs = super().param_specs()
+        base = "model.layers.{i}.block_sparse_moe."
+        remap = {
+            "layers.router": (base + "router.layer.weight",
+                              transpose2d),
+            "layers.w_gate": (base + "input_linear.weight",
+                              _gmoe_slice(0, mi)),
+            "layers.w_up": (base + "input_linear.weight",
+                            _gmoe_slice(mi, 2 * mi)),
+            "layers.w_down": (base + "output_linear.weight",
+                              _gmoe_slice(0, None)),
+        }
+        for s in specs:
+            if s.path in remap:
+                s.hf_key, s.transform = remap[s.path]
+                s.num_experts = 0  # fused: no {e} expansion
+        return specs
+
+
+class GraniteMoeSharedForCausalLM(GraniteMoeForCausalLM):
+    """Reference: vllm/model_executor/models/granitemoeshared.py —
+    GraniteMoe plus an always-on fused shared MLP per layer
+    (shared_mlp.input_linear [2*si, H], output_linear [H, si])."""
+
+    has_shared_expert = True
+
+    def __init__(self, config: ModelConfig):
+        config.shared_expert_intermediate_size = getattr(
+            config.hf_config, "shared_intermediate_size", 0)
+        super().__init__(config)
+
+    def param_specs(self) -> list[ParamSpec]:
+        import numpy as np
+
+        si = self.shared_inter
+        base = "model.layers.{i}.shared_mlp."
+        remap = {
+            "layers.shared_gate_proj":
+            (base + "input_linear.weight",
+             lambda x: np.ascontiguousarray(x[:si].T)),
+            "layers.shared_up_proj":
+            (base + "input_linear.weight",
+             lambda x: np.ascontiguousarray(x[si:2 * si].T)),
+            "layers.shared_down_proj": (base + "output_linear.weight",
+                                        transpose2d),
+        }
+        specs = []
+        for s in super().param_specs():
+            if s.path == "layers.shared_expert_gate":
+                continue  # no sigmoid gate: shared MLP is always-on
+            if s.path in remap:
+                s.hf_key, s.transform = remap[s.path]
+            specs.append(s)
+        return specs
 
 
 class Qwen2MoeForCausalLM(MoeDecoderBase):

@@ -23,6 +23,13 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                             "Qwen3MoeForCausalLM"),
     "MixtralForCausalLM": ("vllm_main_modify_tpu.models.moe_llama",
                            "MixtralForCausalLM"),
+    "OlmoeForCausalLM": ("vllm_main_modify_tpu.models.moe_llama",
+                         "OlmoeForCausalLM"),
+    "GraniteMoeForCausalLM": ("vllm_main_modify_tpu.models.moe_llama",
+                              "GraniteMoeForCausalLM"),
+    "GraniteMoeSharedForCausalLM": (
+        "vllm_main_modify_tpu.models.moe_llama",
+        "GraniteMoeSharedForCausalLM"),
     "Qwen2MoeForCausalLM": ("vllm_main_modify_tpu.models.moe_llama",
                             "Qwen2MoeForCausalLM"),
     "DeepseekV2ForCausalLM": ("vllm_main_modify_tpu.models.deepseek_v2",
@@ -92,6 +99,10 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                        "PhiForCausalLM"),
     "CohereForCausalLM": ("vllm_main_modify_tpu.models.misc_decoders",
                           "CohereForCausalLM"),
+    "Cohere2ForCausalLM": ("vllm_main_modify_tpu.models"
+                           ".misc_decoders", "Cohere2ForCausalLM"),
+    "Exaone4ForCausalLM": ("vllm_main_modify_tpu.models"
+                           ".misc_decoders", "Exaone4ForCausalLM"),
     "Olmo2ForCausalLM": ("vllm_main_modify_tpu.models.misc_decoders",
                          "Olmo2ForCausalLM"),
     "WhisperForConditionalGeneration": (
