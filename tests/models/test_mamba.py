@@ -1,0 +1,131 @@
+"""Mamba-1 SSM parity vs HuggingFace (reference test pattern:
+tests/models/language/generation/test_hybrid.py). Exercises the
+segmented-scan mixer three ways:
+
+1. single-shot prefill logit parity,
+2. chunked prefill (6 + 4 tokens) — cross-chunk conv tail + SSM state
+   carry must reproduce the single-shot logits,
+3. decode continuation (prefill 9, decode 1) == full-prefill position.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from vllm_main_modify_tpu.config import ModelConfig  # noqa: E402
+from vllm_main_modify_tpu.layers.attention import (  # noqa: E402
+    AttentionMetadata, KVGroupMeta)
+from vllm_main_modify_tpu.models.loader import \
+    load_model_weights  # noqa: E402
+from vllm_main_modify_tpu.models.registry import \
+    create_model  # noqa: E402
+
+TOKENS = [3, 17, 91, 200, 45, 12, 7, 150, 33, 99]
+
+
+def build_checkpoint(tmp_path, falcon: bool):
+    import torch
+    import transformers
+
+    if falcon:
+        cfg = transformers.FalconMambaConfig(
+            vocab_size=256, hidden_size=64, num_hidden_layers=2,
+            state_size=8, conv_kernel=4, intermediate_size=128,
+            time_step_rank=4, use_bias=False, use_conv_bias=True)
+        cls = transformers.FalconMambaForCausalLM
+    else:
+        cfg = transformers.MambaConfig(
+            vocab_size=256, hidden_size=64, num_hidden_layers=2,
+            state_size=8, conv_kernel=4, intermediate_size=128,
+            time_step_rank=4, use_bias=True, use_conv_bias=True)
+        cls = transformers.MambaForCausalLM
+    torch.manual_seed(0)
+    model = cls(cfg).to(torch.float32).eval()
+    path = tmp_path / ("falcon_mamba" if falcon else "mamba")
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path), model
+
+
+def make_meta(chunk_lens, t_pad=16, r_pad=4):
+    """Packed single/multi-request metadata for one chunk."""
+    n = len(chunk_lens)
+    qsl = np.zeros(r_pad + 1, np.int32)
+    for i, cl in enumerate(chunk_lens):
+        qsl[i + 1] = qsl[i] + cl
+    qsl[n + 1:] = qsl[n]
+    return AttentionMetadata(
+        block_tables=jnp.zeros((r_pad, 4), jnp.int32),
+        query_start_loc=jnp.asarray(qsl),
+        seq_lens=jnp.zeros(r_pad, jnp.int32),
+        slot_mapping=jnp.full(t_pad, -1, jnp.int32),
+        num_seqs=jnp.asarray([n], jnp.int32),
+        groups=(KVGroupMeta(block_tables=None, slot_mapping=None,
+                            state_slots=jnp.asarray(
+                                list(range(1, n + 1)) + [0] *
+                                (r_pad - n), dtype=jnp.int32)), ),
+    )
+
+
+def run_ours(model_dir, chunks):
+    """Feed TOKENS in ``chunks`` pieces, return logits of the final
+    chunk's positions."""
+    from jax.sharding import Mesh
+
+    config = ModelConfig(model=model_dir, dtype="float32",
+                         max_model_len=128)
+    model = create_model(config)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                ("data", "model"))
+    params = load_model_weights(model, config, mesh)
+    n_slots = 4
+    conv = jnp.zeros((model.L, n_slots, model.d_conv - 1,
+                      model.d_inner), jnp.float32)
+    ssm = jnp.zeros((model.L, n_slots, model.d_inner, model.d_state),
+                    jnp.float32)
+    kv = (jnp.zeros((0, 2, 8, 0), jnp.float32), (conv, ssm))
+    t_pad = 16
+    off = 0
+    for chunk in chunks:
+        ids = TOKENS[off:off + chunk]
+        off += chunk
+        meta = make_meta([chunk], t_pad=t_pad)
+        ids_p = jnp.asarray(ids + [0] * (t_pad - chunk), jnp.int32)
+        pos = jnp.asarray(list(range(off - chunk, off)) + [0] *
+                          (t_pad - chunk), jnp.int32)
+        hidden, kv = model(params, ids_p, pos, kv, meta,
+                           use_pallas=False)
+    logits = model.compute_logits(params, hidden[:chunk])
+    return np.asarray(logits)
+
+
+@pytest.mark.parametrize("falcon", [False, True])
+def test_mamba_prefill_parity(falcon, tmp_path):
+    import torch
+
+    path, hf = build_checkpoint(tmp_path, falcon)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_ours(path, [len(TOKENS)])
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_mamba_chunked_state_carry(tmp_path):
+    import torch
+
+    path, hf = build_checkpoint(tmp_path, False)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_ours(path, [6, 4])  # last chunk covers positions 6..9
+    np.testing.assert_allclose(got, ref[6:], atol=2e-3, rtol=2e-3)
+
+
+def test_mamba_decode_step(tmp_path):
+    import torch
+
+    path, hf = build_checkpoint(tmp_path, False)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_ours(path, [9, 1])
+    np.testing.assert_allclose(got, ref[9:], atol=2e-3, rtol=2e-3)

@@ -101,8 +101,27 @@ class MambaManager(KVCacheManager):
         return KVCacheBlocks(new)
 
 
+class NullGroupManager(KVCacheManager):
+    """Zero-layer group (pure-SSM models keep an empty full-attention
+    group 0 so paged metadata invariants hold): never allocates."""
+
+    def __init__(self) -> None:
+        super().__init__(block_size=1, num_blocks=2, max_model_len=1,
+                         enable_caching=False)
+
+    def allocate_slots(self, request: Request, num_new_tokens: int,
+                       num_new_computed_tokens: int = 0,
+                       new_computed_blocks=None,
+                       num_lookahead_tokens: int = 0,
+                       delay_cache_blocks: bool = False):
+        self.req_to_blocks.setdefault(request.request_id, [])
+        return KVCacheBlocks([])
+
+
 def _make_group_manager(spec: KVCacheGroupSpec, block_size: int,
                         num_blocks: int, max_model_len: int):
+    if spec.num_layers == 0:
+        return NullGroupManager()
     if spec.kind == "window":
         return SlidingWindowManager(block_size, num_blocks,
                                     max_model_len, spec.window)

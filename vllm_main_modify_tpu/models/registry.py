@@ -111,6 +111,10 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "LlavaForConditionalGeneration": (
         "vllm_main_modify_tpu.models.llava",
         "LlavaForConditionalGeneration"),
+    "MambaForCausalLM": ("vllm_main_modify_tpu.models.mamba",
+                         "MambaForCausalLM"),
+    "FalconMambaForCausalLM": ("vllm_main_modify_tpu.models.mamba",
+                               "FalconMambaForCausalLM"),
     "BloomForCausalLM": ("vllm_main_modify_tpu.models.bloom",
                          "BloomForCausalLM"),
     "MptForCausalLM": ("vllm_main_modify_tpu.models.mpt",

@@ -380,11 +380,13 @@ class TPUModelRunner:
         fulls = [gi for gi, g in enumerate(self.kv_groups)
                  if g.kind == "full"]
         if fulls:
+            per = sum(self.kv_groups[gi].page_bytes(pg, ds)
+                      for gi in fulls)
             if full_pages is not None:
                 n = full_pages
+            elif per == 0:
+                n = 2  # zero-layer group (pure-SSM models)
             else:
-                per = sum(self.kv_groups[gi].page_bytes(pg, ds)
-                          for gi in fulls)
                 n = max((avail_bytes - spent) // per, 16)
                 n = min(n, self.max_num_reqs *
                         cdiv(self.max_model_len, pg) + 1)
