@@ -159,6 +159,7 @@ def mamba1_mixer(
     dt_rank: int,
     d_state: int,
     mixer_rms_eps: Optional[float] = None,  # FalconMamba
+    rms_eps: float = 1e-6,  # Jamba dt/b/c weighted norms
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One Mamba-1 block. Returns (out [T, H], new_conv_state,
     new_ssm_state)."""
@@ -187,6 +188,12 @@ def mamba1_mixer(
     dt_in = _maybe_rms(dt_in.astype(jnp.float32), falcon, eps)
     b_in = _maybe_rms(b_in, falcon, eps)
     c_in = _maybe_rms(c_in, falcon, eps)
+    if "dt_norm" in w:  # Jamba: weighted RMS on dt/B/C
+        from vllm_main_modify_tpu.layers.normalization import rms_norm
+        dt_in = rms_norm(dt_in.astype(jnp.float32), w["dt_norm"],
+                         rms_eps)
+        b_in = rms_norm(b_in, w["b_norm"], rms_eps)
+        c_in = rms_norm(c_in, w["c_norm"], rms_eps)
     dt = dt_in.astype(x.dtype) @ w["dt_proj"] + w["dt_bias"]
     dt = jax.nn.softplus(dt.astype(jnp.float32))  # [T, d_inner]
 

@@ -46,6 +46,10 @@ class ParamSpec:
     # DeepSeek MoE layers begin at first_k_dense_replace): "{i}"
     # expands to i + layer_offset
     layer_offset: int = 0
+    # stacked params over NON-contiguous HF layers (Jamba attention
+    # layers at 2, 6, 10...): "{i}" expands to layer_ids[i] and
+    # layer_offset is ignored
+    layer_ids: Optional[tuple] = None
 
 
 def transpose2d(x: np.ndarray) -> np.ndarray:

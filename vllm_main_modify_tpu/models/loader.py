@@ -312,19 +312,20 @@ def _assemble_host_tensor(spec: ParamSpec, reader: _TensorReader,
 
     if spec.stacked:
         num_layers = spec.shape[0]
+        hf_layer = (lambda i: spec.layer_ids[i]) if spec.layer_ids \
+            else (lambda i: i + spec.layer_offset)
         out = np.empty(spec.shape, dtype=np_dtype)
         if spec.num_experts > 0:
             for i in range(num_layers):
                 for e in range(spec.num_experts):
-                    x = fetch(spec.hf_key.format(
-                        i=i + spec.layer_offset, e=e))
+                    x = fetch(spec.hf_key.format(i=hf_layer(i), e=e))
                     assert x.shape == spec.shape[2:], (
                         f"{spec.path} layer {i} expert {e}: got "
                         f"{x.shape}, want {spec.shape[2:]}")
                     out[i, e] = x.astype(np_dtype)
             return out
         for i in range(num_layers):
-            x = fetch(spec.hf_key.format(i=i + spec.layer_offset))
+            x = fetch(spec.hf_key.format(i=hf_layer(i)))
             assert x.shape == spec.shape[1:], (
                 f"{spec.path} layer {i}: got {x.shape}, "
                 f"want {spec.shape[1:]}")

@@ -113,6 +113,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "LlavaForConditionalGeneration"),
     "MambaForCausalLM": ("vllm_main_modify_tpu.models.mamba",
                          "MambaForCausalLM"),
+    "JambaForCausalLM": ("vllm_main_modify_tpu.models.jamba",
+                         "JambaForCausalLM"),
     "FalconMambaForCausalLM": ("vllm_main_modify_tpu.models.mamba",
                                "FalconMambaForCausalLM"),
     "BloomForCausalLM": ("vllm_main_modify_tpu.models.bloom",
