@@ -69,6 +69,9 @@ class ModelConfig:
     # multimodal composite configs (text_config + vision_config)
     is_multimodal: bool = False
     image_token_index: int = -1
+    # canonical square image size for dynamic-resolution ViTs
+    # (Qwen2-VL): static compile shapes; processor resizes to this
+    mm_image_size: Optional[int] = None
 
     def __post_init__(self) -> None:
         if self.tokenizer is None:
@@ -95,10 +98,16 @@ class ModelConfig:
         # composite multimodal configs: the decoder fields live in
         # text_config (reference: vllm/config/model.py hf_text_config)
         text = top_get("text_config")
-        if text is not None and top_get("hidden_size") is None:
+        # composite when the decoder fields live in text_config —
+        # either the top config has none (LLaVA style) or it proxies
+        # them but carries a vision tower (Qwen2-VL style)
+        if text is not None and (top_get("hidden_size") is None
+                                 or top_get("vision_config")
+                                 is not None):
             self.is_multimodal = True
-            self.image_token_index = top_get("image_token_index",
-                                             -1) or -1
+            self.image_token_index = (
+                top_get("image_token_index")
+                or top_get("image_token_id") or -1)
             hf = text
         get = lambda k, d=None: getattr(hf, k, d)
         self.vocab_size = get("vocab_size", self.vocab_size)

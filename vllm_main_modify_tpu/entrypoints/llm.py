@@ -60,7 +60,9 @@ class LLM:
                                      max_model_len=max_model_len,
                                      seed=seed,
                                      quantization=quantization,
-                                     trust_remote_code=trust_remote_code),
+                                     trust_remote_code=trust_remote_code,
+                                     mm_image_size=kwargs.pop(
+                                         "mm_image_size", None)),
             cache_config=CacheConfig(
                 block_size=block_size,
                 num_gpu_blocks=num_kv_blocks,

@@ -34,7 +34,10 @@ def compute_inv_freq(head_dim: int, rope_theta: float,
         elif rtype == "yarn":
             inv_freq = _yarn_scale(inv_freq, head_dim, rope_theta,
                                    rope_scaling)
-        elif rtype in ("default", "", None):
+        elif rtype in ("default", "", None, "mrope"):
+            # mrope (Qwen2-VL) keeps the base frequencies; its
+            # sections only change how angles are SELECTED per dim
+            # (apply_mrope below)
             pass
         else:
             # dynamic/mrope/longrope land with the families that use
@@ -93,6 +96,42 @@ def _llama3_scale(inv_freq: np.ndarray, cfg: dict) -> np.ndarray:
     out = np.where(wavelen > lo_wl, scaled,
                    np.where(wavelen < hi_wl, inv_freq, mid))
     return out
+
+
+def _rot_halves(q, k, cos, sin):
+    def rot(x):
+        d2 = x.shape[-1] // 2
+        x1, x2 = x[..., :d2], x[..., d2:]
+        xf1 = x1.astype(jnp.float32)
+        xf2 = x2.astype(jnp.float32)
+        o1 = xf1 * cos - xf2 * sin
+        o2 = xf2 * cos + xf1 * sin
+        return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
+def apply_mrope(
+    q: jax.Array,  # [T, Hq, D]
+    k: jax.Array,  # [T, Hk, D]
+    positions: jax.Array,  # [3, T] int32 (temporal, height, width)
+    inv_freq: jax.Array,  # [D/2] f32
+    sections: tuple,  # ints summing to D/2
+) -> tuple[jax.Array, jax.Array]:
+    """Multimodal RoPE (Qwen2-VL; reference:
+    rotary_embedding/mrope.py): frequency dim i takes its angle from
+    position stream sections-index(i) — text tokens carry identical
+    t/h/w positions, so mrope == rope for them."""
+    d2 = inv_freq.shape[0]
+    sec_idx = jnp.asarray(np.repeat(np.arange(3), sections),
+                          dtype=jnp.int32)
+    angles3 = positions[:, :, None].astype(jnp.float32) * \
+        inv_freq[None, None, :]  # [3, T, D/2]
+    angles = angles3[sec_idx, :, jnp.arange(d2)]  # [D/2, T]
+    angles = angles.T  # [T, D/2]
+    cos = jnp.cos(angles)[:, None, :]
+    sin = jnp.sin(angles)[:, None, :]
+    return _rot_halves(q, k, cos, sin)
 
 
 def apply_rope(

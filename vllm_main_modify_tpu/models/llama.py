@@ -124,6 +124,10 @@ class LlamaForCausalLM:
     def kv_cache_spec(self) -> tuple[int, int, int]:
         return self.num_kv, self.head_dim, self.L
 
+    def _apply_rope(self, q, k, positions):
+        """Hook: subclasses substitute mrope (Qwen2-VL) etc."""
+        return apply_rope(q, k, positions, self.inv_freq)
+
     def lora_target_shapes(self) -> dict[str, tuple[int, int]]:
         """target module -> (in_dim, out_dim) for stacked LoRA slots."""
         qd = self.num_q * self.head_dim
@@ -190,10 +194,10 @@ class LlamaForCausalLM:
             k = k.reshape(t, self.num_kv, self.head_dim)
             v = v.reshape(t, self.num_kv, self.head_dim)
             if self.rope_layer_mask is None:
-                q, k = apply_rope(q, k, positions, self.inv_freq)
+                q, k = self._apply_rope(q, k, positions)
             else:
                 # SmolLM3 nope layers: every Nth layer skips rope
-                qr, kr = apply_rope(q, k, positions, self.inv_freq)
+                qr, kr = self._apply_rope(q, k, positions)
                 use = self.rope_layer_mask[l]
                 q = jnp.where(use, qr, q)
                 k = jnp.where(use, kr, k)

@@ -111,6 +111,15 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "LlavaForConditionalGeneration": (
         "vllm_main_modify_tpu.models.llava",
         "LlavaForConditionalGeneration"),
+    "Qwen2VLForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.qwen2_vl",
+        "Qwen2VLForConditionalGeneration"),
+    "Qwen2_5_VLForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.qwen2_vl",
+        "Qwen2_5_VLForConditionalGeneration"),
+    "Tarsier2ForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.qwen2_vl",
+        "Qwen2VLForConditionalGeneration"),
     "MambaForCausalLM": ("vllm_main_modify_tpu.models.mamba",
                          "MambaForCausalLM"),
     "JambaForCausalLM": ("vllm_main_modify_tpu.models.jamba",

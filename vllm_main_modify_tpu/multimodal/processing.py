@@ -18,14 +18,34 @@ from typing import Any, Optional
 import numpy as np
 
 
+QWEN_VL_ARCHS = ("Qwen2VLForConditionalGeneration",
+                 "Qwen2_5_VLForConditionalGeneration")
+
+
+def _is_qwen_vl(model_config) -> bool:
+    return model_config.architecture in QWEN_VL_ARCHS
+
+
+def _qwen_vl_dims(model_config) -> tuple[int, int, int]:
+    """(canonical size px, patch grid, merge) for the fixed-resolution
+    Qwen-VL path."""
+    vc = model_config.hf_config.vision_config
+    size = int(model_config.mm_image_size or 448)
+    return size, size // vc.patch_size, getattr(
+        vc, "spatial_merge_size", 2)
+
+
 def num_image_tokens_for(model_config) -> int:
     """Tokens one image expands to (CLIP-ViT grid, minus CLS for the
-    'default' select strategy)."""
+    'default' select strategy; Qwen-VL: merged canonical grid)."""
     hf = model_config.hf_config
     vc = getattr(hf, "vision_config", None)
     if vc is None:
         raise ValueError(f"{model_config.architecture} has no "
                          "vision_config")
+    if _is_qwen_vl(model_config):
+        _, grid, merge = _qwen_vl_dims(model_config)
+        return (grid // merge)**2
     patches = (vc.image_size // vc.patch_size)**2
     strategy = getattr(hf, "vision_feature_select_strategy",
                        "default")
@@ -47,8 +67,50 @@ def _image_processor(model_dir: str):
     return _HF_PROCESSOR_CACHE[model_dir]
 
 
+# OpenAI-CLIP normalization (Qwen2-VL image_mean/std defaults)
+_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def _resize_chw(image, size: int) -> np.ndarray:
+    """Any PIL / HWC-uint8 / CHW-float image → [3, size, size] f32
+    in [0, 1]."""
+    try:
+        from PIL import Image
+
+        if isinstance(image, Image.Image):
+            img = image.convert("RGB").resize((size, size),
+                                              Image.BICUBIC)
+            return np.asarray(img, np.float32).transpose(
+                2, 0, 1) / 255.0
+    except ImportError:
+        pass
+    arr = np.asarray(image)
+    if arr.ndim == 3 and arr.shape[-1] == 3:  # HWC
+        arr = arr.transpose(2, 0, 1)
+    if np.issubdtype(arr.dtype, np.integer):
+        arr = arr.astype(np.float32) / 255.0
+    arr = arr.astype(np.float32)
+    # nearest-neighbor fallback resize
+    c, h, w = arr.shape
+    if (h, w) != (size, size):
+        yi = (np.arange(size) * h // size).clip(0, h - 1)
+        xi = (np.arange(size) * w // size).clip(0, w - 1)
+        arr = arr[:, yi][:, :, xi]
+    return arr
+
+
 def _to_pixel_values(image, model_config) -> np.ndarray:
     """→ [3, S, S] f32, normalized."""
+    if _is_qwen_vl(model_config):
+        size, _, _ = _qwen_vl_dims(model_config)
+        if isinstance(image, np.ndarray) and image.ndim == 3 and \
+                image.shape == (3, size, size) and \
+                np.issubdtype(image.dtype, np.floating):
+            return image.astype(np.float32)  # already normalized
+        arr = _resize_chw(image, size)
+        return ((arr - _CLIP_MEAN[:, None, None]) /
+                _CLIP_STD[:, None, None]).astype(np.float32)
     vc = model_config.hf_config.vision_config
     if isinstance(image, np.ndarray) and image.ndim == 3 and \
             image.shape == (3, vc.image_size, vc.image_size) and \
@@ -100,4 +162,16 @@ def build_mm_inputs(
             "num_tokens": n_tok,
         })
         expanded.extend([image_token] * n_tok)
+    if mm_inputs and _is_qwen_vl(model_config):
+        # mrope 3-D positions for the whole prompt + decode delta
+        # (reference: MRotaryEmbedding.get_input_positions)
+        from vllm_main_modify_tpu.models.qwen2_vl import \
+            compute_mrope_positions
+
+        _, grid, merge = _qwen_vl_dims(model_config)
+        pos3, delta = compute_mrope_positions(
+            expanded, image_token, [(1, grid, grid)] * len(mm_inputs),
+            merge)
+        mm_inputs[0]["mrope_positions"] = pos3
+        mm_inputs[0]["mrope_delta"] = delta
     return expanded, mm_inputs, salt.hexdigest()[:16]

@@ -156,6 +156,8 @@ class TPUModelRunner:
         # — here the "cache" IS the device buffer.
         self._score_np = None  # classification head, host-cached
         self.is_mm = mc.is_multimodal
+        self.uses_mrope = bool(getattr(self.model, "uses_mrope",
+                                       False))
         # encoder-decoder (Whisper): separate paged pool of per-layer
         # cross K/V, written once per request at ingest
         self.is_enc_dec = getattr(self.model, "is_encoder_decoder",
@@ -829,6 +831,26 @@ class TPUModelRunner:
         tok_pos = starts[req_of_tok] + tok_off
         input_ids[:total] = batch.token_ids[req_of_tok, tok_pos]
         positions[:total] = tok_pos
+        if self.uses_mrope:
+            # 3-D rope positions: stored per-request for the prompt
+            # (image grids), sequential + delta past it (reference:
+            # MRotaryEmbedding.get_next_input_positions)
+            mr = seg("mrope_positions").reshape(3, t_pad)
+            mr[:, :total] = tok_pos[None]
+            for row in range(num_reqs):
+                st = self.requests.get(batch.req_ids[row])
+                if st is None or not st.mm_inputs:
+                    continue
+                pos3 = st.mm_inputs[0].get("mrope_positions")
+                if pos3 is None:
+                    continue
+                delta = int(st.mm_inputs[0].get("mrope_delta", 0))
+                sel = np.flatnonzero(req_of_tok == row)
+                tp_sel = tok_pos[sel]
+                in_prompt = tp_sel < pos3.shape[1]
+                mr[:, sel[in_prompt]] = pos3[:, tp_sel[in_prompt]]
+                mr[:, sel[~in_prompt]] = tp_sel[~in_prompt][None] + \
+                    delta
         if prompt_lp:
             tgt = seg("plp_targets")
             tgt[:] = -1
@@ -1070,6 +1092,8 @@ class TPUModelRunner:
         sizes = [
             ("input_ids", t_pad),
             ("positions", t_pad),
+            # mrope models (Qwen2-VL): 3-D rope positions t/h/w
+            ("mrope_positions", 3 * t_pad if self.uses_mrope else 0),
             ("slot_mapping", t_pad),
             ("query_start_loc", r_pad + 1),
             ("seq_lens", r_pad),
@@ -1186,6 +1210,7 @@ class TPUModelRunner:
         _prepare_inputs) and unpacks with static slices on device."""
         model = self.model
         use_pallas = self.use_pallas
+        uses_mrope = self.uses_mrope
         base_seed = self.config.model_config.seed
         page = self.page_size
         s_pad = t_pad // page + r_pad + 1
@@ -1354,8 +1379,11 @@ class TPUModelRunner:
                     mm_scatter=seg("mm_scatter"))
             if is_enc_dec:
                 mm_kwargs = dict(cross_kv_cache=cross_cache)
+            model_positions = (
+                seg("mrope_positions").reshape(3, t_pad)
+                if uses_mrope else seg("positions"))
             hidden, kv_caches = model(params, input_ids,
-                                      seg("positions"), kv_caches,
+                                      model_positions, kv_caches,
                                       attn_meta, use_pallas=use_pallas,
                                       **mm_kwargs)
             sampled_hidden = jnp.take(hidden, logits_indices, axis=0)
