@@ -335,6 +335,8 @@ class EngineConfig:
     compilation_config: CompilationConfig = field(
         default_factory=CompilationConfig)
     kv_events_config: Optional[object] = None  # KVEventsConfig
+    # P/D disaggregation (kv_transfer/connector.py KVTransferConfig)
+    kv_transfer_config: Optional[object] = None
 
     def __post_init__(self) -> None:
         # keep max_model_len consistent across sub-configs

@@ -62,17 +62,32 @@ class EngineCore:
                     "+".join(map(str, kv_pages)),
                     config.cache_config.block_size)
 
+        # P/D disaggregation connector (kv_transfer/connector.py):
+        # the consumer role receives remote blocks into the offload
+        # tier, so it forces that tier on
+        from vllm_main_modify_tpu.kv_transfer import \
+            create_kv_connector
+
+        self.kv_connector = create_kv_connector(
+            config.kv_transfer_config)
+
         offload_index = None
         swap_gb = config.cache_config.swap_space_gb
-        if swap_gb > 0 and config.cache_config.enable_prefix_caching:
+        need_offload = swap_gb > 0 or (
+            self.kv_connector is not None
+            and self.kv_connector.config.is_consumer)
+        if need_offload and config.cache_config.enable_prefix_caching:
             from vllm_main_modify_tpu.kv_offload.manager import \
                 KVOffloadIndex
 
             cap = int(swap_gb * (1 << 30) //
                       self.model_runner.page_bytes())
+            # consumer default: mirror the device pool size
+            cap = max(cap, num_pages)
             offload_index = KVOffloadIndex(cap)
             self.model_runner.init_kv_offload(cap)
             logger.info("KV offload: %d host blocks", cap)
+        self.kv_offload_index = offload_index
 
         self.structured_output_manager = structured_output_manager
         # KV event stream for external prefix-cache-aware routers
@@ -150,6 +165,7 @@ class EngineCore:
     def step(self) -> EngineCoreOutputs:
         """One engine iteration (reference: core.py:273-292; async
         variant mirrors step_with_batch_queue core.py:301)."""
+        self._kv_connector_pre_step()
         if self.async_scheduling:
             out = self._step_async()
             self.kv_event_publisher.flush()
@@ -158,10 +174,39 @@ class EngineCore:
             return EngineCoreOutputs()
         scheduler_output = self.scheduler.schedule()
         runner_output = self.model_runner.execute_model(scheduler_output)
+        # producer scan BEFORE update_from_output: a request that
+        # finishes on its last prefill chunk is freed by the update
+        self._kv_connector_post_step()
         outputs = self.scheduler.update_from_output(scheduler_output,
                                                     runner_output)
         self.kv_event_publisher.flush()
         return outputs
+
+    def _kv_connector_pre_step(self) -> None:
+        """Consumer: land received remote blocks in the offload tier
+        before scheduling (kv_transfer/connector.py)."""
+        c = self.kv_connector
+        if (c is not None and c.config.is_consumer
+                and self.kv_offload_index is not None):
+            c.drain_into(self.kv_offload_index,
+                         self.model_runner.kv_offload_store)
+
+    def _kv_connector_post_step(self) -> None:
+        """Producer: ship KV of requests whose prompt just finished
+        (reference hook: scheduler.py:344-355 connector callbacks)."""
+        c = self.kv_connector
+        if c is None or not c.config.is_producer:
+            return
+        for req in self.scheduler.running:
+            if req.num_computed_tokens >= req.num_prompt_tokens and \
+                    req.request_id not in c._sent_reqs:
+                ids = self.scheduler.kv_cache_manager.get_block_ids(
+                    req.request_id)
+                if isinstance(ids, tuple):  # hybrid coordinator
+                    ids = ids[0]
+                c.on_prefill_finished(
+                    req, list(ids),
+                    self.model_runner.extract_kv_blocks)
 
     def _step_async(self) -> EngineCoreOutputs:
         """Pipelined step: dispatch step N+1 (and N+2) before
@@ -187,8 +232,12 @@ class EngineCore:
                  or len(self._pending) >= self.pipeline_depth)
         if self._pending and drain:
             prev_so, prev_handle = self._pending.pop(0)
+            prev_out = prev_handle.get()
+            # device work for the drained step is complete; ship any
+            # just-finished prefills before the update frees them
+            self._kv_connector_post_step()
             outputs = self.scheduler.update_from_output(
-                prev_so, prev_handle.get())
+                prev_so, prev_out)
         return outputs
 
     def has_unfinished_requests(self) -> bool:

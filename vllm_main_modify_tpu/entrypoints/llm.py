@@ -87,6 +87,7 @@ class LLM:
                                    max_lora_rank=max_lora_rank),
             speculative_config=SpeculativeConfig(
                 **(speculative_config or {})),
+            kv_transfer_config=kwargs.pop("kv_transfer_config", None),
         )
         self.engine = LLMEngine(config, mesh=mesh)
         self._counter = self.engine.request_counter

@@ -458,6 +458,12 @@ class TPUModelRunner:
 
         self.kv_offload_store = KVOffloadStore(capacity_blocks)
 
+    def extract_kv_blocks(self, block_ids: list) -> np.ndarray:
+        """Device → host gather of whole KV pages (P/D disaggregation
+        producer; kv_transfer/connector.py). [L, n, page, W]."""
+        ids = jnp.asarray(block_ids, dtype=jnp.int32)
+        return np.asarray(self.kv_caches[:, ids])
+
     def _process_kv_offload_ops(self,
                                 scheduler_output: SchedulerOutput
                                 ) -> None:
