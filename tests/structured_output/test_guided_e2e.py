@@ -74,11 +74,13 @@ def test_unconstrained_alongside_guided(llm):
 
 
 def test_invalid_spec_rejected(llm):
+    # grammars ARE supported (EBNF PDA backend) — an undefined rule
+    # must still fail fast at submission
     p = SamplingParams(
         max_tokens=5,
         structured_outputs=StructuredOutputParams(
             grammar="root ::= something"))
-    with pytest.raises(ValueError, match="regex-DFA"):
+    with pytest.raises(ValueError, match="never defined"):
         llm.generate(["x"], p)
 
 

@@ -95,10 +95,18 @@ class Processor:
                         "token N before masking step N+1)")
                 # fail fast on unsupported/invalid specs (reference:
                 # structured-output validation processor.py:222)
-                from vllm_main_modify_tpu.structured_output.manager \
-                    import spec_to_regex
+                so = sampling_params.structured_outputs
+                if so.grammar is not None:
+                    # EBNF: validate the grammar parses (PDA backend)
+                    from vllm_main_modify_tpu.structured_output.ebnf \
+                        import _EBNFParser
 
-                spec_to_regex(sampling_params.structured_outputs)
+                    _EBNFParser(so.grammar).parse()
+                else:
+                    from vllm_main_modify_tpu.structured_output \
+                        .manager import spec_to_regex
+
+                    spec_to_regex(so)
             if sampling_params.bad_words and self.tokenizer is not None:
                 # tokenize bad words (both with and without a leading
                 # space — reference: vllm/v1/sample/ops/bad_words.py)

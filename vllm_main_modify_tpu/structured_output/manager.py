@@ -36,7 +36,7 @@ def spec_to_regex(params: StructuredOutputParams) -> str:
         return schema_to_regex(params.json_schema)
     if params.choice is not None:
         return choice_to_regex(list(params.choice))
-    if params.grammar is not None:
+    if params.grammar is not None:  # handled by the EBNF PDA backend
         raise ValueError(
             "EBNF grammars are not supported by the regex-DFA backend; "
             "use json_schema, regex, or choice")
@@ -101,6 +101,9 @@ class StructuredOutputManager:
     def add_request(self, request) -> None:
         params = request.sampling_params.structured_outputs
         assert params is not None
+        if params.grammar is not None:
+            self._add_ebnf_request(request, params.grammar)
+            return
         try:
             pattern = spec_to_regex(params)
         except ValueError as e:
@@ -120,6 +123,29 @@ class StructuredOutputManager:
                 dfa = compile_regex(pattern)
                 compiled = CompiledGrammar(dfa, self._get_index())
                 self._cache[pattern] = compiled
+            return compiled
+
+        future = self._executor.submit(compile_job)
+        request.structured_output_request = StructuredOutputRequest(
+            future, request.request_id, self.audit)
+
+    def _add_ebnf_request(self, request, grammar_text: str) -> None:
+        """CFG/EBNF path: pushdown automaton backend (ebnf.py);
+        reference capability: backend_xgrammar.py full grammars."""
+        from vllm_main_modify_tpu.structured_output.ebnf import \
+            compile_ebnf
+
+        self.audit.start_trail(request.request_id,
+                               backend_type="ebnf_pda",
+                               grammar_spec=grammar_text)
+        cache_key = "ebnf:" + grammar_text
+
+        def compile_job():
+            compiled = self._cache.get(cache_key)
+            if compiled is None:
+                compiled = compile_ebnf(grammar_text,
+                                        self._get_index())
+                self._cache[cache_key] = compiled
             return compiled
 
         future = self._executor.submit(compile_job)

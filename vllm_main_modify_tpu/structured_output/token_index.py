@@ -74,6 +74,14 @@ def token_bytes_table(tokenizer) -> list[Optional[bytes]]:
     return out
 
 
+class TrieNode:
+    __slots__ = ("children", "token_ids")
+
+    def __init__(self) -> None:
+        self.children: dict[int, "TrieNode"] = {}
+        self.token_ids: list[int] = []
+
+
 class TokenIndex:
     """Per-tokenizer immutable index shared by all grammars."""
 
@@ -115,6 +123,25 @@ class TokenIndex:
         """bool [V]: tokens that keep the DFA alive from `state`."""
         finals = self.walk_all(dfa, state)
         return self.usable & (finals != dfa.dead)
+
+    def byte_trie(self) -> "TrieNode":
+        """Vocab byte trie (built once, shared): the EBNF PDA walks it
+        to compute token masks with shared-prefix pruning."""
+        if getattr(self, "_trie", None) is None:
+            root = TrieNode()
+            for tid in range(self.vocab_size):
+                if not self.usable[tid]:
+                    continue
+                node = root
+                for b in self.bytes_matrix[tid, :self.lengths[tid]]:
+                    b = int(b)
+                    child = node.children.get(b)
+                    if child is None:
+                        child = node.children[b] = TrieNode()
+                    node = child
+                node.token_ids.append(tid)
+            self._trie = root
+        return self._trie
 
     def pack_bitmask(self, valid: np.ndarray,
                      allow_eos: bool) -> np.ndarray:
