@@ -187,3 +187,102 @@ def test_metrics_endpoint(client):
     status, text = get(client, "/metrics")
     assert status == 200
     assert "vllm:num_requests_running" in text
+
+
+# ---- /v1/responses (reference: api_server.py create_responses) ----
+
+
+def test_responses_basic(client):
+    status, body = post(client, "/v1/responses", {
+        "input": "hello there",
+        "max_output_tokens": 6,
+        "temperature": 0.0,
+    })
+    assert status == 200, body
+    assert body["object"] == "response"
+    assert body["status"] == "completed"
+    assert body["output"][0]["role"] == "assistant"
+    text = body["output"][0]["content"][0]["text"]
+    assert body["output_text"] == text
+    assert body["usage"]["output_tokens"] == 6
+
+
+def test_responses_chaining(client):
+    status, first = post(client, "/v1/responses", {
+        "input": "one", "max_output_tokens": 4, "temperature": 0.0,
+        "store": True,
+    })
+    assert status == 200
+    status, second = post(client, "/v1/responses", {
+        "input": "two", "max_output_tokens": 4, "temperature": 0.0,
+        "previous_response_id": first["id"],
+    })
+    assert status == 200
+    assert second["previous_response_id"] == first["id"]
+    # unknown chain id → 400
+    status, err = post(client, "/v1/responses", {
+        "input": "x", "previous_response_id": "resp_nope",
+    })
+    assert status == 400
+
+
+def test_responses_background_and_retrieve(client):
+    c, loop = client
+    status, body = post(client, "/v1/responses", {
+        "input": "background run",
+        "max_output_tokens": 5, "temperature": 0.0,
+        "background": True,
+    })
+    assert status == 200
+    assert body["status"] in ("in_progress", "completed")
+    rid = body["id"]
+
+    async def poll():
+        import asyncio as aio
+
+        for _ in range(200):
+            resp = await c.get(f"/v1/responses/{rid}")
+            doc = await resp.json()
+            if doc["status"] == "completed":
+                return doc
+            await aio.sleep(0.05)
+        raise AssertionError("background response never completed")
+
+    doc = loop.run_until_complete(poll())
+    # random weights may decode to empty text; usage is the witness
+    assert doc["usage"]["output_tokens"] == 5
+    assert doc["output"][0]["role"] == "assistant"
+    # retrieval of unknown id → 404
+    status, _ = get(client, "/v1/responses/resp_missing")
+    assert status == 404
+
+
+def test_responses_cancel(client):
+    status, body = post(client, "/v1/responses", {
+        "input": "long run",
+        "max_output_tokens": 100, "temperature": 0.0,
+        "background": True,
+    })
+    assert status == 200
+    rid = body["id"]
+    status, doc = post(client, f"/v1/responses/{rid}/cancel", {})
+    assert status == 200
+    assert doc["status"] in ("cancelled", "completed")
+
+
+def test_responses_streaming(client):
+    c, loop = client
+
+    async def run():
+        resp = await c.post("/v1/responses", json={
+            "input": "stream me", "max_output_tokens": 5,
+            "temperature": 0.0, "stream": True,
+        })
+        assert resp.status == 200
+        raw = (await resp.read()).decode()
+        return raw
+
+    raw = loop.run_until_complete(run())
+    assert "event: response.created" in raw
+    assert "event: response.output_text.delta" in raw
+    assert "event: response.completed" in raw

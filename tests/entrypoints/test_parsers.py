@@ -67,3 +67,118 @@ def test_reasoning_parser():
     r3 = p.extract("no think tags")
     assert r3.reasoning_content is None
     assert r3.content == "no think tags"
+
+
+# -------------------------------------------------------------------
+# wave-2 tool parsers (reference: openai/tool_parsers/ breadth)
+
+
+def test_pythonic_parser():
+    p = get_tool_parser("pythonic")
+    r = p.extract('[get_weather(city="SF", units=2), ping()]')
+    assert r.tools_called and len(r.tool_calls) == 2
+    import json
+    assert json.loads(r.tool_calls[0].arguments) == {
+        "city": "SF", "units": 2}
+    assert r.tool_calls[1].name == "ping"
+    assert not p.extract("just text").tools_called
+
+
+def test_granite_parser():
+    p = get_tool_parser("granite")
+    r = p.extract('<|tool_call|>[{"name": "f", "arguments": '
+                  '{"x": 1}}]')
+    assert r.tools_called and r.tool_calls[0].name == "f"
+    # bare array also accepted
+    r2 = p.extract('[{"name": "g", "arguments": {}}]')
+    assert r2.tools_called and r2.tool_calls[0].name == "g"
+
+
+def test_granite_20b_fc_parser():
+    p = get_tool_parser("granite-20b-fc")
+    r = p.extract('<function_call> {"name": "a", "arguments": '
+                  '{"k": "v"}}<function_call> {"name": "b", '
+                  '"arguments": {}}')
+    assert [c.name for c in r.tool_calls] == ["a", "b"]
+
+
+def test_jamba_parser():
+    p = get_tool_parser("jamba")
+    r = p.extract('sure!<tool_calls>[{"name": "f", "arguments": '
+                  '{"q": 7}}]</tool_calls>')
+    assert r.tools_called and r.content == "sure!"
+
+
+def test_internlm_parser():
+    p = get_tool_parser("internlm")
+    r = p.extract('I will call.<|action_start|><|plugin|>'
+                  '{"name": "search", "parameters": {"q": "tpu"}}'
+                  '<|action_end|>')
+    assert r.tools_called
+    assert r.tool_calls[0].name == "search"
+    assert r.content == "I will call."
+
+
+def test_deepseek_v3_parser():
+    p = get_tool_parser("deepseek_v3")
+    text = ("ok<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function"
+            "<｜tool▁sep｜>get_time\n```json\n{\"tz\": \"UTC\"}\n```"
+            "<｜tool▁call▁end｜><｜tool▁calls▁end｜>")
+    r = p.extract(text)
+    assert r.tools_called and r.tool_calls[0].name == "get_time"
+    import json
+    assert json.loads(r.tool_calls[0].arguments) == {"tz": "UTC"}
+    assert r.content == "ok"
+
+
+def test_qwen3_coder_parser():
+    p = get_tool_parser("qwen3_coder")
+    r = p.extract("<tool_call><function=read_file>"
+                  "<parameter=path>/tmp/x</parameter>"
+                  "<parameter=limit>5</parameter>"
+                  "</function></tool_call>")
+    assert r.tools_called
+    import json
+    args = json.loads(r.tool_calls[0].arguments)
+    assert args == {"path": "/tmp/x", "limit": 5}
+
+
+def test_glm4_moe_parser():
+    p = get_tool_parser("glm45")
+    r = p.extract("<tool_call>lookup\n<arg_key>id</arg_key>"
+                  "<arg_value>42</arg_value></tool_call>")
+    assert r.tools_called and r.tool_calls[0].name == "lookup"
+    import json
+    assert json.loads(r.tool_calls[0].arguments) == {"id": 42}
+
+
+def test_phi4_mini_parser():
+    p = get_tool_parser("phi4_mini_json")
+    r = p.extract('functools[{"name": "calc", "arguments": '
+                  '{"a": 1}}]')
+    assert r.tools_called and r.tool_calls[0].name == "calc"
+
+
+def test_reasoning_parser_variants():
+    p = get_reasoning_parser("exaone4")
+    r = p.extract("<thought>deep</thought>shallow")
+    assert r.reasoning_content == "deep" and r.content == "shallow"
+
+    p = get_reasoning_parser("mistral")
+    r = p.extract("[THINK]a[/THINK]b")
+    assert r.reasoning_content == "a" and r.content == "b"
+
+    p = get_reasoning_parser("granite")
+    r = p.extract("Here is my thought process: ponder. "
+                  "Here is my response: reply.")
+    assert r.reasoning_content == "ponder." and r.content == "reply."
+
+    p = get_reasoning_parser("hunyuan_a13b")
+    r = p.extract("<think>t</think><answer>a</answer>")
+    assert r.reasoning_content == "t" and r.content == "a"
+    r2 = p.extract("<think>t</think>plain tail")
+    assert r2.content == "plain tail"
+
+    p = get_reasoning_parser("seed_oss")
+    r = p.extract("<seed:think>x</seed:think>y")
+    assert r.reasoning_content == "x" and r.content == "y"

@@ -30,7 +30,8 @@ from vllm_main_modify_tpu.entrypoints.openai.protocol import (
     CompletionResponse, DeltaMessage, DetokenizeRequest,
     DetokenizeResponse, EmbeddingData, EmbeddingRequest,
     EmbeddingResponse, ErrorResponse, ModelCard, ModelList,
-    TokenizeRequest, TokenizeResponse, UsageInfo, random_uuid)
+    ResponsesRequest, TokenizeRequest, TokenizeResponse, UsageInfo,
+    random_uuid)
 from vllm_main_modify_tpu.metrics.prometheus import PrometheusMetrics
 
 logger = logging.getLogger(__name__)
@@ -66,6 +67,10 @@ class OpenAIServer:
 
             self.reasoning_parser = get_reasoning_parser(
                 reasoning_parser)
+        # /v1/responses store (reference: serving_responses.py
+        # response_store + background tasks)
+        self._responses: dict[str, dict] = {}
+        self._response_tasks: dict[str, asyncio.Task] = {}
 
     # ------------------------------------------------------------------
 
@@ -77,6 +82,10 @@ class OpenAIServer:
         r.add_get("/v1/models", self.models)
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/chat/completions", self.chat_completions)
+        r.add_post("/v1/responses", self.responses)
+        r.add_get("/v1/responses/{response_id}", self.get_response)
+        r.add_post("/v1/responses/{response_id}/cancel",
+                   self.cancel_response)
         r.add_post("/v1/embeddings", self.embeddings)
         r.add_post("/score", self.score)
         r.add_post("/v1/score", self.score)
@@ -554,6 +563,200 @@ class OpenAIServer:
         return {"prompt_token_ids": token_ids,
                 "prompt": text.replace(self._MM_SENTINEL, ""),
                 "multi_modal_data": {"image": images}}
+
+    # ---- /v1/responses (reference: api_server.py:345-1240
+    # create_responses / retrieve_responses / cancel_responses) ------
+
+    def _responses_to_messages(self, body) -> list:
+        """ResponsesRequest input → chat messages, replaying the
+        previous_response_id conversation when chained."""
+        messages: list[dict] = []
+        if body.previous_response_id:
+            prev = self._responses.get(body.previous_response_id)
+            if prev is None:
+                raise ValueError(
+                    f"previous response "
+                    f"{body.previous_response_id!r} not found")
+            messages.extend(prev["_messages"])
+        if body.instructions:
+            messages.append({"role": "system",
+                             "content": body.instructions})
+        if isinstance(body.input, str):
+            messages.append({"role": "user", "content": body.input})
+        else:
+            for item in body.input:
+                if item.get("type", "message") != "message" and \
+                        "role" not in item:
+                    continue  # non-message items (tool outputs etc.)
+                content = item.get("content")
+                if isinstance(content, list):  # typed content parts
+                    content = "".join(
+                        p.get("text", "") for p in content
+                        if isinstance(p, dict))
+                messages.append({"role": item.get("role", "user"),
+                                 "content": content or ""})
+        return messages
+
+    def _response_json(self, rec: dict) -> dict:
+        return {k: v for k, v in rec.items()
+                if not k.startswith("_")}
+
+    async def _run_response(self, rec: dict, prompt, params,
+                            request_id: str) -> None:
+        try:
+            final = None
+            async for out in self.engine.generate(prompt, params,
+                                                  request_id):
+                final = out
+            co = final.outputs[0]
+            rec["status"] = "completed"
+            rec["output"] = [{
+                "type": "message",
+                "id": f"msg_{random_uuid()}",
+                "role": "assistant",
+                "status": "completed",
+                "content": [{"type": "output_text", "text": co.text,
+                             "annotations": []}],
+            }]
+            rec["output_text"] = co.text
+            rec["usage"] = {
+                "input_tokens": len(final.prompt_token_ids),
+                "output_tokens": len(co.token_ids),
+                "total_tokens": len(final.prompt_token_ids) +
+                len(co.token_ids),
+            }
+            rec["_messages"].append({"role": "assistant",
+                                     "content": co.text})
+        except asyncio.CancelledError:
+            rec["status"] = "cancelled"
+        except Exception as e:  # noqa: BLE001
+            rec["status"] = "failed"
+            rec["error"] = {"message": str(e)}
+
+    async def responses(self, request: web.Request) -> web.Response:
+        try:
+            body = ResponsesRequest(**await request.json())
+            messages = self._responses_to_messages(body)
+            text, images = self._apply_chat_template(
+                [ChatMessage(**m) for m in messages], True, None)
+            prompt = self._build_mm_prompt(text, images)
+            params = body.to_sampling_params(self.max_model_len)
+        except ValueError as e:
+            return error_json(400, str(e))
+        response_id = f"resp_{random_uuid()}"
+        request_id = response_id
+        import time as _time
+
+        rec = {
+            "id": response_id,
+            "object": "response",
+            "created_at": int(_time.time()),
+            "model": body.model or self.model_name,
+            "status": "in_progress",
+            "output": [],
+            "output_text": None,
+            "usage": None,
+            "previous_response_id": body.previous_response_id,
+            "instructions": body.instructions,
+            "metadata": body.metadata or {},
+            "_messages": messages,
+        }
+        if body.store or body.background:
+            self._responses[response_id] = rec
+
+        if body.stream and not body.background:
+            return await self._stream_response(request, rec, prompt,
+                                               params, request_id)
+        task = asyncio.get_running_loop().create_task(
+            self._run_response(rec, prompt, params, request_id))
+        self._response_tasks[response_id] = task
+        if body.background:
+            return web.json_response(self._response_json(rec))
+        await task
+        self._response_tasks.pop(response_id, None)
+        if rec["status"] == "failed":
+            return error_json(500, rec["error"]["message"],
+                              "InternalServerError")
+        return web.json_response(self._response_json(rec))
+
+    async def _stream_response(self, request, rec, prompt, params,
+                               request_id) -> web.StreamResponse:
+        """SSE: response.created / response.output_text.delta /
+        response.completed events."""
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"})
+        await resp.prepare(request)
+
+        async def emit(event: str, data: dict) -> None:
+            await resp.write(
+                f"event: {event}\ndata: {json.dumps(data)}\n\n"
+                .encode())
+
+        await emit("response.created",
+                   {"type": "response.created",
+                    "response": self._response_json(rec)})
+        pieces: list[str] = []
+        final = None
+        try:
+            async for out in self.engine.generate(prompt, params,
+                                                  request_id):
+                final = out
+                delta = out.outputs[0].text
+                if delta:
+                    pieces.append(delta)
+                    await emit("response.output_text.delta",
+                               {"type": "response.output_text.delta",
+                                "delta": delta})
+        except (ValueError, EngineDeadError) as e:
+            rec["status"] = "failed"
+            await emit("response.failed",
+                       {"type": "response.failed",
+                        "error": {"message": str(e)}})
+            await resp.write_eof()
+            return resp
+        text = "".join(pieces)
+        rec["status"] = "completed"
+        rec["output_text"] = text
+        rec["output"] = [{
+            "type": "message", "id": f"msg_{random_uuid()}",
+            "role": "assistant", "status": "completed",
+            "content": [{"type": "output_text", "text": text,
+                         "annotations": []}],
+        }]
+        if final is not None:
+            ntok = len(final.outputs[0].token_ids)
+            rec["usage"] = {
+                "input_tokens": len(final.prompt_token_ids),
+                "output_tokens": ntok,
+                "total_tokens": len(final.prompt_token_ids) + ntok,
+            }
+        rec["_messages"].append({"role": "assistant",
+                                 "content": text})
+        await emit("response.completed",
+                   {"type": "response.completed",
+                    "response": self._response_json(rec)})
+        await resp.write_eof()
+        return resp
+
+    async def get_response(self, request: web.Request) -> web.Response:
+        rec = self._responses.get(request.match_info["response_id"])
+        if rec is None:
+            return error_json(404, "response not found")
+        return web.json_response(self._response_json(rec))
+
+    async def cancel_response(self,
+                              request: web.Request) -> web.Response:
+        rid = request.match_info["response_id"]
+        rec = self._responses.get(rid)
+        if rec is None:
+            return error_json(404, "response not found")
+        task = self._response_tasks.pop(rid, None)
+        if task is not None and not task.done():
+            task.cancel()
+            await self.engine.abort(rid)
+            rec["status"] = "cancelled"
+        return web.json_response(self._response_json(rec))
 
     async def chat_completions(self,
                                request: web.Request) -> web.Response:

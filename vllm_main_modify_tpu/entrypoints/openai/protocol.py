@@ -83,6 +83,7 @@ class _SamplingFields(OpenAIBaseModel):
     guided_json: Optional[Union[str, dict]] = None
     guided_regex: Optional[str] = None
     guided_choice: Optional[list[str]] = None
+    guided_grammar: Optional[str] = None  # EBNF (GBNF) grammar
 
     def to_sampling_params(self, default_max_tokens: int,
                            stream: bool) -> SamplingParams:
@@ -94,6 +95,9 @@ class _SamplingFields(OpenAIBaseModel):
             structured = StructuredOutputParams(regex=self.guided_regex)
         elif self.guided_choice is not None:
             structured = StructuredOutputParams(choice=self.guided_choice)
+        elif self.guided_grammar is not None:
+            structured = StructuredOutputParams(
+                grammar=self.guided_grammar)
         elif self.response_format is not None:
             if self.response_format.type == "json_schema":
                 schema = self.response_format.json_schema or {}
@@ -256,3 +260,23 @@ class EmbeddingResponse(OpenAIBaseModel):
     data: list[EmbeddingData] = Field(default_factory=list)
     model: str = ""
     usage: UsageInfo = Field(default_factory=UsageInfo)
+
+
+class ResponsesRequest(_SamplingFields):
+    """/v1/responses (reference: vllm/entrypoints/openai/
+    api_server.py create_responses + serving_responses.py)."""
+
+    model: Optional[str] = None
+    input: Union[str, list[dict]] = ""
+    instructions: Optional[str] = None
+    max_output_tokens: Optional[int] = None
+    previous_response_id: Optional[str] = None
+    background: bool = False
+    store: bool = True
+    metadata: Optional[dict] = None
+
+    def to_sampling_params(self, default_max_tokens: int):
+        if self.max_output_tokens is not None:
+            self.max_tokens = self.max_output_tokens
+        return super().to_sampling_params(default_max_tokens,
+                                          self.stream)

@@ -111,10 +111,278 @@ class MistralToolParser:
         return ExtractedToolCalls(bool(calls), calls, content)
 
 
+class PythonicToolParser:
+    """Python-call-list format: ``[get_weather(city="SF"), f(x=3)]``
+    (reference: tool_parsers/pythonic_tool_parser.py; Llama-4
+    pythonic templates)."""
+
+    def extract(self, text: str) -> ExtractedToolCalls:
+        import ast
+
+        stripped = text.strip()
+        # models sometimes wrap the list in markdown fences
+        m = re.search(r"\[.*\]", stripped, re.DOTALL)
+        if not m:
+            return ExtractedToolCalls(False, [], text)
+        try:
+            node = ast.parse(m.group(0), mode="eval").body
+        except SyntaxError:
+            return ExtractedToolCalls(False, [], text)
+        if not isinstance(node, ast.List):
+            return ExtractedToolCalls(False, [], text)
+        calls = []
+        for el in node.elts:
+            if not (isinstance(el, ast.Call)
+                    and isinstance(el.func, ast.Name)):
+                return ExtractedToolCalls(False, [], text)
+            try:
+                args = {kw.arg: ast.literal_eval(kw.value)
+                        for kw in el.keywords}
+            except (ValueError, SyntaxError):
+                return ExtractedToolCalls(False, [], text)
+            calls.append(ToolCall(name=el.func.id,
+                                  arguments=json.dumps(args)))
+        return ExtractedToolCalls(bool(calls), calls, None)
+
+
+class JsonArrayToolParser:
+    """A (possibly prefixed) JSON array of {name, arguments} objects —
+    Granite 3.x ``<|tool_call|>``, xLAM, Jamba/Hunyuan
+    ``<tool_calls>`` blocks (reference: granite_tool_parser.py,
+    xlam_tool_parser.py, jamba_tool_parser.py)."""
+
+    def __init__(self, prefixes: tuple = ("<|tool_call|>", ),
+                 strip_tags: tuple = ()) -> None:
+        self.prefixes = prefixes
+        self.strip_tags = strip_tags
+
+    def extract(self, text: str) -> ExtractedToolCalls:
+        payload = text
+        content = None
+        for open_t, close_t in self.strip_tags:
+            i = payload.find(open_t)
+            if i >= 0:
+                content = payload[:i].strip() or None
+                payload = payload[i + len(open_t):]
+                j = payload.find(close_t)
+                if j >= 0:
+                    payload = payload[:j]
+                break
+        for p in self.prefixes:
+            i = payload.find(p)
+            if i >= 0:
+                content = payload[:i].strip() or None
+                payload = payload[i + len(p):]
+                break
+        payload = payload.strip()
+        m = re.search(r"\[.*\]", payload, re.DOTALL)
+        if not m:
+            return ExtractedToolCalls(False, [], text)
+        try:
+            arr = json.loads(m.group(0))
+        except json.JSONDecodeError:
+            return ExtractedToolCalls(False, [], text)
+        if not isinstance(arr, list):
+            return ExtractedToolCalls(False, [], text)
+        calls = []
+        for o in arr:
+            if not isinstance(o, dict) or "name" not in o:
+                return ExtractedToolCalls(False, [], text)
+            calls.append(
+                ToolCall(name=o["name"],
+                         arguments=json.dumps(
+                             o.get("arguments",
+                                   o.get("parameters", {})))))
+        return ExtractedToolCalls(bool(calls), calls, content)
+
+
+def _granite_parser():
+    return JsonArrayToolParser(prefixes=("<|tool_call|>", ))
+
+
+def _xlam_parser():
+    return JsonArrayToolParser(prefixes=("```json", "```"))
+
+
+def _jamba_parser():
+    return JsonArrayToolParser(
+        strip_tags=(("<tool_calls>", "</tool_calls>"), ))
+
+
+class InternLM2ToolParser:
+    """``<|action_start|><|plugin|>{json}<|action_end|>`` (reference:
+    internlm2_tool_parser.py)."""
+
+    PATTERN = re.compile(
+        r"<\|action_start\|><\|plugin\|>\s*(.*?)\s*<\|action_end\|>",
+        re.DOTALL)
+
+    def extract(self, text: str) -> ExtractedToolCalls:
+        m = self.PATTERN.search(text)
+        if not m:
+            return ExtractedToolCalls(False, [], text)
+        try:
+            obj = json.loads(m.group(1))
+        except json.JSONDecodeError:
+            return ExtractedToolCalls(False, [], text)
+        call = ToolCall(name=obj.get("name", ""),
+                        arguments=json.dumps(
+                            obj.get("parameters",
+                                    obj.get("arguments", {}))))
+        content = text[:m.start()].strip() or None
+        return ExtractedToolCalls(True, [call], content)
+
+
+class DeepSeekV3ToolParser:
+    """DeepSeek-V3 unicode-delimited blocks (reference:
+    deepseekv3_tool_parser.py):
+    ``<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function<｜tool▁sep｜>
+    NAME\\n```json\\n{...}\\n```<｜tool▁call▁end｜>...``"""
+
+    BLOCK = re.compile(
+        r"<｜tool▁call▁begin｜>function<｜tool▁sep｜>([^\n]+)\n"
+        r"```json\n(.*?)\n```<｜tool▁call▁end｜>", re.DOTALL)
+
+    def extract(self, text: str) -> ExtractedToolCalls:
+        start = text.find("<｜tool▁calls▁begin｜>")
+        if start < 0:
+            return ExtractedToolCalls(False, [], text)
+        calls = []
+        for m in self.BLOCK.finditer(text):
+            try:
+                args = json.loads(m.group(2))
+            except json.JSONDecodeError:
+                continue
+            calls.append(ToolCall(name=m.group(1).strip(),
+                                  arguments=json.dumps(args)))
+        content = text[:start].strip() or None
+        return ExtractedToolCalls(bool(calls), calls, content)
+
+
+class Qwen3CoderToolParser:
+    """XML function/parameter format (reference:
+    qwen3coder_tool_parser.py):
+    ``<tool_call><function=NAME><parameter=KEY>VALUE</parameter>...
+    </function></tool_call>``"""
+
+    CALL = re.compile(r"<tool_call>\s*<function=([^>]+)>(.*?)"
+                      r"</function>\s*</tool_call>", re.DOTALL)
+    PARAM = re.compile(r"<parameter=([^>]+)>(.*?)</parameter>",
+                       re.DOTALL)
+
+    def extract(self, text: str) -> ExtractedToolCalls:
+        calls = []
+        for m in self.CALL.finditer(text):
+            args = {}
+            for pm in self.PARAM.finditer(m.group(2)):
+                val = pm.group(2).strip()
+                try:  # numbers/objects parse; else keep the string
+                    val = json.loads(val)
+                except json.JSONDecodeError:
+                    pass
+                args[pm.group(1).strip()] = val
+            calls.append(ToolCall(name=m.group(1).strip(),
+                                  arguments=json.dumps(args)))
+        content = self.CALL.sub("", text).strip() or None
+        return ExtractedToolCalls(bool(calls), calls, content)
+
+
+class GLM4MoeToolParser:
+    """GLM-4.5 arg_key/arg_value format (reference:
+    glm4_moe_tool_parser.py): ``<tool_call>NAME\\n<arg_key>K</arg_key>
+    <arg_value>V</arg_value>...</tool_call>``"""
+
+    CALL = re.compile(r"<tool_call>\s*([^\n<]+)(.*?)</tool_call>",
+                      re.DOTALL)
+    KV = re.compile(r"<arg_key>(.*?)</arg_key>\s*"
+                    r"<arg_value>(.*?)</arg_value>", re.DOTALL)
+
+    def extract(self, text: str) -> ExtractedToolCalls:
+        calls = []
+        for m in self.CALL.finditer(text):
+            args = {}
+            for km in self.KV.finditer(m.group(2)):
+                val = km.group(2).strip()
+                try:
+                    val = json.loads(val)
+                except json.JSONDecodeError:
+                    pass
+                args[km.group(1).strip()] = val
+            calls.append(ToolCall(name=m.group(1).strip(),
+                                  arguments=json.dumps(args)))
+        content = self.CALL.sub("", text).strip() or None
+        return ExtractedToolCalls(bool(calls), calls, content)
+
+
+class Phi4MiniJsonToolParser:
+    """``functools[{...}, ...]`` (reference:
+    phi4mini_tool_parser.py)."""
+
+    def extract(self, text: str) -> ExtractedToolCalls:
+        idx = text.find("functools[")
+        if idx < 0:
+            return ExtractedToolCalls(False, [], text)
+        payload = text[idx + len("functools"):]
+        m = re.search(r"\[.*\]", payload, re.DOTALL)
+        if not m:
+            return ExtractedToolCalls(False, [], text)
+        try:
+            arr = json.loads(m.group(0))
+        except json.JSONDecodeError:
+            return ExtractedToolCalls(False, [], text)
+        calls = [
+            ToolCall(name=o.get("name", ""),
+                     arguments=json.dumps(o.get("arguments", {})))
+            for o in arr if isinstance(o, dict)
+        ]
+        content = text[:idx].strip() or None
+        return ExtractedToolCalls(bool(calls), calls, content)
+
+
+class Granite20bFCToolParser:
+    """``<function_call> {json}`` repeated (reference:
+    granite_20b_fc_tool_parser.py)."""
+
+    BLOCK = re.compile(r"<function_call>\s*(\{.*?\})(?=\s*(?:"
+                       r"<function_call>|$))", re.DOTALL)
+
+    def extract(self, text: str) -> ExtractedToolCalls:
+        calls = []
+        first = text.find("<function_call>")
+        if first < 0:
+            return ExtractedToolCalls(False, [], text)
+        for m in self.BLOCK.finditer(text):
+            try:
+                obj = json.loads(m.group(1))
+            except json.JSONDecodeError:
+                continue
+            calls.append(
+                ToolCall(name=obj.get("name", ""),
+                         arguments=json.dumps(
+                             obj.get("arguments", {}))))
+        content = text[:first].strip() or None
+        return ExtractedToolCalls(bool(calls), calls, content)
+
+
 TOOL_PARSERS = {
     "hermes": HermesToolParser,
     "llama3_json": Llama3JsonToolParser,
+    "llama4_json": Llama3JsonToolParser,
     "mistral": MistralToolParser,
+    "pythonic": PythonicToolParser,
+    "llama4_pythonic": PythonicToolParser,
+    "granite": _granite_parser,
+    "granite-20b-fc": Granite20bFCToolParser,
+    "xlam": _xlam_parser,
+    "jamba": _jamba_parser,
+    "hunyuan_a13b": _jamba_parser,
+    "minimax": _jamba_parser,
+    "internlm": InternLM2ToolParser,
+    "deepseek_v3": DeepSeekV3ToolParser,
+    "qwen3_coder": Qwen3CoderToolParser,
+    "glm4_moe": GLM4MoeToolParser,
+    "glm45": GLM4MoeToolParser,
+    "phi4_mini_json": Phi4MiniJsonToolParser,
 }
 
 

@@ -41,9 +41,67 @@ class ThinkTagReasoningParser:
                                content.strip() or None)
 
 
+def _tag_parser(start: str, end: str):
+    """Parametrized tag-pair parser factory (reference: the per-model
+    files in vllm/reasoning/ differing only in delimiters)."""
+
+    def make() -> ThinkTagReasoningParser:
+        p = ThinkTagReasoningParser()
+        p.START, p.END = start, end
+        return p
+
+    return make
+
+
+class GraniteReasoningParser:
+    """Granite 3.x prose delimiters (reference:
+    granite_reasoning_parser.py): 'Here is my thought process:' ...
+    'Here is my response:'."""
+
+    THOUGHT = re.compile(
+        r"(?:Here is my thought process:|Here's my thought process:)"
+        r"\s*(.*?)\s*"
+        r"(?:Here is my response:|Here's my response:)\s*(.*)",
+        re.DOTALL)
+
+    def extract(self, text: str) -> ReasoningOutput:
+        m = self.THOUGHT.search(text)
+        if not m:
+            return ReasoningOutput(None, text)
+        return ReasoningOutput(m.group(1).strip() or None,
+                               m.group(2).strip() or None)
+
+
+class HunyuanReasoningParser:
+    """<think>...</think><answer>...</answer> (reference:
+    hunyuan_a13b_reasoning_parser.py)."""
+
+    PAT = re.compile(r"<think>\s*(.*?)\s*</think>\s*"
+                     r"(?:<answer>\s*(.*?)\s*</answer>|(.*))",
+                     re.DOTALL)
+
+    def extract(self, text: str) -> ReasoningOutput:
+        m = self.PAT.search(text)
+        if not m:
+            return ReasoningOutput(None, text)
+        content = m.group(2) if m.group(2) is not None else m.group(3)
+        return ReasoningOutput(m.group(1).strip() or None,
+                               (content or "").strip() or None)
+
+
 REASONING_PARSERS = {
     "deepseek_r1": ThinkTagReasoningParser,
+    "deepseek_v3": ThinkTagReasoningParser,
     "qwen3": ThinkTagReasoningParser,
+    "glm45": ThinkTagReasoningParser,
+    "step3": ThinkTagReasoningParser,
+    "olmo3": ThinkTagReasoningParser,
+    "kimi": ThinkTagReasoningParser,
+    "exaone4": _tag_parser("<thought>", "</thought>"),
+    "seed_oss": _tag_parser("<seed:think>", "</seed:think>"),
+    "mistral": _tag_parser("[THINK]", "[/THINK]"),
+    "granite": GraniteReasoningParser,
+    "hunyuan_a13b": HunyuanReasoningParser,
 }
 
 
