@@ -132,6 +132,164 @@ def test_mamba_decode_step(tmp_path):
 
 
 # ---------------------------------------------------------------------
+# Mamba-2 (SSD)
+
+
+def build_mamba2(tmp_path):
+    import torch
+    import transformers
+
+    cfg = transformers.Mamba2Config(
+        vocab_size=256, hidden_size=32, num_hidden_layers=2,
+        state_size=8, conv_kernel=4, expand=2, num_heads=4,
+        head_dim=16, n_groups=2, chunk_size=8,
+        tie_word_embeddings=False)
+    torch.manual_seed(0)
+    model = transformers.Mamba2ForCausalLM(cfg).to(
+        torch.float32).eval()
+    path = tmp_path / "mamba2"
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path), model
+
+
+def run_mamba2(model_dir, chunks):
+    from jax.sharding import Mesh
+
+    config = ModelConfig(model=model_dir, dtype="float32",
+                         max_model_len=128)
+    model = create_model(config)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                ("data", "model"))
+    params = load_model_weights(model, config, mesh)
+    n_slots = 4
+    conv = jnp.zeros((model.L, n_slots, model.d_conv - 1,
+                      model.conv_dim), jnp.float32)
+    ssm = jnp.zeros((model.L, n_slots, model.num_heads,
+                     model.head_dim_m, model.d_state), jnp.float32)
+    kv = (jnp.zeros((0, 2, 8, 0), jnp.float32), (conv, ssm))
+    t_pad = 16
+    off = 0
+    for chunk in chunks:
+        ids = TOKENS[off:off + chunk]
+        off += chunk
+        meta = make_meta([chunk], t_pad=t_pad)
+        ids_p = jnp.asarray(ids + [0] * (t_pad - chunk), jnp.int32)
+        pos = jnp.asarray(list(range(off - chunk, off)) + [0] *
+                          (t_pad - chunk), jnp.int32)
+        hidden, kv = model(params, ids_p, pos, kv, meta,
+                           use_pallas=False)
+    logits = model.compute_logits(params, hidden[:chunk])
+    return np.asarray(logits)
+
+
+def test_mamba2_prefill_parity(tmp_path):
+    import torch
+
+    path, hf = build_mamba2(tmp_path)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_mamba2(path, [len(TOKENS)])
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_mamba2_chunked_state_carry(tmp_path):
+    import torch
+
+    path, hf = build_mamba2(tmp_path)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_mamba2(path, [6, 3, 1])  # prefill chunks + decode step
+    np.testing.assert_allclose(got, ref[9:], atol=2e-3, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------
+# Bamba: mamba2 + attention hybrid
+
+
+def build_bamba(tmp_path):
+    import torch
+    import transformers
+
+    cfg = transformers.BambaConfig(
+        vocab_size=256, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=2, mamba_n_heads=4, mamba_d_head=16,
+        mamba_n_groups=2, mamba_d_state=8, mamba_d_conv=4,
+        mamba_expand=2, attn_layer_indices=[1],
+        max_position_embeddings=128, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    model = transformers.BambaForCausalLM(cfg).to(
+        torch.float32).eval()
+    path = tmp_path / "bamba"
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path), model
+
+
+def run_bamba(model_dir, chunks):
+    from jax.sharding import Mesh
+
+    config = ModelConfig(model=model_dir, dtype="float32",
+                         max_model_len=128)
+    model = create_model(config)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                ("data", "model"))
+    params = load_model_weights(model, config, mesh)
+    n_slots = 4
+    la, lm = len(model.attn_ids), len(model.mamba_ids)
+    page = 8
+    kv0 = jnp.zeros((la, 8, page, 2 * model.num_kv, model.head_dim),
+                    jnp.float32)
+    conv = jnp.zeros((lm, n_slots, model.d_conv - 1, model.conv_dim),
+                     jnp.float32)
+    ssm = jnp.zeros((lm, n_slots, model.m_heads, model.m_head_dim,
+                     model.d_state), jnp.float32)
+    kv = (kv0, (conv, ssm))
+    t_pad = 16
+    bt = np.zeros((4, 4), np.int32)
+    bt[0] = [1, 2, 0, 0]
+    off = 0
+    for chunk in chunks:
+        ids = TOKENS[off:off + chunk]
+        off += chunk
+        meta = make_meta([chunk], t_pad=t_pad)
+        sm = np.full(t_pad, -1, np.int32)
+        for j in range(chunk):
+            pos = off - chunk + j
+            sm[j] = (1 + pos // page) * page + pos % page
+        meta = meta._replace(
+            block_tables=jnp.asarray(bt),
+            seq_lens=jnp.asarray([off, 0, 0, 0], jnp.int32),
+            slot_mapping=jnp.asarray(sm))
+        ids_p = jnp.asarray(ids + [0] * (t_pad - chunk), jnp.int32)
+        pos = jnp.asarray(list(range(off - chunk, off)) + [0] *
+                          (t_pad - chunk), jnp.int32)
+        hidden, kv = model(params, ids_p, pos, kv, meta,
+                           use_pallas=False)
+    logits = model.compute_logits(params, hidden[:chunk])
+    return np.asarray(logits)
+
+
+def test_bamba_prefill_parity(tmp_path):
+    import torch
+
+    path, hf = build_bamba(tmp_path)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_bamba(path, [len(TOKENS)])
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_bamba_chunked_state_carry(tmp_path):
+    import torch
+
+    path, hf = build_bamba(tmp_path)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_bamba(path, [7, 3])
+    np.testing.assert_allclose(got, ref[7:], atol=2e-3, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------
 # Jamba: hybrid attention + mamba + MoE
 
 

@@ -150,6 +150,91 @@ def _maybe_rms(x: jax.Array, enable: bool, eps: float) -> jax.Array:
     return x * jax.lax.rsqrt(var + eps)
 
 
+def mamba2_mixer(
+    x: jax.Array,  # [T, H] layer input (post-norm)
+    w: dict,  # this layer's mixer weights
+    conv_state: jax.Array,  # [S, K-1, conv_dim] f32
+    ssm_state: jax.Array,  # [S, heads, head_dim, d_state] f32
+    seg: RaggedSegInfo,
+    num_heads: int,
+    head_dim: int,
+    n_groups: int,
+    d_state: int,
+    eps: float,
+    time_step_limit: tuple = (0.0, float("inf")),
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Mamba-2 (SSD) block over the packed ragged batch (reference:
+    csrc/mamba/ + vllm/model_executor/layers/mamba/mamba_mixer2.py).
+
+    Same segmented-scan skeleton as mamba1_mixer; the Mamba-2 deltas:
+    x/B/C all pass through ONE grouped causal conv; the decay dA is
+    scalar PER HEAD (A_log is [heads]); B/C are shared per head-group;
+    the output gate is a gated RMSNorm. The scan materializes
+    [T, heads, head_dim, N] f32 — bound prefill chunks accordingly;
+    the chunked SSD kernel is the planned optimization."""
+    t = x.shape[0]
+    d_inner = num_heads * head_dim
+    gn = n_groups * d_state
+    conv_dim = d_inner + 2 * gn
+
+    proj = x @ w["in_proj"]
+    if "in_bias" in w:
+        proj = proj + w["in_bias"]
+    z = proj[:, :d_inner]
+    xbc = proj[:, d_inner:d_inner + conv_dim].astype(jnp.float32)
+    dt_raw = proj[:, d_inner + conv_dim:]  # [T, heads]
+
+    conv_w = w["conv_w"].astype(jnp.float32)  # [K, conv_dim]
+    u = causal_conv1d_ragged(xbc, conv_w, w.get("conv_b"),
+                             conv_state, seg)
+    new_conv = update_conv_state(xbc, conv_state, seg)
+    u = jax.nn.silu(u)
+
+    xs = u[:, :d_inner].reshape(t, num_heads, head_dim)
+    b_in = u[:, d_inner:d_inner + gn].reshape(t, n_groups, d_state)
+    c_in = u[:, d_inner + gn:].reshape(t, n_groups, d_state)
+    heads_per_group = num_heads // n_groups
+    b_h = jnp.repeat(b_in, heads_per_group, axis=1)  # [T, heads, N]
+    c_h = jnp.repeat(c_in, heads_per_group, axis=1)
+
+    dt = jax.nn.softplus(
+        dt_raw.astype(jnp.float32) + w["dt_bias"].astype(jnp.float32))
+    lo, hi = time_step_limit
+    if lo > 0.0 or hi != float("inf"):
+        dt = jnp.clip(dt, lo, hi)
+    a = -jnp.exp(w["A_log"].astype(jnp.float32))  # [heads]
+    dA = jnp.exp(dt * a[None])  # [T, heads]
+    # b term: dt * x ⊗ B  → [T, heads, head_dim, N]
+    dBx = (dt[:, :, None] * xs)[..., None] * b_h[:, :, None, :]
+    dA4 = jnp.broadcast_to(dA[:, :, None, None], dBx.shape)
+
+    h0 = ssm_state[seg.state_slots[seg.req_of_tok]]
+    dBx = jnp.where(seg.is_first[:, None, None, None],
+                    dBx + dA4 * h0, dBx)
+    h = _segmented_linear_scan(
+        dA4.reshape(t, num_heads * head_dim, d_state),
+        dBx.reshape(t, num_heads * head_dim, d_state),
+        seg.req_of_tok).reshape(t, num_heads, head_dim, d_state)
+
+    h_last = jnp.take(h, jnp.minimum(seg.last_idx, t - 1), axis=0)
+    slots = jnp.where(seg.valid_req, seg.state_slots,
+                      ssm_state.shape[0])
+    new_ssm = ssm_state.at[slots].set(h_last.astype(ssm_state.dtype),
+                                      mode="drop")
+
+    y = jnp.einsum("thdn,thn->thd", h, c_h)  # [T, heads, head_dim]
+    y = y + w["D"].astype(jnp.float32)[None, :, None] * xs
+    y = y.reshape(t, d_inner)
+    # gated RMSNorm (Mamba2RMSNorm gated=True)
+    y = y * jax.nn.silu(z.astype(jnp.float32))
+    var = jnp.mean(jnp.square(y), axis=-1, keepdims=True)
+    y = y * jax.lax.rsqrt(var + eps) * w["norm"].astype(jnp.float32)
+    out = y.astype(x.dtype) @ w["out_proj"]
+    if "out_bias" in w:
+        out = out + w["out_bias"]
+    return out, new_conv, new_ssm
+
+
 def mamba1_mixer(
     x: jax.Array,  # [T, H] layer input (post-norm)
     w: dict,  # this layer's mixer weights

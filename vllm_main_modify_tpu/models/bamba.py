@@ -1,0 +1,263 @@
+"""Bamba (IBM): Mamba-2 + attention hybrid decoder.
+
+Reference parity: vllm/model_executor/models/bamba.py. Jamba-style
+layout (models/jamba.py) with the Mamba-2 SSD mixer
+(layers/mamba.py mamba2_mixer), dense SwiGLU MLPs on every layer, and
+partial-rotary attention on ``attn_layer_indices``. Attention KV =
+group 0 (attention layers only), Mamba-2 states = group 1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from vllm_main_modify_tpu.config import ModelConfig
+from vllm_main_modify_tpu.layers.activation import silu_and_mul
+from vllm_main_modify_tpu.layers.attention import (AttentionMetadata,
+                                                   attention)
+from vllm_main_modify_tpu.layers.mamba import (build_seg_info,
+                                               mamba2_mixer)
+from vllm_main_modify_tpu.layers.normalization import rms_norm
+from vllm_main_modify_tpu.layers.rotary import compute_inv_freq
+from vllm_main_modify_tpu.models.gpt_neox import apply_rope_partial
+from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
+from vllm_main_modify_tpu.models.mamba import _conv_kd
+from vllm_main_modify_tpu.quantization.weights import matmul
+
+
+class BambaForCausalLM:
+
+    def __init__(self, config: ModelConfig):
+        self.cfg = config
+        hf = config.hf_config
+        g = lambda k, d=None: getattr(hf, k, d)
+        self.hidden = config.hidden_size
+        self.inter = config.intermediate_size
+        self.L = config.num_layers
+        self.num_q = config.num_attention_heads
+        self.num_kv = config.num_kv_heads
+        self.head_dim = config.head_dim
+        self.sm_scale = self.head_dim**-0.5
+        self.eps = g("rms_norm_eps", 1e-5)
+        self.rot_dim = int(self.head_dim *
+                           (g("partial_rotary_factor", 0.5) or 0.5))
+        self.inv_freq = jnp.asarray(
+            compute_inv_freq(self.rot_dim, config.rope_theta,
+                             config.rope_scaling))
+        # mamba2 dims
+        self.m_heads = g("mamba_n_heads", 128)
+        self.m_head_dim = g("mamba_d_head",
+                            g("mamba_expand", 2) * self.hidden //
+                            max(g("mamba_n_heads", 128), 1))
+        self.d_inner = self.m_heads * self.m_head_dim
+        self.d_state = g("mamba_d_state", 128)
+        self.d_conv = g("mamba_d_conv", 4)
+        self.n_groups = g("mamba_n_groups", 1)
+        self.gn = self.n_groups * self.d_state
+        self.conv_dim = self.d_inner + 2 * self.gn
+        self.conv_bias = bool(g("mamba_conv_bias", True))
+        self.proj_bias = bool(g("mamba_proj_bias", False))
+        attn_ids = g("attn_layer_indices", None) or []
+        self.attn_ids = tuple(sorted(attn_ids))
+        self.mamba_ids = tuple(l for l in range(self.L)
+                               if l not in set(self.attn_ids))
+        self.tie_embeddings = config.tie_word_embeddings
+
+    # ------------------------------------------------------------------
+
+    def param_specs(self) -> list[ParamSpec]:
+        c = self.cfg
+        H, V, I = self.hidden, c.vocab_size, self.inter
+        qd = self.num_q * self.head_dim
+        kd = self.num_kv * self.head_dim
+        di, cd, nh = self.d_inner, self.conv_dim, self.m_heads
+        proj_out = di + cd + nh
+        t = transpose2d
+
+        def stk(group, ids, path, shape, spec, hf_key, transform=t):
+            return ParamSpec(f"{group}.{path}", (len(ids), *shape),
+                             spec, "model.layers.{i}." + hf_key,
+                             stacked=True, layer_ids=tuple(ids),
+                             transform=transform)
+
+        all_ids = tuple(range(self.L))
+        specs = [
+            ParamSpec("embed_tokens", (V, H), P("model", None),
+                      "model.embed_tokens.weight", transform=None),
+            ParamSpec("final_norm", (H, ), P(),
+                      "model.final_layernorm.weight", transform=None),
+            stk("layers", all_ids, "input_layernorm", (H, ),
+                P(None, None), "input_layernorm.weight",
+                transform=None),
+            stk("layers", all_ids, "pre_ff_layernorm", (H, ),
+                P(None, None), "pre_ff_layernorm.weight",
+                transform=None),
+            stk("layers", all_ids, "gate_proj", (H, I),
+                P(None, None, "model"),
+                "feed_forward.gate_proj.weight"),
+            stk("layers", all_ids, "up_proj", (H, I),
+                P(None, None, "model"), "feed_forward.up_proj.weight"),
+            stk("layers", all_ids, "down_proj", (I, H),
+                P(None, "model", None),
+                "feed_forward.down_proj.weight"),
+        ]
+        if not self.tie_embeddings:
+            specs.append(
+                ParamSpec("lm_head", (H, V), P(None, "model"),
+                          "lm_head.weight", transform=t))
+        if self.attn_ids:
+            specs += [
+                stk("attn", self.attn_ids, "q_proj", (H, qd),
+                    P(None, None, "model"), "self_attn.q_proj.weight"),
+                stk("attn", self.attn_ids, "k_proj", (H, kd),
+                    P(None, None, "model"), "self_attn.k_proj.weight"),
+                stk("attn", self.attn_ids, "v_proj", (H, kd),
+                    P(None, None, "model"), "self_attn.v_proj.weight"),
+                stk("attn", self.attn_ids, "o_proj", (qd, H),
+                    P(None, "model", None), "self_attn.o_proj.weight"),
+            ]
+        if self.mamba_ids:
+            specs += [
+                stk("mamba", self.mamba_ids, "in_proj", (H, proj_out),
+                    P(None, None, "model"), "mamba.in_proj.weight"),
+                stk("mamba", self.mamba_ids, "conv_w",
+                    (self.d_conv, cd), P(None, None, "model"),
+                    "mamba.conv1d.weight", transform=_conv_kd),
+                stk("mamba", self.mamba_ids, "dt_bias", (nh, ),
+                    P(None, "model"), "mamba.dt_bias",
+                    transform=None),
+                stk("mamba", self.mamba_ids, "A_log", (nh, ),
+                    P(None, "model"), "mamba.A_log", transform=None),
+                stk("mamba", self.mamba_ids, "D", (nh, ),
+                    P(None, "model"), "mamba.D", transform=None),
+                stk("mamba", self.mamba_ids, "norm", (di, ),
+                    P(None, "model"), "mamba.norm.weight",
+                    transform=None),
+                stk("mamba", self.mamba_ids, "out_proj", (di, H),
+                    P(None, "model", None), "mamba.out_proj.weight"),
+            ]
+            if self.conv_bias:
+                specs.append(
+                    stk("mamba", self.mamba_ids, "conv_b", (cd, ),
+                        P(None, "model"), "mamba.conv1d.bias",
+                        transform=None))
+        return specs
+
+    def kv_cache_spec(self) -> tuple[int, int, int]:
+        return self.num_kv, self.head_dim, len(self.attn_ids)
+
+    def kv_cache_groups(self):
+        from vllm_main_modify_tpu.core.kv_cache_interface import \
+            KVCacheGroupSpec
+
+        return [
+            KVCacheGroupSpec(kind="full", layer_ids=self.attn_ids,
+                             kv_heads=self.num_kv,
+                             head_dim=self.head_dim),
+            KVCacheGroupSpec(
+                kind="mamba", layer_ids=self.mamba_ids,
+                state_shapes=(
+                    ((self.d_conv - 1, self.conv_dim), "float32"),
+                    ((self.m_heads, self.m_head_dim, self.d_state),
+                     "float32"),
+                )),
+        ]
+
+    # ------------------------------------------------------------------
+
+    def __call__(self, params, input_ids, positions, kv_caches,
+                 attn_meta: AttentionMetadata,
+                 use_pallas: Optional[bool] = None):
+        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        t = x.shape[0]
+        kv0, states = kv_caches
+        conv_all, ssm_all = states
+        slots = attn_meta.groups[0].state_slots
+        seg = build_seg_info(attn_meta.query_start_loc,
+                             attn_meta.num_seqs, t, slots)
+        common = params["layers"]
+
+        def idx_map(ids):
+            m = np.zeros(self.L, dtype=np.int32)
+            for i, l in enumerate(ids):
+                m[l] = i
+            return jnp.asarray(m)
+
+        attn_map = idx_map(self.attn_ids)
+        mamba_map = idx_map(self.mamba_ids)
+        is_attn = jnp.asarray(
+            [l in set(self.attn_ids) for l in range(self.L)], bool)
+
+        def pick(group, gl):
+            return jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, gl, 0, keepdims=False), params[group])
+
+        def attn_branch(l, h, kv0, conv_all, ssm_all):
+            w = pick("attn", attn_map[l])
+            q = matmul(h, w["q_proj"]).reshape(t, self.num_q,
+                                               self.head_dim)
+            k = matmul(h, w["k_proj"]).reshape(t, self.num_kv,
+                                               self.head_dim)
+            v = matmul(h, w["v_proj"]).reshape(t, self.num_kv,
+                                               self.head_dim)
+            q, k = apply_rope_partial(q, k, positions, self.inv_freq,
+                                      self.rot_dim)
+            o, kv0 = attention(q, k, v, kv0, attn_map[l], attn_meta,
+                               self.sm_scale, use_pallas=use_pallas)
+            return matmul(o.reshape(t, -1),
+                          w["o_proj"]), kv0, conv_all, ssm_all
+
+        def mamba_branch(l, h, kv0, conv_all, ssm_all):
+            gl = mamba_map[l]
+            w = pick("mamba", gl)
+            out, cs, ss = mamba2_mixer(
+                h, w, conv_all[gl], ssm_all[gl], seg, self.m_heads,
+                self.m_head_dim, self.n_groups, self.d_state,
+                self.eps)
+            conv_all = jax.lax.dynamic_update_index_in_dim(
+                conv_all, cs, gl, 0)
+            ssm_all = jax.lax.dynamic_update_index_in_dim(
+                ssm_all, ss, gl, 0)
+            return out, kv0, conv_all, ssm_all
+
+        def layer_fn(l, carry):
+            x, kv0, conv_all, ssm_all = carry
+            wc = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False), common)
+            res = x
+            h = rms_norm(x, wc["input_layernorm"], self.eps)
+            if not self.attn_ids:
+                mix, kv0, conv_all, ssm_all = mamba_branch(
+                    l, h, kv0, conv_all, ssm_all)
+            elif not self.mamba_ids:
+                mix, kv0, conv_all, ssm_all = attn_branch(
+                    l, h, kv0, conv_all, ssm_all)
+            else:
+                mix, kv0, conv_all, ssm_all = jax.lax.cond(
+                    is_attn[l], attn_branch, mamba_branch, l, h, kv0,
+                    conv_all, ssm_all)
+            x = res + mix
+            res = x
+            h = rms_norm(x, wc["pre_ff_layernorm"], self.eps)
+            y = matmul(
+                silu_and_mul(matmul(h, wc["gate_proj"]),
+                             matmul(h, wc["up_proj"])),
+                wc["down_proj"])
+            return res + y, kv0, conv_all, ssm_all
+
+        x, kv0, conv_all, ssm_all = jax.lax.fori_loop(
+            0, self.L, layer_fn, (x, kv0, conv_all, ssm_all))
+        x = rms_norm(x, params["final_norm"], self.eps)
+        return x, (kv0, (conv_all, ssm_all))
+
+    def compute_logits(self, params, hidden):
+        w = params["embed_tokens"].T if self.tie_embeddings \
+            else params["lm_head"]
+        return hidden.astype(jnp.float32) @ w.astype(jnp.float32)

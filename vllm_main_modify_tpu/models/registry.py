@@ -126,6 +126,10 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                          "JambaForCausalLM"),
     "FalconMambaForCausalLM": ("vllm_main_modify_tpu.models.mamba",
                                "FalconMambaForCausalLM"),
+    "Mamba2ForCausalLM": ("vllm_main_modify_tpu.models.mamba",
+                          "Mamba2ForCausalLM"),
+    "BambaForCausalLM": ("vllm_main_modify_tpu.models.bamba",
+                         "BambaForCausalLM"),
     "BloomForCausalLM": ("vllm_main_modify_tpu.models.bloom",
                          "BloomForCausalLM"),
     "MptForCausalLM": ("vllm_main_modify_tpu.models.mpt",
