@@ -90,6 +90,13 @@ class Scheduler:
                 block_size=cache_cfg.block_size,
                 max_model_len=sched_cfg.max_model_len)
             self.offload_index = None
+        elif kv_groups is not None and kv_groups[0].num_layers == 0:
+            # encoder-only models (BERT family): no KV at all
+            from vllm_main_modify_tpu.core.kv_cache_coordinator import \
+                NullGroupManager
+
+            self.kv_cache_manager = NullGroupManager()
+            self.offload_index = None
         else:
             self.kv_cache_manager = KVCacheManager(
                 block_size=cache_cfg.block_size,

@@ -105,6 +105,9 @@ class EngineCore:
             kv_event_callback=self.kv_event_publisher.record,
             kv_groups=self.model_runner.kv_groups,
             num_blocks_per_group=kv_pages)
+        if getattr(self.model_runner.model, "is_encoder_only", False):
+            # bidirectional attention cannot be computed incrementally
+            self.scheduler.enable_chunked_prefill = False
         # multi-step decode chunks cover plain decoder LMs; the runner
         # decides eligibility (enc-dec/mm/LoRA/spec keep single-step)
         self.scheduler.decode_steps_per_dispatch = min(

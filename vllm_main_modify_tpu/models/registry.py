@@ -150,6 +150,24 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                           "Gemma2ForCausalLM"),
     "Gemma3ForCausalLM": ("vllm_main_modify_tpu.models.gemma",
                           "Gemma3ForCausalLM"),
+    # encoder-only embedding / cross-encoder families (models/bert.py)
+    "BertModel": ("vllm_main_modify_tpu.models.bert",
+                  "BertEmbeddingModel"),
+    "RobertaModel": ("vllm_main_modify_tpu.models.bert",
+                     "RobertaEmbeddingModel"),
+    "RobertaForMaskedLM": ("vllm_main_modify_tpu.models.bert",
+                           "RobertaEmbeddingModel"),
+    "XLMRobertaModel": ("vllm_main_modify_tpu.models.bert",
+                        "RobertaEmbeddingModel"),
+    "BertForSequenceClassification": (
+        "vllm_main_modify_tpu.models.bert",
+        "BertForSequenceClassification"),
+    "RobertaForSequenceClassification": (
+        "vllm_main_modify_tpu.models.bert",
+        "RobertaForSequenceClassification"),
+    "XLMRobertaForSequenceClassification": (
+        "vllm_main_modify_tpu.models.bert",
+        "RobertaForSequenceClassification"),
     # embedding/pooling checkpoints (decoder backbone, no lm_head;
     # reference: pooling adapters vllm/model_executor/layers/pooler.py)
     "LlamaModel": ("vllm_main_modify_tpu.models.registry",

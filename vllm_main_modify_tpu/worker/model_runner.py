@@ -155,6 +155,7 @@ class TPUModelRunner:
         # EncoderCacheManager (vllm/v1/core/encoder_cache_manager.py)
         # — here the "cache" IS the device buffer.
         self._score_np = None  # classification head, host-cached
+        self._score_bias_np = None
         self.is_mm = mc.is_multimodal
         self.uses_mrope = bool(getattr(self.model, "uses_mrope",
                                        False))
@@ -368,6 +369,8 @@ class TPUModelRunner:
         ds = jnp.dtype(self.kv_dtype()).itemsize
         pg = self.page_size
         if self.num_kv_groups == 1:
+            if self.kv_groups[0].num_layers == 0:
+                return [2]  # encoder-only: no KV at all
             if full_pages is not None:
                 return [full_pages]
             return [max(avail_bytes // self.page_bytes(), 16)]
@@ -1488,9 +1491,31 @@ class TPUModelRunner:
                 plp_aux = ((tgt_logit - lse)[:, 0], tgt_rank, top_ids,
                            top_logit - lse)
             if return_hidden:
-                # pooling/embedding requests: last-token hidden states
-                # (reference: pooler layer, last-token pooling)
-                return kv_caches, out, sampled_hidden, plp_aux
+                # pooling/embedding requests (reference: pooler
+                # layer). Decoders pool the last token; encoder-only
+                # models (BERT family) pool CLS or the segment mean
+                pooling_type = getattr(model, "pooling_type", "last")
+                if pooling_type == "cls":
+                    qsl = seg("query_start_loc")
+                    pooled = jnp.take(hidden, qsl[:-1], axis=0)
+                elif pooling_type == "mean":
+                    qsl = seg("query_start_loc")
+                    tt = jnp.arange(hidden.shape[0], dtype=jnp.int32)
+                    row_of = (jnp.searchsorted(
+                        qsl, tt, side="right").astype(jnp.int32) -
+                        1).clip(0, r_pad - 1)
+                    valid = (tt < qsl[r_pad])[:, None]
+                    sums = jax.ops.segment_sum(
+                        jnp.where(valid, hidden.astype(jnp.float32),
+                                  0.0), row_of, num_segments=r_pad)
+                    counts = jnp.maximum(qsl[1:] - qsl[:-1], 1)
+                    pooled = sums / counts[:, None]
+                else:
+                    pooled = sampled_hidden
+                if hasattr(model, "pool_projection"):
+                    # classification pooler (BERT tanh head) fused in
+                    pooled = model.pool_projection(params, pooled)
+                return kv_caches, out, pooled, plp_aux
             return kv_caches, out, None, plp_aux
 
         return jax.jit(step, donate_argnums=(1, ))
@@ -1847,7 +1872,13 @@ class TPUModelRunner:
                     if self._score_np is None:
                         self._score_np = np.asarray(
                             self.params["score"], dtype=np.float32)
+                        self._score_bias_np = (
+                            np.asarray(self.params["score_bias"],
+                                       dtype=np.float32)
+                            if "score_bias" in self.params else None)
                     logits = vec @ self._score_np
+                    if self._score_bias_np is not None:
+                        logits = logits + self._score_bias_np
                     if pp is None or pp.activation != "none":
                         logits = logits - logits.max()
                         e = np.exp(logits)
