@@ -410,15 +410,14 @@ class Scheduler:
         assert total <= self.max_num_scheduled_tokens
         assert token_budget >= 0
 
-        # cascade-attention hint
-        num_common_prefix_blocks = 0
-        if scheduled_running_reqs or scheduled_new_reqs:
-            sched_reqs = (scheduled_running_reqs + scheduled_new_reqs +
-                          scheduled_resumed_reqs)
-            if len(sched_reqs) > 1:
-                num_common_prefix_blocks = (
-                    self.kv_cache_manager.get_num_common_prefix_blocks(
-                        sched_reqs))
+        # NOTE: the reference computes a cascade-attention hint here
+        # (num_common_prefix_blocks, gpu_model_runner.py:1293) to
+        # split shared-prefix reads into one pass. On TPU the paged
+        # kernel already streams each page once per query block from
+        # HBM and the prefix pages are deduplicated in storage by the
+        # prefix cache; a two-phase cascade kernel is a possible
+        # future optimization, so the hint is not computed (it was
+        # dead weight in every step).
 
         # grammar bitmask for structured-output requests
         grammar_bitmask = None
@@ -442,7 +441,6 @@ class Scheduler:
             num_scheduled_tokens=num_scheduled_tokens,
             total_num_scheduled_tokens=total,
             scheduled_spec_decode_tokens=spec_decode_tokens,
-            num_common_prefix_blocks=num_common_prefix_blocks,
             finished_req_ids=self.finished_req_ids,
             grammar_bitmask=grammar_bitmask,
             structured_output_request_ids=structured_output_request_ids,

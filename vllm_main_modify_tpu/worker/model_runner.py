@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 import logging
 import time
+import os
 from typing import Any, Optional
 
 import jax
@@ -156,6 +157,7 @@ class TPUModelRunner:
         # — here the "cache" IS the device buffer.
         self._score_np = None  # classification head, host-cached
         self._score_bias_np = None
+        self._warned_spec_logprobs = False
         self.is_mm = mc.is_multimodal
         self.uses_mrope = bool(getattr(self.model, "uses_mrope",
                                        False))
@@ -215,11 +217,23 @@ class TPUModelRunner:
 
     @staticmethod
     def _get_paddings(lo: int, hi: int) -> list[int]:
+        """Power-of-2 buckets, switching to LINEAR gaps above
+        VLLM_TPU_BUCKET_PADDING_GAP (reference:
+        tpu_model_runner.py:1892 _get_token_paddings exponential →
+        linear): between 1024 and 2048 a 1025-token step would
+        otherwise pad 2x."""
+        gap = int(os.environ.get("VLLM_TPU_BUCKET_PADDING_GAP", "0"))
         out, v = [], lo
-        while v < hi:
+        while v < hi and (gap <= 0 or v < gap):
             out.append(v)
             v *= 2
-        out.append(hi)
+        if gap > 0:
+            v = out[-1] + gap if out else gap
+            while v < hi:
+                out.append(v)
+                v += gap
+        if not out or out[-1] < hi:
+            out.append(hi)
         return out
 
     def _pad_to_bucket(self, n: int, buckets: list[int]) -> int:
@@ -1052,6 +1066,12 @@ class TPUModelRunner:
                 lb = batch.logit_bias[row]
                 if not lb:
                     continue
+                if len(lb) > self.BIAS_MAX:
+                    # surface the clamp instead of silently dropping
+                    logger.warning(
+                        "request %s: logit_bias has %d entries; only "
+                        "the first %d are applied (BIAS_MAX)",
+                        batch.req_ids[row], len(lb), self.BIAS_MAX)
                 for j, (tid, val) in enumerate(
                         list(lb.items())[:self.BIAS_MAX]):
                     bias_ids[row, j] = tid
@@ -1192,9 +1212,15 @@ class TPUModelRunner:
         max_lp = int(batch.num_logprobs[:n].max()) if n else 0
         if max_lp > 0:
             max_lp = next_power_of_2(max_lp)
-        if self.max_spec > 0:
+        if self.max_spec > 0 and max_lp > 0:
             # logprobs rows would need per-position bookkeeping; the
             # reference similarly restricts spec decode + logprobs
+            if not self._warned_spec_logprobs:
+                self._warned_spec_logprobs = True
+                logger.warning(
+                    "logprobs are disabled while speculative decoding "
+                    "is active (per-position bookkeeping across "
+                    "accepted drafts is not supported)")
             max_lp = 0
         return (not batch.random_reqs, bool(batch.top_k_reqs),
                 bool(batch.top_p_reqs), bool(batch.min_p_reqs), max_lp)
