@@ -117,7 +117,8 @@ def main() -> None:
         model_config=smoke_config() if SMOKE else qwen25_15b_config(),
         cache_config=CacheConfig(
             block_size=32,
-            num_gpu_blocks=1024 if SMOKE else None,
+            num_gpu_blocks=(1024 if SMOKE else int(
+                os.environ.get("BENCH_BLOCKS", "0")) or None),
             enable_prefix_caching=False),
         scheduler_config=SchedulerConfig(
             max_num_batched_tokens=MAX_BATCHED_TOKENS,

@@ -290,6 +290,43 @@ def test_bamba_chunked_state_carry(tmp_path):
 
 
 # ---------------------------------------------------------------------
+# GraniteMoeHybrid (Granite 4.0): mamba2 + nope-attention + fused MoE
+
+
+def build_gmh(tmp_path):
+    import torch
+    import transformers
+
+    cfg = transformers.GraniteMoeHybridConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, num_local_experts=4,
+        num_experts_per_tok=2, shared_intermediate_size=48,
+        mamba_n_heads=4, mamba_d_head=32, mamba_n_groups=2,
+        mamba_d_state=8, mamba_d_conv=4, mamba_expand=2,
+        layer_types=["mamba", "attention"],
+        max_position_embeddings=128, embedding_multiplier=2.0,
+        residual_multiplier=0.5, logits_scaling=3.0,
+        attention_multiplier=0.1, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    model = transformers.GraniteMoeHybridForCausalLM(cfg).to(
+        torch.float32).eval()
+    path = tmp_path / "gmh"
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path), model
+
+
+def test_granitemoehybrid_parity(tmp_path):
+    import torch
+
+    path, hf = build_gmh(tmp_path)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_bamba(path, [len(TOKENS)])
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------
 # Jamba: hybrid attention + mamba + MoE
 
 

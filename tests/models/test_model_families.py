@@ -108,6 +108,13 @@ def build_checkpoint(tmp_path, arch: str):
     elif arch == "olmo2":
         cfg = transformers.Olmo2Config(**kw)
         cls = transformers.Olmo2ForCausalLM
+    elif arch == "olmo3":
+        cfg = transformers.Olmo3Config(
+            **dict(kw, num_hidden_layers=4), sliding_window=8,
+            layer_types=["sliding_attention", "sliding_attention",
+                         "sliding_attention", "full_attention"],
+            rope_scaling={"rope_type": "linear", "factor": 2.0})
+        cls = transformers.Olmo3ForCausalLM
     elif arch == "smollm3":
         cfg = transformers.SmolLM3Config(
             **kw, no_rope_layers=[1, 0], no_rope_layer_interval=2,
@@ -304,7 +311,7 @@ ARCHS = ["qwen2", "qwen3", "gemma", "gemma2", "gemma3", "mixtral",
          "nemotron", "bloom", "mpt", "opt", "gptj", "gpt_neo",
          "gpt_bigcode", "persimmon", "olmo", "arcee", "seed_oss",
          "ernie4_5", "glm", "olmoe", "granitemoe", "granitemoeshared",
-         "cohere2", "exaone4"]
+         "cohere2", "exaone4", "olmo3"]
 
 
 @pytest.mark.parametrize("arch", ARCHS)

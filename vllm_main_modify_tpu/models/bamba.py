@@ -261,3 +261,200 @@ class BambaForCausalLM:
         w = params["embed_tokens"].T if self.tie_embeddings \
             else params["lm_head"]
         return hidden.astype(jnp.float32) @ w.astype(jnp.float32)
+
+
+class GraniteMoeHybridForCausalLM(BambaForCausalLM):
+    """Granite 4.0 (reference: granitemoehybrid.py): Bamba-style
+    mamba2/attention hybrid with GraniteMoe FUSED-expert MoE + an
+    always-on fused shared MLP, Granite scalar multipliers, and NO
+    positional encoding on the attention layers."""
+
+    def __init__(self, config: ModelConfig):
+        hf = config.hf_config
+        # hybrid layer pattern comes as layer_types "mamba"/"attention"
+        lt = list(getattr(hf, "layer_types", None) or [])
+        hf.attn_layer_indices = [i for i, k in enumerate(lt)
+                                 if k == "attention"]
+        super().__init__(config)
+        g = lambda k, d=None: getattr(hf, k, d)
+        self.use_rope = g("position_embedding_type", None) == "rope"
+        self.embed_mult = g("embedding_multiplier", 1.0)
+        self.residual_mult = g("residual_multiplier", 1.0)
+        self.logits_div = g("logits_scaling", 1.0)
+        am = g("attention_multiplier", None)
+        if am:
+            self.sm_scale = am
+        self.E = g("num_local_experts", 0)
+        self.top_k = g("num_experts_per_tok", 2)
+        self.moe_inter = g("intermediate_size", self.inter)
+        self.shared_inter = g("shared_intermediate_size", 0)
+
+    def param_specs(self) -> list[ParamSpec]:
+        H = self.hidden
+        mi, si, E = self.moe_inter, self.shared_inter, self.E
+        all_ids = tuple(range(self.L))
+
+        def gslice(lo, hi):
+            def f(x):
+                y = x[:, lo:hi, :] if hi is not None else x
+                return np.ascontiguousarray(y.transpose(0, 2, 1))
+
+            return f
+
+        def stk(path, shape, spec, hf_key, transform=transpose2d):
+            return ParamSpec(f"layers.{path}", (self.L, *shape), spec,
+                             "model.layers.{i}." + hf_key,
+                             stacked=True, transform=transform)
+
+        specs = []
+        for s in super().param_specs():
+            # drop Bamba's dense MLP specs; norms/attn/mamba keep
+            if s.path.split(".")[-1] in ("gate_proj", "up_proj",
+                                         "down_proj"):
+                continue
+            if s.path == "layers.pre_ff_layernorm":
+                s.hf_key = ("model.layers.{i}."
+                            "post_attention_layernorm.weight")
+            if s.path == "final_norm":
+                s.hf_key = "model.norm.weight"
+            specs.append(s)
+        base = "model.layers.{i}.block_sparse_moe."
+        specs += [
+            stk("router", (H, E), P(None, None, None),
+                base.split("{i}.")[1] + "router.layer.weight"),
+            ParamSpec("layers.w_gate", (self.L, E, H, mi),
+                      P(None, None, None, "model"),
+                      base + "input_linear.weight",
+                      stacked=True, transform=gslice(0, mi)),
+            ParamSpec("layers.w_up", (self.L, E, H, mi),
+                      P(None, None, None, "model"),
+                      base + "input_linear.weight",
+                      stacked=True, transform=gslice(mi, 2 * mi)),
+            ParamSpec("layers.w_down", (self.L, E, mi, H),
+                      P(None, None, "model", None),
+                      base + "output_linear.weight",
+                      stacked=True, transform=gslice(0, None)),
+            ParamSpec("layers.shared_gate", (self.L, H, si),
+                      P(None, None, "model"),
+                      "model.layers.{i}.shared_mlp"
+                      ".input_linear.weight", stacked=True,
+                      transform=lambda x: np.ascontiguousarray(
+                          x[:si].T)),
+            ParamSpec("layers.shared_up", (self.L, H, si),
+                      P(None, None, "model"),
+                      "model.layers.{i}.shared_mlp"
+                      ".input_linear.weight", stacked=True,
+                      transform=lambda x: np.ascontiguousarray(
+                          x[si:2 * si].T)),
+            ParamSpec("layers.shared_down", (self.L, si, H),
+                      P(None, "model", None),
+                      "model.layers.{i}.shared_mlp"
+                      ".output_linear.weight", stacked=True,
+                      transform=transpose2d),
+        ]
+        return specs
+
+    def __call__(self, params, input_ids, positions, kv_caches,
+                 attn_meta: AttentionMetadata,
+                 use_pallas: Optional[bool] = None):
+        from vllm_main_modify_tpu.layers.moe import moe_ffn
+
+        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        if self.embed_mult != 1.0:
+            x = x * jnp.asarray(self.embed_mult, dtype=x.dtype)
+        t = x.shape[0]
+        kv0, states = kv_caches
+        conv_all, ssm_all = states
+        slots = attn_meta.groups[0].state_slots
+        seg = build_seg_info(attn_meta.query_start_loc,
+                             attn_meta.num_seqs, t, slots)
+        common = params["layers"]
+
+        def idx_map(ids):
+            m = np.zeros(self.L, dtype=np.int32)
+            for i, l in enumerate(ids):
+                m[l] = i
+            return jnp.asarray(m)
+
+        attn_map = idx_map(self.attn_ids)
+        mamba_map = idx_map(self.mamba_ids)
+        is_attn = jnp.asarray(
+            [l in set(self.attn_ids) for l in range(self.L)], bool)
+
+        def pick(group, gl):
+            return jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, gl, 0, keepdims=False), params[group])
+
+        rmul = jnp.asarray(self.residual_mult, dtype=x.dtype) \
+            if self.residual_mult != 1.0 else None
+
+        def attn_branch(l, h, kv0, conv_all, ssm_all):
+            w = pick("attn", attn_map[l])
+            q = matmul(h, w["q_proj"]).reshape(t, self.num_q,
+                                               self.head_dim)
+            k = matmul(h, w["k_proj"]).reshape(t, self.num_kv,
+                                               self.head_dim)
+            v = matmul(h, w["v_proj"]).reshape(t, self.num_kv,
+                                               self.head_dim)
+            if self.use_rope:
+                q, k = apply_rope_partial(q, k, positions,
+                                          self.inv_freq, self.rot_dim)
+            o, kv0 = attention(q, k, v, kv0, attn_map[l], attn_meta,
+                               self.sm_scale, use_pallas=use_pallas)
+            return matmul(o.reshape(t, -1),
+                          w["o_proj"]), kv0, conv_all, ssm_all
+
+        def mamba_branch(l, h, kv0, conv_all, ssm_all):
+            gl = mamba_map[l]
+            w = pick("mamba", gl)
+            out, cs, ss = mamba2_mixer(
+                h, w, conv_all[gl], ssm_all[gl], seg, self.m_heads,
+                self.m_head_dim, self.n_groups, self.d_state,
+                self.eps)
+            conv_all = jax.lax.dynamic_update_index_in_dim(
+                conv_all, cs, gl, 0)
+            ssm_all = jax.lax.dynamic_update_index_in_dim(
+                ssm_all, ss, gl, 0)
+            return out, kv0, conv_all, ssm_all
+
+        def layer_fn(l, carry):
+            x, kv0, conv_all, ssm_all = carry
+            wc = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False), common)
+            res = x
+            h = rms_norm(x, wc["input_layernorm"], self.eps)
+            if not self.attn_ids:
+                mix, kv0, conv_all, ssm_all = mamba_branch(
+                    l, h, kv0, conv_all, ssm_all)
+            else:
+                mix, kv0, conv_all, ssm_all = jax.lax.cond(
+                    is_attn[l], attn_branch, mamba_branch, l, h, kv0,
+                    conv_all, ssm_all)
+            if rmul is not None:
+                mix = mix * rmul
+            x = res + mix
+            res = x
+            h = rms_norm(x, wc["pre_ff_layernorm"], self.eps)
+            y = moe_ffn(h, wc["router"], wc["w_gate"], wc["w_up"],
+                        wc["w_down"], self.top_k,
+                        lambda g, u: jax.nn.silu(g) * u,
+                        renormalize=True)
+            sh = jax.nn.silu(matmul(h, wc["shared_gate"])) * \
+                matmul(h, wc["shared_up"])
+            y = y + matmul(sh, wc["shared_down"])
+            if rmul is not None:
+                y = y * rmul
+            return res + y, kv0, conv_all, ssm_all
+
+        x, kv0, conv_all, ssm_all = jax.lax.fori_loop(
+            0, self.L, layer_fn, (x, kv0, conv_all, ssm_all))
+        x = rms_norm(x, params["final_norm"], self.eps)
+        return x, (kv0, (conv_all, ssm_all))
+
+    def compute_logits(self, params, hidden):
+        logits = super().compute_logits(params, hidden)
+        if self.logits_div != 1.0:
+            logits = logits / self.logits_div
+        return logits

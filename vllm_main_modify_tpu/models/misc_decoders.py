@@ -318,12 +318,17 @@ class _ConfigurableDecoder:
             q = rms_norm(q, w["q_norm"], self.eps)
             k = rms_norm(k, w["k_norm"], self.eps)
         if use_rope:
+            # dual-rope hybrids (Olmo3): sliding layers use UNSCALED
+            # base frequencies, full layers the configured scaling
+            freqs = self.inv_freq
+            if window is not None and window is not _UNSET and \
+                    self.inv_freq_sliding is not None:
+                freqs = self.inv_freq_sliding
             if self.rope_interleaved:
-                q, k = apply_rope_interleaved(q, k, positions,
-                                              self.inv_freq)
+                q, k = apply_rope_interleaved(q, k, positions, freqs)
             else:
-                q, k = apply_rope_partial(q, k, positions,
-                                          self.inv_freq, self.rot_dim)
+                q, k = apply_rope_partial(q, k, positions, freqs,
+                                          self.rot_dim)
         o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
                                  self.sm_scale,
                                  sliding_window=window,
@@ -370,6 +375,7 @@ class _ConfigurableDecoder:
 
     layer_types = None  # list[str] of "sliding_attention"/"full..."
     rope_on_full = True  # hybrid models may skip rope on full layers
+    inv_freq_sliding = None  # dual-rope hybrids (Olmo3)
 
     def _sliding_layer_ids(self) -> list[int]:
         if not self.layer_types or not self.cfg.sliding_window:
@@ -690,6 +696,25 @@ class Ernie4_5ForCausalLM(_ConfigurableDecoder):
         super().__init__(config)
         use_bias = bool(getattr(config.hf_config, "use_bias", False))
         self.qkv_bias = self.o_bias = self.mlp_bias = use_bias
+
+
+class Olmo3ForCausalLM(Olmo2ForCausalLM):
+    """Reference: vllm registry maps Olmo3 → olmo2.py — the OLMo2
+    block plus SSSF sliding/full layer pattern where sliding layers
+    use UNSCALED base rope and full layers the configured scaling."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.hf_config
+        self.layer_types = list(getattr(hf, "layer_types", None)
+                                or [])
+        if self._sliding_layer_ids() and config.rope_scaling:
+            from vllm_main_modify_tpu.layers.rotary import \
+                compute_inv_freq
+
+            self.inv_freq_sliding = jnp.asarray(
+                compute_inv_freq(self.rot_dim, config.rope_theta,
+                                 None))
 
 
 class NemotronForCausalLM(_ConfigurableDecoder):

@@ -105,6 +105,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                            ".misc_decoders", "Exaone4ForCausalLM"),
     "Olmo2ForCausalLM": ("vllm_main_modify_tpu.models.misc_decoders",
                          "Olmo2ForCausalLM"),
+    "Olmo3ForCausalLM": ("vllm_main_modify_tpu.models.misc_decoders",
+                         "Olmo3ForCausalLM"),
     "WhisperForConditionalGeneration": (
         "vllm_main_modify_tpu.models.whisper",
         "WhisperForConditionalGeneration"),
@@ -130,6 +132,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                           "Mamba2ForCausalLM"),
     "BambaForCausalLM": ("vllm_main_modify_tpu.models.bamba",
                          "BambaForCausalLM"),
+    "GraniteMoeHybridForCausalLM": (
+        "vllm_main_modify_tpu.models.bamba",
+        "GraniteMoeHybridForCausalLM"),
     "BloomForCausalLM": ("vllm_main_modify_tpu.models.bloom",
                          "BloomForCausalLM"),
     "MptForCausalLM": ("vllm_main_modify_tpu.models.mpt",
