@@ -286,3 +286,17 @@ def test_responses_streaming(client):
     assert "event: response.created" in raw
     assert "event: response.output_text.delta" in raw
     assert "event: response.completed" in raw
+
+
+def test_pooling_endpoint(client):
+    status, body = post(client, "/pooling", {"input": "pool me"})
+    assert status == 200, body
+    assert body["object"] == "list"
+    assert body["data"][0]["object"] == "pooling"
+    vec = body["data"][0]["data"]
+    assert isinstance(vec, list) and len(vec) > 0
+    # raw hidden states: NOT unit-normalized (embeddings are)
+    import math
+
+    norm = math.sqrt(sum(v * v for v in vec))
+    assert abs(norm - 1.0) > 1e-3

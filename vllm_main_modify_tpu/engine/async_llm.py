@@ -117,10 +117,48 @@ class AsyncLLM:
         except BaseException as e:  # noqa: BLE001
             logger.exception("engine core died")
             self._dead = e
+            self._dump_crash_state(e)
             # wake every waiter with the failure
             if self._loop is not None:
                 for rid in list(self._output_streams):
                     self._publish_exception(rid, e)
+
+    def _dump_crash_state(self, exc: BaseException) -> None:
+        """Write a scheduler-state snapshot for postmortems
+        (reference capability: dump_engine_exception,
+        vllm/logging_utils/dump_input.py — engine state + request
+        summary on crash)."""
+        import json
+        import time as _time
+        import traceback
+
+        try:
+            sched = getattr(self.engine_core, "scheduler", None)
+            if sched is None:  # remote (ZMQ) engine core
+                return
+            state = {
+                "time": _time.time(),
+                "error": repr(exc),
+                "traceback": traceback.format_exc(),
+                "model": self.config.model_config.model,
+                "num_waiting": len(sched.waiting),
+                "num_running": len(sched.running),
+                "kv_usage": sched.kv_cache_manager.usage,
+                "requests": [{
+                    "request_id": r.request_id,
+                    "status": str(r.status),
+                    "num_prompt_tokens": r.num_prompt_tokens,
+                    "num_computed_tokens": r.num_computed_tokens,
+                    "num_tokens": r.num_tokens,
+                } for r in list(sched.running) +
+                    list(sched.waiting)[:64]],
+            }
+            path = f"/tmp/vllm_tpu_crash_{int(_time.time())}.json"
+            with open(path, "w") as f:
+                json.dump(state, f, indent=1, default=str)
+            logger.error("scheduler state dumped to %s", path)
+        except Exception:  # noqa: BLE001 — never mask the real error
+            logger.exception("crash-state dump failed")
 
     def _drain_input_queue(self) -> None:
         while True:

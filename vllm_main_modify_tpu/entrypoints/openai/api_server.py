@@ -87,6 +87,8 @@ class OpenAIServer:
         r.add_post("/v1/responses/{response_id}/cancel",
                    self.cancel_response)
         r.add_post("/v1/embeddings", self.embeddings)
+        r.add_post("/pooling", self.pooling)
+        r.add_post("/v1/pooling", self.pooling)
         r.add_post("/score", self.score)
         r.add_post("/v1/score", self.score)
         r.add_post("/rerank", self.rerank)
@@ -397,6 +399,45 @@ class OpenAIServer:
             usage=UsageInfo(prompt_tokens=prompt_tokens,
                             total_tokens=prompt_tokens))
         return web.json_response(resp.model_dump())
+
+    async def pooling(self, request: web.Request) -> web.Response:
+        """Raw pooled hidden states — /pooling (reference:
+        api_server.py create_pooling / serving_pooling.py): like
+        /v1/embeddings but UN-normalized, object type 'pooling'."""
+        import numpy as np
+
+        from vllm_main_modify_tpu.sampling_params import PoolingParams
+
+        try:
+            body = EmbeddingRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return error_json(400, f"invalid request: {e}")
+        inputs = body.input
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        elif inputs and isinstance(inputs[0], int):
+            inputs = [inputs]
+        data = []
+        prompt_tokens = 0
+        try:
+            for i, item in enumerate(inputs):
+                rid = f"pool-{random_uuid()}"
+                final = None
+                async for out in self.engine.generate(
+                        item, PoolingParams(normalize=False), rid):
+                    final = out
+                vec = np.asarray(final.data, dtype=np.float32)
+                prompt_tokens += len(final.prompt_token_ids)
+                data.append({"object": "pooling", "index": i,
+                             "data": vec.tolist()})
+        except ValueError as e:
+            return error_json(400, str(e))
+        return web.json_response({
+            "object": "list", "data": data,
+            "model": body.model or self.model_name,
+            "usage": {"prompt_tokens": prompt_tokens,
+                      "total_tokens": prompt_tokens},
+        })
 
     # ---- /v1/completions ---------------------------------------------
 
