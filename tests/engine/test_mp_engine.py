@@ -54,3 +54,39 @@ def test_dp_engines_balance_and_match(tiny_llama_dir):
     # loads drain to zero after completion
     assert client.get_num_unfinished_requests() == 0
     client.shutdown()
+
+
+def test_elastic_scale_up_down(tiny_llama_dir):
+    """Elastic DP scaling (reference: /scale_elastic_ep +
+    v1/engine/utils.py elastic EP): grow spawns engines, shrink
+    drains and reaps; generation stays correct throughout."""
+    sp = SamplingParams(temperature=0.0, max_tokens=6,
+                        ignore_eos=True)
+    prompts = [f"scale test {i}" for i in range(4)]
+    base = LLM(model=tiny_llama_dir, dtype="float32",
+               max_model_len=128, max_num_seqs=8,
+               max_num_batched_tokens=64, block_size=4,
+               num_kv_blocks=128)
+    ref = [o.outputs[0].token_ids for o in base.generate(prompts, sp)]
+    del base
+
+    dp = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+             max_num_seqs=8, max_num_batched_tokens=64, block_size=4,
+             num_kv_blocks=128, data_parallel_size=2)
+    client = dp.engine.engine_core
+    assert client.num_engines == 2
+
+    # scale UP to 3 and serve
+    client.scale(3)
+    assert client.num_engines == 3
+    got = [o.outputs[0].token_ids for o in dp.generate(prompts, sp)]
+    assert got == ref
+
+    # scale DOWN to 1: victims drain and are reaped
+    client.scale(1)
+    got = [o.outputs[0].token_ids for o in dp.generate(prompts, sp)]
+    assert got == ref
+    assert client.num_engines == 1
+    live = [e for e in client.engines if e is not None]
+    assert len(live) == 1
+    client.shutdown()

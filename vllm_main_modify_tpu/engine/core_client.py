@@ -208,13 +208,18 @@ class DPLBClient:
         child_cfg = copy.deepcopy(config)
         child_cfg.parallel_config.data_parallel_size = 1
         child_cfg.parallel_config.engine_multiprocess = False
+        self._child_cfg = child_cfg
         self.engines = [SyncMPClient(child_cfg)
                         for _ in range(dp_size)]
         self._req_engine: dict[str, int] = {}
         self._loads = [0] * dp_size
+        self._draining: set[int] = set()
 
     def add_request(self, request) -> None:
-        i = min(range(len(self.engines)), key=lambda j: self._loads[j])
+        live = [j for j in range(len(self.engines))
+                if j not in self._draining
+                and self.engines[j] is not None]
+        i = min(live, key=lambda j: self._loads[j])
         self._req_engine[request.request_id] = i
         self._loads[i] += 1
         self.engines[i].add_request(request)
@@ -222,7 +227,7 @@ class DPLBClient:
     def step(self) -> EngineCoreOutputs:
         merged = EngineCoreOutputs()
         for i, eng in enumerate(self.engines):
-            if not self._loads[i]:
+            if eng is None or not self._loads[i]:
                 continue
             out = eng.step()
             for o in out.outputs:
@@ -230,7 +235,45 @@ class DPLBClient:
                     self._loads[i] -= 1
                     self._req_engine.pop(o.request_id, None)
             merged.outputs.extend(out.outputs)
+        self._reap_drained()
         return merged
+
+    # -- elastic scale up/down (reference: elastic EP scaling,
+    # v1/engine/utils.py:473 + /scale_elastic_ep) ---------------------
+
+    @property
+    def num_engines(self) -> int:
+        return sum(1 for e in self.engines
+                   if e is not None) - len(self._draining)
+
+    def scale(self, new_size: int) -> int:
+        """Grow by spawning fresh engine processes; shrink by marking
+        victims DRAINING (no new routing) and reaping them once their
+        in-flight requests finish. Returns the target size."""
+        assert new_size >= 1
+        current = self.num_engines
+        if new_size > current:
+            for _ in range(new_size - current):
+                self.engines.append(SyncMPClient(self._child_cfg))
+                self._loads.append(0)
+        elif new_size < current:
+            live = [j for j in range(len(self.engines))
+                    if self.engines[j] is not None
+                    and j not in self._draining]
+            # drain the most lightly loaded engines first
+            victims = sorted(live,
+                             key=lambda j: self._loads[j]
+                             )[:current - new_size]
+            self._draining.update(victims)
+            self._reap_drained()
+        return new_size
+
+    def _reap_drained(self) -> None:
+        for i in list(self._draining):
+            if self._loads[i] == 0:
+                self.engines[i].shutdown()
+                self.engines[i] = None
+                self._draining.discard(i)
 
     def abort_requests(self, request_ids) -> None:
         by_engine: dict[int, list[str]] = {}
@@ -249,11 +292,13 @@ class DPLBClient:
         return sum(self._loads)
 
     def reset_prefix_cache(self) -> bool:
-        return all(e.reset_prefix_cache() for e in self.engines)
+        return all(e.reset_prefix_cache() for e in self.engines
+                   if e is not None)
 
     def shutdown(self) -> None:
         for e in self.engines:
-            e.shutdown()
+            if e is not None:
+                e.shutdown()
 
 
 def _child_main() -> None:

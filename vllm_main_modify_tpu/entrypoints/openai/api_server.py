@@ -107,6 +107,7 @@ class OpenAIServer:
         r.add_post("/v1/load_lora_adapter", self.load_lora_adapter)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
+        r.add_post("/scale_elastic_ep", self.scale_elastic_ep)
         try:
             from vllm_main_modify_tpu.structured_output.audit_admin import \
                 register_audit_routes
@@ -184,6 +185,24 @@ class OpenAIServer:
         runner.lora_manager.register(body["lora_name"],
                                      body["lora_path"])
         return web.Response(text="")
+
+    async def scale_elastic_ep(self,
+                               request: web.Request) -> web.Response:
+        """Elastic scale of data-parallel engines (reference:
+        /scale_elastic_ep, api_server.py + v1/engine/utils.py:473
+        elastic EP): grow by spawning engines, shrink by draining."""
+        body = await request.json()
+        new_size = int(body.get("new_data_parallel_size", 0))
+        if new_size < 1:
+            return error_json(400, "new_data_parallel_size must "
+                              "be >= 1")
+        core = self.engine.engine_core
+        if not hasattr(core, "scale"):
+            return error_json(
+                400, "engine is not running data-parallel "
+                "(start with data_parallel_size > 1 to scale)")
+        size = core.scale(new_size)
+        return web.json_response({"data_parallel_size": size})
 
     async def start_profile(self, request: web.Request) -> web.Response:
         self.engine.engine_core.profile_start()
