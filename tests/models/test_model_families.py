@@ -218,6 +218,21 @@ def build_checkpoint(tmp_path, arch: str):
             **dict(kw, num_hidden_layers=4), sliding_window=8,
             sliding_window_pattern=4)
         cls = transformers.Exaone4ForCausalLM
+    elif arch == "dbrx":
+        cfg = transformers.DbrxConfig(
+            d_model=64, n_heads=4, n_layers=2, max_seq_len=128,
+            vocab_size=256,
+            attn_config=dict(kv_n_heads=2, rope_theta=10000,
+                             clip_qkv=8.0),
+            ffn_config=dict(ffn_hidden_size=32, moe_num_experts=4,
+                            moe_top_k=2))
+        cls = transformers.DbrxForCausalLM
+    elif arch == "phimoe":
+        cfg = transformers.PhimoeConfig(
+            **kw, num_local_experts=4, num_experts_per_tok=2,
+            router_jitter_noise=0.01, attention_bias=True,
+            lm_head_bias=True)
+        cls = transformers.PhimoeForCausalLM
     elif arch == "olmoe":
         cfg = transformers.OlmoeConfig(
             **kw, num_experts=4, num_experts_per_tok=2,
@@ -311,7 +326,7 @@ ARCHS = ["qwen2", "qwen3", "gemma", "gemma2", "gemma3", "mixtral",
          "nemotron", "bloom", "mpt", "opt", "gptj", "gpt_neo",
          "gpt_bigcode", "persimmon", "olmo", "arcee", "seed_oss",
          "ernie4_5", "glm", "olmoe", "granitemoe", "granitemoeshared",
-         "cohere2", "exaone4", "olmo3"]
+         "cohere2", "exaone4", "olmo3", "dbrx", "phimoe"]
 
 
 @pytest.mark.parametrize("arch", ARCHS)

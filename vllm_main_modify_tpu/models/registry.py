@@ -25,6 +25,12 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                            "MixtralForCausalLM"),
     "OlmoeForCausalLM": ("vllm_main_modify_tpu.models.moe_llama",
                          "OlmoeForCausalLM"),
+    "DbrxForCausalLM": ("vllm_main_modify_tpu.models.moe_misc",
+                        "DbrxForCausalLM"),
+    "PhiMoEForCausalLM": ("vllm_main_modify_tpu.models.moe_misc",
+                          "PhiMoEForCausalLM"),
+    "PhimoeForCausalLM": ("vllm_main_modify_tpu.models.moe_misc",
+                          "PhiMoEForCausalLM"),
     "GraniteMoeForCausalLM": ("vllm_main_modify_tpu.models.moe_llama",
                               "GraniteMoeForCausalLM"),
     "GraniteMoeSharedForCausalLM": (
