@@ -327,6 +327,58 @@ def test_granitemoehybrid_parity(tmp_path):
 
 
 # ---------------------------------------------------------------------
+# FalconH1: parallel attention + mamba2 every layer, µP multipliers
+
+
+def build_falcon_h1(tmp_path):
+    import torch
+    import transformers
+
+    cfg = transformers.FalconH1Config(
+        vocab_size=256, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, mamba_d_ssm=64, mamba_n_heads=4,
+        mamba_d_head=16, mamba_n_groups=2, mamba_d_state=8,
+        mamba_d_conv=4, mamba_expand=2, max_position_embeddings=128,
+        embedding_multiplier=2.0, attention_in_multiplier=0.9,
+        attention_out_multiplier=1.1, key_multiplier=0.8,
+        ssm_in_multiplier=1.2, ssm_out_multiplier=0.7,
+        ssm_multipliers=[1.1, 0.9, 1.2, 0.8, 1.05],
+        mlp_multipliers=[1.3, 0.6], lm_head_multiplier=0.5,
+        tie_word_embeddings=False)
+    torch.manual_seed(0)
+    model = transformers.FalconH1ForCausalLM(cfg).to(
+        torch.float32).eval()
+    path = tmp_path / "falcon_h1"
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path), model
+
+
+def run_falcon_h1(model_dir, chunks):
+    return run_bamba(model_dir, chunks)  # same dual-group harness
+
+
+def test_falcon_h1_parity(tmp_path):
+    import torch
+
+    path, hf = build_falcon_h1(tmp_path)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_falcon_h1(path, [len(TOKENS)])
+    np.testing.assert_allclose(got, ref, atol=3e-3, rtol=3e-3)
+
+
+def test_falcon_h1_chunked(tmp_path):
+    import torch
+
+    path, hf = build_falcon_h1(tmp_path)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_falcon_h1(path, [6, 4])
+    np.testing.assert_allclose(got, ref[6:], atol=3e-3, rtol=3e-3)
+
+
+# ---------------------------------------------------------------------
 # Jamba: hybrid attention + mamba + MoE
 
 

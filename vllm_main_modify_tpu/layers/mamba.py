@@ -162,6 +162,7 @@ def mamba2_mixer(
     d_state: int,
     eps: float,
     time_step_limit: tuple = (0.0, float("inf")),
+    zxbcdt_multipliers: Optional[tuple] = None,  # FalconH1
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Mamba-2 (SSD) block over the packed ragged batch (reference:
     csrc/mamba/ + vllm/model_executor/layers/mamba/mamba_mixer2.py).
@@ -183,6 +184,16 @@ def mamba2_mixer(
     z = proj[:, :d_inner]
     xbc = proj[:, d_inner:d_inner + conv_dim].astype(jnp.float32)
     dt_raw = proj[:, d_inner + conv_dim:]  # [T, heads]
+    if zxbcdt_multipliers is not None:
+        # FalconH1 µP multipliers on the (z, x, B, C, dt) chunks
+        mz, mx, mb, mc, mdt = [float(v) for v in zxbcdt_multipliers]
+        z = z * mz
+        xbc = jnp.concatenate([
+            xbc[:, :d_inner] * mx,
+            xbc[:, d_inner:d_inner + gn] * mb,
+            xbc[:, d_inner + gn:] * mc,
+        ], axis=-1)
+        dt_raw = dt_raw * mdt
 
     conv_w = w["conv_w"].astype(jnp.float32)  # [K, conv_dim]
     u = causal_conv1d_ragged(xbc, conv_w, w.get("conv_b"),
@@ -225,10 +236,13 @@ def mamba2_mixer(
     y = jnp.einsum("thdn,thn->thd", h, c_h)  # [T, heads, head_dim]
     y = y + w["D"].astype(jnp.float32)[None, :, None] * xs
     y = y.reshape(t, d_inner)
-    # gated RMSNorm (Mamba2RMSNorm gated=True)
+    # gated RMSNorm (Mamba2RMSNorm gated=True); FalconH1 variants omit
+    # the norm and gate directly
     y = y * jax.nn.silu(z.astype(jnp.float32))
-    var = jnp.mean(jnp.square(y), axis=-1, keepdims=True)
-    y = y * jax.lax.rsqrt(var + eps) * w["norm"].astype(jnp.float32)
+    if "norm" in w:
+        var = jnp.mean(jnp.square(y), axis=-1, keepdims=True)
+        y = y * jax.lax.rsqrt(var + eps) * \
+            w["norm"].astype(jnp.float32)
     out = y.astype(x.dtype) @ w["out_proj"]
     if "out_bias" in w:
         out = out + w["out_bias"]

@@ -458,3 +458,135 @@ class GraniteMoeHybridForCausalLM(BambaForCausalLM):
         if self.logits_div != 1.0:
             logits = logits / self.logits_div
         return logits
+
+
+class FalconH1ForCausalLM(BambaForCausalLM):
+    """Falcon-H1 (reference: falcon_h1.py): EVERY layer runs attention
+    and a Mamba-2 mixer IN PARALLEL from one pre-norm, with µP
+    multipliers throughout (embedding, attn in/out, key, ssm in/out,
+    zxbcdt chunks, MLP gate/down, lm_head). Supported for the
+    mamba_d_ssm == expand*hidden layout (no extra z0/x0 chunks).
+    Attention KV and SSM states each form a group covering ALL
+    layers."""
+
+    def __init__(self, config: ModelConfig):
+        hf = config.hf_config
+        hf.attn_layer_indices = []  # base class: mamba dims etc.
+        super().__init__(config)
+        g = lambda k, d=None: getattr(hf, k, d)
+        d_ssm = g("mamba_d_ssm", None)
+        if d_ssm is not None and d_ssm != self.d_inner:
+            raise NotImplementedError(
+                "FalconH1 with mamba_d_ssm != expand*hidden_size "
+                "(extra z0/x0 mixer chunks) is not supported yet")
+        self.attn_ids = tuple(range(self.L))
+        self.mamba_ids = tuple(range(self.L))
+        # full rotary (no partial factor in FalconH1)
+        self.rot_dim = self.head_dim
+        self.inv_freq = jnp.asarray(
+            compute_inv_freq(self.head_dim, config.rope_theta,
+                             config.rope_scaling))
+        self.embed_mult = g("embedding_multiplier", 1.0)
+        self.attn_in_mult = g("attention_in_multiplier", 1.0)
+        self.attn_out_mult = g("attention_out_multiplier", 1.0)
+        self.key_mult = g("key_multiplier", 1.0)
+        self.ssm_in_mult = g("ssm_in_multiplier", 1.0)
+        self.ssm_out_mult = g("ssm_out_multiplier", 1.0)
+        self.zxbcdt = tuple(g("ssm_multipliers",
+                              (1.0, ) * 5) or (1.0, ) * 5)
+        self.mlp_mults = tuple(g("mlp_multipliers", (1.0, 1.0))
+                               or (1.0, 1.0))
+        self.lm_head_mult = g("lm_head_multiplier", 1.0)
+        self.rms_norm_gate = bool(g("mamba_rms_norm", False))
+
+    def param_specs(self) -> list[ParamSpec]:
+        specs = []
+        for s in super().param_specs():
+            tail = s.path.split(".")[-1]
+            if s.path.startswith("mamba.") and tail == "norm" and \
+                    not self.rms_norm_gate:
+                continue  # ungated variant has no norm weight
+            specs.append(s)
+        return specs
+
+    def __call__(self, params, input_ids, positions, kv_caches,
+                 attn_meta: AttentionMetadata,
+                 use_pallas: Optional[bool] = None):
+        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        if self.embed_mult != 1.0:
+            x = x * jnp.asarray(self.embed_mult, dtype=x.dtype)
+        t = x.shape[0]
+        kv0, states = kv_caches
+        conv_all, ssm_all = states
+        slots = attn_meta.groups[0].state_slots
+        seg = build_seg_info(attn_meta.query_start_loc,
+                             attn_meta.num_seqs, t, slots)
+        common = params["layers"]
+
+        def pick(group, gl):
+            return jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, gl, 0, keepdims=False), params[group])
+
+        def layer_fn(l, carry):
+            x, kv0, conv_all, ssm_all = carry
+            wc = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False), common)
+            res = x
+            h = rms_norm(x, wc["input_layernorm"], self.eps)
+
+            # attention branch
+            wa = pick("attn", l)
+            ha = h * self.attn_in_mult if self.attn_in_mult != 1.0 \
+                else h
+            q = matmul(ha, wa["q_proj"]).reshape(t, self.num_q,
+                                                 self.head_dim)
+            k = matmul(ha, wa["k_proj"]).reshape(t, self.num_kv,
+                                                 self.head_dim)
+            if self.key_mult != 1.0:
+                k = k * self.key_mult
+            v = matmul(ha, wa["v_proj"]).reshape(t, self.num_kv,
+                                                 self.head_dim)
+            q, k = apply_rope_partial(q, k, positions, self.inv_freq,
+                                      self.rot_dim)
+            o, kv0 = attention(q, k, v, kv0, l, attn_meta,
+                               self.sm_scale, use_pallas=use_pallas)
+            attn_out = matmul(o.reshape(t, -1), wa["o_proj"])
+            if self.attn_out_mult != 1.0:
+                attn_out = attn_out * self.attn_out_mult
+
+            # mamba branch (parallel, same pre-norm input)
+            wm = pick("mamba", l)
+            hm = h * self.ssm_in_mult if self.ssm_in_mult != 1.0 \
+                else h
+            m_out, cs, ss = mamba2_mixer(
+                hm, wm, conv_all[l], ssm_all[l], seg, self.m_heads,
+                self.m_head_dim, self.n_groups, self.d_state,
+                self.eps, zxbcdt_multipliers=self.zxbcdt)
+            conv_all = jax.lax.dynamic_update_index_in_dim(
+                conv_all, cs, l, 0)
+            ssm_all = jax.lax.dynamic_update_index_in_dim(
+                ssm_all, ss, l, 0)
+            if self.ssm_out_mult != 1.0:
+                m_out = m_out * self.ssm_out_mult
+            x = res + attn_out + m_out
+
+            res = x
+            h = rms_norm(x, wc["pre_ff_layernorm"], self.eps)
+            gm, dm = self.mlp_mults
+            y = matmul(h, wc["up_proj"]) * jax.nn.silu(
+                matmul(h, wc["gate_proj"]) * gm)
+            y = matmul(y.astype(x.dtype), wc["down_proj"]) * dm
+            return res + y, kv0, conv_all, ssm_all
+
+        x, kv0, conv_all, ssm_all = jax.lax.fori_loop(
+            0, self.L, layer_fn, (x, kv0, conv_all, ssm_all))
+        x = rms_norm(x, params["final_norm"], self.eps)
+        return x, (kv0, (conv_all, ssm_all))
+
+    def compute_logits(self, params, hidden):
+        logits = super().compute_logits(params, hidden)
+        if self.lm_head_mult != 1.0:
+            logits = logits * self.lm_head_mult
+        return logits

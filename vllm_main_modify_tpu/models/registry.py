@@ -141,6 +141,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "GraniteMoeHybridForCausalLM": (
         "vllm_main_modify_tpu.models.bamba",
         "GraniteMoeHybridForCausalLM"),
+    "FalconH1ForCausalLM": ("vllm_main_modify_tpu.models.bamba",
+                            "FalconH1ForCausalLM"),
     "BloomForCausalLM": ("vllm_main_modify_tpu.models.bloom",
                          "BloomForCausalLM"),
     "MptForCausalLM": ("vllm_main_modify_tpu.models.mpt",
