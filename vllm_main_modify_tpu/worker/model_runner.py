@@ -128,8 +128,11 @@ class TPUModelRunner:
         self.proposer = None
         self.eagle = None  # EAGLE draft model (spec_decode/eagle.py)
         self.eagle_cfg = None
+        self.medusa = None  # Medusa heads (spec_decode/medusa.py)
+        self.medusa_cfg = None
         if spec.enabled:
-            assert spec.method in ("ngram", "eagle"), spec.method
+            assert spec.method in ("ngram", "eagle",
+                                   "medusa"), spec.method
             assert not sc.async_scheduling, \
                 "spec decode requires sync scheduling"
             if spec.method == "ngram":
@@ -139,6 +142,19 @@ class TPUModelRunner:
                 self.proposer = NgramProposer(
                     spec.num_speculative_tokens,
                     spec.prompt_lookup_min, spec.prompt_lookup_max)
+            elif spec.method == "medusa":
+                from vllm_main_modify_tpu.spec_decode.medusa import (
+                    MedusaHeads, make_medusa_config)
+
+                assert spec.draft_model, \
+                    "medusa spec decode needs --draft-model"
+                self.medusa_cfg = make_medusa_config(
+                    spec.draft_model, mc)
+                self.medusa = MedusaHeads(self.medusa_cfg, mc)
+                assert spec.num_speculative_tokens <= \
+                    self.medusa.num_heads, (
+                        "num_speculative_tokens exceeds the medusa "
+                        "head count")
             else:
                 from vllm_main_modify_tpu.spec_decode.eagle import (
                     EagleDraftModel, make_draft_config)
@@ -252,6 +268,10 @@ class TPUModelRunner:
             # stays a (params, inputs) pure function
             self.params["__draft__"] = load_model_weights(
                 self.eagle, self.eagle_cfg, self.mesh,
+                self.config.load_config.load_format)
+        if self.medusa is not None:
+            self.params["__draft__"] = load_model_weights(
+                self.medusa, self.medusa_cfg, self.mesh,
                 self.config.load_config.load_format)
         if self.enable_lora:
             self._init_lora_stacks()
@@ -1261,6 +1281,7 @@ class TPUModelRunner:
         is_enc_dec = self.is_enc_dec
         cross_pages = self._cross_pages_per_req
         eagle = self.eagle
+        medusa = self.medusa
         max_spec = self.max_spec
         target_layers = self.model.kv_cache_spec()[2]
         group_kinds = tuple(g.kind for g in self.kv_groups[1:])
@@ -1494,6 +1515,22 @@ class TPUModelRunner:
                 out, kv_caches = eagle_propose(
                     params, kv_caches, out, hidden, input_ids,
                     attn_meta, seg)
+            elif medusa is not None:
+                # Medusa proposal (reference: MedusaProposer.propose):
+                # heads read the target hidden at each row's FINAL
+                # emitted position — one forward, no draft KV
+                sampled_m = out.sampled.reshape(r_pad, nsp)
+                acc = out.spec_accept.reshape(r_pad, nsp)
+                li = seg("logits_indices").reshape(r_pad, nsp)
+                n_acc = jnp.sum(jnp.cumprod(
+                    acc[:, :nsp - 1].astype(jnp.int32), axis=1),
+                    axis=1)
+                last_idx = jnp.take_along_axis(li, n_acc[:, None],
+                                               axis=1)[:, 0]
+                h_last = jnp.take(hidden, last_idx, axis=0)
+                drafts = medusa.propose(params["__draft__"], h_last)
+                out = out._replace(
+                    draft_tokens=drafts[:, :max_spec])
             plp_aux = None
             if prompt_lp > 0:
                 # prompt logprobs: logits over ALL packed positions
@@ -1947,7 +1984,7 @@ class TPUModelRunner:
                     batch.token_ids, batch.num_tokens,
                     list(sample_rows)).items():
                 draft_token_ids[row] = draft
-        elif self.eagle is not None:
+        elif self.eagle is not None or self.medusa is not None:
             # drafts were proposed on device inside the fused step
             drafts_np = np.asarray(out.draft_tokens)  # [r_pad, K]
             draft_token_ids = [[] for _ in range(num_reqs)]
