@@ -149,3 +149,25 @@ class GPT2LMHeadModel:
         # GPT-2 always ties lm_head to wte
         w = params["wte"].T
         return hidden.astype(jnp.float32) @ w.astype(jnp.float32)
+
+
+class GPT2ForSequenceClassification(GPT2LMHeadModel):
+    """Reference: vllm/model_executor/models/gpt2.py
+    GPT2ForSequenceClassification — backbone + bias-free score head,
+    last-token pooling (served through the classify/score path)."""
+
+    def __init__(self, config: ModelConfig):
+        config.is_pooling_model = True
+        super().__init__(config)
+        self.num_labels = getattr(config.hf_config, "num_labels", 2)
+
+    def param_specs(self) -> list[ParamSpec]:
+        specs = super().param_specs()
+        specs.append(
+            ParamSpec("score", (self.hidden, self.num_labels),
+                      P(None, None), "score.weight",
+                      transform=lambda x: np.ascontiguousarray(x.T)))
+        return specs
+
+    def classify_logits(self, params, pooled_hidden):
+        return pooled_hidden  # score head applied by the runner

@@ -315,6 +315,41 @@ class LlamaForSequenceClassification(LlamaForCausalLM):
             params["score"].astype(jnp.float32)
 
 
+class Qwen2ForRewardModel(LlamaForCausalLM):
+    """Reference: vllm/model_executor/models/qwen2_rm.py — Qwen2
+    backbone + two-layer reward head (Linear→ReLU→Linear, keys
+    score.0 / score.2), last-token pooling. The first layer runs as
+    an in-step pool projection; the runner applies the final score
+    column."""
+
+    def __init__(self, config: ModelConfig):
+        config.attention_bias = True
+        config.is_pooling_model = True
+        super().__init__(config)
+        self.num_labels = getattr(config.hf_config, "num_labels", 1)
+
+    def param_specs(self) -> list[ParamSpec]:
+        H = self.hidden
+        specs = super().param_specs()
+        specs += [
+            ParamSpec("reward_fc", (H, H), P(None, None),
+                      "score.0.weight", transform=transpose2d),
+            ParamSpec("reward_fc_bias", (H, ), P(), "score.0.bias",
+                      transform=None),
+            ParamSpec("score", (H, self.num_labels), P(None, None),
+                      "score.2.weight", transform=transpose2d),
+        ]
+        return specs
+
+    def pool_projection(self, params, pooled):
+        h = pooled @ params["reward_fc"].astype(pooled.dtype) + \
+            params["reward_fc_bias"].astype(pooled.dtype)
+        return jax.nn.relu(h)
+
+    def classify_logits(self, params, pooled_hidden):
+        return pooled_hidden  # score head applied by the runner
+
+
 class SmolLM3ForCausalLM(LlamaForCausalLM):
     """Reference: vllm/model_executor/models/smollm3.py — Llama graph
     with rope disabled on every ``no_rope_layer_interval``-th layer

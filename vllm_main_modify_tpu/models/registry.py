@@ -197,6 +197,17 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen2ForSequenceClassification": (
         "vllm_main_modify_tpu.models.registry",
         "_seq_cls_qwen2_factory"),
+    "GPT2ForSequenceClassification": (
+        "vllm_main_modify_tpu.models.gpt2",
+        "GPT2ForSequenceClassification"),
+    "Qwen2ForRewardModel": ("vllm_main_modify_tpu.models.llama",
+                            "Qwen2ForRewardModel"),
+    "Qwen2ForProcessRewardModel": (
+        "vllm_main_modify_tpu.models.llama", "Qwen2ForRewardModel"),
+    # embedding checkpoints of decoder families (reference: the
+    # _EMBEDDING_MODELS table maps these onto the decoder classes)
+    "Gemma2Model": ("vllm_main_modify_tpu.models.registry",
+                    "_pooling_gemma2_factory"),
 }
 
 
@@ -217,6 +228,13 @@ def _seq_cls_qwen2_factory(config: ModelConfig):
 
     config.attention_bias = True  # Qwen2 unconditional qkv biases
     return LlamaForSequenceClassification(config)
+
+
+def _pooling_gemma2_factory(config: ModelConfig):
+    from vllm_main_modify_tpu.models.gemma import Gemma2ForCausalLM
+
+    config.is_pooling_model = True
+    return Gemma2ForCausalLM(config)
 
 
 def _pooling_llama_factory(config: ModelConfig):
