@@ -128,6 +128,12 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Tarsier2ForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_vl",
         "Qwen2VLForConditionalGeneration"),
+    "Idefics3ForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.idefics3",
+        "Idefics3ForConditionalGeneration"),
+    "SmolVLMForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.idefics3",
+        "Idefics3ForConditionalGeneration"),
     "MambaForCausalLM": ("vllm_main_modify_tpu.models.mamba",
                          "MambaForCausalLM"),
     "JambaForCausalLM": ("vllm_main_modify_tpu.models.jamba",

@@ -46,6 +46,11 @@ def num_image_tokens_for(model_config) -> int:
     if _is_qwen_vl(model_config):
         _, grid, merge = _qwen_vl_dims(model_config)
         return (grid // merge)**2
+    if model_config.architecture in (
+            "Idefics3ForConditionalGeneration",
+            "SmolVLMForConditionalGeneration"):
+        sf = getattr(hf, "scale_factor", 2)
+        return (vc.image_size // vc.patch_size // sf)**2
     patches = (vc.image_size // vc.patch_size)**2
     strategy = getattr(hf, "vision_feature_select_strategy",
                        "default")
