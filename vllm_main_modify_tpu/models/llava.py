@@ -242,3 +242,80 @@ class LlavaForConditionalGeneration:
     def compute_logits(self, params, hidden):
         return self.language_model.compute_logits(
             params["language_model"], hidden)
+
+
+def select_best_resolution(orig_size: tuple,
+                           pinpoints: list) -> tuple:
+    """HF select_best_resolution (image_processing_llava_next):
+    maximize effective resolution, tie-break on minimal waste."""
+    oh, ow = orig_size
+    best, best_eff, best_waste = None, -1, float("inf")
+    for ph, pw in pinpoints:
+        scale = min(pw / ow, ph / oh)
+        dw, dh = int(ow * scale), int(oh * scale)
+        eff = min(dw * dh, ow * oh)
+        waste = pw * ph - eff
+        if eff > best_eff or (eff == best_eff
+                              and waste < best_waste):
+            best, best_eff, best_waste = (ph, pw), eff, waste
+    return best
+
+
+class LlavaNextForConditionalGeneration(LlavaForConditionalGeneration):
+    """LLaVA-NeXT / 1.6 (reference: vllm llava_next.py): anyres —
+    the base image plus a grid of high-res tiles through the SAME
+    CLIP tower, packed spatially with an image_newline column.
+
+    TPU-native simplification: the processor SQUASH-resizes to the
+    selected grid pinpoint (no aspect padding), so the HF unpad step
+    is the identity and every pinpoint compiles to ONE static encode
+    shape. Token count per image = 576 + grid_h*24*(grid_w*24+1),
+    static per pinpoint."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.hf_config
+        self.pinpoints = [tuple(p) for p in getattr(
+            hf, "image_grid_pinpoints", [[336, 672], [672, 336],
+                                         [672, 672], [1008, 336],
+                                         [336, 1008]])]
+
+    def param_specs(self) -> list[ParamSpec]:
+        specs = super().param_specs()
+        specs.append(
+            ParamSpec("image_newline", (self.cfg.hidden_size, ), P(),
+                      "image_newline", transform=None))
+        return specs
+
+    def tokens_for_grid(self, ph: int, pw: int) -> int:
+        g = self.grid
+        base = self.num_patches + (0 if self.drop_cls else 1)
+        return base + ph * g * (pw * g + 1)
+
+    def encode_images(self, params, pixel_values: jax.Array
+                      ) -> jax.Array:
+        """[1, 1+T, 3, S, S] (base + row-major tiles of ONE image) →
+        [1, tokens, text_H] packed features."""
+        if pixel_values.ndim == 5:
+            pixel_values = pixel_values[0]
+        n_tiles = pixel_values.shape[0] - 1
+        # static grid from the tile count: find the pinpoint with
+        # this many tiles (processor guarantees uniqueness per call)
+        s = self.image_size
+        grids = [(ph // s, pw // s) for ph, pw in self.pinpoints
+                 if (ph // s) * (pw // s) == n_tiles]
+        assert grids, f"no pinpoint with {n_tiles} tiles"
+        ph, pw = grids[0]
+        feats = super().encode_images(params, pixel_values)
+        # [1+T, per_tile, H]
+        base = feats[0]
+        g, h = self.grid, feats.shape[-1]
+        spatial = feats[1:].reshape(ph, pw, g, g, h)
+        spatial = jnp.transpose(spatial, (0, 2, 1, 3, 4)).reshape(
+            ph * g, pw * g, h)
+        newline = jnp.broadcast_to(
+            params["image_newline"].astype(feats.dtype)[None, None],
+            (ph * g, 1, h))
+        spatial = jnp.concatenate([spatial, newline],
+                                  axis=1).reshape(-1, h)
+        return jnp.concatenate([base, spatial], axis=0)[None]

@@ -130,6 +130,61 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
     return out["pixel_values"][0].astype(np.float32)
 
 
+def _llava_next_prepare(image, model_config
+                        ) -> tuple[np.ndarray, int]:
+    """LLaVA-NeXT anyres at fixed per-pinpoint shapes: squash-resize
+    to the best grid pinpoint (unpad becomes identity), tile
+    row-major, prepend the base-resolution image. Returns
+    ([1+T, 3, S, S], num_tokens)."""
+    from vllm_main_modify_tpu.models.llava import \
+        select_best_resolution
+
+    hf = model_config.hf_config
+    vc = hf.vision_config
+    s = vc.image_size
+    pinpoints = [tuple(p) for p in hf.image_grid_pinpoints]
+
+    arr = np.asarray(image) if not hasattr(image, "convert") else None
+    if arr is not None and arr.ndim == 3 and arr.shape[0] == 3 and \
+            np.issubdtype(arr.dtype, np.floating):
+        orig_h, orig_w = arr.shape[1], arr.shape[2]
+        chw = arr.astype(np.float32)  # already normalized
+    else:
+        # raw image: normalize CLIP-style at native size first
+        if hasattr(image, "convert"):
+            import numpy as _np
+            img = image.convert("RGB")
+            chw = _np.asarray(img, _np.float32).transpose(
+                2, 0, 1) / 255.0
+        else:
+            chw = np.asarray(image, np.float32)
+            if chw.ndim == 3 and chw.shape[-1] == 3:
+                chw = chw.transpose(2, 0, 1)
+            if chw.max() > 2.0:
+                chw = chw / 255.0
+        chw = ((chw - _CLIP_MEAN[:, None, None]) /
+               _CLIP_STD[:, None, None])
+        orig_h, orig_w = chw.shape[1], chw.shape[2]
+
+    def resize(a, h, w):
+        yi = (np.arange(h) * a.shape[1] // h).clip(0, a.shape[1] - 1)
+        xi = (np.arange(w) * a.shape[2] // w).clip(0, a.shape[2] - 1)
+        return a[:, yi][:, :, xi]
+
+    bh, bw = select_best_resolution((orig_h, orig_w), pinpoints)
+    hires = resize(chw, bh, bw)
+    tiles = [hires[:, i:i + s, j:j + s]
+             for i in range(0, bh, s) for j in range(0, bw, s)]
+    base = resize(chw, s, s)
+    pix = np.stack([base] + tiles).astype(np.float32)
+    grid = s // vc.patch_size
+    half = getattr(hf, "vision_feature_select_strategy",
+                   "default") == "default"
+    base_tokens = grid * grid + (0 if half else 1)
+    n_tok = base_tokens + (bh // s) * grid * ((bw // s) * grid + 1)
+    return pix, n_tok
+
+
 def build_mm_inputs(
     token_ids: list[int],
     images: Any,
@@ -151,6 +206,8 @@ def build_mm_inputs(
             f"prompt has {len(placeholders)} image placeholder(s) "
             f"but {len(images)} image(s) were provided")
 
+    is_llava_next = model_config.architecture == \
+        "LlavaNextForConditionalGeneration"
     expanded: list[int] = []
     mm_inputs: list[dict] = []
     salt = hashlib.sha256()
@@ -159,14 +216,19 @@ def build_mm_inputs(
         if tok != image_token:
             expanded.append(tok)
             continue
-        pixels = _to_pixel_values(next(img_iter), model_config)
+        if is_llava_next:
+            pixels, this_tok = _llava_next_prepare(
+                next(img_iter), model_config)
+        else:
+            pixels = _to_pixel_values(next(img_iter), model_config)
+            this_tok = n_tok
         salt.update(pixels.tobytes())
         mm_inputs.append({
             "pixel_values": pixels,
             "offset": len(expanded),
-            "num_tokens": n_tok,
+            "num_tokens": this_tok,
         })
-        expanded.extend([image_token] * n_tok)
+        expanded.extend([image_token] * this_tok)
     if mm_inputs and _is_qwen_vl(model_config):
         # mrope 3-D positions for the whole prompt + decode delta
         # (reference: MRotaryEmbedding.get_input_positions)
