@@ -103,11 +103,14 @@ class ModelConfig:
         # them but carries a vision tower (Qwen2-VL style)
         if text is not None and (top_get("hidden_size") is None
                                  or top_get("vision_config")
+                                 is not None
+                                 or top_get("audio_config")
                                  is not None):
             self.is_multimodal = True
             self.image_token_index = (
                 top_get("image_token_index")
-                or top_get("image_token_id") or -1)
+                or top_get("image_token_id")
+                or top_get("audio_token_index") or -1)
             hf = text
         get = lambda k, d=None: getattr(hf, k, d)
         self.vocab_size = get("vocab_size", self.vocab_size)

@@ -48,12 +48,21 @@ class Processor:
                              if prompt_text is not None else [])
             mm_data = prompt.get("multi_modal_data")
             if mm_data and "audio" in mm_data:
-                from vllm_main_modify_tpu.multimodal.audio import \
-                    build_audio_inputs
+                from vllm_main_modify_tpu.multimodal.audio import (
+                    AUDIO_EMBED_ARCHS, build_audio_embeds_inputs,
+                    build_audio_inputs)
 
-                token_ids, mm_inputs, mm_salt = build_audio_inputs(
-                    token_ids, mm_data["audio"],
-                    self.config.model_config)
+                mc = self.config.model_config
+                if mc.architecture in AUDIO_EMBED_ARCHS:
+                    # decoder-only audio (Qwen2-Audio): embedding
+                    # merge, not Whisper cross-attention
+                    token_ids, mm_inputs, mm_salt = \
+                        build_audio_embeds_inputs(
+                            token_ids, mm_data["audio"], mc)
+                else:
+                    token_ids, mm_inputs, mm_salt = \
+                        build_audio_inputs(
+                            token_ids, mm_data["audio"], mc)
             elif mm_data:
                 if not self.config.model_config.is_multimodal:
                     raise ValueError(

@@ -128,6 +128,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Tarsier2ForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_vl",
         "Qwen2VLForConditionalGeneration"),
+    "Qwen2AudioForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.qwen2_audio",
+        "Qwen2AudioForConditionalGeneration"),
     "LlavaNextForConditionalGeneration": (
         "vllm_main_modify_tpu.models.llava",
         "LlavaNextForConditionalGeneration"),

@@ -78,3 +78,66 @@ def build_audio_inputs(
     mm_inputs = [{"input_features": feats, "offset": -1,
                   "num_tokens": 0}]
     return list(token_ids), mm_inputs, salt
+
+
+AUDIO_EMBED_ARCHS = ("Qwen2AudioForConditionalGeneration", )
+
+
+def build_audio_embeds_inputs(
+    token_ids,
+    audio,
+    model_config,
+) -> tuple[list[int], list[dict], str]:
+    """Decoder-only audio models (Qwen2-Audio): mel features become
+    embeddings merged at the audio-placeholder positions — the
+    image-style mm path, not Whisper's cross-attention. Features pad
+    to the encoder's fixed window (max_source_positions * 2 frames),
+    so every clip compiles to ONE encode shape; the placeholder
+    expands to max_source_positions // 2 tokens (conv stride 2 x
+    avg-pool 2)."""
+    hf = model_config.hf_config
+    ac = hf.audio_config
+    n_mel = getattr(ac, "num_mel_bins", 128)
+    max_pos = getattr(ac, "max_source_positions", 1500)
+    frames = max_pos * 2
+    if isinstance(audio, tuple):
+        wav, sr = audio
+    else:
+        wav, sr = audio, None
+    wav = np.asarray(wav, dtype=np.float32)
+    if wav.ndim == 2 and wav.shape[0] == n_mel:
+        feats = wav
+    else:
+        ex = _feature_extractor(model_config.model)
+        if sr and sr != ex.sampling_rate:
+            n_out = int(round(len(wav) * ex.sampling_rate / sr))
+            wav = np.interp(
+                np.linspace(0.0, len(wav) - 1.0, n_out),
+                np.arange(len(wav), dtype=np.float64),
+                wav).astype(np.float32)
+        feats = ex(wav, return_tensors="np",
+                   sampling_rate=ex.sampling_rate)[
+            "input_features"][0].astype(np.float32)
+    if feats.shape[1] < frames:
+        feats = np.pad(feats, ((0, 0), (0, frames - feats.shape[1])))
+    feats = feats[:, :frames]
+
+    audio_token = getattr(hf, "audio_token_index", -1)
+    n_tok = max_pos // 2
+    expanded: list[int] = []
+    placed = False
+    for tok in token_ids:
+        if tok == audio_token and not placed:
+            expanded.extend([audio_token] * n_tok)
+            placed = True
+        else:
+            expanded.append(tok)
+    if not placed:  # no placeholder: audio leads the prompt
+        expanded = [audio_token] * n_tok + expanded
+        offset = 0
+    else:
+        offset = expanded.index(audio_token)
+    salt = hashlib.sha256(feats.tobytes()).hexdigest()[:16]
+    mm_inputs = [{"pixel_values": feats, "offset": offset,
+                  "num_tokens": n_tok}]
+    return expanded, mm_inputs, salt
