@@ -62,6 +62,8 @@ class LlamaForCausalLM:
         self.logits_div = 1.0
         # SmolLM3-style per-layer rope gating (None = rope everywhere)
         self.rope_layer_mask = None
+        # Baichuan-13B-style ALiBi (tuple of slopes disables rope)
+        self.alibi_slopes = None
 
     # ------------------------------------------------------------------
 
@@ -193,7 +195,9 @@ class LlamaForCausalLM:
             q = q.reshape(t, self.num_q, self.head_dim)
             k = k.reshape(t, self.num_kv, self.head_dim)
             v = v.reshape(t, self.num_kv, self.head_dim)
-            if self.rope_layer_mask is None:
+            if self.alibi_slopes is not None:
+                pass  # ALiBi replaces rope entirely
+            elif self.rope_layer_mask is None:
                 q, k = self._apply_rope(q, k, positions)
             else:
                 # SmolLM3 nope layers: every Nth layer skips rope
@@ -204,6 +208,7 @@ class LlamaForCausalLM:
             o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
                                      self.sm_scale,
                                      sliding_window=cfg.sliding_window,
+                                     alibi_slopes=self.alibi_slopes,
                                      use_pallas=use_pallas)
             o_flat = o.reshape(t, -1)
             attn_out = lora(matmul(o_flat, w["o_proj"]), o_flat,

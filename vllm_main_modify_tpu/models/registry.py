@@ -72,6 +72,15 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                             "_use_bias_llama_factory"),
     # exact Llama-graph clones (reference registry.py maps these
     # architecture names straight to llama.py)
+    "InternLM2ForCausalLM": (
+        "vllm_main_modify_tpu.models.internlm2_baichuan",
+        "InternLM2ForCausalLM"),
+    "BaiChuanForCausalLM": (  # 7B (rope)
+        "vllm_main_modify_tpu.models.internlm2_baichuan",
+        "BaiChuanForCausalLM"),
+    "BaichuanForCausalLM": (  # 13B (alibi)
+        "vllm_main_modify_tpu.models.internlm2_baichuan",
+        "BaichuanForCausalLM"),
     "AquilaModel": ("vllm_main_modify_tpu.models.llama",
                     "LlamaForCausalLM"),
     "AquilaForCausalLM": ("vllm_main_modify_tpu.models.llama",
