@@ -300,3 +300,60 @@ def test_pooling_endpoint(client):
 
     norm = math.sqrt(sum(v * v for v in vec))
     assert abs(norm - 1.0) > 1e-3
+
+
+def test_tool_choice_forcing(client):
+    """tool_choice named-function / "required" constrain decoding to
+    the tool schema via guided JSON (reference: serving_chat.py)."""
+    tools = [{
+        "type": "function",
+        "function": {
+            "name": "get_weather",
+            "parameters": {
+                "type": "object",
+                "properties": {"city": {"enum": ["sf", "nyc"]}},
+                "required": ["city"],
+            },
+        },
+    }]
+    status, data = post(client, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "weather in sf?"}],
+        "tools": tools,
+        "tool_choice": {"type": "function",
+                        "function": {"name": "get_weather"}},
+        "max_tokens": 120, "temperature": 0.0,
+    })
+    assert status == 200, data
+    msg = data["choices"][0]["message"]
+    assert data["choices"][0]["finish_reason"] == "tool_calls"
+    call = msg["tool_calls"][0]["function"]
+    assert call["name"] == "get_weather"
+    args = json.loads(call["arguments"])
+    assert args["city"] in ("sf", "nyc")
+
+    # "required" over multiple tools
+    tools.append({
+        "type": "function",
+        "function": {"name": "get_time",
+                     "parameters": {"type": "object",
+                                    "properties": {}}},
+    })
+    status, data = post(client, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "anything"}],
+        "tools": tools, "tool_choice": "required",
+        "max_tokens": 120, "temperature": 0.0,
+    })
+    assert status == 200, data
+    name = data["choices"][0]["message"]["tool_calls"][0][
+        "function"]["name"]
+    assert name in ("get_weather", "get_time")
+
+    # unknown function name → 400
+    status, _ = post(client, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "x"}],
+        "tools": tools,
+        "tool_choice": {"type": "function",
+                        "function": {"name": "nope"}},
+        "max_tokens": 8,
+    })
+    assert status == 400

@@ -833,6 +833,7 @@ class OpenAIServer:
             prompt = self._build_mm_prompt(text, images)
             params = body.to_sampling_params(
                 default_max_tokens=self.max_model_len)
+            forced_tools = self._apply_tool_choice(body, params)
         except ValueError as e:
             return error_json(400, str(e))
         request_id = f"chatcmpl-{random_uuid()}"
@@ -859,7 +860,30 @@ class OpenAIServer:
             ro = self.reasoning_parser.extract(content)
             reasoning_content = ro.reasoning_content
             content = ro.content or ""
-        if self.tool_parser is not None and body.tools:
+        if forced_tools:
+            # guided decoding already constrained the output to the
+            # tool schema — parse it directly (reference:
+            # tool_choice named/required via structured output)
+            import json as _json
+
+            from vllm_main_modify_tpu.entrypoints.openai \
+                .tool_parsers import ToolCall
+
+            try:
+                obj = _json.loads(content)
+                tool_calls = [
+                    ToolCall(
+                        name=obj.get("name", ""),
+                        arguments=_json.dumps(
+                            obj.get("parameters",
+                                    obj.get("arguments", {})))
+                    ).to_openai()
+                ]
+                content = None
+                finish_reason = "tool_calls"
+            except _json.JSONDecodeError:
+                pass
+        elif self.tool_parser is not None and body.tools:
             extracted = self.tool_parser.extract(content)
             if extracted.tools_called:
                 tool_calls = [c.to_openai()
@@ -885,6 +909,49 @@ class OpenAIServer:
                 total_tokens=len(final.prompt_token_ids) +
                 len(co.token_ids)))
         return web.json_response(resp.model_dump())
+
+    @staticmethod
+    def _apply_tool_choice(body, params) -> bool:
+        """tool_choice "required" / named function → guided JSON over
+        the tool schemas (reference: serving_chat.py tool_choice
+        structured-output forcing). Returns True when forced."""
+        tc = body.tool_choice
+        if not body.tools or tc in (None, "none", "auto"):
+            return False
+        if params.structured_outputs is not None:
+            raise ValueError("tool_choice forcing cannot combine "
+                             "with an explicit structured output")
+
+        def one(tool: dict) -> dict:
+            fn = tool.get("function", tool)
+            return {
+                "type": "object",
+                "properties": {
+                    "name": {"const": fn.get("name", "")},
+                    "parameters": fn.get("parameters",
+                                         {"type": "object"}),
+                },
+                "required": ["name", "parameters"],
+            }
+
+        if isinstance(tc, dict):
+            name = tc.get("function", {}).get("name")
+            match = [t for t in body.tools
+                     if t.get("function", t).get("name") == name]
+            if not match:
+                raise ValueError(f"tool_choice names unknown "
+                                 f"function {name!r}")
+            schema = one(match[0])
+        elif tc == "required":
+            schema = {"anyOf": [one(t) for t in body.tools]}
+        else:
+            raise ValueError(f"unsupported tool_choice {tc!r}")
+        from vllm_main_modify_tpu.sampling_params import \
+            StructuredOutputParams
+
+        params.structured_outputs = StructuredOutputParams(
+            json_schema=schema)
+        return True
 
     async def _stream_chat(self, request, body, prompt, params,
                            request_id) -> web.StreamResponse:
