@@ -61,7 +61,7 @@ def _convert(src_dir, dst_dir, arch: str):
                 sd[p + "input_layernorm.weight"]
             out[p + "ffn_norm.weight"] = \
                 sd[p + "post_attention_layernorm.weight"]
-        else:  # baichuan: W_pack = [q; k; v]
+        elif arch == "baichuan":  # W_pack = [q; k; v]
             out[p + "self_attn.W_pack.weight"] = np.concatenate(
                 [q, k, v], axis=0)
             for name in ("self_attn.o_proj", "mlp.gate_proj",
@@ -69,7 +69,45 @@ def _convert(src_dir, dst_dir, arch: str):
                          "input_layernorm",
                          "post_attention_layernorm"):
                 out[p + name + ".weight"] = sd[p + name + ".weight"]
-    if arch == "internlm2":
+        elif arch == "exaone":
+            e = f"transformer.h.{l}."
+            out[e + "attn.attention.q_proj.weight"] = q
+            out[e + "attn.attention.k_proj.weight"] = k
+            out[e + "attn.attention.v_proj.weight"] = v
+            out[e + "attn.attention.out_proj.weight"] = \
+                sd[p + "self_attn.o_proj.weight"]
+            out[e + "mlp.c_fc_0.weight"] = \
+                sd[p + "mlp.gate_proj.weight"]
+            out[e + "mlp.c_fc_1.weight"] = \
+                sd[p + "mlp.up_proj.weight"]
+            out[e + "mlp.c_proj.weight"] = \
+                sd[p + "mlp.down_proj.weight"]
+            out[e + "ln_1.weight"] = sd[p + "input_layernorm.weight"]
+            out[e + "ln_2.weight"] = \
+                sd[p + "post_attention_layernorm.weight"]
+        else:  # qwen v1: fused biased c_attn, w2=gate / w1=up
+            e = f"transformer.h.{l}."
+            out[e + "attn.c_attn.weight"] = np.concatenate(
+                [q, k, v], axis=0)
+            out[e + "attn.c_attn.bias"] = np.zeros(
+                q.shape[0] + 2 * k.shape[0], np.float32)
+            out[e + "attn.c_proj.weight"] = \
+                sd[p + "self_attn.o_proj.weight"]
+            out[e + "mlp.w2.weight"] = sd[p + "mlp.gate_proj.weight"]
+            out[e + "mlp.w1.weight"] = sd[p + "mlp.up_proj.weight"]
+            out[e + "mlp.c_proj.weight"] = \
+                sd[p + "mlp.down_proj.weight"]
+            out[e + "ln_1.weight"] = sd[p + "input_layernorm.weight"]
+            out[e + "ln_2.weight"] = \
+                sd[p + "post_attention_layernorm.weight"]
+    if arch in ("exaone", "qwen_v1"):
+        out["transformer.wte.weight"] = \
+            sd["model.embed_tokens.weight"]
+        out["transformer.ln_f.weight"] = sd["model.norm.weight"]
+        out["lm_head.weight"] = sd["lm_head.weight"]
+        archs = ["ExaoneForCausalLM"] if arch == "exaone" else \
+            ["QWenLMHeadModel"]
+    elif arch == "internlm2":
         out["model.tok_embeddings.weight"] = \
             sd["model.embed_tokens.weight"]
         out["model.norm.weight"] = sd["model.norm.weight"]
@@ -94,7 +132,7 @@ def _run_ours(model_dir):
     return run_ours(str(model_dir), TOKENS)
 
 
-@pytest.mark.parametrize("arch", ["internlm2", "baichuan"])
+@pytest.mark.parametrize("arch", ["internlm2", "baichuan", "exaone", "qwen_v1"])
 def test_converted_checkpoint_parity(arch, tmp_path):
     import torch
 

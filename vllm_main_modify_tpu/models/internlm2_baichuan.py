@@ -115,3 +115,89 @@ class BaichuanForCausalLM(BaiChuanForCausalLM):
     baichuan.py position_embedding='ALIBI')."""
 
     use_alibi = True
+
+
+class ExaoneForCausalLM(LlamaForCausalLM):
+    """EXAONE v1 (reference: exaone.py) — Llama graph, GPT-2-style
+    key names under transformer.h.{i} with RMS norms ln_1/ln_2 and
+    c_fc_0 (gate) / c_fc_1 (up) / c_proj (down)."""
+
+    RENAME = {
+        "embed_tokens": "transformer.wte.weight",
+        "final_norm": "transformer.ln_f.weight",
+        "layers.input_layernorm": "transformer.h.{i}.ln_1.weight",
+        "layers.post_attention_layernorm":
+        "transformer.h.{i}.ln_2.weight",
+        "layers.q_proj":
+        "transformer.h.{i}.attn.attention.q_proj.weight",
+        "layers.k_proj":
+        "transformer.h.{i}.attn.attention.k_proj.weight",
+        "layers.v_proj":
+        "transformer.h.{i}.attn.attention.v_proj.weight",
+        "layers.o_proj":
+        "transformer.h.{i}.attn.attention.out_proj.weight",
+        "layers.gate_proj": "transformer.h.{i}.mlp.c_fc_0.weight",
+        "layers.up_proj": "transformer.h.{i}.mlp.c_fc_1.weight",
+        "layers.down_proj": "transformer.h.{i}.mlp.c_proj.weight",
+    }
+
+    def param_specs(self) -> list[ParamSpec]:
+        specs = []
+        for s in super().param_specs():
+            if s.path in self.RENAME:
+                s.hf_key = self.RENAME[s.path]
+            specs.append(s)
+        return specs
+
+
+def _qwen_v1_bias_slice(lo: int, hi: int):
+    return lambda x: np.ascontiguousarray(x[lo:hi])
+
+
+class QWenLMHeadModel(LlamaForCausalLM):
+    """Qwen v1 (reference: qwen.py) — Llama graph with GPT-2-style
+    keys, fused biased c_attn, and mlp w2 (gate) / w1 (up) /
+    c_proj (down)."""
+
+    def __init__(self, config: ModelConfig):
+        config.attention_bias = True  # c_attn always has bias
+        super().__init__(config)
+
+    def param_specs(self) -> list[ParamSpec]:
+        qd = self.num_q * self.head_dim
+        kd = self.num_kv * self.head_dim
+        c_attn = "transformer.h.{i}.attn.c_attn"
+        w_slices = {
+            "layers.q_proj": _wpack_slice(0, qd),
+            "layers.k_proj": _wpack_slice(qd, qd + kd),
+            "layers.v_proj": _wpack_slice(qd + kd, qd + 2 * kd),
+        }
+        b_slices = {
+            "layers.q_bias": _qwen_v1_bias_slice(0, qd),
+            "layers.k_bias": _qwen_v1_bias_slice(qd, qd + kd),
+            "layers.v_bias": _qwen_v1_bias_slice(qd + kd,
+                                                 qd + 2 * kd),
+        }
+        rename = {
+            "embed_tokens": "transformer.wte.weight",
+            "final_norm": "transformer.ln_f.weight",
+            "layers.input_layernorm": "transformer.h.{i}.ln_1.weight",
+            "layers.post_attention_layernorm":
+            "transformer.h.{i}.ln_2.weight",
+            "layers.o_proj": "transformer.h.{i}.attn.c_proj.weight",
+            "layers.gate_proj": "transformer.h.{i}.mlp.w2.weight",
+            "layers.up_proj": "transformer.h.{i}.mlp.w1.weight",
+            "layers.down_proj": "transformer.h.{i}.mlp.c_proj.weight",
+        }
+        specs = []
+        for s in super().param_specs():
+            if s.path in w_slices:
+                s.hf_key = c_attn + ".weight"
+                s.transform = w_slices[s.path]
+            elif s.path in b_slices:
+                s.hf_key = c_attn + ".bias"
+                s.transform = b_slices[s.path]
+            elif s.path in rename:
+                s.hf_key = rename[s.path]
+            specs.append(s)
+        return specs

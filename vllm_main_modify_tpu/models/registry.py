@@ -75,6 +75,12 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "InternLM2ForCausalLM": (
         "vllm_main_modify_tpu.models.internlm2_baichuan",
         "InternLM2ForCausalLM"),
+    "ExaoneForCausalLM": (
+        "vllm_main_modify_tpu.models.internlm2_baichuan",
+        "ExaoneForCausalLM"),
+    "QWenLMHeadModel": (
+        "vllm_main_modify_tpu.models.internlm2_baichuan",
+        "QWenLMHeadModel"),
     "BaiChuanForCausalLM": (  # 7B (rope)
         "vllm_main_modify_tpu.models.internlm2_baichuan",
         "BaiChuanForCausalLM"),
