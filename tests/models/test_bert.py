@@ -126,3 +126,43 @@ def test_bert_cross_encoder_classification(tmp_path):
                  token_type_ids=torch.tensor([types])).logits[0]
     np.testing.assert_allclose(np.asarray(out.data),
                                ref.numpy(), atol=2e-3, rtol=2e-3)
+
+
+def test_cross_encoder_score_api(tmp_path):
+    """LLM.score on a BERT cross-encoder runs each PAIR through the
+    model (not embedding cosine) and matches HF."""
+    import torch
+    import transformers
+
+    SEP = 102
+    cfg = transformers.BertConfig(
+        vocab_size=512, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=128, sep_token_id=SEP, num_labels=1)
+    torch.manual_seed(0)
+    hf = transformers.BertForSequenceClassification(cfg).to(
+        torch.float32).eval()
+    path = tmp_path / "tiny-cross-score"
+    hf.save_pretrained(path, safe_serialization=True)
+    _save_tok(path)
+    llm = LLM(model=str(path), dtype="float32", max_model_len=128,
+              max_num_seqs=8, max_num_batched_tokens=64, block_size=4,
+              num_kv_blocks=8)
+    scores = llm.score(["hot day"], ["cold night", "warm day"])
+    assert len(scores) == 2
+    tok = llm.get_tokenizer()
+    for text2, got in zip(["cold night", "warm day"], scores):
+        ids = tok("hot day", text2)["input_ids"]
+        # token types as the engine infers them (from [SEP] runs)
+        sep_prev = np.cumsum([1 if t == SEP else 0 for t in ids])
+        types = [1 if (sp - (1 if t == SEP else 0)) >= 1 else 0
+                 for t, sp in zip(ids, sep_prev)]
+        with torch.no_grad():
+            ref = hf(torch.tensor([ids]),
+                     token_type_ids=torch.tensor([types])
+                     ).logits[0, 0].item()
+        np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+    # rerank orders by the cross-encoder score
+    ranked = llm.rerank("hot day", ["cold night", "warm day"])
+    assert [i for i, _ in ranked] == sorted(
+        range(2), key=lambda i: scores[i], reverse=True)

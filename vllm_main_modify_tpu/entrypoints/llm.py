@@ -147,9 +147,10 @@ class LLM:
         text_1: Union[str, Sequence[str]],
         text_2: Union[str, Sequence[str]],
     ) -> list[float]:
-        """Similarity scores for text pairs via the embedding model
-        (reference: LLM.score embed-model path — cosine similarity of
-        normalized embeddings)."""
+        """Similarity scores for text pairs (reference: LLM.score).
+        Cross-encoders (BERT-family *ForSequenceClassification) run
+        each PAIR through the model in one sequence; embedding models
+        fall back to cosine similarity of normalized embeddings."""
         import numpy as np
 
         if isinstance(text_1, str):
@@ -160,6 +161,19 @@ class LLM:
             text_1 = list(text_1) * len(text_2)
         assert len(text_1) == len(text_2), \
             "text_1/text_2 length mismatch"
+        arch = self.engine.config.model_config.architecture
+        if "ForSequenceClassification" in (arch or ""):
+            # cross-encoder: tokenize the pair into one sequence
+            # (token types inferred from [SEP] in-model)
+            tok = self.get_tokenizer()
+            prompts = [
+                tok(a, b)["input_ids"]
+                for a, b in zip(text_1, text_2)
+            ]
+            outs = self.embed(prompts, PoolingParams(
+                task="score", activation="none"))
+            return [float(np.asarray(o.data).reshape(-1)[0])
+                    for o in outs]
         embeds = self.embed(list(text_1) + list(text_2))
         n = len(text_1)
         a = np.asarray([e.data for e in embeds[:n]])
