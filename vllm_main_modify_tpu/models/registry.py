@@ -143,6 +143,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Tarsier2ForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_vl",
         "Qwen2VLForConditionalGeneration"),
+    "Mistral3ForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.mistral3",
+        "Mistral3ForConditionalGeneration"),
     "Qwen2AudioForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_audio",
         "Qwen2AudioForConditionalGeneration"),

@@ -51,6 +51,11 @@ def num_image_tokens_for(model_config) -> int:
             "SmolVLMForConditionalGeneration"):
         sf = getattr(hf, "scale_factor", 2)
         return (vc.image_size // vc.patch_size // sf)**2
+    if model_config.architecture == \
+            "Mistral3ForConditionalGeneration":
+        size = int(model_config.mm_image_size or vc.image_size)
+        sm = getattr(hf, "spatial_merge_size", 2)
+        return (size // vc.patch_size // sm)**2
     patches = (vc.image_size // vc.patch_size)**2
     strategy = getattr(hf, "vision_feature_select_strategy",
                        "default")
