@@ -235,3 +235,5 @@ class AsyncLLM:
         self._shutdown.set()
         self._work_available.set()
         self._core_thread.join(timeout=5)
+        if hasattr(self.engine_core, "shutdown"):
+            self.engine_core.shutdown()

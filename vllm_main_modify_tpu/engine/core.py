@@ -243,6 +243,19 @@ class EngineCore:
                 prev_so, prev_out)
         return outputs
 
+    def shutdown(self) -> None:
+        """Release background resources (KV-event replay thread, P/D
+        connector sockets). Safe to call more than once."""
+        try:
+            self.kv_event_publisher.close()
+        except Exception:  # noqa: BLE001
+            pass
+        if self.kv_connector is not None:
+            try:
+                self.kv_connector.close()
+            except Exception:  # noqa: BLE001
+                pass
+
     def has_unfinished_requests(self) -> bool:
         return self.scheduler.has_unfinished_requests()
 

@@ -60,11 +60,14 @@ class ZmqEventPublisher:
         self._replay: deque = deque(maxlen=config.buffer_steps)
         self._lock = threading.Lock()
         self._rep = None
+        self._stop = threading.Event()
+        self._thread = None
         if config.replay_endpoint:
             self._rep = self._ctx.socket(zmq.REP)
             self._rep.bind(config.replay_endpoint)
-            t = threading.Thread(target=self._replay_loop, daemon=True)
-            t.start()
+            self._thread = threading.Thread(target=self._replay_loop,
+                                            daemon=True)
+            self._thread.start()
 
     def record(self, kind: str, block_id: int, block_hash) -> None:
         self._pending.append({
@@ -90,19 +93,41 @@ class ZmqEventPublisher:
                 [self._topic, seq.to_bytes(8, "big"), payload])
 
     def _replay_loop(self) -> None:
-        while True:
-            try:
-                start_seq = int.from_bytes(self._rep.recv(), "big")
-            except Exception:  # noqa: BLE001 — socket closed
-                return
-            with self._lock:
-                frames = [p for s, p in self._replay if s >= start_seq]
-            self._rep.send_multipart(frames or [b""])
+        """libzmq sockets are NOT thread-safe: this thread OWNS the
+        REP socket for its whole life (poll with timeout, close here
+        on stop) — closing it from another thread while recv() blocks
+        is a use-after-free that segfaults the process much later."""
+        import zmq
+
+        poller = zmq.Poller()
+        poller.register(self._rep, zmq.POLLIN)
+        try:
+            while not self._stop.is_set():
+                if not poller.poll(timeout=100):
+                    continue
+                try:
+                    start_seq = int.from_bytes(
+                        self._rep.recv(zmq.NOBLOCK), "big")
+                except Exception:  # noqa: BLE001
+                    break
+                with self._lock:
+                    frames = [p for s, p in self._replay
+                              if s >= start_seq]
+                self._rep.send_multipart(frames or [b""])
+        finally:
+            self._rep.close(linger=0)
 
     def close(self) -> None:
         self._pub.close(linger=0)
-        if self._rep is not None:
-            self._rep.close(linger=0)
+        if self._thread is not None:
+            self._stop.set()
+            self._thread.join(timeout=2.0)
+
+    def __del__(self):  # GC safety net — never reap the socket here
+        try:
+            self._stop.set()
+        except Exception:  # noqa: BLE001
+            pass
 
 
 def create_kv_event_publisher(config: Optional[KVEventsConfig]):

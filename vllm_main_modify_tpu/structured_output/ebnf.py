@@ -372,9 +372,20 @@ class CompiledEBNF:
                              f"(> {self.MAX_STACKS} parse stacks)")
         return frozenset(out)
 
+    MAX_CACHED_STATES = 200_000  # long-running-server guard
+
     def _intern(self, stacks: frozenset) -> int:
         sid = self._ids.get(stacks)
         if sid is None:
+            if len(self._sets) >= self.MAX_CACHED_STATES and \
+                    len(self._sets) % self.MAX_CACHED_STATES == 0:
+                # recursive grammars mint fresh states forever; the
+                # heavy memory is the per-state bitmask (vocab/8
+                # bytes) and transition memos — drop those
+                # periodically. Interned ids stay valid (in-flight
+                # Grammar states keep working); masks rebuild lazily.
+                self._trans.clear()
+                self._mask_cache.clear()
             sid = len(self._sets)
             self._ids[stacks] = sid
             self._sets.append(stacks)
