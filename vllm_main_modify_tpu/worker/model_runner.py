@@ -52,6 +52,36 @@ from vllm_main_modify_tpu.worker.outputs import (LogprobsLists,
 logger = logging.getLogger(__name__)
 
 # smallest padded token batch (one bf16 MXU tile's worth of rows)
+
+
+def _instance_memo(fn):
+    """Per-INSTANCE memoization. functools.lru_cache on a bound method
+    keys on ``self`` and pins every runner — and with it every
+    compiled executable and the full param tree — for the process
+    lifetime. A per-instance dict keeps the cache semantics and lets
+    dead runners (tests, sleep/wake cycles, multi-engine processes)
+    actually free their device state."""
+    import functools as _ft
+
+    name = "_memo_" + fn.__name__
+
+    @_ft.wraps(fn)
+    def wrapper(self, *args):
+        cache = getattr(self, name, None)
+        if cache is None:
+            cache = {}
+            setattr(self, name, cache)
+        if args not in cache:
+            cache[args] = fn(self, *args)
+        return cache[args]
+
+    def cache_clear(self):
+        getattr(self, "_memo_" + fn.__name__, {}).clear()
+
+    wrapper.clear_for = cache_clear
+    return wrapper
+
+
 MIN_TOKEN_BUCKET = 16
 MIN_REQ_BUCKET = 8
 
@@ -487,7 +517,7 @@ class TPUModelRunner:
                 (xl, p2, self.page_size, 2 * kvh * kvd),
                 dtype=mc.jax_dtype)
             self._cross_free = list(range(self.max_num_reqs))
-            self._packed_layout.cache_clear()
+            type(self)._packed_layout.clear_for(self)
 
     def init_kv_offload(self, capacity_blocks: int) -> None:
         from vllm_main_modify_tpu.kv_offload.manager import \
@@ -556,7 +586,7 @@ class TPUModelRunner:
             for leaf in jax.tree.leaves(self.kv_caches):
                 leaf.delete()
             self.kv_caches = None
-        self._get_step_fn.cache_clear()
+        type(self)._get_step_fn.clear_for(self)
 
     def wake_up(self) -> None:
         assert self._host_params is not None, "not sleeping"
@@ -577,7 +607,7 @@ class TPUModelRunner:
                 if isinstance(leaf, jax.Array):
                     leaf.delete()
         self.load_model()
-        self._get_step_fn.cache_clear()
+        type(self)._get_step_fn.clear_for(self)
 
     def save_sharded_state(self, path: str) -> None:
         """Persist the (host-gathered) param pytree as safetensors for
@@ -1130,7 +1160,7 @@ class TPUModelRunner:
 
     BIAS_MAX = 64  # logit_bias entries per request (clamped)
 
-    @functools.lru_cache(maxsize=None)
+    @_instance_memo
     def _packed_layout(self, t_pad: int, r_pad: int, s_pad: int,
                        has_penalties: bool = False,
                        has_bias: bool = False,
@@ -1249,7 +1279,7 @@ class TPUModelRunner:
     # the jitted step
     # ------------------------------------------------------------------
 
-    @functools.lru_cache(maxsize=256)
+    @_instance_memo
     def _get_step_fn(self, t_pad: int, r_pad: int, all_greedy: bool,
                      need_top_k: bool, need_top_p: bool,
                      need_min_p: bool, max_num_logprobs: int,
@@ -1596,7 +1626,7 @@ class TPUModelRunner:
     # (tpu_model_runner.py:981 runs multiple forwards per schedule for
     # the opposite reason: oversized batches).
 
-    @functools.lru_cache(maxsize=None)
+    @_instance_memo
     def _decode_layout(self, r_pad: int) -> dict:
         """Packed int32 buffer layout for one decode chunk."""
         mp = self.max_blocks_per_req
@@ -1627,7 +1657,7 @@ class TPUModelRunner:
         layout["total"] = off
         return layout
 
-    @functools.lru_cache(maxsize=64)
+    @_instance_memo
     def _get_decode_step_fn(self, r_pad: int, num_steps: int,
                             all_greedy: bool, need_top_k: bool,
                             need_top_p: bool, need_min_p: bool,
