@@ -172,65 +172,8 @@ class LlamaForCausalLM:
             w = jax.tree.map(
                 lambda a: jax.lax.dynamic_index_in_dim(
                     a, l, 0, keepdims=False), layers)
-            res = x
-            h = rms_norm(x, w["input_layernorm"], cfg.rms_norm_eps)
-            has_lora = "lora_q_proj_a" in w
-            lora_slots = attn_meta.token_lora_slots
-            lora_scales = params.get("lora_scales")
-
-            def lora(y, base, target):
-                if not has_lora:
-                    return y
-                return y + lora_apply(base, w[f"lora_{target}_a"],
-                                      w[f"lora_{target}_b"],
-                                      lora_scales, lora_slots)
-
-            q = lora(matmul(h, w["q_proj"]), h, "q_proj")
-            k = lora(matmul(h, w["k_proj"]), h, "k_proj")
-            v = lora(matmul(h, w["v_proj"]), h, "v_proj")
-            if self.qkv_bias:
-                q = q + w["q_bias"]
-                k = k + w["k_bias"]
-                v = v + w["v_bias"]
-            q = q.reshape(t, self.num_q, self.head_dim)
-            k = k.reshape(t, self.num_kv, self.head_dim)
-            v = v.reshape(t, self.num_kv, self.head_dim)
-            if self.alibi_slopes is not None:
-                pass  # ALiBi replaces rope entirely
-            elif self.rope_layer_mask is None:
-                q, k = self._apply_rope(q, k, positions)
-            else:
-                # SmolLM3 nope layers: every Nth layer skips rope
-                qr, kr = self._apply_rope(q, k, positions)
-                use = self.rope_layer_mask[l]
-                q = jnp.where(use, qr, q)
-                k = jnp.where(use, kr, k)
-            o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
-                                     self.sm_scale,
-                                     sliding_window=cfg.sliding_window,
-                                     alibi_slopes=self.alibi_slopes,
-                                     use_pallas=use_pallas)
-            o_flat = o.reshape(t, -1)
-            attn_out = lora(matmul(o_flat, w["o_proj"]), o_flat,
-                            "o_proj")
-            if self.residual_mult != 1.0:
-                attn_out = attn_out * jnp.asarray(
-                    self.residual_mult, dtype=attn_out.dtype)
-            x = res + attn_out
-
-            res = x
-            h = rms_norm(x, w["post_attention_layernorm"],
-                         cfg.rms_norm_eps)
-            h = self.act_fn(lora(matmul(h, w["gate_proj"]), h,
-                                 "gate_proj"),
-                            lora(matmul(h, w["up_proj"]), h,
-                                 "up_proj"))
-            mlp_out = lora(matmul(h, w["down_proj"]), h, "down_proj")
-            if self.residual_mult != 1.0:
-                mlp_out = mlp_out * jnp.asarray(
-                    self.residual_mult, dtype=mlp_out.dtype)
-            x = res + mlp_out
-            return x, kv_caches
+            return self._layer_step(w, x, kv_caches, l, positions,
+                                    attn_meta, params, use_pallas, t)
 
         # fori_loop with the KV cache as carry: in-place page updates.
         # (a lax.scan emitting per-layer KV would allocate a SECOND
@@ -239,6 +182,77 @@ class LlamaForCausalLM:
                                          (x, kv_caches))
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         return x, kv_caches
+
+    def _layer_step(self, w, x, kv_caches, l, positions, attn_meta,
+                    params, use_pallas, t):
+        """One decoder layer on already-indexed per-layer weights ``w``
+        (factored out so variants — Solar's backbone skip connections,
+        TeleChat2's extra biases — reuse the exact body)."""
+        cfg = self.cfg
+        res = x
+        h = rms_norm(x, w["input_layernorm"], cfg.rms_norm_eps)
+        has_lora = "lora_q_proj_a" in w
+        lora_slots = attn_meta.token_lora_slots
+        lora_scales = params.get("lora_scales")
+
+        def lora(y, base, target):
+            if not has_lora:
+                return y
+            return y + lora_apply(base, w[f"lora_{target}_a"],
+                                  w[f"lora_{target}_b"],
+                                  lora_scales, lora_slots)
+
+        q = lora(matmul(h, w["q_proj"]), h, "q_proj")
+        k = lora(matmul(h, w["k_proj"]), h, "k_proj")
+        v = lora(matmul(h, w["v_proj"]), h, "v_proj")
+        if self.qkv_bias:
+            q = q + w["q_bias"]
+            k = k + w["k_bias"]
+            v = v + w["v_bias"]
+        q = q.reshape(t, self.num_q, self.head_dim)
+        k = k.reshape(t, self.num_kv, self.head_dim)
+        v = v.reshape(t, self.num_kv, self.head_dim)
+        if self.alibi_slopes is not None:
+            pass  # ALiBi replaces rope entirely
+        elif self.rope_layer_mask is None:
+            q, k = self._apply_rope(q, k, positions)
+        else:
+            # SmolLM3 nope layers: every Nth layer skips rope
+            qr, kr = self._apply_rope(q, k, positions)
+            use = self.rope_layer_mask[l]
+            q = jnp.where(use, qr, q)
+            k = jnp.where(use, kr, k)
+        o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
+                                 self.sm_scale,
+                                 sliding_window=cfg.sliding_window,
+                                 alibi_slopes=self.alibi_slopes,
+                                 use_pallas=use_pallas)
+        o_flat = o.reshape(t, -1)
+        attn_out = lora(matmul(o_flat, w["o_proj"]), o_flat,
+                        "o_proj")
+        if "o_bias" in w:  # TeleChat2-style dense bias
+            attn_out = attn_out + w["o_bias"]
+        if self.residual_mult != 1.0:
+            attn_out = attn_out * jnp.asarray(
+                self.residual_mult, dtype=attn_out.dtype)
+        x = res + attn_out
+
+        res = x
+        h = rms_norm(x, w["post_attention_layernorm"],
+                     cfg.rms_norm_eps)
+        h = self.act_fn(lora(matmul(h, w["gate_proj"]), h,
+                             "gate_proj"),
+                        lora(matmul(h, w["up_proj"]), h,
+                             "up_proj"))
+        mlp_out = lora(matmul(h, w["down_proj"]), h, "down_proj")
+        if "down_bias" in w:
+            mlp_out = mlp_out + w["down_bias"]
+        if self.residual_mult != 1.0:
+            mlp_out = mlp_out * jnp.asarray(
+                self.residual_mult, dtype=mlp_out.dtype)
+        x = res + mlp_out
+        return x, kv_caches
+
 
     def compute_logits(self, params: dict,
                        hidden: jax.Array) -> jax.Array:

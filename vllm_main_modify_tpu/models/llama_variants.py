@@ -1,0 +1,234 @@
+"""Llama-graph variants: Solar, TeleFLM, TeleChat2, MiniCPM, MiMo.
+
+Reference parity:
+- vllm/model_executor/models/solar.py (Solar Pro backbone skip
+  connections, solar.py:327-348)
+- vllm/model_executor/models/teleflm.py (µP input/output multipliers,
+  teleflm.py:56-79)
+- vllm/model_executor/models/telechat2.py (TeleChat2 checkpoint layout:
+  ``transformer.h.{i}.self_attention.{query,key_value,dense}`` with
+  o/down biases, telechat2.py:37-63,122-135)
+- vllm/model_executor/models/minicpm.py (scale_emb / scale_depth
+  residual scaling / dim_model_base logit scaling, minicpm.py:346-353,
+  406,573; MoE layers minicpm.py:64-156)
+- vllm/model_executor/models/mimo.py (Qwen2 graph; ``mtp_layers``
+  checkpoint tensors ignored at load, mimo.py:103)
+
+All reuse the stacked-layer ``lax.fori_loop`` body of models/llama.py
+(``LlamaForCausalLM._layer_step``); deltas are scalar multipliers,
+ParamSpec key remaps, or — for Solar — extra skip-state carries.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from vllm_main_modify_tpu.config import ModelConfig
+from vllm_main_modify_tpu.layers.normalization import rms_norm
+from vllm_main_modify_tpu.models.interface import ParamSpec
+from vllm_main_modify_tpu.models.llama import LlamaForCausalLM
+from vllm_main_modify_tpu.models.moe_llama import MoeDecoderBase
+
+
+class SolarForCausalLM(LlamaForCausalLM):
+    """Upstage Solar. Plain Llama graph unless the config carries
+    backbone-skip-connection (bskcn) lists — Solar Pro blends saved
+    activations back in at later layers with inference weight
+    ``bskcn_tv[1]`` (reference: solar.py:327-348).
+
+    TPU design: the skip state rides the ``fori_loop`` carry as two
+    extra [T, H] buffers; save/blend are ``jnp.where`` on static
+    per-layer masks, so the loop keeps a single compiled body."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.hf_config
+        self.bskcn = None
+        if getattr(hf, "bskcn_1", None) is not None:
+            L = self.L
+            masks = []
+            for attr in ("bskcn_1", "bskcn_2", "bskcn_3", "bskcn_4"):
+                ids = set(getattr(hf, attr, []) or [])
+                masks.append(
+                    jnp.asarray([i in ids for i in range(L)],
+                                dtype=bool))
+            tv = getattr(hf, "bskcn_tv", [0.9, 0.8])[1]
+            self.bskcn = (*masks, float(tv))
+
+    def __call__(self, params, input_ids, positions, kv_caches,
+                 attn_meta, use_pallas: Optional[bool] = None,
+                 inputs_embeds: Optional[jax.Array] = None):
+        if self.bskcn is None:
+            return super().__call__(params, input_ids, positions,
+                                    kv_caches, attn_meta,
+                                    use_pallas=use_pallas,
+                                    inputs_embeds=inputs_embeds)
+        cfg = self.cfg
+        x = inputs_embeds if inputs_embeds is not None else \
+            jnp.take(params["embed_tokens"], input_ids, axis=0)
+        t = x.shape[0]
+        layers = params["layers"]
+        save1, save2, blend1, blend2, tv = self.bskcn
+        tv = jnp.asarray(tv, dtype=x.dtype)
+
+        def layer_fn(l, carry):
+            x, s1, s2, kv_caches = carry
+            # save/blend BEFORE the layer body (reference loop head,
+            # solar.py:335-348)
+            x = jnp.where(blend1[l], tv * s1 + (1 - tv) * x, x)
+            x = jnp.where(blend2[l], tv * s2 + (1 - tv) * x, x)
+            s1 = jnp.where(save1[l], x, s1)
+            s2 = jnp.where(save2[l], x, s2)
+            w = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False), layers)
+            x, kv_caches = self._layer_step(w, x, kv_caches, l,
+                                            positions, attn_meta,
+                                            params, use_pallas, t)
+            return x, s1, s2, kv_caches
+
+        x, _, _, kv_caches = jax.lax.fori_loop(
+            0, self.L, layer_fn, (x, x, x, kv_caches))
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return x, kv_caches
+
+
+class TeleFLMForCausalLM(LlamaForCausalLM):
+    """TeleFLM / FLM-2: Llama graph with µP multipliers — embeddings
+    scaled by ``input_mult``, logits by ``output_mult /
+    mup_scale_factor`` (reference: teleflm.py:56-79)."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.hf_config
+        if getattr(hf, "use_mup", False):
+            self.embed_mult = float(getattr(hf, "input_mult", 1.0))
+            out_mult = float(getattr(hf, "output_mult", 1.0)) / \
+                float(getattr(hf, "mup_scale_factor", 1.0))
+            if out_mult:
+                self.logits_div = 1.0 / out_mult
+
+
+def _tc2_kv_slice(kv_heads: int, head_dim: int, want_v: bool):
+    """TeleChat2 ``key_value.weight`` [(kvh*2*hd), H]: per-head k then
+    v interleaved (telechat2.py:76-92) → one of k/v, transposed."""
+
+    def f(x):
+        y = x.reshape(kv_heads, 2, head_dim, -1)[:, 1 if want_v else 0]
+        return np.ascontiguousarray(y.reshape(-1, x.shape[-1]).T)
+
+    return f
+
+
+class TeleChat2ForCausalLM(LlamaForCausalLM):
+    """TeleChat2: Llama graph, silu-gated MLP, biases ONLY on the
+    attention dense (o_proj) and mlp down_proj; checkpoint uses
+    BLOOM-ish naming under ``transformer.h.{i}.`` with q as ``query``
+    and k/v packed per-head in ``key_value``
+    (reference: telechat2.py:37-63 + WeightsMapper :122-135)."""
+
+    def __init__(self, config: ModelConfig):
+        hf = config.hf_config
+        # telechat config uses bloom-style attribute names
+        for src, dst in (("n_layer", "num_layers"),
+                         ("n_head", "num_attention_heads"),
+                         ("ffn_hidden_size", "intermediate_size"),
+                         ("layer_norm_epsilon", "rms_norm_eps")):
+            v = getattr(hf, src, None)
+            if v is not None:
+                setattr(config, dst, v)
+        if getattr(hf, "n_head", None):
+            config.num_kv_heads = getattr(hf, "num_key_value_heads",
+                                          None) or hf.n_head
+            config.head_dim = config.hidden_size // \
+                config.num_attention_heads
+        config.attention_bias = False
+        super().__init__(config)
+
+    def param_specs(self) -> list[ParamSpec]:
+        from vllm_main_modify_tpu.models.interface import transpose2d
+
+        H = self.hidden
+        base = "transformer.h.{i}."
+        remap = {
+            "embed_tokens": "transformer.word_embeddings.weight",
+            "final_norm": "transformer.ln_f.weight",
+            "layers.input_layernorm": base + "input_layernorm.weight",
+            "layers.q_proj": base + "self_attention.query.weight",
+            "layers.o_proj": base + "self_attention.dense.weight",
+            "layers.post_attention_layernorm":
+            base + "post_attention_layernorm.weight",
+            "layers.gate_proj": base + "mlp.gate_proj.weight",
+            "layers.up_proj": base + "mlp.up_proj.weight",
+            "layers.down_proj": base + "mlp.down_proj.weight",
+        }
+        specs = []
+        for s in super().param_specs():
+            if s.path in remap:
+                s.hf_key = remap[s.path]
+            elif s.path == "layers.k_proj":
+                s.hf_key = base + "self_attention.key_value.weight"
+                s.transform = _tc2_kv_slice(self.num_kv,
+                                            self.head_dim, False)
+            elif s.path == "layers.v_proj":
+                s.hf_key = base + "self_attention.key_value.weight"
+                s.transform = _tc2_kv_slice(self.num_kv,
+                                            self.head_dim, True)
+            specs.append(s)
+        L = self.L
+        specs += [
+            ParamSpec("layers.o_bias", (L, H), P(None, None),
+                      base + "self_attention.dense.bias",
+                      stacked=True, transform=None),
+            ParamSpec("layers.down_bias", (L, H), P(None, None),
+                      base + "mlp.down_proj.bias",
+                      stacked=True, transform=None),
+        ]
+        return specs
+
+
+def _minicpm_scalars(model, hf):
+    model.embed_mult = float(getattr(hf, "scale_emb", 1.0) or 1.0)
+    depth = getattr(hf, "scale_depth", None)
+    if depth:
+        model.residual_mult = float(depth) / math.sqrt(model.L)
+    dmb = getattr(hf, "dim_model_base", None)
+    if dmb:
+        model.logits_div = model.hidden / float(dmb)
+
+
+class MiniCPMForCausalLM(LlamaForCausalLM):
+    """MiniCPM 1/2 dense: Llama graph + µP-style scalars — embeddings
+    x scale_emb, residual branches x scale_depth/sqrt(L), logits
+    / (hidden_size/dim_model_base) (reference: minicpm.py:346-353,
+    406,573). MoE checkpoints route to :class:`MiniCPMMoEForCausalLM`
+    via the registry factory."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        _minicpm_scalars(self, config.hf_config)
+
+
+class MiniCPMMoEForCausalLM(MoeDecoderBase):
+    """MiniCPM-MoE-8x2B: MiniCPM scalars + Mixtral-style per-expert
+    w1/w3/w2 under ``mlp.experts.{e}.``, softmax top-k renormalized
+    (reference: minicpm.py:64-156 MiniCPMMoE, fused_topk
+    renormalize=True)."""
+
+    renormalize = True
+    ROUTER_KEY = "model.layers.{i}.mlp.gate.weight"
+    GATE_KEY = "model.layers.{i}.mlp.experts.{e}.w1.weight"
+    UP_KEY = "model.layers.{i}.mlp.experts.{e}.w3.weight"
+    DOWN_KEY = "model.layers.{i}.mlp.experts.{e}.w2.weight"
+
+    def __init__(self, config: ModelConfig):
+        if not config.moe_intermediate_size:
+            config.moe_intermediate_size = config.intermediate_size
+        super().__init__(config)
+        _minicpm_scalars(self, config.hf_config)

@@ -731,3 +731,18 @@ class NemotronForCausalLM(_ConfigurableDecoder):
     eps_attr = "norm_eps"
     KEY_FC_IN = "mlp.up_proj"
     KEY_FC_OUT = "mlp.down_proj"
+
+
+class OrionForCausalLM(_ConfigurableDecoder):
+    """Reference: vllm/model_executor/models/orion.py — Llama-shaped
+    graph (silu-gated MLP, no biases anywhere) but with full LayerNorm
+    (weight+bias) norms, eps taken from ``rms_norm_eps``
+    (orion.py:182-185,231)."""
+
+    norm_style = "ln"
+    residual = "seq"
+    gated_mlp = True
+    qkv_bias = False
+    o_bias = False
+    mlp_bias = False
+    eps_attr = "rms_norm_eps"

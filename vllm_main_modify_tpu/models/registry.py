@@ -238,7 +238,43 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     # _EMBEDDING_MODELS table maps these onto the decoder classes)
     "Gemma2Model": ("vllm_main_modify_tpu.models.registry",
                     "_pooling_gemma2_factory"),
+    # Llama-graph variants (models/llama_variants.py)
+    "SolarForCausalLM": ("vllm_main_modify_tpu.models.llama_variants",
+                         "SolarForCausalLM"),
+    "TeleFLMForCausalLM": (
+        "vllm_main_modify_tpu.models.llama_variants",
+        "TeleFLMForCausalLM"),
+    "TeleChat2ForCausalLM": (
+        "vllm_main_modify_tpu.models.llama_variants",
+        "TeleChat2ForCausalLM"),
+    "MiniCPMForCausalLM": ("vllm_main_modify_tpu.models.registry",
+                           "_minicpm_factory"),
+    # MiMo: Qwen2 graph; the checkpoint's extra ``model.mtp_layers.*``
+    # tensors are ignored by the spec-driven loader (reference:
+    # mimo.py:103 skips them the same way)
+    "MiMoForCausalLM": ("vllm_main_modify_tpu.models.registry",
+                        "_qwen2_factory"),
+    "OrionForCausalLM": ("vllm_main_modify_tpu.models.misc_decoders",
+                         "OrionForCausalLM"),
+    # GritLM (generation + embedding checkpoint; reference gritlm.py
+    # wraps llama — embed requests use last-token/mean pooling here)
+    "GritLM": ("vllm_main_modify_tpu.models.llama",
+               "LlamaForCausalLM"),
 }
+
+
+def _minicpm_factory(config: ModelConfig):
+    """MiniCPM dense vs MoE split on config num_experts
+    (reference: minicpm.py:316-328)."""
+    if config.num_experts:
+        from vllm_main_modify_tpu.models.llama_variants import \
+            MiniCPMMoEForCausalLM
+
+        return MiniCPMMoEForCausalLM(config)
+    from vllm_main_modify_tpu.models.llama_variants import \
+        MiniCPMForCausalLM
+
+    return MiniCPMForCausalLM(config)
 
 
 def _use_bias_llama_factory(config: ModelConfig):
