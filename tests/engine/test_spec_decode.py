@@ -183,3 +183,36 @@ def test_medusa_drafts_flow(medusa_pair):
     spec.generate(["hello world test"], p)
     stats = spec.engine.engine_core.scheduler.make_stats()
     assert stats.spec_num_draft_tokens > 0
+
+
+def test_spec_method_autodetect(tmp_path):
+    """method=None + draft_model sniffs the draft config's declared
+    architecture (reference: vllm/config/speculative.py
+    __post_init__)."""
+    import json
+
+    from vllm_main_modify_tpu.config import SpeculativeConfig
+
+    for archs, want in ((["MedusaModel"], "medusa"),
+                        (["EagleLlamaForCausalLM"], "eagle"),
+                        (["DeepSeekMTPModel"], "eagle")):
+        d = tmp_path / archs[0]
+        d.mkdir()
+        (d / "config.json").write_text(
+            json.dumps({"architectures": archs}))
+        sc = SpeculativeConfig(draft_model=str(d),
+                               num_speculative_tokens=2)
+        assert sc.method == want, archs
+
+
+def test_draft_arch_not_standalone():
+    import pytest as _pytest
+
+    from vllm_main_modify_tpu.config import ModelConfig
+    from vllm_main_modify_tpu.models.registry import resolve_model_cls
+
+    factory = resolve_model_cls("MedusaModel")
+    cfg = ModelConfig.__new__(ModelConfig)
+    cfg.architecture = "MedusaModel"
+    with _pytest.raises(ValueError, match="speculative"):
+        factory(cfg)

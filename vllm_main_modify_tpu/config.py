@@ -278,16 +278,50 @@ class LoRAConfig:
 class SpeculativeConfig:
     """Spec-decode config (reference: vllm/config/speculative.py)."""
 
-    method: Optional[str] = None  # ngram | eagle | draft_model
+    method: Optional[str] = None  # ngram | eagle | medusa
     num_speculative_tokens: int = 0
     # ngram proposer window
     prompt_lookup_max: int = 4
     prompt_lookup_min: int = 1
     draft_model: Optional[str] = None
 
+    def __post_init__(self) -> None:
+        # Auto-detect the method from the draft checkpoint's declared
+        # architecture (reference: vllm/config/speculative.py
+        # __post_init__ infers eagle/medusa/mtp from the draft config).
+        if self.method is None and self.draft_model:
+            self.method = _detect_spec_method(self.draft_model)
+
     @property
     def enabled(self) -> bool:
         return self.method is not None and self.num_speculative_tokens > 0
+
+
+def _detect_spec_method(draft_dir: str) -> str:
+    import json
+    import os
+
+    path = os.path.join(draft_dir, "config.json")
+    archs = []
+    try:
+        with open(path) as f:
+            archs = json.load(f).get("architectures") or []
+    except OSError:
+        pass
+    name = archs[0] if archs else ""
+    if "Medusa" in name:
+        return "medusa"
+    if "Eagle" in name or "MTP" in name.upper():
+        # EAGLE-style drafts and DeepSeek/Ernie/GLM MTP modules share
+        # the fc(embed ++ target_hidden) -> decoder-layers shape
+        return "eagle"
+    if "MLPSpeculator" in name:
+        raise ValueError(
+            "MLP-speculator draft models are not supported yet; use "
+            "an EAGLE or Medusa draft, or ngram speculation")
+    # plain decoder checkpoint -> classic two-model speculation is not
+    # supported; EAGLE subsumes it on TPU (single fused step)
+    return "eagle"
 
 
 @dataclass

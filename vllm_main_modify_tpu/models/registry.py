@@ -263,6 +263,31 @@ _REGISTRY: dict[str, tuple[str, str]] = {
 }
 
 
+# speculative draft architectures (reference registry
+# _SPECULATIVE_DECODING_MODELS): these checkpoints are not standalone
+# models — they ride the target model's fused step. Route users to
+# speculative_config instead of failing on missing weights.
+_DRAFT_ARCHS = (
+    "MedusaModel", "EagleLlamaForCausalLM", "Eagle3LlamaForCausalLM",
+    "LlamaForCausalLMEagle3", "EagleMiniCPMForCausalLM",
+    "EagleLlama4ForCausalLM", "Eagle3Qwen2_5vlForCausalLM",
+    "EagleDeepSeekMTPModel", "DeepSeekMTPModel", "ErnieMTPModel",
+    "Glm4MoeMTPModel", "MiMoMTPModel", "LongCatFlashMTPModel",
+    "Qwen3NextMTP", "MLPSpeculatorPreTrainedModel",
+)
+for _a in _DRAFT_ARCHS:
+    _REGISTRY[_a] = ("vllm_main_modify_tpu.models.registry",
+                     "_draft_only_factory")
+
+
+def _draft_only_factory(config: ModelConfig):
+    raise ValueError(
+        f"{config.architecture!r} is a speculative-decoding draft "
+        "architecture; load it via speculative_config="
+        "{'draft_model': <path>, 'num_speculative_tokens': K} on the "
+        "target model instead of as a standalone model")
+
+
 def _minicpm_factory(config: ModelConfig):
     """MiniCPM dense vs MoE split on config num_experts
     (reference: minicpm.py:316-328)."""
