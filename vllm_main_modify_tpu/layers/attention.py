@@ -79,6 +79,7 @@ def attention(
     logit_softcap: Optional[float] = None,
     use_pallas: Optional[bool] = None,
     alibi_slopes: Optional[tuple] = None,
+    sinks: Optional[jax.Array] = None,  # [Hq] learned sink logits
 ) -> tuple[jax.Array, jax.Array]:
     """Write new KV into this layer's pages of the FULL cache, then
     ragged paged attention over them. The cache is a loop carry updated
@@ -130,6 +131,7 @@ def attention(
         num_seqs=meta.num_seqs,
         page_base=layer_idx * num_pages,
         alibi_slopes=alibi_slopes,
+        sinks=sinks,
     )
     return out, flat.reshape(kv_caches.shape)
 

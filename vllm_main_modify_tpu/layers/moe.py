@@ -48,6 +48,8 @@ def moe_ffn(
     renormalize: bool = True,
     n_group: int = 0,
     topk_group: int = 0,
+    router_bias: Optional[jax.Array] = None,  # [E]
+    biases: Optional[tuple] = None,  # (b_gate[E,I], b_up[E,I], b_down[E,H])
 ) -> jax.Array:
     """Top-k routed expert FFN (SwiGLU experts)."""
     t, hidden = x.shape
@@ -55,6 +57,9 @@ def moe_ffn(
 
     router_logits = (x.astype(jnp.float32) @
                      router_weight.astype(jnp.float32))  # [T, E]
+    if router_bias is not None:
+        router_logits = router_logits + \
+            router_bias.astype(jnp.float32)[None, :]
     probs = jax.nn.softmax(router_logits, axis=-1)
     if n_group > 1:
         weights, experts = group_limited_topk(probs, top_k, n_group,
@@ -63,7 +68,8 @@ def moe_ffn(
         weights, experts = jax.lax.top_k(probs, top_k)  # [T, k]
     if renormalize:
         weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    return moe_apply(x, weights, experts, w_gate, w_up, w_down, act_fn)
+    return moe_apply(x, weights, experts, w_gate, w_up, w_down, act_fn,
+                     biases=biases)
 
 
 def moe_apply(
@@ -74,6 +80,7 @@ def moe_apply(
     w_up: jax.Array,  # [E, H, I]
     w_down: jax.Array,  # [E, I, H]
     act_fn: Callable,
+    biases: Optional[tuple] = None,  # per-expert (gate, up, down)
 ) -> jax.Array:
     """Grouped-GEMM expert application for an already-routed batch
     (routing variants — softmax/sigmoid, group-limited, bias-corrected
@@ -93,8 +100,17 @@ def moe_apply(
 
     gate = jax.lax.ragged_dot(xs, w_gate, group_sizes)  # [T*k, I]
     up = jax.lax.ragged_dot(xs, w_up, group_sizes)
+    if biases is not None:
+        # per-expert biases (GPT-OSS): gather by each sorted slot's
+        # expert id
+        e_sorted = jnp.take(flat_experts, order)  # [T*k]
+        b_gate, b_up, b_down = biases
+        gate = gate + jnp.take(b_gate, e_sorted, axis=0)
+        up = up + jnp.take(b_up, e_sorted, axis=0)
     h = act_fn(gate, up).astype(w_down.dtype)
     y = jax.lax.ragged_dot(h, w_down, group_sizes)  # [T*k, H]
+    if biases is not None:
+        y = y + jnp.take(b_down, e_sorted, axis=0).astype(y.dtype)
 
     w_sorted = jnp.take(weights.reshape(-1), order)  # [T*k]
     y = y.astype(jnp.float32) * w_sorted[:, None]

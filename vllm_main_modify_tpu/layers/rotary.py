@@ -56,6 +56,22 @@ def yarn_get_mscale(scale: float, mscale: float = 1.0) -> float:
     return 0.1 * mscale * math.log(scale) + 1.0
 
 
+def yarn_attention_factor(cfg: dict) -> float:
+    """cos/sin post-scale for yarn rope (HF
+    modeling_rope_utils._compute_yarn_parameters attention_factor
+    resolution)."""
+    af = cfg.get("attention_factor")
+    if af is not None:
+        return float(af)
+    factor = cfg.get("factor", 1.0)
+    mscale = cfg.get("mscale")
+    mscale_all = cfg.get("mscale_all_dim")
+    if mscale and mscale_all:
+        return yarn_get_mscale(factor, mscale) / \
+            yarn_get_mscale(factor, mscale_all)
+    return yarn_get_mscale(factor)
+
+
 def _yarn_scale(inv_freq: np.ndarray, head_dim: int, base: float,
                 cfg: dict) -> np.ndarray:
     """NTK-by-parts interpolation (YaRN): high-frequency dims keep the
@@ -66,14 +82,18 @@ def _yarn_scale(inv_freq: np.ndarray, head_dim: int, base: float,
     orig_max = cfg.get("original_max_position_embeddings", 4096)
     beta_fast = cfg.get("beta_fast", 32)
     beta_slow = cfg.get("beta_slow", 1)
+    truncate = cfg.get("truncate", True)
 
     def correction_dim(num_rot):
         return (head_dim *
                 math.log(orig_max / (num_rot * 2 * math.pi)) /
                 (2 * math.log(base)))
 
-    low = max(math.floor(correction_dim(beta_fast)), 0)
-    high = min(math.ceil(correction_dim(beta_slow)), head_dim - 1)
+    low, high = correction_dim(beta_fast), correction_dim(beta_slow)
+    if truncate:  # GPT-OSS ships truncate=False (no floor/ceil)
+        low, high = math.floor(low), math.ceil(high)
+    low = max(low, 0)
+    high = min(high, head_dim - 1)
     ramp = np.clip(
         (np.arange(head_dim // 2, dtype=np.float64) - low) /
         max(high - low, 0.001), 0, 1)
@@ -139,11 +159,12 @@ def apply_rope(
     k: jax.Array,  # [T, Hk, D]
     positions: jax.Array,  # [T] int32
     inv_freq: jax.Array,  # [D/2] f32
+    mscale: float = 1.0,  # yarn attention_scaling on cos/sin
 ) -> tuple[jax.Array, jax.Array]:
     """Neox-style (rotate halves) RoPE, matching HF Llama."""
     angles = positions[:, None].astype(jnp.float32) * inv_freq[None, :]
-    cos = jnp.cos(angles)[:, None, :]  # [T, 1, D/2]
-    sin = jnp.sin(angles)[:, None, :]
+    cos = jnp.cos(angles)[:, None, :] * mscale  # [T, 1, D/2]
+    sin = jnp.sin(angles)[:, None, :] * mscale
 
     def rot(x):
         d2 = x.shape[-1] // 2

@@ -260,6 +260,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     # wraps llama — embed requests use last-token/mean pooling here)
     "GritLM": ("vllm_main_modify_tpu.models.llama",
                "LlamaForCausalLM"),
+    "GptOssForCausalLM": ("vllm_main_modify_tpu.models.gpt_oss",
+                          "GptOssForCausalLM"),
 }
 
 

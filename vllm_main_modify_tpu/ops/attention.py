@@ -46,11 +46,17 @@ def ragged_paged_attention_xla(
     logit_softcap: Optional[float] = None,
     causal: bool = True,
     alibi_slopes: Optional[tuple] = None,
+    sinks: Optional[jax.Array] = None,  # [num_q_heads] f32
 ) -> jax.Array:
     """Token-parallel reference: each token gathers its request's pages.
 
     O(T * max_kv) memory — fine for tests/CPU; the Pallas kernel is the
     production path.
+
+    ``sinks`` (GPT-OSS): a learned per-q-head logit that joins the
+    softmax but contributes no value — it only inflates the
+    denominator (reference: gpt_oss.py:78-120 + HF
+    eager_attention_forward sink concat).
     """
     num_tokens, num_q_heads, head_dim = q.shape
     num_pages, page_size, two_k, _ = kv_cache.shape
@@ -103,8 +109,16 @@ def ragged_paged_attention_xla(
         mask &= kv_idx > (kv_pos[:, None] - sliding_window)
     scores = jnp.where(mask[:, None, None, :], scores, MIN_MASK)
 
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("tkgs,tskd->tkgd", probs, vf)
+    if sinks is not None:
+        s = sinks.astype(jnp.float32).reshape(num_kv_heads, group)
+        m = jnp.maximum(jnp.max(scores, axis=-1), s[None])  # [T,K,g]
+        p = jnp.exp(scores - m[..., None])
+        p = jnp.where(mask[:, None, None, :], p, 0.0)
+        denom = p.sum(axis=-1) + jnp.exp(s[None] - m)
+        out = jnp.einsum("tkgs,tskd->tkgd", p, vf) / denom[..., None]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("tkgs,tskd->tkgd", probs, vf)
     return out.reshape(num_tokens, num_q_heads,
                        head_dim).astype(q.dtype)
 
@@ -124,6 +138,7 @@ def ragged_paged_attention(
     page_base=0,
     causal: bool = True,
     alibi_slopes: Optional[tuple] = None,
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, XLA reference elsewhere.
     ``page_base`` offsets block-table entries into a stacked
@@ -146,7 +161,7 @@ def ragged_paged_attention(
             sliding_window=sliding_window,
             logit_softcap=logit_softcap, num_seqs=num_seqs,
             page_base=page_base, causal=causal,
-            alibi_slopes=alibi_slopes)
+            alibi_slopes=alibi_slopes, sinks=sinks)
     bt = block_tables + page_base if page_base is not None else \
         block_tables
     if kv_cache.ndim == 3:
@@ -160,4 +175,5 @@ def ragged_paged_attention(
                                       causal=causal,
                                       alibi_slopes=alibi_slopes,
                                       sliding_window=sliding_window,
-                                      logit_softcap=logit_softcap)
+                                      logit_softcap=logit_softcap,
+                                      sinks=sinks)

@@ -53,6 +53,7 @@ def _rpa_kernel(
     first_seq_ref,  # [num_q_blocks] first seq overlapping each block
     num_seqs_ref,  # [1]
     page_base_ref,  # [1] page offset into a stacked multi-layer pool
+    sinks_ref,  # [num_q_heads] f32 (all-zero dummy when has_sinks=False)
     # inputs (HBM)
     q_hbm,  # [T, Hq*D]
     kv_hbm,  # [P*page, 2*Hk*D]
@@ -75,6 +76,7 @@ def _rpa_kernel(
     logit_softcap: Optional[float],
     causal: bool,
     alibi_slopes: Optional[tuple],
+    has_sinks: bool,
 ):
     i = pl.program_id(0)
     bq = q_vmem.shape[0]
@@ -286,7 +288,24 @@ def _rpa_kernel(
              acc0)
     (*_, m, l, acc) = jax.lax.while_loop(pipe_cond, pipe_body, carry)
 
-    out = acc / jnp.maximum(l, 1e-20)  # rows with no kv → 0
+    if has_sinks:
+        # GPT-OSS attention sinks: a per-q-head logit joins the softmax
+        # denominator without a value vector. out =
+        # acc·e^(m-m') / (l·e^(m-m') + e^(sink-m')), m' = max(m, sink);
+        # rows with no kv (m=NEG_INF, l=0) come out exactly 0.
+        outs = []
+        for h in range(num_kv_heads):
+            svals = [sinks_ref[h * group + gi] for gi in range(group)]
+            s_col = jnp.stack(svals)[None, :]  # [1, group]
+            s_col = jnp.broadcast_to(s_col, (bq, group)).reshape(
+                rows, 1)
+            m_t = jnp.maximum(m[h], s_col)
+            sc = jnp.exp(m[h] - m_t)
+            outs.append((acc[h] * sc) /
+                        (l[h] * sc + jnp.exp(s_col - m_t)))
+        out = jnp.stack(outs)
+    else:
+        out = acc / jnp.maximum(l, 1e-20)  # rows with no kv → 0
     # [Hk, BQ*G, D] → [BQ, Hq*D]
     out = out.reshape(num_kv_heads, bq, group, head_dim)
     out = out.transpose(1, 0, 2, 3).reshape(bq, num_q_heads * head_dim)
@@ -318,6 +337,7 @@ def ragged_paged_attention_pallas(
     interpret: bool = False,
     causal: bool = True,
     alibi_slopes: Optional[tuple] = None,
+    sinks: Optional[jax.Array] = None,  # [Hq] f32 learned sink logits
 ) -> jax.Array:
     t, num_q_heads, head_dim = q.shape
     num_pages, page_size = kv_cache.shape[:2]
@@ -368,7 +388,12 @@ def ragged_paged_attention_pallas(
         logit_softcap=logit_softcap,
         causal=causal,
         alibi_slopes=alibi_slopes,
+        has_sinks=sinks is not None,
     )
+    if sinks is None:
+        sinks_in = jnp.zeros((num_q_heads, ), jnp.float32)
+    else:
+        sinks_in = sinks.astype(jnp.float32).reshape(num_q_heads)
     # 2-D HBM layouts keep every DMA slice tile-aligned (see kernel).
     # The production cache is already width-layout, so this reshape
     # never touches a sharded axis (a head-axis merge under GSPMD is a
@@ -376,7 +401,7 @@ def ragged_paged_attention_pallas(
     q2 = q.reshape(t, num_q_heads * head_dim)
     kv2 = kv_cache.reshape(num_pages * page_size, width)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(num_q_blocks, ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -403,5 +428,5 @@ def ragged_paged_attention_pallas(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(query_start_loc, seq_lens, block_tables, first_seq, num_seqs,
-      page_base, q2, kv2)
+      page_base, sinks_in, q2, kv2)
     return out.reshape(q.shape)
