@@ -262,6 +262,13 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                "LlamaForCausalLM"),
     "GptOssForCausalLM": ("vllm_main_modify_tpu.models.gpt_oss",
                           "GptOssForCausalLM"),
+    # DeepSeek-V3-routing MoE families (models/moe_v3.py)
+    "Glm4MoeForCausalLM": ("vllm_main_modify_tpu.models.moe_v3",
+                           "Glm4MoeForCausalLM"),
+    "Dots1ForCausalLM": ("vllm_main_modify_tpu.models.moe_v3",
+                         "Dots1ForCausalLM"),
+    "Ernie4_5_MoeForCausalLM": ("vllm_main_modify_tpu.models.moe_v3",
+                                "Ernie4_5_MoeForCausalLM"),
 }
 
 
