@@ -72,3 +72,20 @@ def test_ernie45_moe_parity(tmp_path):
                       moe_layer_start_index=1,
                       tie_word_embeddings=True, use_bias=True)
     _check(path, hf)
+
+
+def test_hunyuan_dense_parity(tmp_path):
+    """HunYuanDenseV1: per-head RMS qk norm AFTER rope
+    (reference: hunyuan_v1.py:221-227)."""
+    path, hf = _build(tmp_path, "HunYuanDenseV1", **BASE, head_dim=16,
+                      use_qk_norm=True)
+    _check(path, hf)
+
+
+def test_apertus_parity(tmp_path):
+    """Apertus: xIELU MLP with learnable per-layer activation params
+    (reference: apertus.py:60-98)."""
+    kw = dict(BASE, max_position_embeddings=16384)
+    kw.pop("moe_intermediate_size")
+    path, hf = _build(tmp_path, "Apertus", **kw)
+    _check(path, hf)

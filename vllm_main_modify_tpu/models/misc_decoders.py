@@ -48,6 +48,7 @@ class _ConfigurableDecoder:
     o_bias = True
     mlp_bias = True
     qk_norm = None  # None | "full_rms" | "head_ln" | "head_ln_bias"
+    qk_norm_post_rope = False  # HunYuan: head_rms AFTER rope
     rope_interleaved = False
     lm_head_bias = False
     clip_qkv = None  # OLMo-v1 qkv clamp
@@ -314,7 +315,7 @@ class _ConfigurableDecoder:
         elif self.qk_norm == "head_ln_bias":
             q = layer_norm(q, w["q_norm"], w["q_norm_bias"], self.eps)
             k = layer_norm(k, w["k_norm"], w["k_norm_bias"], self.eps)
-        elif self.qk_norm == "head_rms":
+        elif self.qk_norm == "head_rms" and not self.qk_norm_post_rope:
             q = rms_norm(q, w["q_norm"], self.eps)
             k = rms_norm(k, w["k_norm"], self.eps)
         if use_rope:
@@ -329,6 +330,11 @@ class _ConfigurableDecoder:
             else:
                 q, k = apply_rope_partial(q, k, positions, freqs,
                                           self.rot_dim)
+        if self.qk_norm == "head_rms" and self.qk_norm_post_rope:
+            # HunYuan applies per-head RMS AFTER rope
+            # (hunyuan_v1.py:221-227)
+            q = rms_norm(q, w["q_norm"], self.eps)
+            k = rms_norm(k, w["k_norm"], self.eps)
         o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
                                  self.sm_scale,
                                  sliding_window=window,
@@ -746,3 +752,94 @@ class OrionForCausalLM(_ConfigurableDecoder):
     o_bias = False
     mlp_bias = False
     eps_attr = "rms_norm_eps"
+
+
+class HunYuanDenseV1ForCausalLM(_ConfigurableDecoder):
+    """Reference: vllm/model_executor/models/hunyuan_v1.py (dense
+    path) — Llama-shaped graph with per-head RMS q/k norm applied
+    AFTER rope (hunyuan_v1.py:221-227, checkpoint keys
+    ``query_layernorm``/``key_layernorm``). Cross-layer attention
+    (use_cla) is not supported."""
+
+    norm_style = "rms"
+    residual = "seq"
+    gated_mlp = True
+    qkv_bias = False
+    o_bias = False
+    mlp_bias = False
+    qk_norm = "head_rms"
+    qk_norm_post_rope = True
+    eps_attr = "rms_norm_eps"
+
+    def __init__(self, config: ModelConfig):
+        hf = config.hf_config
+        if getattr(hf, "use_cla", False):
+            raise NotImplementedError(
+                "HunYuan cross-layer attention (use_cla) is not "
+                "supported yet")
+        if not getattr(hf, "use_qk_norm", True):
+            self.qk_norm = None  # instance attr shadows the class
+        self.qkv_bias = bool(getattr(hf, "attention_bias", False))
+        super().__init__(config)
+
+    def param_specs(self) -> list[ParamSpec]:
+        specs = super().param_specs()
+        for s in specs:
+            if s.path == "layers.q_norm":
+                s.hf_key = ("model.layers.{i}.self_attn"
+                            ".query_layernorm.weight")
+            elif s.path == "layers.k_norm":
+                s.hf_key = ("model.layers.{i}.self_attn"
+                            ".key_layernorm.weight")
+        return specs
+
+
+class ApertusForCausalLM(_ConfigurableDecoder):
+    """Reference: vllm/model_executor/models/apertus.py — Llama-shaped
+    attention with per-head RMS q/k norm, but a NON-gated MLP through
+    the learnable xIELU activation (HF XIELUActivation._xielu_python):
+    softplus-parameterized alpha_p/alpha_n per layer plus beta/eps
+    buffers, all stored in the checkpoint. Norms are named
+    ``attention_layernorm`` / ``feedforward_layernorm``."""
+
+    norm_style = "rms"
+    residual = "seq"
+    gated_mlp = False
+    qkv_bias = False
+    o_bias = False
+    mlp_bias = False
+    qk_norm = "head_rms"
+    eps_attr = "rms_norm_eps"
+    KEY_FC_IN = "mlp.up_proj"
+    KEY_FC_OUT = "mlp.down_proj"
+
+    def param_specs(self) -> list[ParamSpec]:
+        L = self.L
+        specs = []
+        for s in super().param_specs():
+            if s.path == "layers.input_layernorm":
+                s.hf_key = "model.layers.{i}.attention_layernorm.weight"
+            elif s.path == "layers.post_attention_layernorm":
+                s.hf_key = \
+                    "model.layers.{i}.feedforward_layernorm.weight"
+            specs.append(s)
+        one = lambda x: np.asarray(x, np.float32).reshape(1)
+        for name in ("alpha_p", "alpha_n", "beta", "eps"):
+            specs.append(
+                ParamSpec(f"layers.xielu_{name}", (L, 1),
+                          P(None, None),
+                          "model.layers.{i}.mlp.act_fn." + name,
+                          stacked=True, transform=one))
+        return specs
+
+    def _mlp(self, w, h):
+        y = matmul(h, w["fc_in"]).astype(jnp.float32)
+        ap = jax.nn.softplus(w["xielu_alpha_p"].astype(jnp.float32))
+        beta = w["xielu_beta"].astype(jnp.float32)
+        an = beta + jax.nn.softplus(
+            w["xielu_alpha_n"].astype(jnp.float32))
+        eps = w["xielu_eps"].astype(jnp.float32)
+        y = jnp.where(
+            y > 0, ap * y * y + beta * y,
+            (jnp.expm1(jnp.minimum(y, eps)) - y) * an + beta * y)
+        return matmul(y.astype(h.dtype), w["fc_out"])

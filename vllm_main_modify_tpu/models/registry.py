@@ -262,6 +262,11 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                "LlamaForCausalLM"),
     "GptOssForCausalLM": ("vllm_main_modify_tpu.models.gpt_oss",
                           "GptOssForCausalLM"),
+    "HunYuanDenseV1ForCausalLM": (
+        "vllm_main_modify_tpu.models.misc_decoders",
+        "HunYuanDenseV1ForCausalLM"),
+    "ApertusForCausalLM": ("vllm_main_modify_tpu.models.misc_decoders",
+                           "ApertusForCausalLM"),
     # DeepSeek-V3-routing MoE families (models/moe_v3.py)
     "Glm4MoeForCausalLM": ("vllm_main_modify_tpu.models.moe_v3",
                            "Glm4MoeForCausalLM"),
