@@ -262,6 +262,11 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                "LlamaForCausalLM"),
     "GptOssForCausalLM": ("vllm_main_modify_tpu.models.gpt_oss",
                           "GptOssForCausalLM"),
+    "ModernBertModel": ("vllm_main_modify_tpu.models.modern_bert",
+                        "ModernBertModel"),
+    "ModernBertForSequenceClassification": (
+        "vllm_main_modify_tpu.models.modern_bert",
+        "ModernBertForSequenceClassification"),
     "HunYuanDenseV1ForCausalLM": (
         "vllm_main_modify_tpu.models.misc_decoders",
         "HunYuanDenseV1ForCausalLM"),
