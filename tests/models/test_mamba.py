@@ -465,3 +465,135 @@ def test_jamba_chunked_state_carry(tmp_path):
         ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
     got = run_jamba(path, [6, 4])
     np.testing.assert_allclose(got, ref[6:], atol=2e-3, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Nemotron-H: M/*/- mixer pattern (trust-remote-code; oracle composed
+# from HF Mamba2Mixer + hand torch attention/relu²-MLP)
+# ---------------------------------------------------------------------------
+
+NH_PATTERN = "M*-M"
+
+
+def build_nemotron_h(tmp_path):
+    import json
+
+    import safetensors.torch as stt
+    import torch
+    from transformers import Mamba2Config
+    from transformers.models.mamba2.modeling_mamba2 import Mamba2Mixer
+
+    torch.manual_seed(0)
+    H, I, nh, hd, st, dc = 64, 96, 4, 16, 8, 4
+    m2cfg = Mamba2Config(hidden_size=H, num_heads=nh, head_dim=hd,
+                         expand=1, state_size=st, conv_kernel=dc,
+                         n_groups=1, use_bias=False,
+                         use_conv_bias=True, rms_norm=True,
+                         layer_norm_epsilon=1e-5)
+    sd = {}
+    mixers = {}
+    for l, kind in enumerate(NH_PATTERN):
+        p = f"backbone.layers.{l}."
+        sd[p + "norm.weight"] = torch.rand(H) * 0.5 + 0.75
+        if kind == "M":
+            mx = Mamba2Mixer(m2cfg, layer_idx=l).to(torch.float32)
+            for k, v in mx.state_dict().items():
+                if v.dtype.is_floating_point:
+                    v.data = torch.randn_like(v) * 0.2
+            # A_log/dt_bias need sane ranges
+            mx.A_log.data = torch.log(torch.rand(nh) * 8 + 1)
+            mx.dt_bias.data = torch.rand(nh)
+            mx.eval()
+            mixers[l] = mx
+            for k, v in mx.state_dict().items():
+                sd[p + "mixer." + k] = v.clone()
+        elif kind == "*":
+            sd[p + "mixer.q_proj.weight"] = torch.randn(nh * hd, H) * 0.1
+            sd[p + "mixer.k_proj.weight"] = torch.randn(2 * hd, H) * 0.1
+            sd[p + "mixer.v_proj.weight"] = torch.randn(2 * hd, H) * 0.1
+            sd[p + "mixer.o_proj.weight"] = torch.randn(H, nh * hd) * 0.1
+        else:
+            sd[p + "mixer.up_proj.weight"] = torch.randn(I, H) * 0.1
+            sd[p + "mixer.down_proj.weight"] = torch.randn(H, I) * 0.1
+    sd["backbone.embed_tokens.weight"] = torch.randn(256, H) * 0.2
+    sd["backbone.norm_f.weight"] = torch.rand(H) * 0.5 + 0.75
+    sd["lm_head.weight"] = torch.randn(256, H) * 0.2
+    d = tmp_path / "nemotron_h"
+    d.mkdir()
+    stt.save_file({k: v.contiguous() for k, v in sd.items()},
+                  str(d / "model.safetensors"))
+    cfg = dict(model_type="llama",
+               architectures=["NemotronHForCausalLM"],
+               vocab_size=256, hidden_size=H, intermediate_size=I,
+               num_hidden_layers=len(NH_PATTERN),
+               num_attention_heads=nh, num_key_value_heads=2,
+               head_dim=hd, hybrid_override_pattern=NH_PATTERN,
+               mamba_num_heads=nh, mamba_head_dim=hd,
+               ssm_state_size=st, conv_kernel=dc, n_groups=1,
+               use_conv_bias=True, use_bias=False, mlp_bias=False,
+               rms_norm_eps=1e-5, max_position_embeddings=128,
+               tie_word_embeddings=False)
+    (d / "config.json").write_text(json.dumps(cfg))
+    return str(d), sd, mixers
+
+
+def _nh_oracle(sd, mixers, tokens):
+    import torch
+    import torch.nn.functional as F
+
+    def rmsnorm(x, w):
+        v = x.float()
+        v = v * torch.rsqrt(v.pow(2).mean(-1, keepdim=True) + 1e-5)
+        return v * w
+
+    T = len(tokens)
+    with torch.no_grad():
+        x = sd["backbone.embed_tokens.weight"][torch.tensor(tokens)]
+        for l, kind in enumerate(NH_PATTERN):
+            p = f"backbone.layers.{l}."
+            h = rmsnorm(x, sd[p + "norm.weight"])
+            if kind == "M":
+                mix = mixers[l].torch_forward(
+                    h[None], cache_params=None, cache_position=None,
+                    attention_mask=None)[0]
+            elif kind == "*":
+                q = (h @ sd[p + "mixer.q_proj.weight"].T).reshape(
+                    T, 4, 16)
+                k = (h @ sd[p + "mixer.k_proj.weight"].T).reshape(
+                    T, 2, 16)
+                v = (h @ sd[p + "mixer.v_proj.weight"].T).reshape(
+                    T, 2, 16)
+                k = k.repeat_interleave(2, dim=1)
+                v = v.repeat_interleave(2, dim=1)
+                s = torch.einsum("qhd,khd->hqk", q, k) / 4.0
+                mask = torch.triu(torch.full((T, T), float("-inf")),
+                                  diagonal=1)
+                o = torch.einsum(
+                    "hqk,khd->qhd",
+                    F.softmax(s + mask, dim=-1), v).reshape(T, -1)
+                mix = o @ sd[p + "mixer.o_proj.weight"].T
+            else:
+                y = F.relu(h @ sd[p + "mixer.up_proj.weight"].T) ** 2
+                mix = y @ sd[p + "mixer.down_proj.weight"].T
+            x = x + mix
+        x = rmsnorm(x, sd["backbone.norm_f.weight"])
+        return (x @ sd["lm_head.weight"].T).numpy()
+
+
+def run_nemotron_h(model_dir, chunks):
+    return run_bamba(model_dir, chunks)
+
+
+def test_nemotron_h_prefill_parity(tmp_path):
+    path, sd, mixers = build_nemotron_h(tmp_path)
+    ref = _nh_oracle(sd, mixers, TOKENS)
+    got = run_nemotron_h(path, [len(TOKENS)])
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_nemotron_h_chunked_state_carry(tmp_path):
+    path, sd, mixers = build_nemotron_h(tmp_path)
+    ref = _nh_oracle(sd, mixers, TOKENS)
+    got = run_nemotron_h(path, [7, 3])
+    np.testing.assert_allclose(got[:, :], ref[7:], atol=2e-3,
+                               rtol=2e-3)

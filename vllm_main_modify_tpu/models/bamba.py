@@ -590,3 +590,209 @@ class FalconH1ForCausalLM(BambaForCausalLM):
         if self.lm_head_mult != 1.0:
             logits = logits * self.lm_head_mult
         return logits
+
+
+class NemotronHForCausalLM(BambaForCausalLM):
+    """Nemotron-H (reference: nemotron_h.py): every layer is ONE mixer
+    — Mamba-2 ("M"), attention ("*"), or a relu²-MLP ("-") per the
+    ``hybrid_override_pattern`` string — wrapped as
+    x = x + mixer(norm(x)) (nemotron_h.py:100-300). Attention has NO
+    positional encoding; checkpoint keys live under ``backbone.``."""
+
+    def __init__(self, config: ModelConfig):
+        hf = config.hf_config
+        pattern = getattr(hf, "hybrid_override_pattern", "")
+        if isinstance(getattr(hf, "intermediate_size", 0), (list,
+                                                            tuple)):
+            sizes = set(hf.intermediate_size)
+            if len(sizes) > 1:
+                raise NotImplementedError(
+                    "heterogeneous per-layer MLP sizes (NAS'd "
+                    "Nemotron variants) are not supported yet")
+            hf.intermediate_size = next(iter(sizes))
+        hf.attn_layer_indices = [i for i, c in enumerate(pattern)
+                                 if c == "*"]
+        # base-class mamba dims come from different config names
+        hf.mamba_n_heads = getattr(hf, "mamba_num_heads", 128)
+        hf.mamba_d_head = getattr(hf, "mamba_head_dim", 64)
+        hf.mamba_d_state = getattr(hf, "ssm_state_size", 128)
+        hf.mamba_d_conv = getattr(hf, "conv_kernel", 4)
+        hf.mamba_n_groups = getattr(hf, "n_groups", 8)
+        hf.mamba_conv_bias = getattr(hf, "use_conv_bias", True)
+        hf.mamba_proj_bias = getattr(hf, "use_bias", False)
+        super().__init__(config)
+        self.d_inner = self.m_heads * self.m_head_dim
+        self.conv_dim = self.d_inner + 2 * self.gn
+        self.mlp_ids = tuple(i for i, c in enumerate(pattern)
+                             if c == "-")
+        self.mamba_ids = tuple(i for i, c in enumerate(pattern)
+                               if c == "M")
+        self.mlp_bias = bool(getattr(hf, "mlp_bias", False))
+
+    def param_specs(self) -> list[ParamSpec]:
+        c = self.cfg
+        H, V, I = self.hidden, c.vocab_size, self.inter
+        qd = self.num_q * self.head_dim
+        kd = self.num_kv * self.head_dim
+        di, cd, nh = self.d_inner, self.conv_dim, self.m_heads
+        proj_out = 2 * di + 2 * self.gn + nh
+        t = transpose2d
+
+        def stk(group, ids, path, shape, spec, hf_key, transform=t):
+            return ParamSpec(f"{group}.{path}", (len(ids), *shape),
+                             spec, "backbone.layers.{i}." + hf_key,
+                             stacked=True, layer_ids=tuple(ids),
+                             transform=transform)
+
+        all_ids = tuple(range(self.L))
+        specs = [
+            ParamSpec("embed_tokens", (V, H), P("model", None),
+                      "backbone.embed_tokens.weight", transform=None),
+            ParamSpec("final_norm", (H, ), P(),
+                      "backbone.norm_f.weight", transform=None),
+            stk("layers", all_ids, "norm", (H, ), P(None, None),
+                "norm.weight", transform=None),
+        ]
+        if not self.tie_embeddings:
+            specs.append(ParamSpec("lm_head", (H, V), P(None, "model"),
+                                   "lm_head.weight", transform=t))
+        if self.attn_ids:
+            for n, width in (("q", qd), ("k", kd), ("v", kd)):
+                specs.append(
+                    stk("attn", self.attn_ids, f"{n}_proj", (H, width),
+                        P(None, None, "model"),
+                        f"mixer.{n}_proj.weight"))
+            specs.append(
+                stk("attn", self.attn_ids, "o_proj", (qd, H),
+                    P(None, "model", None), "mixer.o_proj.weight"))
+        if self.mlp_ids:
+            specs += [
+                stk("mlp", self.mlp_ids, "up_proj", (H, I),
+                    P(None, None, "model"), "mixer.up_proj.weight"),
+                stk("mlp", self.mlp_ids, "down_proj", (I, H),
+                    P(None, "model", None), "mixer.down_proj.weight"),
+            ]
+            if self.mlp_bias:
+                specs += [
+                    stk("mlp", self.mlp_ids, "up_bias", (I, ),
+                        P(None, "model"), "mixer.up_proj.bias",
+                        transform=None),
+                    stk("mlp", self.mlp_ids, "down_bias", (H, ),
+                        P(None, None), "mixer.down_proj.bias",
+                        transform=None),
+                ]
+        if self.mamba_ids:
+            specs += [
+                stk("mamba", self.mamba_ids, "in_proj",
+                    (H, proj_out), P(None, None, "model"),
+                    "mixer.in_proj.weight"),
+                stk("mamba", self.mamba_ids, "conv_w",
+                    (self.d_conv, cd), P(None, None, "model"),
+                    "mixer.conv1d.weight", transform=_conv_kd),
+                stk("mamba", self.mamba_ids, "dt_bias", (nh, ),
+                    P(None, "model"), "mixer.dt_bias",
+                    transform=None),
+                stk("mamba", self.mamba_ids, "A_log", (nh, ),
+                    P(None, "model"), "mixer.A_log", transform=None),
+                stk("mamba", self.mamba_ids, "D", (nh, ),
+                    P(None, "model"), "mixer.D", transform=None),
+                stk("mamba", self.mamba_ids, "norm", (di, ),
+                    P(None, "model"), "mixer.norm.weight",
+                    transform=None),
+                stk("mamba", self.mamba_ids, "out_proj", (di, H),
+                    P(None, "model", None), "mixer.out_proj.weight"),
+            ]
+            if self.conv_bias:
+                specs.append(
+                    stk("mamba", self.mamba_ids, "conv_b", (cd, ),
+                        P(None, "model"), "mixer.conv1d.bias",
+                        transform=None))
+        return specs
+
+    def __call__(self, params, input_ids, positions, kv_caches,
+                 attn_meta: AttentionMetadata,
+                 use_pallas: Optional[bool] = None):
+        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        t = x.shape[0]
+        kv0, states = kv_caches
+        conv_all, ssm_all = states
+        slots = attn_meta.groups[0].state_slots
+        seg = build_seg_info(attn_meta.query_start_loc,
+                             attn_meta.num_seqs, t, slots)
+        common = params["layers"]
+
+        def idx_map(ids):
+            m = np.zeros(self.L, dtype=np.int32)
+            for i, l in enumerate(ids):
+                m[l] = i
+            return jnp.asarray(m)
+
+        attn_map = idx_map(self.attn_ids)
+        mamba_map = idx_map(self.mamba_ids)
+        mlp_map = idx_map(self.mlp_ids)
+        kind = np.zeros(self.L, dtype=np.int32)  # 0=attn 1=mamba 2=mlp
+        for l in self.mamba_ids:
+            kind[l] = 1
+        for l in self.mlp_ids:
+            kind[l] = 2
+        kind = jnp.asarray(kind)
+
+        def pick(group, gl):
+            return jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, gl, 0, keepdims=False), params[group])
+
+        def attn_branch(l, h, kv0, conv_all, ssm_all):
+            w = pick("attn", attn_map[l])
+            q = matmul(h, w["q_proj"]).reshape(t, self.num_q,
+                                               self.head_dim)
+            k = matmul(h, w["k_proj"]).reshape(t, self.num_kv,
+                                               self.head_dim)
+            v = matmul(h, w["v_proj"]).reshape(t, self.num_kv,
+                                               self.head_dim)
+            # NoPE: Nemotron-H attention has no rotary embedding
+            o, kv0 = attention(q, k, v, kv0, attn_map[l], attn_meta,
+                               self.sm_scale, use_pallas=use_pallas)
+            return matmul(o.reshape(t, -1),
+                          w["o_proj"]), kv0, conv_all, ssm_all
+
+        def mamba_branch(l, h, kv0, conv_all, ssm_all):
+            gl = mamba_map[l]
+            w = pick("mamba", gl)
+            out, cs, ss = mamba2_mixer(
+                h, w, conv_all[gl], ssm_all[gl], seg, self.m_heads,
+                self.m_head_dim, self.n_groups, self.d_state,
+                self.eps)
+            conv_all = jax.lax.dynamic_update_index_in_dim(
+                conv_all, cs, gl, 0)
+            ssm_all = jax.lax.dynamic_update_index_in_dim(
+                ssm_all, ss, gl, 0)
+            return out, kv0, conv_all, ssm_all
+
+        def mlp_branch(l, h, kv0, conv_all, ssm_all):
+            w = pick("mlp", mlp_map[l])
+            y = matmul(h, w["up_proj"])
+            if "up_bias" in w:
+                y = y + w["up_bias"]
+            y = jnp.square(jax.nn.relu(y))  # relu²
+            y = matmul(y.astype(h.dtype), w["down_proj"])
+            if "down_bias" in w:
+                y = y + w["down_bias"]
+            return y, kv0, conv_all, ssm_all
+
+        branches = [attn_branch, mamba_branch, mlp_branch]
+
+        def layer_fn(l, carry):
+            x, kv0, conv_all, ssm_all = carry
+            wc = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False), common)
+            h = rms_norm(x, wc["norm"], self.eps)
+            mix, kv0, conv_all, ssm_all = jax.lax.switch(
+                kind[l], branches, l, h, kv0, conv_all, ssm_all)
+            return x + mix, kv0, conv_all, ssm_all
+
+        x, kv0, conv_all, ssm_all = jax.lax.fori_loop(
+            0, self.L, layer_fn, (x, kv0, conv_all, ssm_all))
+        x = rms_norm(x, params["final_norm"], self.eps)
+        return x, (kv0, (conv_all, ssm_all))

@@ -262,6 +262,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                "LlamaForCausalLM"),
     "GptOssForCausalLM": ("vllm_main_modify_tpu.models.gpt_oss",
                           "GptOssForCausalLM"),
+    "NemotronHForCausalLM": ("vllm_main_modify_tpu.models.bamba",
+                             "NemotronHForCausalLM"),
     "ModernBertModel": ("vllm_main_modify_tpu.models.modern_bert",
                         "ModernBertModel"),
     "ModernBertForSequenceClassification": (
