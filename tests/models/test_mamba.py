@@ -597,3 +597,88 @@ def test_nemotron_h_chunked_state_carry(tmp_path):
     got = run_nemotron_h(path, [7, 3])
     np.testing.assert_allclose(got[:, :], ref[7:], atol=2e-3,
                                rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# LFM2: gated short-conv + attention hybrid (HF parity)
+# ---------------------------------------------------------------------------
+
+
+def build_lfm2(tmp_path):
+    import torch
+    import transformers
+
+    cfg = transformers.Lfm2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=4, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=128,
+        layer_types=["conv", "full_attention", "conv",
+                     "full_attention"],
+        conv_L_cache=3, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    model = transformers.Lfm2ForCausalLM(cfg).to(torch.float32).eval()
+    path = tmp_path / "lfm2"
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path), model
+
+
+def run_lfm2(model_dir, chunks):
+    from jax.sharding import Mesh
+
+    config = ModelConfig(model=model_dir, dtype="float32",
+                         max_model_len=128)
+    model = create_model(config)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                ("data", "model"))
+    params = load_model_weights(model, config, mesh)
+    n_slots = 4
+    la, lc = len(model.attn_ids), len(model.conv_ids)
+    page = 8
+    kv0 = jnp.zeros((la, 8, page, 2 * model.num_kv, model.head_dim),
+                    jnp.float32)
+    conv = jnp.zeros((lc, n_slots, model.d_conv - 1, model.hidden),
+                     jnp.float32)
+    kv = (kv0, (conv, ))
+    t_pad = 16
+    bt = np.zeros((4, 4), np.int32)
+    bt[0] = [1, 2, 0, 0]
+    off = 0
+    for chunk in chunks:
+        ids = TOKENS[off:off + chunk]
+        off += chunk
+        meta = make_meta([chunk], t_pad=t_pad)
+        sm = np.full(t_pad, -1, np.int32)
+        for j in range(chunk):
+            pos = off - chunk + j
+            sm[j] = (1 + pos // page) * page + pos % page
+        meta = meta._replace(
+            block_tables=jnp.asarray(bt),
+            seq_lens=jnp.asarray([off, 0, 0, 0], jnp.int32),
+            slot_mapping=jnp.asarray(sm))
+        ids_p = jnp.asarray(ids + [0] * (t_pad - chunk), jnp.int32)
+        pos = jnp.asarray(list(range(off - chunk, off)) + [0] *
+                          (t_pad - chunk), jnp.int32)
+        hidden, kv = model(params, ids_p, pos, kv, meta,
+                           use_pallas=False)
+    logits = model.compute_logits(params, hidden[:chunk])
+    return np.asarray(logits)
+
+
+def test_lfm2_prefill_parity(tmp_path):
+    import torch
+
+    path, hf = build_lfm2(tmp_path)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_lfm2(path, [len(TOKENS)])
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_lfm2_chunked_state_carry(tmp_path):
+    import torch
+
+    path, hf = build_lfm2(tmp_path)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_lfm2(path, [6, 4])
+    np.testing.assert_allclose(got, ref[6:], atol=2e-3, rtol=2e-3)

@@ -264,6 +264,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                           "GptOssForCausalLM"),
     "NemotronHForCausalLM": ("vllm_main_modify_tpu.models.bamba",
                              "NemotronHForCausalLM"),
+    "Lfm2ForCausalLM": ("vllm_main_modify_tpu.models.lfm2",
+                        "Lfm2ForCausalLM"),
     "ModernBertModel": ("vllm_main_modify_tpu.models.modern_bert",
                         "ModernBertModel"),
     "ModernBertForSequenceClassification": (
