@@ -272,3 +272,104 @@ def test_registry_aliases():
                  "OrionForCausalLM", "TeleChat2ForCausalLM",
                  "TeleFLMForCausalLM", "MiniCPMForCausalLM"):
         assert resolve_model_cls(arch) is not None
+
+
+def test_chatglm_layout_and_half_rope(tmp_path):
+    """ChatGLM2/3: packed query_key_value + fused dense_h_to_4h +
+    half-dim interleaved rope vs a manual torch oracle."""
+    import torch
+    import torch.nn.functional as F
+
+    import safetensors.torch as stt
+
+    torch.manual_seed(0)
+    H, I, nh, kvh, hd, V, L = 64, 96, 4, 2, 16, 256, 2
+    qd, kd = nh * hd, kvh * hd
+    sd = {}
+    sd["transformer.embedding.word_embeddings.weight"] = \
+        torch.randn(V, H) * 0.2
+    sd["transformer.encoder.final_layernorm.weight"] = \
+        torch.rand(H) * 0.5 + 0.75
+    sd["transformer.output_layer.weight"] = torch.randn(V, H) * 0.2
+    for l in range(L):
+        p = f"transformer.encoder.layers.{l}."
+        sd[p + "input_layernorm.weight"] = torch.rand(H) * 0.5 + 0.75
+        sd[p + "post_attention_layernorm.weight"] = \
+            torch.rand(H) * 0.5 + 0.75
+        sd[p + "self_attention.query_key_value.weight"] = \
+            torch.randn(qd + 2 * kd, H) * 0.1
+        sd[p + "self_attention.query_key_value.bias"] = \
+            torch.randn(qd + 2 * kd) * 0.1
+        sd[p + "self_attention.dense.weight"] = \
+            torch.randn(H, qd) * 0.1
+        sd[p + "mlp.dense_h_to_4h.weight"] = \
+            torch.randn(2 * I, H) * 0.1
+        sd[p + "mlp.dense_4h_to_h.weight"] = torch.randn(H, I) * 0.1
+    d = tmp_path / "chatglm"
+    d.mkdir()
+    stt.save_file({k: v.contiguous() for k, v in sd.items()},
+                  str(d / "model.safetensors"))
+    import json
+
+    cfg = dict(model_type="llama", architectures=["ChatGLMModel"],
+               hidden_size=H, num_attention_heads=nh,
+               num_layers=L, padded_vocab_size=V, vocab_size=V,
+               ffn_hidden_size=I, kv_channels=hd,
+               multi_query_attention=True, multi_query_group_num=kvh,
+               layernorm_epsilon=1e-5, add_qkv_bias=True,
+               add_bias_linear=False, original_rope=True,
+               rope_ratio=1.0, max_position_embeddings=128,
+               num_hidden_layers=L, tie_word_embeddings=False)
+    (d / "config.json").write_text(json.dumps(cfg))
+
+    # torch oracle
+    def rmsnorm(x, w):
+        v = x.float()
+        v = v * torch.rsqrt(v.pow(2).mean(-1, keepdim=True) + 1e-5)
+        return v * w
+
+    def glm_rope(x, pos):
+        rot = hd // 2
+        inv = 1.0 / (10000.0 ** (torch.arange(0, rot, 2).float() /
+                                 rot))
+        ang = pos[:, None].float() * inv[None]
+        cos, sin = ang.cos()[:, None], ang.sin()[:, None]
+        xr, xp = x[..., :rot], x[..., rot:]
+        x1, x2 = xr[..., 0::2], xr[..., 1::2]
+        o = torch.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                        dim=-1).reshape(xr.shape)
+        return torch.cat([o, xp], dim=-1)
+
+    T = len(TOKENS)
+    with torch.no_grad():
+        x = sd["transformer.embedding.word_embeddings.weight"][
+            torch.tensor(TOKENS)]
+        pos = torch.arange(T)
+        for l in range(L):
+            p = f"transformer.encoder.layers.{l}."
+            h = rmsnorm(x, sd[p + "input_layernorm.weight"])
+            qkv = h @ sd[p + "self_attention.query_key_value"
+                         ".weight"].T + \
+                sd[p + "self_attention.query_key_value.bias"]
+            q = qkv[:, :qd].reshape(T, nh, hd)
+            k = qkv[:, qd:qd + kd].reshape(T, kvh, hd)
+            v = qkv[:, qd + kd:].reshape(T, kvh, hd)
+            q, k = glm_rope(q, pos), glm_rope(k, pos)
+            k = k.repeat_interleave(nh // kvh, dim=1)
+            v = v.repeat_interleave(nh // kvh, dim=1)
+            s = torch.einsum("qhd,khd->hqk", q, k) / (hd ** 0.5)
+            mask = torch.triu(torch.full((T, T), float("-inf")),
+                              diagonal=1)
+            o = torch.einsum("hqk,khd->qhd",
+                             F.softmax(s + mask, -1), v).reshape(T, -1)
+            x = x + o @ sd[p + "self_attention.dense.weight"].T
+            h = rmsnorm(x, sd[p + "post_attention_layernorm.weight"])
+            gu = h @ sd[p + "mlp.dense_h_to_4h.weight"].T
+            y = F.silu(gu[:, :I]) * gu[:, I:]
+            x = x + y @ sd[p + "mlp.dense_4h_to_h.weight"].T
+        x = rmsnorm(x, sd["transformer.encoder.final_layernorm"
+                          ".weight"])
+        ref = (x @ sd["transformer.output_layer.weight"].T).numpy()
+
+    got = _run_ours(d)
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)

@@ -80,6 +80,7 @@ def attention(
     use_pallas: Optional[bool] = None,
     alibi_slopes: Optional[tuple] = None,
     sinks: Optional[jax.Array] = None,  # [Hq] learned sink logits
+    chunk_size: Optional[int] = None,  # Llama4 chunked local attn
 ) -> tuple[jax.Array, jax.Array]:
     """Write new KV into this layer's pages of the FULL cache, then
     ragged paged attention over them. The cache is a loop carry updated
@@ -132,6 +133,7 @@ def attention(
         page_base=layer_idx * num_pages,
         alibi_slopes=alibi_slopes,
         sinks=sinks,
+        chunk_size=chunk_size,
     )
     return out, flat.reshape(kv_caches.shape)
 

@@ -81,6 +81,7 @@ def moe_apply(
     w_down: jax.Array,  # [E, I, H]
     act_fn: Callable,
     biases: Optional[tuple] = None,  # per-expert (gate, up, down)
+    apply_weight_on_input: bool = False,  # Llama4: scale x, not y
 ) -> jax.Array:
     """Grouped-GEMM expert application for an already-routed batch
     (routing variants — softmax/sigmoid, group-limited, bias-corrected
@@ -95,6 +96,12 @@ def moe_apply(
     order = jnp.argsort(flat_experts)  # stable
     token_idx = order // top_k  # source token of each sorted slot
     xs = jnp.take(x, token_idx, axis=0)  # [T*k, H]
+    w_sorted_in = jnp.take(weights.reshape(-1), order)  # [T*k]
+    if apply_weight_on_input:
+        # the routing weight multiplies the expert INPUT (Llama4) —
+        # not equivalent to output scaling through the nonlinearity
+        xs = (xs.astype(jnp.float32) *
+              w_sorted_in[:, None]).astype(xs.dtype)
     group_sizes = jnp.bincount(flat_experts,
                                length=num_experts).astype(jnp.int32)
 
@@ -112,8 +119,10 @@ def moe_apply(
     if biases is not None:
         y = y + jnp.take(b_down, e_sorted, axis=0).astype(y.dtype)
 
-    w_sorted = jnp.take(weights.reshape(-1), order)  # [T*k]
-    y = y.astype(jnp.float32) * w_sorted[:, None]
+    if apply_weight_on_input:
+        y = y.astype(jnp.float32)
+    else:
+        y = y.astype(jnp.float32) * w_sorted_in[:, None]
     out = jnp.zeros((t, hidden), dtype=jnp.float32)
     out = out.at[token_idx].add(y)
     return out.astype(x.dtype)

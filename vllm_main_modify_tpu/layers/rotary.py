@@ -204,3 +204,29 @@ def apply_rope_interleaved(
                          axis=-1).reshape(x.shape).astype(x.dtype)
 
     return rot(q), rot(k)
+
+
+def apply_rope_partial_interleaved(
+    q: jax.Array,  # [T, H, D]
+    k: jax.Array,
+    positions: jax.Array,  # [T]
+    inv_freq: jax.Array,  # [rot_dim/2]
+    rot_dim: int,
+) -> tuple[jax.Array, jax.Array]:
+    """ChatGLM-2/3 convention (reference: chatglm.py:93-100 —
+    rotary_dim = head_dim // 2 with is_neox_style=False): adjacent-pair
+    rotation over the FIRST ``rot_dim`` dims, the rest pass through."""
+    angles = positions[:, None].astype(jnp.float32) * inv_freq[None, :]
+    cos = jnp.cos(angles)[:, None, :]
+    sin = jnp.sin(angles)[:, None, :]
+
+    def rot(x):
+        xr, xp = x[..., :rot_dim], x[..., rot_dim:]
+        xf = xr.astype(jnp.float32)
+        x1, x2 = xf[..., 0::2], xf[..., 1::2]
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        out = jnp.stack([o1, o2], axis=-1).reshape(xr.shape)
+        return jnp.concatenate([out.astype(x.dtype), xp], axis=-1)
+
+    return rot(q), rot(k)

@@ -232,3 +232,128 @@ class MiniCPMMoEForCausalLM(MoeDecoderBase):
             config.moe_intermediate_size = config.intermediate_size
         super().__init__(config)
         _minicpm_scalars(self, config.hf_config)
+
+
+def _qkv_slice_t(lo: int, hi: int):
+    def f(x):
+        return np.ascontiguousarray(x[lo:hi].T)
+
+    return f
+
+
+def _bias_slice(lo: int, hi: int):
+    def f(x):
+        return np.ascontiguousarray(x[lo:hi])
+
+    return f
+
+
+class ChatGLMForCausalLM(LlamaForCausalLM):
+    """ChatGLM 2/3 & GLM-4 legacy layout (reference:
+    vllm/model_executor/models/chatglm.py): Llama graph with
+
+    - packed ``query_key_value`` (+bias per ``add_qkv_bias``), dense
+      o_proj, fused ``dense_h_to_4h`` = gate|up halves, swiglu;
+    - rope over HALF the head dim in adjacent-pair (interleaved)
+      convention (chatglm.py:93-100), theta scaled by ``rope_ratio``;
+    - keys under ``transformer.encoder.layers.{i}.`` with
+      ``transformer.embedding.word_embeddings`` /
+      ``transformer.output_layer``."""
+
+    def __init__(self, config: ModelConfig):
+        from vllm_main_modify_tpu.layers.rotary import compute_inv_freq
+
+        hf = config.hf_config
+        g = lambda k, d=None: getattr(hf, k, d)
+        for src, dst in (("num_layers", "num_layers"),
+                         ("padded_vocab_size", "vocab_size"),
+                         ("ffn_hidden_size", "intermediate_size"),
+                         ("layernorm_epsilon", "rms_norm_eps")):
+            v = g(src)
+            if v is not None:
+                setattr(config, dst, v)
+        if g("kv_channels"):
+            config.head_dim = g("kv_channels")
+        if g("multi_query_attention", False):
+            config.num_kv_heads = g("multi_query_group_num", 2)
+        else:
+            config.num_kv_heads = config.num_attention_heads
+        config.attention_bias = bool(g("add_qkv_bias", False)
+                                     or g("add_bias_linear", False))
+        config.tie_word_embeddings = bool(g("tie_word_embeddings",
+                                            False))
+        super().__init__(config)
+        self.rot_dim = self.head_dim // 2
+        theta = 10000.0 * float(g("rope_ratio", 1.0) or 1.0)
+        self.inv_freq = jnp.asarray(
+            compute_inv_freq(self.rot_dim, theta, None))
+        # original_rope=True (GLM-2/3 checkpoints) => interleaved pairs
+        self.rope_interleaved = bool(g("original_rope", True))
+
+    def _apply_rope(self, q, k, positions):
+        from vllm_main_modify_tpu.layers.rotary import \
+            apply_rope_partial_interleaved
+        from vllm_main_modify_tpu.models.gpt_neox import \
+            apply_rope_partial
+
+        if self.rope_interleaved:
+            return apply_rope_partial_interleaved(
+                q, k, positions, self.inv_freq, self.rot_dim)
+        return apply_rope_partial(q, k, positions, self.inv_freq,
+                                  self.rot_dim)
+
+    def param_specs(self) -> list[ParamSpec]:
+        qd = self.num_q * self.head_dim
+        kd = self.num_kv * self.head_dim
+        I = self.inter
+        base = "transformer.encoder.layers.{i}."
+        qkv = base + "self_attention.query_key_value."
+        remap = {
+            "embed_tokens":
+            ("transformer.embedding.word_embeddings.weight", None),
+            "final_norm":
+            ("transformer.encoder.final_layernorm.weight", None),
+            "lm_head": ("transformer.output_layer.weight", None),
+        }
+        specs = []
+        for s in super().param_specs():
+            if s.path == "embed_tokens":
+                s.hf_key = remap["embed_tokens"][0]
+            elif s.path == "final_norm":
+                s.hf_key = remap["final_norm"][0]
+            elif s.path == "lm_head":
+                s.hf_key = "transformer.output_layer.weight"
+            elif s.path == "layers.input_layernorm":
+                s.hf_key = base + "input_layernorm.weight"
+            elif s.path == "layers.post_attention_layernorm":
+                s.hf_key = base + "post_attention_layernorm.weight"
+            elif s.path == "layers.q_proj":
+                s.hf_key = qkv + "weight"
+                s.transform = _qkv_slice_t(0, qd)
+            elif s.path == "layers.k_proj":
+                s.hf_key = qkv + "weight"
+                s.transform = _qkv_slice_t(qd, qd + kd)
+            elif s.path == "layers.v_proj":
+                s.hf_key = qkv + "weight"
+                s.transform = _qkv_slice_t(qd + kd, qd + 2 * kd)
+            elif s.path == "layers.q_bias":
+                s.hf_key = qkv + "bias"
+                s.transform = _bias_slice(0, qd)
+            elif s.path == "layers.k_bias":
+                s.hf_key = qkv + "bias"
+                s.transform = _bias_slice(qd, qd + kd)
+            elif s.path == "layers.v_bias":
+                s.hf_key = qkv + "bias"
+                s.transform = _bias_slice(qd + kd, qd + 2 * kd)
+            elif s.path == "layers.o_proj":
+                s.hf_key = base + "self_attention.dense.weight"
+            elif s.path == "layers.gate_proj":
+                s.hf_key = base + "mlp.dense_h_to_4h.weight"
+                s.transform = _qkv_slice_t(0, I)
+            elif s.path == "layers.up_proj":
+                s.hf_key = base + "mlp.dense_h_to_4h.weight"
+                s.transform = _qkv_slice_t(I, 2 * I)
+            elif s.path == "layers.down_proj":
+                s.hf_key = base + "mlp.dense_4h_to_h.weight"
+            specs.append(s)
+        return specs

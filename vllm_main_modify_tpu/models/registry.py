@@ -266,6 +266,16 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                              "NemotronHForCausalLM"),
     "Lfm2ForCausalLM": ("vllm_main_modify_tpu.models.lfm2",
                         "Lfm2ForCausalLM"),
+    "Llama4ForCausalLM": ("vllm_main_modify_tpu.models.llama4",
+                          "Llama4ForCausalLM"),
+    "ChatGLMModel": ("vllm_main_modify_tpu.models.llama_variants",
+                     "ChatGLMForCausalLM"),
+    "ChatGLMForCausalLM": (
+        "vllm_main_modify_tpu.models.llama_variants",
+        "ChatGLMForCausalLM"),
+    "ChatGLMForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.llama_variants",
+        "ChatGLMForCausalLM"),
     "ModernBertModel": ("vllm_main_modify_tpu.models.modern_bert",
                         "ModernBertModel"),
     "ModernBertForSequenceClassification": (

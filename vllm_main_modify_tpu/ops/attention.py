@@ -47,6 +47,7 @@ def ragged_paged_attention_xla(
     causal: bool = True,
     alibi_slopes: Optional[tuple] = None,
     sinks: Optional[jax.Array] = None,  # [num_q_heads] f32
+    chunk_size: Optional[int] = None,  # Llama4 chunked local attention
 ) -> jax.Array:
     """Token-parallel reference: each token gathers its request's pages.
 
@@ -107,6 +108,12 @@ def ragged_paged_attention_xla(
         mask = mask & (kv_idx <= kv_pos[:, None])
     if sliding_window is not None and sliding_window > 0:
         mask &= kv_idx > (kv_pos[:, None] - sliding_window)
+    if chunk_size is not None and chunk_size > 0:
+        # Llama4 chunked local attention: tokens attend only within
+        # their own chunk (reference:
+        # vllm/attention/layers/chunked_local_attention.py)
+        mask &= (kv_idx // chunk_size) == (kv_pos[:, None] //
+                                           chunk_size)
     scores = jnp.where(mask[:, None, None, :], scores, MIN_MASK)
 
     if sinks is not None:
@@ -139,6 +146,7 @@ def ragged_paged_attention(
     causal: bool = True,
     alibi_slopes: Optional[tuple] = None,
     sinks: Optional[jax.Array] = None,
+    chunk_size: Optional[int] = None,
 ) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, XLA reference elsewhere.
     ``page_base`` offsets block-table entries into a stacked
@@ -161,7 +169,8 @@ def ragged_paged_attention(
             sliding_window=sliding_window,
             logit_softcap=logit_softcap, num_seqs=num_seqs,
             page_base=page_base, causal=causal,
-            alibi_slopes=alibi_slopes, sinks=sinks)
+            alibi_slopes=alibi_slopes, sinks=sinks,
+            chunk_size=chunk_size)
     bt = block_tables + page_base if page_base is not None else \
         block_tables
     if kv_cache.ndim == 3:
@@ -176,4 +185,5 @@ def ragged_paged_attention(
                                       alibi_slopes=alibi_slopes,
                                       sliding_window=sliding_window,
                                       logit_softcap=logit_softcap,
-                                      sinks=sinks)
+                                      sinks=sinks,
+                                      chunk_size=chunk_size)

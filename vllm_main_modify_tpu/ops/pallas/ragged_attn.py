@@ -77,6 +77,7 @@ def _rpa_kernel(
     causal: bool,
     alibi_slopes: Optional[tuple],
     has_sinks: bool,
+    chunk_size: Optional[int],
 ):
     i = pl.program_id(0)
     bq = q_vmem.shape[0]
@@ -128,6 +129,17 @@ def _rpa_kernel(
                        jnp.maximum(t0 - q_start, 0))
             return jnp.maximum((pos_min - sliding_window + 1) // kvb,
                                0).astype(jnp.int32)
+    elif chunk_size is not None:
+        # chunked local attention (Llama4): the smallest attended kv
+        # index is the chunk start of the earliest q row
+        def first_kv_block(s):
+            q_start = qsl_ref[s]
+            q_len = qsl_ref[s + 1] - q_start
+            pos_min = (seq_lens_ref[s] - q_len +
+                       jnp.maximum(t0 - q_start, 0))
+            return jnp.maximum(
+                (pos_min // chunk_size) * chunk_size // kvb,
+                0).astype(jnp.int32)
     else:
         def first_kv_block(s):
             return jnp.int32(0)
@@ -198,6 +210,8 @@ def _rpa_kernel(
             mask &= kv_idx <= pos
         if sliding_window is not None:
             mask &= kv_idx > pos - sliding_window
+        if chunk_size is not None:
+            mask &= (kv_idx // chunk_size) == (pos // chunk_size)
 
         kv = kv_vmem[slot].reshape(kvb, num_kv_heads, 2, head_dim)
         k = kv[:, :, 0, :]  # [KVB, Hk, D]
@@ -320,7 +334,7 @@ def _rpa_kernel(
     jax.jit,
     static_argnames=["sm_scale", "num_kv_heads", "sliding_window",
                      "logit_softcap", "interpret", "causal",
-                     "alibi_slopes"],
+                     "alibi_slopes", "chunk_size"],
 )
 def ragged_paged_attention_pallas(
     q: jax.Array,  # [T, Hq, D]
@@ -338,6 +352,7 @@ def ragged_paged_attention_pallas(
     causal: bool = True,
     alibi_slopes: Optional[tuple] = None,
     sinks: Optional[jax.Array] = None,  # [Hq] f32 learned sink logits
+    chunk_size: Optional[int] = None,  # Llama4 chunked local attn
 ) -> jax.Array:
     t, num_q_heads, head_dim = q.shape
     num_pages, page_size = kv_cache.shape[:2]
@@ -389,6 +404,7 @@ def ragged_paged_attention_pallas(
         causal=causal,
         alibi_slopes=alibi_slopes,
         has_sinks=sinks is not None,
+        chunk_size=chunk_size,
     )
     if sinks is None:
         sinks_in = jnp.zeros((num_q_heads, ), jnp.float32)
