@@ -61,6 +61,11 @@ class Scheduler:
         self.enable_chunked_prefill = sched_cfg.enable_chunked_prefill
         self.long_prefill_token_threshold = \
             sched_cfg.long_prefill_token_threshold
+        # bidirectional mm spans (Gemma3): a prefill chunk must never
+        # end INSIDE an image block — its tokens attend to each other,
+        # so the whole block has to enter the KV in one step (set by
+        # EngineCore from the model's bidir_mm_spans flag)
+        self.mm_span_align = False
         self.num_lookahead_tokens = sched_cfg.num_lookahead_tokens
         self.policy = sched_cfg.policy
         self.block_size = cache_cfg.block_size
@@ -170,6 +175,30 @@ class Scheduler:
     # schedule
     # ------------------------------------------------------------------
 
+    def _trim_to_mm_boundary(self, request, n: int,
+                             base: Optional[int] = None) -> int:
+        """Shrink a prefill chunk so it never ENDS inside a
+        bidirectional image block (Gemma3): either stop right before
+        the block or cover it whole. Returns 0 when the block cannot
+        even start within this step's budget."""
+        if not self.mm_span_align or n <= 0 or \
+                not getattr(request, "mm_inputs", None):
+            return n
+        start = request.num_computed_tokens if base is None else base
+        end = start + n
+        if end >= request.num_prompt_tokens:
+            return n  # chunk reaches past the prompt: nothing split
+        for mm in request.mm_inputs:
+            lo = int(mm["offset"])
+            hi = lo + int(mm["num_tokens"])
+            if start <= lo < end < hi:
+                return lo - start  # stop before the block (may be 0)
+            if lo < start < hi:
+                # resuming inside a block (shouldn't happen once
+                # alignment is on; recover by finishing the block)
+                return max(n, hi - start)
+        return n
+
     def _eligible_decode_steps(self, token_budget: int) -> int:
         """How many decode iterations one dispatch may run (1 = the
         normal single-step path).
@@ -266,6 +295,8 @@ class Scheduler:
             num_new_tokens = min(
                 num_new_tokens,
                 self.max_model_len - 1 - request.num_computed_tokens)
+            num_new_tokens = self._trim_to_mm_boundary(
+                request, num_new_tokens)
             if num_new_tokens <= 0:
                 # async-scheduling placeholder already in flight
                 req_index += 1
@@ -367,7 +398,11 @@ class Scheduler:
                     if not self.enable_chunked_prefill:
                         break
                     num_new_tokens = token_budget
-                assert num_new_tokens > 0
+                num_new_tokens = self._trim_to_mm_boundary(
+                    request, num_new_tokens,
+                    base=num_computed_tokens)
+                if num_new_tokens <= 0:
+                    break  # image block doesn't fit this step's budget
 
                 new_blocks = self.kv_cache_manager.allocate_slots(
                     request,

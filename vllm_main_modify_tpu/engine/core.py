@@ -108,6 +108,10 @@ class EngineCore:
         if getattr(self.model_runner.model, "is_encoder_only", False):
             # bidirectional attention cannot be computed incrementally
             self.scheduler.enable_chunked_prefill = False
+        # Gemma3-style bidirectional image blocks: prefill chunks must
+        # not split an image (scheduler._trim_to_mm_boundary)
+        self.scheduler.mm_span_align = bool(
+            getattr(self.model_runner.model, "bidir_mm_spans", False))
         # multi-step decode chunks cover plain decoder LMs; the runner
         # decides eligibility (enc-dec/mm/LoRA/spec keep single-step)
         self.scheduler.decode_steps_per_dispatch = min(

@@ -40,6 +40,11 @@ class AttentionMetadata(NamedTuple):
     # cross-KV pool per request + encoder lengths
     cross_block_tables: Optional[jax.Array] = None  # [R, max_cp]
     cross_seq_lens: Optional[jax.Array] = None  # [R]
+    # bidirectional spans (Gemma3 image blocks / PaliGemma prefix-LM):
+    # [R, S, 2] absolute kv positions [start, end) per request; tokens
+    # whose query AND key positions fall inside the same span attend
+    # without the causal restriction. -1 rows are padding.
+    bidir_spans: Optional[jax.Array] = None
     # hybrid KV groups (core/kv_cache_interface.py): per-group paging
     # overrides for groups 1..N-1; group 0 lives in the base fields
     groups: tuple = ()
@@ -81,6 +86,7 @@ def attention(
     alibi_slopes: Optional[tuple] = None,
     sinks: Optional[jax.Array] = None,  # [Hq] learned sink logits
     chunk_size: Optional[int] = None,  # Llama4 chunked local attn
+    bidir_spans: Optional[jax.Array] = None,  # [R, S, 2]
 ) -> tuple[jax.Array, jax.Array]:
     """Write new KV into this layer's pages of the FULL cache, then
     ragged paged attention over them. The cache is a loop carry updated
@@ -91,6 +97,8 @@ def attention(
     Returns (attn_out [T, Hq, D], updated kv_caches)."""
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
+    if bidir_spans is None:
+        bidir_spans = meta.bidir_spans
     num_kv_heads, head_dim = k.shape[-2], k.shape[-1]
     width = 2 * num_kv_heads * head_dim
     if kv_caches.ndim == 5:
@@ -134,6 +142,7 @@ def attention(
         alibi_slopes=alibi_slopes,
         sinks=sinks,
         chunk_size=chunk_size,
+        bidir_spans=bidir_spans,
     )
     return out, flat.reshape(kv_caches.shape)
 

@@ -228,10 +228,17 @@ class GemmaForCausalLM:
 
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 inputs_embeds: Optional[jax.Array] = None):
         cfg = self.cfg
-        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
-        x = x * jnp.asarray(self.embed_scale, dtype=x.dtype)
+        if inputs_embeds is not None:
+            # multimodal wrappers pass already-scaled text embeddings
+            # with UNscaled image features merged in (HF Gemma3
+            # convention: scaling lives in the embedding layer)
+            x = inputs_embeds
+        else:
+            x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+            x = x * jnp.asarray(self.embed_scale, dtype=x.dtype)
 
         layers = params["layers"]
         sliding = (self.sliding_window
@@ -344,10 +351,17 @@ class Gemma3ForCausalLM(GemmaForCausalLM):
 
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 inputs_embeds: Optional[jax.Array] = None):
         cfg = self.cfg
-        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
-        x = x * jnp.asarray(self.embed_scale, dtype=x.dtype)
+        if inputs_embeds is not None:
+            # multimodal wrappers pass already-scaled text embeddings
+            # with UNscaled image features merged in (HF Gemma3
+            # convention: scaling lives in the embedding layer)
+            x = inputs_embeds
+        else:
+            x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+            x = x * jnp.asarray(self.embed_scale, dtype=x.dtype)
         layers = params["layers"]
         hybrid = isinstance(kv_caches, tuple)
         if hybrid:

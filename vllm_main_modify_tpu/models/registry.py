@@ -268,6 +268,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                         "Lfm2ForCausalLM"),
     "Llama4ForCausalLM": ("vllm_main_modify_tpu.models.llama4",
                           "Llama4ForCausalLM"),
+    "Gemma3ForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.gemma3_mm",
+        "Gemma3ForConditionalGeneration"),
     "ChatGLMModel": ("vllm_main_modify_tpu.models.llama_variants",
                      "ChatGLMForCausalLM"),
     "ChatGLMForCausalLM": (

@@ -56,6 +56,10 @@ def num_image_tokens_for(model_config) -> int:
         size = int(model_config.mm_image_size or vc.image_size)
         sm = getattr(hf, "spatial_merge_size", 2)
         return (size // vc.patch_size // sm)**2
+    if model_config.architecture == \
+            "Gemma3ForConditionalGeneration":
+        # avg-pooled to a fixed soft-token budget (gemma3_mm.py)
+        return int(getattr(hf, "mm_tokens_per_image", 256))
     patches = (vc.image_size // vc.patch_size)**2
     strategy = getattr(hf, "vision_feature_select_strategy",
                        "default")

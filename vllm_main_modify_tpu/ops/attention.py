@@ -48,6 +48,7 @@ def ragged_paged_attention_xla(
     alibi_slopes: Optional[tuple] = None,
     sinks: Optional[jax.Array] = None,  # [num_q_heads] f32
     chunk_size: Optional[int] = None,  # Llama4 chunked local attention
+    bidir_spans: Optional[jax.Array] = None,  # [R, S, 2] kv positions
 ) -> jax.Array:
     """Token-parallel reference: each token gathers its request's pages.
 
@@ -114,6 +115,18 @@ def ragged_paged_attention_xla(
         # vllm/attention/layers/chunked_local_attention.py)
         mask &= (kv_idx // chunk_size) == (kv_pos[:, None] //
                                            chunk_size)
+    if causal and bidir_spans is not None:
+        # Gemma3 image blocks / PaliGemma prefix-LM: query and key
+        # positions inside the SAME span attend bidirectionally,
+        # bypassing causal AND window restrictions (HF or_mask
+        # semantics; reference: gemma3_mm.py per-request image masks)
+        spans = bidir_spans[seq_ids]  # [T, S, 2]
+        lo, hi = spans[..., 0], spans[..., 1]  # [T, S]
+        q_in = (kv_pos[:, None] >= lo) & (kv_pos[:, None] < hi)
+        k_in = (kv_idx[:, :, None] >= lo[:, None, :]) & \
+            (kv_idx[:, :, None] < hi[:, None, :])  # [T, max_kv, S]
+        bid = jnp.any(q_in[:, None, :] & k_in, axis=-1)  # [T, kv]
+        mask = mask | (in_len & bid)
     scores = jnp.where(mask[:, None, None, :], scores, MIN_MASK)
 
     if sinks is not None:
@@ -147,6 +160,7 @@ def ragged_paged_attention(
     alibi_slopes: Optional[tuple] = None,
     sinks: Optional[jax.Array] = None,
     chunk_size: Optional[int] = None,
+    bidir_spans: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, XLA reference elsewhere.
     ``page_base`` offsets block-table entries into a stacked
@@ -170,7 +184,7 @@ def ragged_paged_attention(
             logit_softcap=logit_softcap, num_seqs=num_seqs,
             page_base=page_base, causal=causal,
             alibi_slopes=alibi_slopes, sinks=sinks,
-            chunk_size=chunk_size)
+            chunk_size=chunk_size, bidir_spans=bidir_spans)
     bt = block_tables + page_base if page_base is not None else \
         block_tables
     if kv_cache.ndim == 3:
@@ -186,4 +200,5 @@ def ragged_paged_attention(
                                       sliding_window=sliding_window,
                                       logit_softcap=logit_softcap,
                                       sinks=sinks,
-                                      chunk_size=chunk_size)
+                                      chunk_size=chunk_size,
+                                      bidir_spans=bidir_spans)

@@ -54,6 +54,7 @@ def _rpa_kernel(
     num_seqs_ref,  # [1]
     page_base_ref,  # [1] page offset into a stacked multi-layer pool
     sinks_ref,  # [num_q_heads] f32 (all-zero dummy when has_sinks=False)
+    spans_ref,  # [R, 2*num_spans] bidir spans ([0,0] rows when unused)
     # inputs (HBM)
     q_hbm,  # [T, Hq*D]
     kv_hbm,  # [P*page, 2*Hk*D]
@@ -78,6 +79,7 @@ def _rpa_kernel(
     alibi_slopes: Optional[tuple],
     has_sinks: bool,
     chunk_size: Optional[int],
+    num_spans: int,
 ):
     i = pl.program_id(0)
     bq = q_vmem.shape[0]
@@ -116,10 +118,12 @@ def _rpa_kernel(
     def num_kv_blocks(s):
         return pl.cdiv(seq_lens_ref[s], kvb)
 
-    if sliding_window is not None:
+    if sliding_window is not None and num_spans == 0:
         # skip kv blocks wholly behind the window of every q row this
         # program owns for sequence s: the smallest attended kv index
-        # is min(pos) - window + 1. Saves DMA + MXU work at long
+        # is min(pos) - window + 1. (Disabled when bidirectional spans
+        # are active: a span may live behind the window.) Saves DMA +
+        # MXU work at long
         # context AND guarantees pages freed behind the window by the
         # hybrid KV manager are never read.
         def first_kv_block(s):
@@ -212,6 +216,15 @@ def _rpa_kernel(
             mask &= kv_idx > pos - sliding_window
         if chunk_size is not None:
             mask &= (kv_idx // chunk_size) == (pos // chunk_size)
+        for si in range(num_spans):
+            # bidirectional spans (Gemma3 image blocks / prefix-LM):
+            # same-span (q, kv) pairs bypass causal/window limits
+            lo = spans_ref[s, 2 * si]
+            hi = spans_ref[s, 2 * si + 1]
+            bid = (row_owned & (kv_idx < kv_len) &
+                   (kv_idx >= lo) & (kv_idx < hi) &
+                   (pos >= lo) & (pos < hi))
+            mask |= bid
 
         kv = kv_vmem[slot].reshape(kvb, num_kv_heads, 2, head_dim)
         k = kv[:, :, 0, :]  # [KVB, Hk, D]
@@ -353,6 +366,7 @@ def ragged_paged_attention_pallas(
     alibi_slopes: Optional[tuple] = None,
     sinks: Optional[jax.Array] = None,  # [Hq] f32 learned sink logits
     chunk_size: Optional[int] = None,  # Llama4 chunked local attn
+    bidir_spans: Optional[jax.Array] = None,  # [R, S, 2] kv positions
 ) -> jax.Array:
     t, num_q_heads, head_dim = q.shape
     num_pages, page_size = kv_cache.shape[:2]
@@ -405,11 +419,17 @@ def ragged_paged_attention_pallas(
         alibi_slopes=alibi_slopes,
         has_sinks=sinks is not None,
         chunk_size=chunk_size,
+        num_spans=0 if bidir_spans is None else bidir_spans.shape[1],
     )
     if sinks is None:
         sinks_in = jnp.zeros((num_q_heads, ), jnp.float32)
     else:
         sinks_in = sinks.astype(jnp.float32).reshape(num_q_heads)
+    if bidir_spans is None:
+        spans_in = jnp.zeros((num_reqs, 2), jnp.int32)
+    else:
+        spans_in = bidir_spans.astype(jnp.int32).reshape(
+            bidir_spans.shape[0], -1)
     # 2-D HBM layouts keep every DMA slice tile-aligned (see kernel).
     # The production cache is already width-layout, so this reshape
     # never touches a sharded axis (a head-axis merge under GSPMD is a
@@ -417,7 +437,7 @@ def ragged_paged_attention_pallas(
     q2 = q.reshape(t, num_q_heads * head_dim)
     kv2 = kv_cache.reshape(num_pages * page_size, width)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(num_q_blocks, ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -444,5 +464,5 @@ def ragged_paged_attention_pallas(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(query_start_loc, seq_lens, block_tables, first_seq, num_seqs,
-      page_base, sinks_in, q2, kv2)
+      page_base, sinks_in, spans_in, q2, kv2)
     return out.reshape(q.shape)

@@ -207,6 +207,11 @@ class TPUModelRunner:
         self.is_mm = mc.is_multimodal
         self.uses_mrope = bool(getattr(self.model, "uses_mrope",
                                        False))
+        # Gemma3-style bidirectional attention between tokens of the
+        # same image block (layers/attention.py bidir_spans)
+        self.bidir_mm = bool(getattr(self.model, "bidir_mm_spans",
+                                     False))
+        self.MAX_MM_SPANS = 4
         # encoder-decoder (Whisper): separate paged pool of per-layer
         # cross K/V, written once per request at ingest
         self.is_enc_dec = getattr(self.model, "is_encoder_decoder",
@@ -1132,6 +1137,17 @@ class TPUModelRunner:
             mm_scatter = seg("mm_scatter")
             mm_scatter[:] = -1
             mm_scatter[:len(mm_pairs)] = [s for _, s in mm_pairs]
+            if self.bidir_mm:
+                spans = seg("bidir_spans").reshape(
+                    r_pad, self.MAX_MM_SPANS, 2)
+                spans[:] = -1
+                for row in range(num_reqs):
+                    rid = batch.req_ids[row]
+                    rr = self.mm_ranges.get(rid, ())
+                    for j, (ioff, ntok, _) in enumerate(
+                            rr[:self.MAX_MM_SPANS]):
+                        spans[row, j, 0] = ioff
+                        spans[row, j, 1] = ioff + ntok
 
         return (packed, sample_rows, t_pad, r_pad, s_pad,
                 apply_grammar, spec_counts, proposed, has_penalties,
@@ -1206,6 +1222,10 @@ class TPUModelRunner:
             # multimodal merge: feature-buffer row → packed token row
             ("mm_gather", mm_pad),
             ("mm_scatter", mm_pad),
+            # bidirectional image spans (Gemma3): [R, S, 2] absolute
+            # prompt positions, -1 padded
+            ("bidir_spans", r_pad * self.MAX_MM_SPANS * 2
+             if (self.bidir_mm and mm_pad) else 0),
             # spec decode: draft token per sample position (-1 = none)
             ("spec_drafts",
              r_pad * self.num_sample_positions
@@ -1296,6 +1316,8 @@ class TPUModelRunner:
         model = self.model
         use_pallas = self.use_pallas
         uses_mrope = self.uses_mrope
+        bidir_mm = self.bidir_mm
+        max_mm_spans = self.MAX_MM_SPANS
         base_seed = self.config.model_config.seed
         page = self.page_size
         s_pad = t_pad // page + r_pad + 1
@@ -1441,6 +1463,9 @@ class TPUModelRunner:
                         r_pad, cross_pages) if is_enc_dec else None),
                 cross_seq_lens=(seg("cross_seq_lens")
                                 if is_enc_dec else None),
+                bidir_spans=(seg("bidir_spans").reshape(
+                    r_pad, max_mm_spans, 2)
+                    if (bidir_mm and mm_pad) else None),
             )
             if group_kinds:
                 attn_meta = attn_meta._replace(groups=tuple(
