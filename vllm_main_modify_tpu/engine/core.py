@@ -112,6 +112,10 @@ class EngineCore:
         # not split an image (scheduler._trim_to_mm_boundary)
         self.scheduler.mm_span_align = bool(
             getattr(self.model_runner.model, "bidir_mm_spans", False))
+        if getattr(self.model_runner.model, "prefix_lm", False):
+            # PaliGemma prefix-LM: the whole bidirectional prompt must
+            # enter the KV in one step
+            self.scheduler.enable_chunked_prefill = False
         # multi-step decode chunks cover plain decoder LMs; the runner
         # decides eligibility (enc-dec/mm/LoRA/spec keep single-step)
         self.scheduler.decode_steps_per_dispatch = min(

@@ -3,11 +3,12 @@
 Reference: vllm/model_executor/models/paligemma.py + HF
 modeling_paligemma. Structure:
 
-- SigLIP tower under ``model.vision_tower.vision_model.`` (same
-  encoder skeleton as models/gemma3_mm.py);
+- SigLIP tower under ``vision_tower.vision_model.`` (same encoder
+  skeleton as models/gemma3_mm.py; legacy hub layout without the
+  ``model.`` base prefix);
 - projector: one biased linear [vision_D → projection_dim], features
   then divided by sqrt(text_hidden) (HF get_image_features);
-- Gemma text under ``model.language_model.``.
+- Gemma text under ``language_model.model.``.
 
 PaliGemma is a PREFIX-LM: the whole prompt (image + text prefix)
 attends bidirectionally; only generated tokens are causal. The
@@ -32,7 +33,8 @@ from vllm_main_modify_tpu.layers.normalization import layer_norm
 from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
 from vllm_main_modify_tpu.models.registry import resolve_model_cls
 
-VP = "model.vision_tower.vision_model."
+# serialized hub layout (legacy top-level prefixes)
+VP = "vision_tower.vision_model."
 
 
 class PaliGemmaForConditionalGeneration:
@@ -97,10 +99,10 @@ class PaliGemmaForConditionalGeneration:
                       VP + "post_layernorm.bias", transform=None),
             ParamSpec("mm_projection", (D, self.proj_dim),
                       P(None, None),
-                      "model.multi_modal_projector.linear.weight",
+                      "multi_modal_projector.linear.weight",
                       transform=t),
             ParamSpec("mm_projection_bias", (self.proj_dim, ), P(),
-                      "model.multi_modal_projector.linear.bias",
+                      "multi_modal_projector.linear.bias",
                       transform=None),
         ]
         for n in ("layer_norm1", "layer_norm2"):
@@ -129,8 +131,7 @@ class PaliGemmaForConditionalGeneration:
         ]
         for s in self.language_model.param_specs():
             s.path = "language_model." + s.path
-            s.hf_key = s.hf_key.replace(
-                "model.", "model.language_model.", 1)
+            s.hf_key = "language_model." + s.hf_key
             specs.append(s)
         return specs
 

@@ -271,6 +271,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Gemma3ForConditionalGeneration": (
         "vllm_main_modify_tpu.models.gemma3_mm",
         "Gemma3ForConditionalGeneration"),
+    "PaliGemmaForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.paligemma",
+        "PaliGemmaForConditionalGeneration"),
     "ChatGLMModel": ("vllm_main_modify_tpu.models.llama_variants",
                      "ChatGLMForCausalLM"),
     "ChatGLMForCausalLM": (

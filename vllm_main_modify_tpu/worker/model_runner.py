@@ -208,9 +208,11 @@ class TPUModelRunner:
         self.uses_mrope = bool(getattr(self.model, "uses_mrope",
                                        False))
         # Gemma3-style bidirectional attention between tokens of the
-        # same image block (layers/attention.py bidir_spans)
+        # same image block (layers/attention.py bidir_spans);
+        # prefix_lm (PaliGemma): the whole prompt is ONE span
+        self.prefix_lm = bool(getattr(self.model, "prefix_lm", False))
         self.bidir_mm = bool(getattr(self.model, "bidir_mm_spans",
-                                     False))
+                                     False)) or self.prefix_lm
         self.MAX_MM_SPANS = 4
         # encoder-decoder (Whisper): separate paged pool of per-layer
         # cross K/V, written once per request at ingest
@@ -1143,6 +1145,13 @@ class TPUModelRunner:
                 spans[:] = -1
                 for row in range(num_reqs):
                     rid = batch.req_ids[row]
+                    if self.prefix_lm:
+                        # PaliGemma: image + text prefix all attend
+                        # bidirectionally
+                        spans[row, 0, 0] = 0
+                        spans[row, 0, 1] = \
+                            batch.num_prompt_tokens[row]
+                        continue
                     rr = self.mm_ranges.get(rid, ())
                     for j, (ioff, ntok, _) in enumerate(
                             rr[:self.MAX_MM_SPANS]):
