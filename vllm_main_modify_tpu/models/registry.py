@@ -274,6 +274,12 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "PaliGemmaForConditionalGeneration": (
         "vllm_main_modify_tpu.models.paligemma",
         "PaliGemmaForConditionalGeneration"),
+    "InternVLForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.internvl",
+        "InternVLForConditionalGeneration"),
+    "InternS1ForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.internvl",
+        "InternVLForConditionalGeneration"),
     "ChatGLMModel": ("vllm_main_modify_tpu.models.llama_variants",
                      "ChatGLMForCausalLM"),
     "ChatGLMForCausalLM": (
@@ -365,6 +371,13 @@ def _pooling_gemma2_factory(config: ModelConfig):
 
     config.is_pooling_model = True
     return Gemma2ForCausalLM(config)
+
+
+def _pooling_gemma3_factory(config: ModelConfig):
+    from vllm_main_modify_tpu.models.gemma import Gemma3ForCausalLM
+
+    config.is_pooling_model = True
+    return Gemma3ForCausalLM(config)
 
 
 def _pooling_llama_factory(config: ModelConfig):

@@ -60,6 +60,16 @@ def num_image_tokens_for(model_config) -> int:
             "Gemma3ForConditionalGeneration":
         # avg-pooled to a fixed soft-token budget (gemma3_mm.py)
         return int(getattr(hf, "mm_tokens_per_image", 256))
+    if model_config.architecture in (
+            "InternVLForConditionalGeneration",
+            "InternS1ForConditionalGeneration"):
+        ds = int(round(1 / float(getattr(hf, "downsample_ratio",
+                                         0.5))))
+        img = vc.image_size
+        img = img[0] if isinstance(img, (list, tuple)) else img
+        pt = vc.patch_size
+        pt = pt[0] if isinstance(pt, (list, tuple)) else pt
+        return (img // pt)**2 // ds**2
     patches = (vc.image_size // vc.patch_size)**2
     strategy = getattr(hf, "vision_feature_select_strategy",
                        "default")
@@ -126,8 +136,10 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
         return ((arr - _CLIP_MEAN[:, None, None]) /
                 _CLIP_STD[:, None, None]).astype(np.float32)
     vc = model_config.hf_config.vision_config
+    vs = vc.image_size
+    vs = vs[0] if isinstance(vs, (list, tuple)) else vs  # InternVL
     if isinstance(image, np.ndarray) and image.ndim == 3 and \
-            image.shape == (3, vc.image_size, vc.image_size) and \
+            image.shape == (3, vs, vs) and \
             np.issubdtype(image.dtype, np.floating):
         return image.astype(np.float32)  # already preprocessed CHW
     proc = _image_processor(model_config.model)
