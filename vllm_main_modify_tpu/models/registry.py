@@ -238,6 +238,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     # _EMBEDDING_MODELS table maps these onto the decoder classes)
     "Gemma2Model": ("vllm_main_modify_tpu.models.registry",
                     "_pooling_gemma2_factory"),
+    "Gemma3TextModel": ("vllm_main_modify_tpu.models.registry",
+                        "_pooling_gemma3_factory"),
     # Llama-graph variants (models/llama_variants.py)
     "SolarForCausalLM": ("vllm_main_modify_tpu.models.llama_variants",
                          "SolarForCausalLM"),
@@ -280,6 +282,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "InternS1ForConditionalGeneration": (
         "vllm_main_modify_tpu.models.internvl",
         "InternVLForConditionalGeneration"),
+    "LlavaOnevisionForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.llava_onevision",
+        "LlavaOnevisionForConditionalGeneration"),
     "ChatGLMModel": ("vllm_main_modify_tpu.models.llama_variants",
                      "ChatGLMForCausalLM"),
     "ChatGLMForCausalLM": (

@@ -70,6 +70,11 @@ def num_image_tokens_for(model_config) -> int:
         pt = vc.patch_size
         pt = pt[0] if isinstance(pt, (list, tuple)) else pt
         return (img // pt)**2 // ds**2
+    if model_config.architecture == \
+            "LlavaOnevisionForConditionalGeneration":
+        # base grid + 1x1 tile grid with a newline per row
+        g = vc.image_size // vc.patch_size
+        return g * g + g * (g + 1)
     patches = (vc.image_size // vc.patch_size)**2
     strategy = getattr(hf, "vision_feature_select_strategy",
                        "default")
@@ -229,6 +234,8 @@ def build_mm_inputs(
 
     is_llava_next = model_config.architecture == \
         "LlavaNextForConditionalGeneration"
+    is_onevision = model_config.architecture == \
+        "LlavaOnevisionForConditionalGeneration"
     expanded: list[int] = []
     mm_inputs: list[dict] = []
     salt = hashlib.sha256()
@@ -240,6 +247,12 @@ def build_mm_inputs(
         if is_llava_next:
             pixels, this_tok = _llava_next_prepare(
                 next(img_iter), model_config)
+        elif is_onevision:
+            # base + one tile (identical at the canonical square
+            # resolution) — HF anyres at pinpoint == base size
+            pv = _to_pixel_values(next(img_iter), model_config)
+            pixels = np.stack([pv, pv])
+            this_tok = n_tok
         else:
             pixels = _to_pixel_values(next(img_iter), model_config)
             this_tok = n_tok
