@@ -124,3 +124,61 @@ def _save_tiny_tokenizer(path):
         pad_token="<pad>",
     )
     fast.save_pretrained(path)
+
+
+@pytest.fixture(scope="session")
+def tiny_eagle3_dir(tmp_path_factory, tiny_llama_dir):
+    """A tiny random-weight EAGLE-3 draft checkpoint matching
+    tiny_llama_dir's KV geometry: fc [H, 3H] over the target's aux
+    taps, one midlayer with 2H-wide qkv, hidden_norm, a final norm,
+    a REDUCED draft vocab lm_head and the d2t translation table."""
+    import json
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    path = tmp_path_factory.mktemp("models") / "tiny-eagle3"
+    path.mkdir(exist_ok=True)
+    H, I, V, DV, QD, KD = 64, 128, 512, 128, 64, 32
+    rng = np.random.default_rng(11)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    tensors = {
+        "fc.weight": w(H, 3 * H),
+        "embed_tokens.weight": w(V, H),
+        "midlayer.input_layernorm.weight": np.ones(H, np.float32),
+        "midlayer.hidden_norm.weight": np.ones(H, np.float32),
+        "midlayer.self_attn.q_proj.weight": w(QD, 2 * H),
+        "midlayer.self_attn.k_proj.weight": w(KD, 2 * H),
+        "midlayer.self_attn.v_proj.weight": w(KD, 2 * H),
+        "midlayer.self_attn.o_proj.weight": w(H, QD),
+        "midlayer.post_attention_layernorm.weight":
+            np.ones(H, np.float32),
+        "midlayer.mlp.gate_proj.weight": w(I, H),
+        "midlayer.mlp.up_proj.weight": w(I, H),
+        "midlayer.mlp.down_proj.weight": w(H, I),
+        "norm.weight": np.ones(H, np.float32),
+        "lm_head.weight": w(DV, H),
+        # draft id d -> target id d + d2t[d]: spread draft ids over
+        # the target vocab
+        "d2t": (np.arange(DV, dtype=np.int64) * 3),
+    }
+    save_file(tensors, str(path / "model.safetensors"))
+    cfg = {
+        "architectures": ["Eagle3LlamaForCausalLM"],
+        "model_type": "llama",
+        "vocab_size": V,
+        "draft_vocab_size": DV,
+        "hidden_size": H,
+        "intermediate_size": I,
+        "num_hidden_layers": 1,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-6,
+        "torch_dtype": "float32",
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+    return str(path)

@@ -216,3 +216,51 @@ def test_draft_arch_not_standalone():
     cfg.architecture = "MedusaModel"
     with _pytest.raises(ValueError, match="speculative"):
         factory(cfg)
+
+
+# ---------------------------------------------------------------------
+# EAGLE-3 (reference: llama_eagle3.py + EagleProposer aux taps)
+
+
+@pytest.fixture(scope="module")
+def eagle3_pair(tiny_llama_dir, tiny_eagle3_dir):
+    kw = dict(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=8, max_num_batched_tokens=64, block_size=4,
+              num_kv_blocks=256)
+    base = LLM(**kw)
+    # method omitted on purpose: auto-detected from the draft arch
+    spec = LLM(speculative_config=dict(num_speculative_tokens=3,
+                                       draft_model=tiny_eagle3_dir),
+               **kw)
+    return base, spec
+
+
+def test_eagle3_method_autodetected(eagle3_pair):
+    _, spec = eagle3_pair
+    sc = spec.engine.engine_core.model_runner.config.speculative_config
+    assert sc.method == "eagle3"
+
+
+def test_eagle3_greedy_parity(eagle3_pair):
+    """Rejection sampling preserves the greedy output exactly even
+    with a random-weight EAGLE-3 draft (aux taps + reduced draft
+    vocab + d2t translation all live in the fused step)."""
+    base, spec = eagle3_pair
+    prompts = [
+        "hello world hello world hello world hello",
+        "a test of the tokenizer",
+    ]
+    p = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+    b = base.generate(prompts, p)
+    s = spec.generate(prompts, p)
+    for ob, os_ in zip(b, s):
+        assert ob.outputs[0].token_ids == os_.outputs[0].token_ids
+
+
+def test_eagle3_drafts_flow(eagle3_pair):
+    _, spec = eagle3_pair
+    p = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    spec.generate(["hello world hello world"], p)
+    stats = spec.engine.engine_core.scheduler.make_stats()
+    assert stats.spec_num_draft_tokens > 0
+    # every draft must be a VALID target-vocab id (d2t translated)

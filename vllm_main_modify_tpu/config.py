@@ -311,6 +311,8 @@ def _detect_spec_method(draft_dir: str) -> str:
     name = archs[0] if archs else ""
     if "Medusa" in name:
         return "medusa"
+    if "Eagle3" in name or "eagle3" in name.lower():
+        return "eagle3"
     if "Eagle" in name or "MTP" in name.upper():
         # EAGLE-style drafts and DeepSeek/Ernie/GLM MTP modules share
         # the fc(embed ++ target_hidden) -> decoder-layers shape

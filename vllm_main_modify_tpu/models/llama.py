@@ -64,6 +64,10 @@ class LlamaForCausalLM:
         self.rope_layer_mask = None
         # Baichuan-13B-style ALiBi (tuple of slopes disables rope)
         self.alibi_slopes = None
+        # EAGLE-3 aux taps: layer ids whose INPUT hidden state is
+        # collected for the draft's fc (set by the runner; when set,
+        # __call__ returns (hidden, kv, aux[T, 3H]))
+        self.aux_hidden_ids = None
 
     # ------------------------------------------------------------------
 
@@ -166,22 +170,46 @@ class LlamaForCausalLM:
         t = x.shape[0]
 
         layers = params["layers"]
+        aux_ids = self.aux_hidden_ids
 
-        def layer_fn(l, carry):
-            x, kv_caches = carry
+        if aux_ids is None:
+            def layer_fn(l, carry):
+                x, kv_caches = carry
+                w = jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, l, 0, keepdims=False), layers)
+                return self._layer_step(w, x, kv_caches, l, positions,
+                                        attn_meta, params, use_pallas,
+                                        t)
+
+            # fori_loop with the KV cache as carry: in-place page
+            # updates. (a lax.scan emitting per-layer KV would
+            # allocate a SECOND full-size KV buffer — 2x HBM)
+            x, kv_caches = jax.lax.fori_loop(0, self.L, layer_fn,
+                                             (x, kv_caches))
+            x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+            return x, kv_caches
+
+        # EAGLE-3: collect the INPUT hidden state of each tap layer
+        # (reference: llama.py aux_hidden_state_layers collection)
+        def layer_fn_aux(l, carry):
+            x, kv_caches, aux = carry
+            for j, al in enumerate(aux_ids):
+                aux = aux.at[j].set(jnp.where(l == al, x, aux[j]))
             w = jax.tree.map(
                 lambda a: jax.lax.dynamic_index_in_dim(
                     a, l, 0, keepdims=False), layers)
-            return self._layer_step(w, x, kv_caches, l, positions,
-                                    attn_meta, params, use_pallas, t)
+            x, kv_caches = self._layer_step(w, x, kv_caches, l,
+                                            positions, attn_meta,
+                                            params, use_pallas, t)
+            return x, kv_caches, aux
 
-        # fori_loop with the KV cache as carry: in-place page updates.
-        # (a lax.scan emitting per-layer KV would allocate a SECOND
-        # full-size KV buffer for the stacked outputs — 2x HBM)
-        x, kv_caches = jax.lax.fori_loop(0, self.L, layer_fn,
-                                         (x, kv_caches))
+        aux0 = jnp.zeros((len(aux_ids), t, x.shape[-1]), x.dtype)
+        x, kv_caches, aux = jax.lax.fori_loop(
+            0, self.L, layer_fn_aux, (x, kv_caches, aux0))
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        return x, kv_caches
+        aux = jnp.transpose(aux, (1, 0, 2)).reshape(t, -1)  # [T, 3H]
+        return x, kv_caches, aux
 
     def _layer_step(self, w, x, kv_caches, l, positions, attn_meta,
                     params, use_pallas, t):

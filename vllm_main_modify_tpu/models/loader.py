@@ -334,6 +334,10 @@ def _assemble_host_tensor(spec: ParamSpec, reader: _TensorReader,
     x = fetch(spec.hf_key)
     assert x.shape == tuple(spec.shape), (
         f"{spec.path}: got {x.shape}, want {spec.shape}")
+    if np.issubdtype(x.dtype, np.integer):
+        # integer tables (EAGLE-3 d2t) must never round-trip through
+        # the model float dtype (bf16 corrupts ids > 256)
+        return np.ascontiguousarray(x)
     return x.astype(np_dtype)
 
 

@@ -161,7 +161,7 @@ class TPUModelRunner:
         self.medusa = None  # Medusa heads (spec_decode/medusa.py)
         self.medusa_cfg = None
         if spec.enabled:
-            assert spec.method in ("ngram", "eagle",
+            assert spec.method in ("ngram", "eagle", "eagle3",
                                    "medusa"), spec.method
             assert not sc.async_scheduling, \
                 "spec decode requires sync scheduling"
@@ -187,13 +187,25 @@ class TPUModelRunner:
                         "head count")
             else:
                 from vllm_main_modify_tpu.spec_decode.eagle import (
-                    EagleDraftModel, make_draft_config)
+                    Eagle3DraftModel, EagleDraftModel,
+                    make_draft_config)
 
                 assert spec.draft_model, \
                     "eagle spec decode needs --draft-model"
                 self.eagle_cfg = make_draft_config(
                     spec.draft_model, mc)
-                self.eagle = EagleDraftModel(self.eagle_cfg, mc)
+                cls = Eagle3DraftModel if spec.method == "eagle3" \
+                    else EagleDraftModel
+                self.eagle = cls(self.eagle_cfg, mc)
+                if spec.method == "eagle3":
+                    # the target collects aux hidden states at the
+                    # EAGLE-3 tap layers (reference: llama.py
+                    # get_eagle3_aux_hidden_state_layers)
+                    L = mc.num_layers
+                    # always exactly 3 taps (repeats allowed on tiny
+                    # models): fc expects [T, 3*target_hidden]
+                    self.model.aux_hidden_ids = (
+                        min(2, L - 1), L // 2, max(L - 3, 0))
 
         # multimodal: image features live in a fixed device-side
         # buffer (rows allocated per request, written once by the
@@ -1342,6 +1354,8 @@ class TPUModelRunner:
         is_enc_dec = self.is_enc_dec
         cross_pages = self._cross_pages_per_req
         eagle = self.eagle
+        is_eagle3 = eagle is not None and getattr(eagle, "is_eagle3",
+                                                  False)
         medusa = self.medusa
         max_spec = self.max_spec
         target_layers = self.model.kv_cache_spec()[2]
@@ -1393,9 +1407,7 @@ class TPUModelRunner:
                                         use_pallas=use_pallas)
             h = jnp.take(d_hidden, last_idx, axis=0)  # [r_pad, H]
             p_last = jnp.take(positions, last_idx)  # [r_pad]
-            tok = jnp.argmax(
-                eagle.compute_logits(dparams, params, model, h),
-                axis=-1).astype(jnp.int32)
+            tok = eagle.propose_token(dparams, params, model, h)
             drafts = [tok]
 
             bt = attn_meta.block_tables
@@ -1419,9 +1431,7 @@ class TPUModelRunner:
                                      kv_caches, meta_k,
                                      layer_offset=target_layers,
                                      use_pallas=use_pallas)
-                tok = jnp.argmax(
-                    eagle.compute_logits(dparams, params, model, h),
-                    axis=-1).astype(jnp.int32)
+                tok = eagle.propose_token(dparams, params, model, h)
                 drafts.append(tok)
             return out._replace(
                 draft_tokens=jnp.stack(drafts, axis=1)), kv_caches
@@ -1502,10 +1512,17 @@ class TPUModelRunner:
             model_positions = (
                 seg("mrope_positions").reshape(3, t_pad)
                 if uses_mrope else seg("positions"))
-            hidden, kv_caches = model(params, input_ids,
-                                      model_positions, kv_caches,
-                                      attn_meta, use_pallas=use_pallas,
-                                      **mm_kwargs)
+            if is_eagle3:
+                # target collects aux tap hiddens for the draft's fc
+                hidden, kv_caches, aux3 = model(
+                    params, input_ids, model_positions, kv_caches,
+                    attn_meta, use_pallas=use_pallas, **mm_kwargs)
+            else:
+                hidden, kv_caches = model(params, input_ids,
+                                          model_positions, kv_caches,
+                                          attn_meta,
+                                          use_pallas=use_pallas,
+                                          **mm_kwargs)
             sampled_hidden = jnp.take(hidden, logits_indices, axis=0)
             logits = model.compute_logits(params, sampled_hidden)
 
@@ -1576,8 +1593,13 @@ class TPUModelRunner:
             key = jax.random.PRNGKey(base_seed)
             out = sample(logits, meta, key)
             if eagle is not None:
+                # EAGLE-3 drafts from the fc-combined aux hiddens;
+                # EAGLE-1 from the target's final hidden
+                eagle_hidden = eagle.combine(params["__draft__"],
+                                             aux3) \
+                    if is_eagle3 else hidden
                 out, kv_caches = eagle_propose(
-                    params, kv_caches, out, hidden, input_ids,
+                    params, kv_caches, out, eagle_hidden, input_ids,
                     attn_meta, seg)
             elif medusa is not None:
                 # Medusa proposal (reference: MedusaProposer.propose):
