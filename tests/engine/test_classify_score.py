@@ -150,3 +150,84 @@ def test_qwen2_reward_model(tmp_path):
     ref = np.maximum(h @ w0.T + b0, 0.0) @ w2.T
     np.testing.assert_allclose(np.asarray(out.data), ref, atol=2e-3,
                                rtol=2e-3)
+
+
+def test_internlm2_reward_model(tmp_path):
+    """InternLM2ForRewardModel (reference: internlm2.py:404): v_head
+    on last-token hidden, internlm2 checkpoint layout."""
+    import json
+
+    import numpy as np
+    import torch
+    import safetensors.numpy as stn
+
+    from tests.conftest import _save_tiny_tokenizer
+    from tests.models.test_internlm2_baichuan import (_build_llama,
+                                                      _convert)
+    from vllm_main_modify_tpu.entrypoints.llm import LLM
+    from vllm_main_modify_tpu.sampling_params import PoolingParams
+
+    src, hf = _build_llama(tmp_path)
+    d = tmp_path / "internlm2-rm"
+    _convert(src, d, "internlm2")
+    _save_tiny_tokenizer(d)
+    rng = np.random.default_rng(0)
+    vh = rng.normal(size=(1, 64)).astype(np.float32) * 0.1
+    base = stn.load_file(str(d / "model.safetensors"))
+    del base["output.weight"]
+    base["v_head.weight"] = vh
+    stn.save_file(base, str(d / "model.safetensors"))
+    raw = json.loads((d / "config.json").read_text())
+    raw["architectures"] = ["InternLM2ForRewardModel"]
+    (d / "config.json").write_text(json.dumps(raw))
+
+    llm = LLM(model=str(d), dtype="float32", max_model_len=128,
+              max_num_seqs=4, max_num_batched_tokens=64, block_size=4,
+              num_kv_blocks=64)
+    ids = [5, 9, 42, 7, 13, 88]
+    out = llm.embed([ids], PoolingParams(task="classify",
+                                         activation="none"))[0]
+    with torch.no_grad():
+        h = hf.model(torch.tensor([ids])).last_hidden_state[0, -1]
+        ref = (h.numpy() @ vh.T)
+    np.testing.assert_allclose(np.asarray(out.data), ref, atol=2e-3,
+                               rtol=2e-3)
+
+
+def test_jamba_sequence_classification(tmp_path):
+    """JambaForSequenceClassification (reference: jamba.py:559):
+    score head on the hybrid backbone's last-token hidden."""
+    import numpy as np
+    import torch
+    import transformers
+
+    from tests.conftest import _save_tiny_tokenizer
+    from vllm_main_modify_tpu.entrypoints.llm import LLM
+    from vllm_main_modify_tpu.sampling_params import PoolingParams
+
+    cfg = transformers.JambaConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4,
+        num_key_value_heads=2, attn_layer_offset=1,
+        attn_layer_period=2, expert_layer_offset=1,
+        expert_layer_period=2, num_experts=2, num_experts_per_tok=2,
+        mamba_d_state=8, mamba_d_conv=4, mamba_expand=2,
+        mamba_dt_rank=4, max_position_embeddings=128, num_labels=3,
+        use_mamba_kernels=False)
+    torch.manual_seed(0)
+    hf = transformers.JambaForSequenceClassification(cfg).to(
+        torch.float32).eval()
+    d = tmp_path / "tiny-jamba-cls"
+    hf.save_pretrained(d, safe_serialization=True)
+    _save_tiny_tokenizer(d)
+
+    llm = LLM(model=str(d), dtype="float32", max_model_len=128,
+              max_num_seqs=4, max_num_batched_tokens=64, block_size=4,
+              num_kv_blocks=64)
+    ids = [5, 9, 42, 7, 13, 88]
+    out = llm.embed([ids], PoolingParams(task="classify",
+                                         activation="none"))[0]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(out.data), ref, atol=2e-3,
+                               rtol=2e-3)

@@ -18,7 +18,8 @@ import numpy as np
 
 from vllm_main_modify_tpu.config import ModelConfig
 from vllm_main_modify_tpu.models.bloom import get_alibi_slopes
-from vllm_main_modify_tpu.models.interface import ParamSpec
+from vllm_main_modify_tpu.models.interface import (ParamSpec,
+                                                   transpose2d)
 from vllm_main_modify_tpu.models.llama import LlamaForCausalLM
 
 
@@ -201,3 +202,27 @@ class QWenLMHeadModel(LlamaForCausalLM):
                 s.hf_key = rename[s.path]
             specs.append(s)
         return specs
+
+
+class InternLM2ForRewardModel(InternLM2ForCausalLM):
+    """Reference: internlm2.py:404 — InternLM2 backbone with the
+    ``output`` head replaced by a bias-free ``v_head`` [H, 1], served
+    through the runner's reward/pooling path (last-token pooling)."""
+
+    def __init__(self, config: ModelConfig):
+        config.is_pooling_model = True
+        super().__init__(config)
+        self.num_labels = 1
+
+    def param_specs(self) -> list[ParamSpec]:
+        from jax.sharding import PartitionSpec as P
+
+        specs = [s for s in super().param_specs()
+                 if s.path != "lm_head"]
+        specs.append(
+            ParamSpec("score", (self.hidden, 1), P(None, None),
+                      "v_head.weight", transform=transpose2d))
+        return specs
+
+    def classify_logits(self, params, pooled_hidden):
+        return pooled_hidden  # score head applied by the runner

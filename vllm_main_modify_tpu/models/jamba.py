@@ -340,3 +340,42 @@ class JambaForCausalLM:
         w = params["embed_tokens"].T if self.tie_embeddings \
             else params["lm_head"]
         return hidden.astype(jnp.float32) @ w.astype(jnp.float32)
+
+
+class JambaForSequenceClassification(JambaForCausalLM):
+    """Reference: jamba.py:559 — Jamba backbone + a score head
+    [H, num_labels] (optional bias), last-token pooling through the
+    runner's classify path (Jamba reward models)."""
+
+    def __init__(self, config: ModelConfig):
+        config.is_pooling_model = True
+        super().__init__(config)
+        hf = config.hf_config
+        self.num_labels = getattr(hf, "num_labels", 2)
+        self.score_bias = bool(getattr(hf, "score_bias", False))
+
+    def param_specs(self) -> list[ParamSpec]:
+        from vllm_main_modify_tpu.models.interface import transpose2d
+
+        specs = [s for s in super().param_specs()
+                 if s.path != "lm_head"]
+        specs.append(
+            ParamSpec("score", (self.hidden, self.num_labels),
+                      P(None, None), "score.weight",
+                      transform=transpose2d))
+        if self.score_bias:
+            specs.append(
+                ParamSpec("score_bias", (self.num_labels, ), P(),
+                          "score.bias", transform=None))
+        return specs
+
+    def classify_logits(self, params, pooled_hidden):
+        return pooled_hidden  # score head applied by the runner
+
+    def compute_logits(self, params, hidden):
+        # pooling model: no lm_head — the sampler still traces
+        # through this; give it a harmless projection
+        import jax.numpy as jnp
+
+        return (hidden.astype(jnp.float32) @
+                params["embed_tokens"].T.astype(jnp.float32))

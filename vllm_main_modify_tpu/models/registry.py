@@ -285,6 +285,12 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "LlavaOnevisionForConditionalGeneration": (
         "vllm_main_modify_tpu.models.llava_onevision",
         "LlavaOnevisionForConditionalGeneration"),
+    "InternLM2ForRewardModel": (
+        "vllm_main_modify_tpu.models.internlm2_baichuan",
+        "InternLM2ForRewardModel"),
+    "JambaForSequenceClassification": (
+        "vllm_main_modify_tpu.models.jamba",
+        "JambaForSequenceClassification"),
     "ChatGLMModel": ("vllm_main_modify_tpu.models.llama_variants",
                      "ChatGLMForCausalLM"),
     "ChatGLMForCausalLM": (
