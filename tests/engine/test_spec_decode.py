@@ -264,3 +264,78 @@ def test_eagle3_drafts_flow(eagle3_pair):
     stats = spec.engine.engine_core.scheduler.make_stats()
     assert stats.spec_num_draft_tokens > 0
     # every draft must be a VALID target-vocab id (d2t translated)
+
+
+# ---------------------------------------------------------------------
+# MLP speculator (reference: mlp_speculator.py, arXiv:2404.19124)
+
+
+@pytest.fixture(scope="module")
+def tiny_mlpspec_dir(tmp_path_factory):
+    """Random-weight 3-stage MLP speculator for the tiny llama
+    target (emb_dim 64, inner 32, untied)."""
+    import json
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    path = tmp_path_factory.mktemp("models") / "tiny-mlpspec"
+    path.mkdir(exist_ok=True)
+    E, D, V, N = 64, 32, 512, 3
+    rng = np.random.default_rng(5)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.1).astype(np.float32)
+
+    tensors = {"proj.0.weight": w(D, E)}
+    for i in range(N):
+        tensors[f"emb.{i}.weight"] = w(V, D)
+        tensors[f"head.{i}.weight"] = w(V, D)
+        tensors[f"ln.{i}.weight"] = np.ones(D, np.float32)
+        tensors[f"ln.{i}.bias"] = np.zeros(D, np.float32)
+        if i > 0:
+            tensors[f"proj.{i}.weight"] = w(D, D)
+    save_file(tensors, str(path / "model.safetensors"))
+    cfg = {"architectures": ["MLPSpeculatorPreTrainedModel"],
+           "model_type": "mlp_speculator", "emb_dim": E,
+           "inner_dim": D, "vocab_size": V, "n_predict": N,
+           "tie_weights": False, "scale_input": False}
+    (path / "config.json").write_text(json.dumps(cfg))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def mlpspec_pair(tiny_llama_dir, tiny_mlpspec_dir):
+    kw = dict(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=8, max_num_batched_tokens=64, block_size=4,
+              num_kv_blocks=256)
+    base = LLM(**kw)
+    spec = LLM(speculative_config=dict(num_speculative_tokens=3,
+                                       draft_model=tiny_mlpspec_dir),
+               **kw)
+    return base, spec
+
+
+def test_mlpspec_method_autodetected(mlpspec_pair):
+    _, spec = mlpspec_pair
+    sc = spec.engine.engine_core.model_runner.config.speculative_config
+    assert sc.method == "mlp_speculator"
+
+
+def test_mlpspec_greedy_parity(mlpspec_pair):
+    base, spec = mlpspec_pair
+    prompts = ["hello world hello world hello world hello",
+               "a test of the tokenizer"]
+    p = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+    b = base.generate(prompts, p)
+    s = spec.generate(prompts, p)
+    for ob, os_ in zip(b, s):
+        assert ob.outputs[0].token_ids == os_.outputs[0].token_ids
+
+
+def test_mlpspec_drafts_flow(mlpspec_pair):
+    _, spec = mlpspec_pair
+    p = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    spec.generate(["hello world hello world"], p)
+    stats = spec.engine.engine_core.scheduler.make_stats()
+    assert stats.spec_num_draft_tokens > 0

@@ -318,9 +318,7 @@ def _detect_spec_method(draft_dir: str) -> str:
         # the fc(embed ++ target_hidden) -> decoder-layers shape
         return "eagle"
     if "MLPSpeculator" in name:
-        raise ValueError(
-            "MLP-speculator draft models are not supported yet; use "
-            "an EAGLE or Medusa draft, or ngram speculation")
+        return "mlp_speculator"
     # plain decoder checkpoint -> classic two-model speculation is not
     # supported; EAGLE subsumes it on TPU (single fused step)
     return "eagle"

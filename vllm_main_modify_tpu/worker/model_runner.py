@@ -160,9 +160,12 @@ class TPUModelRunner:
         self.eagle_cfg = None
         self.medusa = None  # Medusa heads (spec_decode/medusa.py)
         self.medusa_cfg = None
+        self.mlpspec = None  # MLP speculator (spec_decode/...)
+        self.mlpspec_cfg = None
         if spec.enabled:
             assert spec.method in ("ngram", "eagle", "eagle3",
-                                   "medusa"), spec.method
+                                   "medusa",
+                                   "mlp_speculator"), spec.method
             assert not sc.async_scheduling, \
                 "spec decode requires sync scheduling"
             if spec.method == "ngram":
@@ -172,6 +175,20 @@ class TPUModelRunner:
                 self.proposer = NgramProposer(
                     spec.num_speculative_tokens,
                     spec.prompt_lookup_min, spec.prompt_lookup_max)
+            elif spec.method == "mlp_speculator":
+                from vllm_main_modify_tpu.spec_decode.mlp_speculator \
+                    import MLPSpeculatorHeads, make_mlp_spec_config
+
+                assert spec.draft_model, \
+                    "mlp_speculator spec decode needs --draft-model"
+                self.mlpspec_cfg = make_mlp_spec_config(
+                    spec.draft_model, mc)
+                self.mlpspec = MLPSpeculatorHeads(self.mlpspec_cfg,
+                                                  mc)
+                assert spec.num_speculative_tokens <= \
+                    self.mlpspec.n_predict, (
+                        "num_speculative_tokens exceeds the "
+                        "speculator's n_predict")
             elif spec.method == "medusa":
                 from vllm_main_modify_tpu.spec_decode.medusa import (
                     MedusaHeads, make_medusa_config)
@@ -321,6 +338,10 @@ class TPUModelRunner:
         if self.medusa is not None:
             self.params["__draft__"] = load_model_weights(
                 self.medusa, self.medusa_cfg, self.mesh,
+                self.config.load_config.load_format)
+        if self.mlpspec is not None:
+            self.params["__draft__"] = load_model_weights(
+                self.mlpspec, self.mlpspec_cfg, self.mesh,
                 self.config.load_config.load_format)
         if self.enable_lora:
             self._init_lora_stacks()
@@ -1357,6 +1378,7 @@ class TPUModelRunner:
         is_eagle3 = eagle is not None and getattr(eagle, "is_eagle3",
                                                   False)
         medusa = self.medusa
+        mlpspec = self.mlpspec
         max_spec = self.max_spec
         target_layers = self.model.kv_cache_spec()[2]
         group_kinds = tuple(g.kind for g in self.kv_groups[1:])
@@ -1617,6 +1639,25 @@ class TPUModelRunner:
                 drafts = medusa.propose(params["__draft__"], h_last)
                 out = out._replace(
                     draft_tokens=drafts[:, :max_spec])
+            elif mlpspec is not None:
+                # MLP-speculator (reference:
+                # mlp_speculator.py generate_proposals): sequential
+                # token/embedding recurrence from the final emitted
+                # position — no attention, no draft KV
+                sampled_m = out.sampled.reshape(r_pad, nsp)
+                acc = out.spec_accept.reshape(r_pad, nsp)
+                li = seg("logits_indices").reshape(r_pad, nsp)
+                n_acc = jnp.sum(jnp.cumprod(
+                    acc[:, :nsp - 1].astype(jnp.int32), axis=1),
+                    axis=1)
+                final_tok = jnp.take_along_axis(
+                    sampled_m, n_acc[:, None], axis=1)[:, 0]
+                last_idx = jnp.take_along_axis(li, n_acc[:, None],
+                                               axis=1)[:, 0]
+                h_last = jnp.take(hidden, last_idx, axis=0)
+                drafts = mlpspec.propose(params["__draft__"], h_last,
+                                         final_tok, max_spec)
+                out = out._replace(draft_tokens=drafts)
             plp_aux = None
             if prompt_lp > 0:
                 # prompt logprobs: logits over ALL packed positions
@@ -2070,7 +2111,8 @@ class TPUModelRunner:
                     batch.token_ids, batch.num_tokens,
                     list(sample_rows)).items():
                 draft_token_ids[row] = draft
-        elif self.eagle is not None or self.medusa is not None:
+        elif (self.eagle is not None or self.medusa is not None
+              or self.mlpspec is not None):
             # drafts were proposed on device inside the fused step
             drafts_np = np.asarray(out.draft_tokens)  # [r_pad, K]
             draft_token_ids = [[] for _ in range(num_reqs)]
