@@ -291,6 +291,16 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "JambaForSequenceClassification": (
         "vllm_main_modify_tpu.models.jamba",
         "JambaForSequenceClassification"),
+    # rope-BERT embedders (models/bert_with_rope.py)
+    "GteNewModel": ("vllm_main_modify_tpu.models.bert_with_rope",
+                    "GteNewModel"),
+    "GteModel": ("vllm_main_modify_tpu.models.bert_with_rope",
+                 "SnowflakeGteNewModel"),
+    "SnowflakeGteNewModel": (
+        "vllm_main_modify_tpu.models.bert_with_rope",
+        "SnowflakeGteNewModel"),
+    "NomicBertModel": ("vllm_main_modify_tpu.models.bert_with_rope",
+                       "NomicBertModel"),
     "ChatGLMModel": ("vllm_main_modify_tpu.models.llama_variants",
                      "ChatGLMForCausalLM"),
     "ChatGLMForCausalLM": (
