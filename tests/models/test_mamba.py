@@ -682,3 +682,56 @@ def test_lfm2_chunked_state_carry(tmp_path):
         ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
     got = run_lfm2(path, [6, 4])
     np.testing.assert_allclose(got, ref[6:], atol=2e-3, rtol=2e-3)
+
+
+def test_fresh_request_ignores_stale_slot_state(tmp_path):
+    """A request's FIRST chunk must not fold a reused slot's stale
+    state (slots are never zeroed on free): running with a dirty
+    slot + fresh_req=True must equal running with a zero slot."""
+    import jax.numpy as jnp
+
+    from vllm_main_modify_tpu.layers.mamba import build_seg_info
+
+    path, hf = build_checkpoint(tmp_path, falcon=False)
+    from jax.sharding import Mesh
+
+    config = ModelConfig(model=path, dtype="float32",
+                         max_model_len=128)
+    model = create_model(config)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                ("data", "model"))
+    from vllm_main_modify_tpu.models.loader import load_model_weights
+
+    params = load_model_weights(model, config, mesh)
+    n_slots = 2
+    conv0 = jnp.zeros((model.L, n_slots, model.d_conv - 1,
+                       model.d_inner), jnp.float32)
+    ssm0 = jnp.zeros((model.L, n_slots, model.d_inner, model.d_state),
+                     jnp.float32)
+    rng = np.random.default_rng(0)
+    conv_dirty = conv0 + jnp.asarray(
+        rng.standard_normal(conv0.shape), jnp.float32)
+    ssm_dirty = ssm0 + jnp.asarray(
+        rng.standard_normal(ssm0.shape), jnp.float32)
+
+    t_pad = 16
+    chunk = 6
+    ids_p = jnp.asarray(TOKENS[:chunk] + [0] * (t_pad - chunk),
+                        jnp.int32)
+    pos = jnp.asarray(list(range(chunk)) + [0] * (t_pad - chunk),
+                      jnp.int32)
+
+    def run(conv, ssm, fresh):
+        meta = make_meta([chunk], t_pad=t_pad)
+        meta = meta._replace(groups=(meta.groups[0]._replace(
+            state_fresh=jnp.asarray([fresh, 0, 0, 0], jnp.int32)), ))
+        kv = (jnp.zeros((0, 2, 8, 0), jnp.float32), (conv, ssm))
+        hidden, _ = model(params, ids_p, pos, kv, meta,
+                          use_pallas=False)
+        return np.asarray(hidden[:chunk])
+
+    clean = run(conv0, ssm0, fresh=0)
+    dirty_fresh = run(conv_dirty, ssm_dirty, fresh=1)
+    dirty_carry = run(conv_dirty, ssm_dirty, fresh=0)
+    np.testing.assert_allclose(dirty_fresh, clean, atol=1e-5)
+    assert np.abs(dirty_carry - clean).max() > 1e-3  # control

@@ -70,6 +70,9 @@ class KVGroupMeta(NamedTuple):
     kv_update_slices: Optional[jax.Array] = None  # [3, S]
     num_kv_update_slices: Optional[jax.Array] = None  # [1]
     state_slots: Optional[jax.Array] = None  # [R] (mamba groups)
+    # [R] 1 when this step holds the request's first tokens (its
+    # reused slot's stale state must not carry in)
+    state_fresh: Optional[jax.Array] = None
 
 
 def attention(

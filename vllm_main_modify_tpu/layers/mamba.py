@@ -45,11 +45,16 @@ class RaggedSegInfo(NamedTuple):
     last_idx: jax.Array  # [R] int32 — packed index of row's last token
     valid_req: jax.Array  # [R] bool
     state_slots: jax.Array  # [R] int32 — mamba state slot per row
+    # True when this step holds the request's FIRST tokens: its slot
+    # may carry a freed request's stale state, so the carry-in must be
+    # suppressed (slots are never zeroed on reuse)
+    fresh_req: jax.Array = None  # [R] bool
 
 
 def build_seg_info(query_start_loc: jax.Array, num_seqs: jax.Array,
                    num_tokens: int,
-                   state_slots: jax.Array) -> RaggedSegInfo:
+                   state_slots: jax.Array,
+                   fresh_req: jax.Array = None) -> RaggedSegInfo:
     qsl = query_start_loc
     r = qsl.shape[0] - 1
     t = jnp.arange(num_tokens, dtype=jnp.int32)
@@ -67,6 +72,8 @@ def build_seg_info(query_start_loc: jax.Array, num_seqs: jax.Array,
         last_idx=jnp.maximum(qsl[1:] - 1, qsl[:-1]),
         valid_req=(rows < num_seqs[0]) & (qsl[1:] > qsl[:-1]),
         state_slots=state_slots,
+        fresh_req=(jnp.zeros((r, ), bool)
+                   if fresh_req is None else fresh_req.astype(bool)),
     )
 
 
@@ -98,6 +105,9 @@ def causal_conv1d_ragged(x_in: jax.Array, conv_w: jax.Array,
     t_idx = jnp.arange(x_in.shape[0], dtype=jnp.int32)
     k_w = conv_w.shape[0]
     tail = conv_state[seg.state_slots[seg.req_of_tok]]  # [T, K-1, D]
+    # first-chunk requests must not read a reused slot's stale tail
+    tail = jnp.where(seg.fresh_req[seg.req_of_tok][:, None, None],
+                     0.0, tail)
     acc = x_in * conv_w[k_w - 1]
     for k in range(1, k_w):
         j = t_idx - k
@@ -220,7 +230,8 @@ def mamba2_mixer(
     dA4 = jnp.broadcast_to(dA[:, :, None, None], dBx.shape)
 
     h0 = ssm_state[seg.state_slots[seg.req_of_tok]]
-    dBx = jnp.where(seg.is_first[:, None, None, None],
+    carry = seg.is_first & ~seg.fresh_req[seg.req_of_tok]
+    dBx = jnp.where(carry[:, None, None, None],
                     dBx + dA4 * h0, dBx)
     h = _segmented_linear_scan(
         dA4.reshape(t, num_heads * head_dim, d_state),
@@ -302,7 +313,8 @@ def mamba1_mixer(
 
     # fold the carried-in state into each segment's first element
     h0 = ssm_state[seg.state_slots[seg.req_of_tok]]  # [T, d_inner, N]
-    dBx = jnp.where(seg.is_first[:, None, None], dBx + dA * h0, dBx)
+    carry = seg.is_first & ~seg.fresh_req[seg.req_of_tok]
+    dBx = jnp.where(carry[:, None, None], dBx + dA * h0, dBx)
 
     h = _segmented_linear_scan(dA, dBx, seg.req_of_tok)
 

@@ -179,7 +179,8 @@ class BambaForCausalLM:
         conv_all, ssm_all = states
         slots = attn_meta.groups[0].state_slots
         seg = build_seg_info(attn_meta.query_start_loc,
-                             attn_meta.num_seqs, t, slots)
+                             attn_meta.num_seqs, t, slots,
+                             fresh_req=attn_meta.groups[0].state_fresh)
         common = params["layers"]
 
         def idx_map(ids):
@@ -367,7 +368,8 @@ class GraniteMoeHybridForCausalLM(BambaForCausalLM):
         conv_all, ssm_all = states
         slots = attn_meta.groups[0].state_slots
         seg = build_seg_info(attn_meta.query_start_loc,
-                             attn_meta.num_seqs, t, slots)
+                             attn_meta.num_seqs, t, slots,
+                             fresh_req=attn_meta.groups[0].state_fresh)
         common = params["layers"]
 
         def idx_map(ids):
@@ -520,7 +522,8 @@ class FalconH1ForCausalLM(BambaForCausalLM):
         conv_all, ssm_all = states
         slots = attn_meta.groups[0].state_slots
         seg = build_seg_info(attn_meta.query_start_loc,
-                             attn_meta.num_seqs, t, slots)
+                             attn_meta.num_seqs, t, slots,
+                             fresh_req=attn_meta.groups[0].state_fresh)
         common = params["layers"]
 
         def pick(group, gl):
@@ -718,7 +721,8 @@ class NemotronHForCausalLM(BambaForCausalLM):
         conv_all, ssm_all = states
         slots = attn_meta.groups[0].state_slots
         seg = build_seg_info(attn_meta.query_start_loc,
-                             attn_meta.num_seqs, t, slots)
+                             attn_meta.num_seqs, t, slots,
+                             fresh_req=attn_meta.groups[0].state_fresh)
         common = params["layers"]
 
         def idx_map(ids):

@@ -192,7 +192,8 @@ class Lfm2ForCausalLM:
         (conv_all, ) = states
         slots = attn_meta.groups[0].state_slots
         seg = build_seg_info(attn_meta.query_start_loc,
-                             attn_meta.num_seqs, t, slots)
+                             attn_meta.num_seqs, t, slots,
+                             fresh_req=attn_meta.groups[0].state_fresh)
         common = params["layers"]
 
         def idx_map(ids):

@@ -136,7 +136,8 @@ class MambaForCausalLM:
         conv_all, ssm_all = states
         slots = attn_meta.groups[0].state_slots
         seg = build_seg_info(attn_meta.query_start_loc,
-                             attn_meta.num_seqs, x.shape[0], slots)
+                             attn_meta.num_seqs, x.shape[0], slots,
+                             fresh_req=attn_meta.groups[0].state_fresh)
         layers = params["layers"]
 
         def layer_fn(l, carry):
@@ -280,7 +281,8 @@ class Mamba2ForCausalLM:
         conv_all, ssm_all = states
         slots = attn_meta.groups[0].state_slots
         seg = build_seg_info(attn_meta.query_start_loc,
-                             attn_meta.num_seqs, x.shape[0], slots)
+                             attn_meta.num_seqs, x.shape[0], slots,
+                             fresh_req=attn_meta.groups[0].state_fresh)
         layers = params["layers"]
 
         def layer_fn(l, carry):

@@ -1059,6 +1059,11 @@ class TPUModelRunner:
             tbl = batch.extra_block_tables[gi - 1]
             if grp.kind == "mamba":
                 seg(f"state_slots@{gi}")[:num_reqs] = tbl[:num_reqs, 0]
+                # first chunk of a request: its (possibly reused) slot
+                # must not contribute stale carry-in state
+                seg(f"state_fresh@{gi}")[:num_reqs] = (
+                    batch.num_computed_tokens[:num_reqs] == 0
+                ).astype(np.int32)
                 continue
             seg(f"block_tables@{gi}").reshape(
                 r_pad, mp)[:num_reqs] = tbl[:num_reqs, :mp]
@@ -1292,6 +1297,7 @@ class TPUModelRunner:
         for gi, grp in enumerate(self.kv_groups[1:], start=1):
             if grp.kind == "mamba":
                 sizes.append((f"state_slots@{gi}", r_pad))
+                sizes.append((f"state_fresh@{gi}", r_pad))
                 continue
             sizes += [
                 (f"block_tables@{gi}", r_pad * mp),
@@ -1511,7 +1517,8 @@ class TPUModelRunner:
             if group_kinds:
                 attn_meta = attn_meta._replace(groups=tuple(
                     KVGroupMeta(block_tables=None, slot_mapping=None,
-                                state_slots=seg(f"state_slots@{gi}"))
+                                state_slots=seg(f"state_slots@{gi}"),
+                                state_fresh=seg(f"state_fresh@{gi}"))
                     if kind == "mamba" else
                     KVGroupMeta(
                         block_tables=seg(f"block_tables@{gi}").reshape(
