@@ -828,3 +828,90 @@ def test_qwen3_next_chunked_state_carry(tmp_path):
         ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
     got = run_qwen3_next(path, [6, 4])
     np.testing.assert_allclose(got, ref[6:], atol=2e-3, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# MiniMax: lightning attention + full attention hybrid (HF parity)
+# ---------------------------------------------------------------------------
+
+
+def build_minimax(tmp_path):
+    import torch
+    import transformers
+
+    cfg = transformers.MiniMaxConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=4, num_attention_heads=4,
+        num_key_value_heads=2, num_local_experts=4,
+        num_experts_per_tok=2, block_size=8,
+        layer_types=["linear_attention", "full_attention",
+                     "linear_attention", "full_attention"],
+        max_position_embeddings=128, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    model = transformers.MiniMaxForCausalLM(cfg).to(
+        torch.float32).eval()
+    path = tmp_path / "minimax"
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path), model
+
+
+def run_minimax(model_dir, chunks):
+    from jax.sharding import Mesh
+
+    config = ModelConfig(model=model_dir, dtype="float32",
+                         max_model_len=128)
+    model = create_model(config)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                ("data", "model"))
+    params = load_model_weights(model, config, mesh)
+    n_slots = 4
+    la, lm = len(model.attn_ids), len(model.linear_ids)
+    page = 8
+    kv0 = jnp.zeros((la, 8, page, 2 * model.num_kv, model.head_dim),
+                    jnp.float32)
+    ssm = jnp.zeros((lm, n_slots, model.num_q, model.head_dim,
+                     model.head_dim), jnp.float32)
+    kv = (kv0, (ssm, ))
+    t_pad = 16
+    bt = np.zeros((4, 4), np.int32)
+    bt[0] = [1, 2, 0, 0]
+    off = 0
+    for chunk in chunks:
+        ids = TOKENS[off:off + chunk]
+        off += chunk
+        meta = make_meta([chunk], t_pad=t_pad)
+        sm = np.full(t_pad, -1, np.int32)
+        for j in range(chunk):
+            pos = off - chunk + j
+            sm[j] = (1 + pos // page) * page + pos % page
+        meta = meta._replace(
+            block_tables=jnp.asarray(bt),
+            seq_lens=jnp.asarray([off, 0, 0, 0], jnp.int32),
+            slot_mapping=jnp.asarray(sm))
+        ids_p = jnp.asarray(ids + [0] * (t_pad - chunk), jnp.int32)
+        pos = jnp.asarray(list(range(off - chunk, off)) + [0] *
+                          (t_pad - chunk), jnp.int32)
+        hidden, kv = model(params, ids_p, pos, kv, meta,
+                           use_pallas=False)
+    logits = model.compute_logits(params, hidden[:chunk])
+    return np.asarray(logits)
+
+
+def test_minimax_prefill_parity(tmp_path):
+    import torch
+
+    path, hf = build_minimax(tmp_path)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_minimax(path, [len(TOKENS)])
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_minimax_chunked_state_carry(tmp_path):
+    import torch
+
+    path, hf = build_minimax(tmp_path)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_minimax(path, [6, 4])
+    np.testing.assert_allclose(got, ref[6:], atol=2e-3, rtol=2e-3)

@@ -73,3 +73,44 @@ def gated_delta_rule_ragged(
 
     states, out = jax.lax.fori_loop(0, t_total, body, (states, out0))
     return out, states
+
+
+def lightning_attention_ragged(
+    q: jax.Array,  # [T, H, D]
+    k: jax.Array,  # [T, H, D]
+    v: jax.Array,  # [T, H, D]
+    decay: jax.Array,  # [H] f32 per-head decay exp(-slope)
+    states: jax.Array,  # [S, H, D, D] f32
+    seg: RaggedSegInfo,
+) -> tuple[jax.Array, jax.Array]:
+    """MiniMax lightning attention (HF MiniMaxLightningAttention):
+    per-head exponentially-decayed linear attention
+
+        S_t = λ_h S_{t-1} + k_t v_tᵀ ;  o_t = q_t S_t
+
+    — the beta-free, decay-static special case of the delta rule.
+    Sequential over the packed batch like gated_delta_rule_ragged."""
+    t_total, h, d = q.shape
+    qf = q.astype(jnp.float32)
+    kf = jnp.where(seg.valid_tok[:, None, None],
+                   k.astype(jnp.float32), 0.0)
+    vf = v.astype(jnp.float32)
+    lam = jnp.where(seg.valid_tok[:, None], decay[None, :], 1.0)
+    out0 = jnp.zeros((t_total, h, v.shape[-1]), jnp.float32)
+    start_fresh = seg.is_first & seg.fresh_req[seg.req_of_tok]
+
+    def body(t, carry):
+        states, out = carry
+        slot = seg.state_slots[seg.req_of_tok[t]]
+        s = states[slot]
+        s = jnp.where(start_fresh[t], 0.0, s)
+        s = s * lam[t][:, None, None] + \
+            kf[t][:, :, None] * vf[t][:, None, :]
+        o_t = jnp.einsum("hkv,hk->hv", s, qf[t])
+        states = jax.lax.dynamic_update_index_in_dim(
+            states, s, slot, 0)
+        out = jax.lax.dynamic_update_index_in_dim(out, o_t, t, 0)
+        return states, out
+
+    states, out = jax.lax.fori_loop(0, t_total, body, (states, out0))
+    return out, states

@@ -304,6 +304,15 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen3NextForCausalLM": (
         "vllm_main_modify_tpu.models.qwen3_next",
         "Qwen3NextForCausalLM"),
+    "MiniMaxText01ForCausalLM": (
+        "vllm_main_modify_tpu.models.minimax",
+        "MiniMaxText01ForCausalLM"),
+    "MiniMaxM1ForCausalLM": (
+        "vllm_main_modify_tpu.models.minimax",
+        "MiniMaxText01ForCausalLM"),
+    "MiniMaxForCausalLM": (
+        "vllm_main_modify_tpu.models.minimax",
+        "MiniMaxText01ForCausalLM"),
     "ChatGLMModel": ("vllm_main_modify_tpu.models.llama_variants",
                      "ChatGLMForCausalLM"),
     "ChatGLMForCausalLM": (
