@@ -358,3 +358,334 @@ class PhiMoEForCausalLM:
             logits = logits + params["lm_head_bias"].astype(
                 jnp.float32)
         return logits
+
+
+def _texp(x):
+    return np.ascontiguousarray(x.T)
+
+
+class Grok1ModelForCausalLM:
+    """Grok-1 (reference: vllm/model_executor/models/grok1.py):
+    sandwich norms — x += post_norm(mix(pre_norm(x))) — attention
+    logit softcap 30 with an output multiplier, router logits
+    softcapped by 30·tanh(/30), gelu-gated experts stored as
+    ``moe_block.experts.{e}.{linear,linear_1,linear_v}`` (gate, down,
+    up), embeddings and logits scaled by the config multipliers."""
+
+    def __init__(self, config: ModelConfig):
+        self.cfg = config
+        hf = config.hf_config
+        g = lambda k, d=None: getattr(hf, k, d)
+        self.hidden = config.hidden_size
+        self.L = config.num_layers
+        self.num_q = config.num_attention_heads
+        self.num_kv = config.num_kv_heads
+        self.head_dim = g("head_dim", None) or \
+            self.hidden // self.num_q
+        self.sm_scale = self.head_dim**-0.5
+        self.eps = g("rms_norm_eps", 1e-5)
+        self.inv_freq = jnp.asarray(
+            compute_inv_freq(self.head_dim, config.rope_theta,
+                             config.rope_scaling))
+        self.E = config.num_experts or g("num_experts", 8)
+        self.top_k = config.num_experts_per_tok or 2
+        self.moe_inter = g("moe_intermediate_size", None) or \
+            config.intermediate_size
+        self.attn_softcap = float(g("attn_logit_softcapping", 30.0)
+                                  or 30.0)
+        self.router_softcap = float(g("router_logit_softcapping",
+                                      30.0) or 30.0)
+        self.attn_mult = float(g("attn_output_multiplier", 1.0)
+                               or 1.0)
+        self.embed_mult = float(g("embedding_multiplier_scale", 1.0)
+                                or 1.0)
+        self.logits_mult = float(g("output_multiplier_scale", 1.0)
+                                 or 1.0)
+        self.tie_embeddings = config.tie_word_embeddings
+
+    def param_specs(self) -> list[ParamSpec]:
+        c = self.cfg
+        H, V, E = self.hidden, c.vocab_size, self.E
+        qd = self.num_q * self.head_dim
+        kd = self.num_kv * self.head_dim
+        mi = self.moe_inter
+        t = transpose2d
+
+        def stk(path, shape, spec, hf_key, transform=t, experts=0):
+            return ParamSpec(f"layers.{path}", (self.L, *shape), spec,
+                             "model.layers.{i}." + hf_key,
+                             stacked=True, num_experts=experts,
+                             transform=transform)
+
+        specs = [
+            ParamSpec("embed_tokens", (V, H), P("model", None),
+                      "model.embed_tokens.weight", transform=None),
+            ParamSpec("final_norm", (H, ), P(), "model.norm.weight",
+                      transform=None),
+            stk("pre_attn_norm", (H, ), P(None, None),
+                "pre_attn_norm.weight", transform=None),
+            stk("post_attn_norm", (H, ), P(None, None),
+                "post_attn_norm.weight", transform=None),
+            stk("pre_moe_norm", (H, ), P(None, None),
+                "pre_moe_norm.weight", transform=None),
+            stk("post_moe_norm", (H, ), P(None, None),
+                "post_moe_norm.weight", transform=None),
+            stk("q_proj", (H, qd), P(None, None, "model"),
+                "self_attn.q_proj.weight"),
+            stk("k_proj", (H, kd), P(None, None, "model"),
+                "self_attn.k_proj.weight"),
+            stk("v_proj", (H, kd), P(None, None, "model"),
+                "self_attn.v_proj.weight"),
+            stk("o_proj", (qd, H), P(None, "model", None),
+                "self_attn.o_proj.weight"),
+            stk("router", (H, E), P(None, None, None),
+                "moe_block.gate.weight"),
+            stk("w_gate", (E, H, mi), P(None, None, None, "model"),
+                "moe_block.experts.{e}.linear.weight", experts=E,
+                transform=_texp),
+            stk("w_up", (E, H, mi), P(None, None, None, "model"),
+                "moe_block.experts.{e}.linear_v.weight", experts=E,
+                transform=_texp),
+            stk("w_down", (E, mi, H), P(None, None, "model", None),
+                "moe_block.experts.{e}.linear_1.weight", experts=E,
+                transform=_texp),
+        ]
+        if not self.tie_embeddings:
+            specs.append(ParamSpec("lm_head", (H, V), P(None, "model"),
+                                   "lm_head.weight", transform=t))
+        return specs
+
+    def kv_cache_spec(self) -> tuple[int, int, int]:
+        return self.num_kv, self.head_dim, self.L
+
+    def __call__(self, params, input_ids, positions, kv_caches,
+                 attn_meta: AttentionMetadata,
+                 use_pallas: Optional[bool] = None):
+        from vllm_main_modify_tpu.layers.normalization import rms_norm
+
+        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        x = x * jnp.asarray(self.embed_mult, dtype=x.dtype)
+        t = x.shape[0]
+        layers = params["layers"]
+
+        def gelu_mul(g_, u):
+            # FusedMoE activation="gelu" is the EXACT gelu
+            return jax.nn.gelu(g_, approximate=False) * u
+
+        def layer_fn(l, carry):
+            x, kv_caches = carry
+            w = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False), layers)
+            res = x
+            h = rms_norm(x, w["pre_attn_norm"], self.eps)
+            q = (h @ w["q_proj"]).reshape(t, self.num_q,
+                                          self.head_dim)
+            k = (h @ w["k_proj"]).reshape(t, self.num_kv,
+                                          self.head_dim)
+            v = (h @ w["v_proj"]).reshape(t, self.num_kv,
+                                          self.head_dim)
+            q, k = apply_rope(q, k, positions, self.inv_freq)
+            o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
+                                     self.sm_scale,
+                                     logit_softcap=self.attn_softcap,
+                                     use_pallas=use_pallas)
+            o = (o.reshape(t, -1) @ w["o_proj"]) * self.attn_mult
+            x = res + rms_norm(o, w["post_attn_norm"], self.eps)
+
+            res = x
+            h = rms_norm(x, w["pre_moe_norm"], self.eps)
+            # router logits softcapped BEFORE softmax (grok1.py:109)
+            logits = (h.astype(jnp.float32) @
+                      w["router"].astype(jnp.float32))
+            cap = self.router_softcap
+            logits = jnp.tanh(logits / cap) * cap
+            probs = jax.nn.softmax(logits, axis=-1)
+            wts, experts = jax.lax.top_k(probs, self.top_k)
+            wts = wts / jnp.sum(wts, axis=-1, keepdims=True)
+            y = moe_apply(h, wts, experts, w["w_gate"], w["w_up"],
+                          w["w_down"], gelu_mul)
+            x = res + rms_norm(y, w["post_moe_norm"], self.eps)
+            return x, kv_caches
+
+        x, kv_caches = jax.lax.fori_loop(0, self.L, layer_fn,
+                                         (x, kv_caches))
+        x = rms_norm(x, params["final_norm"], self.eps)
+        return x, kv_caches
+
+    def compute_logits(self, params, hidden):
+        w = params["embed_tokens"].T if self.tie_embeddings \
+            else params["lm_head"]
+        logits = hidden.astype(jnp.float32) @ w.astype(jnp.float32)
+        return logits * self.logits_mult
+
+
+class HunYuanMoEV1ForCausalLM:
+    """HunYuan-A13B / MoE-V1 (reference: vllm hunyuan_v1.py MoE path):
+    the HunYuan attention (per-head RMS q/k norm AFTER rope) with a
+    per-layer MoE — softmax top-k (renormalized when k > 1) over
+    ``mlp.experts.{e}.{gate,up,down}_proj`` plus an always-on
+    ``mlp.shared_mlp``. Per-layer topk / intermediate lists are not
+    supported (uniform checkpoints only)."""
+
+    def __init__(self, config: ModelConfig):
+        self.cfg = config
+        hf = config.hf_config
+        g = lambda k, d=None: getattr(hf, k, d)
+        if getattr(hf, "use_cla", False):
+            raise NotImplementedError("HunYuan CLA is not supported")
+        if isinstance(g("moe_topk"), list) and \
+                len(set(g("moe_topk"))) > 1:
+            raise NotImplementedError("per-layer moe_topk lists")
+        if isinstance(g("moe_intermediate_size"), list) and \
+                len(set(g("moe_intermediate_size"))) > 1:
+            raise NotImplementedError(
+                "per-layer moe_intermediate_size lists")
+        self.hidden = config.hidden_size
+        self.L = config.num_layers
+        self.num_q = config.num_attention_heads
+        self.num_kv = config.num_kv_heads
+        self.head_dim = g("head_dim", None) or \
+            self.hidden // self.num_q
+        self.sm_scale = self.head_dim**-0.5
+        self.eps = g("rms_norm_eps", 1e-5)
+        self.inv_freq = jnp.asarray(
+            compute_inv_freq(self.head_dim, config.rope_theta,
+                             config.rope_scaling))
+        self.qk_norm = bool(g("use_qk_norm", True))
+        self.attn_bias = bool(g("attention_bias", False))
+        tk = g("moe_topk", 1)
+        self.top_k = tk[0] if isinstance(tk, list) else int(tk or 1)
+        self.E = int(g("num_experts", 0) or 0)
+        mi = g("moe_intermediate_size", None)
+        if isinstance(mi, list):
+            mi = mi[0]
+        self.moe_inter = int(mi or config.intermediate_size)
+        n_sh = g("num_shared_expert", 0)
+        if isinstance(n_sh, list):
+            n_sh = n_sh[0]
+        self.shared_inter = config.intermediate_size * int(n_sh or 0) \
+            if g("use_mixed_mlp_moe", 0) else 0
+        self.tie_embeddings = config.tie_word_embeddings
+
+    def param_specs(self) -> list[ParamSpec]:
+        c = self.cfg
+        H, V, E = self.hidden, c.vocab_size, self.E
+        qd = self.num_q * self.head_dim
+        kd = self.num_kv * self.head_dim
+        mi, si = self.moe_inter, self.shared_inter
+        t = transpose2d
+
+        def stk(path, shape, spec, hf_key, transform=t, experts=0):
+            return ParamSpec(f"layers.{path}", (self.L, *shape), spec,
+                             "model.layers.{i}." + hf_key,
+                             stacked=True, num_experts=experts,
+                             transform=transform)
+
+        specs = [
+            ParamSpec("embed_tokens", (V, H), P("model", None),
+                      "model.embed_tokens.weight", transform=None),
+            ParamSpec("final_norm", (H, ), P(), "model.norm.weight",
+                      transform=None),
+            stk("input_layernorm", (H, ), P(None, None),
+                "input_layernorm.weight", transform=None),
+            stk("post_attention_layernorm", (H, ), P(None, None),
+                "post_attention_layernorm.weight", transform=None),
+            stk("q_proj", (H, qd), P(None, None, "model"),
+                "self_attn.q_proj.weight"),
+            stk("k_proj", (H, kd), P(None, None, "model"),
+                "self_attn.k_proj.weight"),
+            stk("v_proj", (H, kd), P(None, None, "model"),
+                "self_attn.v_proj.weight"),
+            stk("o_proj", (qd, H), P(None, "model", None),
+                "self_attn.o_proj.weight"),
+            stk("router", (H, E), P(None, None, None),
+                "mlp.gate.wg.weight"),
+            stk("w_gate", (E, H, mi), P(None, None, None, "model"),
+                "mlp.experts.{e}.gate_proj.weight", experts=E,
+                transform=_texp),
+            stk("w_up", (E, H, mi), P(None, None, None, "model"),
+                "mlp.experts.{e}.up_proj.weight", experts=E,
+                transform=_texp),
+            stk("w_down", (E, mi, H), P(None, None, "model", None),
+                "mlp.experts.{e}.down_proj.weight", experts=E,
+                transform=_texp),
+        ]
+        if self.qk_norm:
+            specs += [
+                stk("q_norm", (self.head_dim, ), P(None, None),
+                    "self_attn.query_layernorm.weight",
+                    transform=None),
+                stk("k_norm", (self.head_dim, ), P(None, None),
+                    "self_attn.key_layernorm.weight",
+                    transform=None),
+            ]
+        if si:
+            specs += [
+                stk("shared_gate", (H, si), P(None, None, "model"),
+                    "mlp.shared_mlp.gate_proj.weight"),
+                stk("shared_up", (H, si), P(None, None, "model"),
+                    "mlp.shared_mlp.up_proj.weight"),
+                stk("shared_down", (si, H), P(None, "model", None),
+                    "mlp.shared_mlp.down_proj.weight"),
+            ]
+        if not self.tie_embeddings:
+            specs.append(ParamSpec("lm_head", (H, V), P(None, "model"),
+                                   "lm_head.weight", transform=t))
+        return specs
+
+    def kv_cache_spec(self) -> tuple[int, int, int]:
+        return self.num_kv, self.head_dim, self.L
+
+    def __call__(self, params, input_ids, positions, kv_caches,
+                 attn_meta: AttentionMetadata,
+                 use_pallas: Optional[bool] = None):
+        from vllm_main_modify_tpu.layers.moe import moe_ffn
+        from vllm_main_modify_tpu.layers.normalization import rms_norm
+
+        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        t = x.shape[0]
+        layers = params["layers"]
+
+        def layer_fn(l, carry):
+            x, kv_caches = carry
+            w = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False), layers)
+            res = x
+            h = rms_norm(x, w["input_layernorm"], self.eps)
+            q = (h @ w["q_proj"]).reshape(t, self.num_q,
+                                          self.head_dim)
+            k = (h @ w["k_proj"]).reshape(t, self.num_kv,
+                                          self.head_dim)
+            v = (h @ w["v_proj"]).reshape(t, self.num_kv,
+                                          self.head_dim)
+            q, k = apply_rope(q, k, positions, self.inv_freq)
+            if self.qk_norm:  # AFTER rope (hunyuan_v1.py:221-227)
+                q = rms_norm(q, w["q_norm"], self.eps)
+                k = rms_norm(k, w["k_norm"], self.eps)
+            o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
+                                     self.sm_scale,
+                                     use_pallas=use_pallas)
+            x = res + o.reshape(t, -1) @ w["o_proj"]
+
+            res = x
+            h = rms_norm(x, w["post_attention_layernorm"], self.eps)
+            y = moe_ffn(h, w["router"], w["w_gate"], w["w_up"],
+                        w["w_down"], self.top_k, _silu_mul,
+                        renormalize=self.top_k > 1)
+            if "shared_gate" in w:
+                sh = _silu_mul(h @ w["shared_gate"],
+                               h @ w["shared_up"]) @ w["shared_down"]
+                y = y + sh
+            return res + y, kv_caches
+
+        x, kv_caches = jax.lax.fori_loop(0, self.L, layer_fn,
+                                         (x, kv_caches))
+        x = rms_norm(x, params["final_norm"], self.eps)
+        return x, kv_caches
+
+    def compute_logits(self, params, hidden):
+        w = params["embed_tokens"].T if self.tie_embeddings \
+            else params["lm_head"]
+        return hidden.astype(jnp.float32) @ w.astype(jnp.float32)

@@ -313,6 +313,13 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "MiniMaxForCausalLM": (
         "vllm_main_modify_tpu.models.minimax",
         "MiniMaxText01ForCausalLM"),
+    "Grok1ForCausalLM": ("vllm_main_modify_tpu.models.moe_misc",
+                         "Grok1ModelForCausalLM"),
+    "Grok1ModelForCausalLM": ("vllm_main_modify_tpu.models.moe_misc",
+                              "Grok1ModelForCausalLM"),
+    "HunYuanMoEV1ForCausalLM": (
+        "vllm_main_modify_tpu.models.moe_misc",
+        "HunYuanMoEV1ForCausalLM"),
     "ChatGLMModel": ("vllm_main_modify_tpu.models.llama_variants",
                      "ChatGLMForCausalLM"),
     "ChatGLMForCausalLM": (
