@@ -40,7 +40,8 @@ class EngineDeadError(RuntimeError):
 class AsyncLLM:
 
     def __init__(self, config: EngineConfig, tokenizer=None,
-                 mesh=None, structured_output_manager=None) -> None:
+                 mesh=None, structured_output_manager=None,
+                 engine_core=None) -> None:
         self.config = config
         if tokenizer is None and config.model_config.tokenizer:
             tokenizer = get_tokenizer(config.model_config)
@@ -53,9 +54,13 @@ class AsyncLLM:
                 tokenizer, config.model_config.vocab_size)
         self.processor = Processor(config, tokenizer)
         self.output_processor = OutputProcessor(tokenizer)
-        self.engine_core = EngineCore(
-            config, structured_output_manager=structured_output_manager,
-            mesh=mesh)
+        # engine_core override: multi-API-server frontends pass a
+        # RouterClient to a SHARED remote core (core_client.py)
+        self.engine_core = engine_core if engine_core is not None \
+            else EngineCore(
+                config,
+                structured_output_manager=structured_output_manager,
+                mesh=mesh)
 
         # request flow: asyncio side → input queue → core thread
         self._input_queue: "queue.Queue[tuple[str, object]]" = \

@@ -330,3 +330,188 @@ def make_engine_core_client(config: EngineConfig,
 
 if __name__ == "__main__":
     _child_main()
+
+
+# ----------------------------------------------------------------------
+# multi-API-server scale-out (reference: vllm serve
+# --api-server-count N + headless engines, entrypoints/openai/
+# api_server.py launcher — N frontend processes share ONE engine-core
+# process; outputs route back by client identity)
+# ----------------------------------------------------------------------
+
+
+def run_engine_core_router(config: EngineConfig, addr: str) -> None:
+    """Engine-core process serving MANY frontends over a ROUTER
+    socket. Control messages answer inline; token outputs are PUSHED
+    to the owning frontend after every step (the reference's
+    EngineCoreProc output socket, expressed as routed pushes)."""
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import zmq
+
+    from vllm_main_modify_tpu.engine.core import EngineCore
+    from vllm_main_modify_tpu.engine.llm_engine import get_tokenizer
+
+    ctx = zmq.Context()
+    sock = ctx.socket(zmq.ROUTER)
+    sock.bind(addr)
+
+    structured_output_manager = None
+    init_err = None
+    core = None
+    try:
+        tokenizer = get_tokenizer(config.model_config)
+        if tokenizer is not None:
+            from vllm_main_modify_tpu.structured_output import \
+                StructuredOutputManager
+
+            structured_output_manager = StructuredOutputManager(
+                tokenizer, config.model_config.vocab_size)
+        core = EngineCore(
+            config,
+            structured_output_manager=structured_output_manager)
+    except Exception as e:  # noqa: BLE001
+        init_err = repr(e)
+
+    owner: dict[str, bytes] = {}  # request_id -> client identity
+
+    def drain(block_ms: int) -> bool:
+        """Process pending client messages; returns False on
+        shutdown."""
+        while True:
+            if not sock.poll(block_ms, zmq.POLLIN):
+                return True
+            block_ms = 0
+            ident, raw = sock.recv_multipart()
+            cmd, payload = pickle.loads(raw)
+            try:
+                if cmd == "hello":
+                    reply = ("init_error", init_err) if init_err \
+                        else ("ready", None)
+                    sock.send_multipart(
+                        [ident, pickle.dumps(reply)])
+                    continue
+                if cmd == "add_request":
+                    owner[payload.request_id] = ident
+                    core.add_request(payload)
+                    continue  # no reply: adds are fire-and-forget
+                if cmd == "abort":
+                    core.abort_requests(payload)
+                    continue
+                if cmd == "shutdown":
+                    sock.send_multipart(
+                        [ident, pickle.dumps(("ok", None))])
+                    return False
+                if cmd == "reset_prefix_cache":
+                    result = core.reset_prefix_cache()
+                elif cmd == "num_unfinished":
+                    result = \
+                        core.scheduler.get_num_unfinished_requests()
+                else:
+                    raise ValueError(f"unknown command {cmd!r}")
+                sock.send_multipart(
+                    [ident, pickle.dumps(("ok", result))])
+            except Exception as e:  # noqa: BLE001
+                sock.send_multipart(
+                    [ident, pickle.dumps(("error", repr(e)))])
+
+    while True:
+        if not drain(0 if (core is not None and
+                           core.has_unfinished_requests()) else 100):
+            break
+        if core is None or not core.has_unfinished_requests():
+            continue
+        out = core.step()
+        if not out.outputs:
+            continue
+        by_client: dict[bytes, list] = {}
+        for o in out.outputs:
+            ident = owner.get(o.request_id)
+            if ident is None:
+                continue
+            by_client.setdefault(ident, []).append(o)
+            if o.finished:
+                owner.pop(o.request_id, None)
+        for ident, outs in by_client.items():
+            sock.send_multipart([ident, pickle.dumps(
+                ("outputs",
+                 EngineCoreOutputs(outputs=outs,
+                                   scheduler_stats=
+                                   out.scheduler_stats)))])
+    if core is not None and hasattr(core, "shutdown"):
+        core.shutdown()
+
+
+class RouterClient:
+    """Frontend-side client for ``run_engine_core_router``: a DEALER
+    socket per API-server process. ``step()`` blocks (100 ms) on the
+    next pushed output batch, so AsyncLLM's core loop works unchanged;
+    unfinished-request tracking is local (adds minus finishes)."""
+
+    def __init__(self, addr: str, connect_timeout_s: float = 300.0):
+        import zmq
+
+        self._ctx = zmq.Context.instance()
+        self._sock = self._ctx.socket(zmq.DEALER)
+        self._sock.connect(addr)
+        self._inflight: set[str] = set()
+        self.scheduler = None  # marks this as a remote core
+        self._send(("hello", None))
+        status, payload = self._recv_reply(
+            timeout_ms=int(connect_timeout_s * 1000))
+        if status == "init_error":
+            raise EngineDeadError(f"engine init failed: {payload}")
+        assert status == "ready", status
+
+    def _send(self, msg) -> None:
+        self._sock.send(pickle.dumps(msg))
+
+    def _recv_reply(self, timeout_ms: int = 60000):
+        import zmq
+
+        if not self._sock.poll(timeout_ms, zmq.POLLIN):
+            raise EngineDeadError("engine core not responding")
+        return pickle.loads(self._sock.recv())
+
+    # ---- EngineCore interface used by AsyncLLM -----------------------
+
+    def add_request(self, request) -> None:
+        self._inflight.add(request.request_id)
+        self._send(("add_request", request))
+
+    def abort_requests(self, request_ids) -> None:
+        for rid in request_ids:
+            self._inflight.discard(rid)
+        self._send(("abort", list(request_ids)))
+
+    def has_unfinished_requests(self) -> bool:
+        return bool(self._inflight)
+
+    def step(self) -> EngineCoreOutputs:
+        import zmq
+
+        if not self._sock.poll(100, zmq.POLLIN):
+            return EngineCoreOutputs()
+        status, payload = pickle.loads(self._sock.recv())
+        if status == "error":
+            raise EngineDeadError(str(payload))
+        if status != "outputs":
+            return EngineCoreOutputs()
+        for o in payload.outputs:
+            if o.finished:
+                self._inflight.discard(o.request_id)
+        return payload
+
+    def reset_prefix_cache(self) -> bool:
+        self._send(("reset_prefix_cache", None))
+        status, payload = self._recv_reply()
+        return payload
+
+    def shutdown(self) -> None:
+        try:
+            self._send(("shutdown", None))
+        except Exception:  # noqa: BLE001
+            pass
+        self._sock.close(linger=0)

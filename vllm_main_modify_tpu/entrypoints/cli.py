@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import os
 import sys
 
 
@@ -81,12 +82,56 @@ def _build_config(args):
     )
 
 
+def _run_api_server_process(config, addr, args) -> None:
+    """One frontend of a multi-API-server deployment: RouterClient
+    to the shared engine core + SO_REUSEPORT HTTP listener."""
+    from vllm_main_modify_tpu.engine.async_llm import AsyncLLM
+    from vllm_main_modify_tpu.engine.core_client import RouterClient
+    from vllm_main_modify_tpu.entrypoints.openai.api_server import \
+        run_server
+
+    client = RouterClient(addr)
+    engine = AsyncLLM(config, engine_core=client)
+    asyncio.run(
+        run_server(engine, host=args.host, port=args.port,
+                   served_model_name=args.served_model_name,
+                   tool_call_parser=args.tool_call_parser,
+                   reasoning_parser=args.reasoning_parser,
+                   reuse_port=True))
+
+
 def cmd_serve(args) -> None:
     from vllm_main_modify_tpu.engine.async_llm import AsyncLLM
     from vllm_main_modify_tpu.entrypoints.openai.api_server import \
         run_server
 
     config = _build_config(args)
+    n_api = getattr(args, "api_server_count", 1) or 1
+    if n_api > 1:
+        # multi-API-server scale-out (reference: vllm serve
+        # --api-server-count): ONE headless engine-core process, N
+        # frontend processes sharing the port via SO_REUSEPORT
+        import multiprocessing as mp
+
+        from vllm_main_modify_tpu.engine.core_client import \
+            run_engine_core_router
+
+        addr = f"ipc:///tmp/vllm_tpu_core_{os.getpid()}.sock"
+        ctx = mp.get_context("spawn")
+        core_proc = ctx.Process(target=run_engine_core_router,
+                                args=(config, addr), daemon=True)
+        core_proc.start()
+        servers = [ctx.Process(target=_run_api_server_process,
+                               args=(config, addr, args), daemon=True)
+                   for _ in range(n_api)]
+        for p in servers:
+            p.start()
+        try:
+            for p in servers:
+                p.join()
+        finally:
+            core_proc.terminate()
+        return
     engine = AsyncLLM(config)
     asyncio.run(
         run_server(engine, host=args.host, port=args.port,
@@ -221,6 +266,8 @@ def main(argv=None) -> None:
     _add_engine_args(serve)
     serve.add_argument("--host", default="0.0.0.0")
     serve.add_argument("--port", type=int, default=8000)
+    serve.add_argument("--api-server-count", type=int, default=1,
+                       dest="api_server_count")
     serve.add_argument("--tool-call-parser", default=None)
     serve.add_argument("--reasoning-parser", default=None)
     serve.set_defaults(func=cmd_serve)

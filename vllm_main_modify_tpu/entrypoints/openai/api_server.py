@@ -108,6 +108,9 @@ class OpenAIServer:
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
         r.add_post("/scale_elastic_ep", self.scale_elastic_ep)
+        r.add_get("/load", self.server_load)
+        r.add_get("/server_info", self.server_info)
+        r.add_post("/collective_rpc", self.collective_rpc)
         try:
             from vllm_main_modify_tpu.structured_output.audit_admin import \
                 register_audit_routes
@@ -175,6 +178,46 @@ class OpenAIServer:
                              request: web.Request) -> web.Response:
         self.engine.engine_core.reload_weights()
         return web.Response(text="")
+
+    async def server_load(self, request: web.Request) -> web.Response:
+        """Reference: /load — current number of in-flight requests
+        on this API server (server_load_metrics)."""
+        n = len(self.engine._output_streams)
+        return web.json_response({"server_load": n})
+
+    async def server_info(self, request: web.Request) -> web.Response:
+        """Reference: /server_info — engine config summary."""
+        mc = self.config.model_config
+        sc = self.config.scheduler_config
+        return web.json_response({
+            "model": mc.model,
+            "dtype": str(mc.dtype),
+            "max_model_len": mc.max_model_len,
+            "max_num_seqs": sc.max_num_seqs,
+            "max_num_batched_tokens": sc.max_num_batched_tokens,
+            "block_size": self.config.cache_config.block_size,
+        })
+
+    async def collective_rpc(self,
+                             request: web.Request) -> web.Response:
+        """Reference: /collective_rpc — invoke a method on the
+        worker(s). Single-controller design: one runner."""
+        body = await request.json()
+        method = body.get("method")
+        runner = getattr(self.engine.engine_core, "model_runner",
+                         None)
+        if runner is None:
+            return error_json(400, "engine core is remote; "
+                              "collective_rpc unavailable")
+        fn = getattr(runner, method, None)
+        if fn is None or not callable(fn):
+            return error_json(400, f"unknown method {method!r}")
+        try:
+            result = fn(*body.get("args", []),
+                        **(body.get("kwargs") or {}))
+        except Exception as e:  # noqa: BLE001
+            return error_json(400, repr(e))
+        return web.json_response({"result": repr(result)})
 
     async def load_lora_adapter(self,
                                 request: web.Request) -> web.Response:
@@ -1032,7 +1075,8 @@ async def run_server(engine: AsyncLLM, host: str = "0.0.0.0",
                      port: int = 8000,
                      served_model_name: Optional[str] = None,
                      tool_call_parser: Optional[str] = None,
-                     reasoning_parser: Optional[str] = None) -> None:
+                     reasoning_parser: Optional[str] = None,
+                     reuse_port: bool = False) -> None:
     server = OpenAIServer(
         engine, served_model_name or engine.config.model_config.model,
         tool_call_parser=tool_call_parser,
@@ -1040,7 +1084,10 @@ async def run_server(engine: AsyncLLM, host: str = "0.0.0.0",
     app = server.build_app()
     runner = web.AppRunner(app)
     await runner.setup()
-    site = web.TCPSite(runner, host, port)
+    # reuse_port: multi-API-server scale-out — N frontend processes
+    # bind the SAME port; the kernel load-balances connections
+    # (reference: vllm serve --api-server-count)
+    site = web.TCPSite(runner, host, port, reuse_port=reuse_port)
     await site.start()
     logger.info("OpenAI-compatible server listening on %s:%d", host,
                 port)
