@@ -105,6 +105,11 @@ class ModelConfig:
                                  or top_get("vision_config")
                                  is not None
                                  or top_get("audio_config")
+                                 is not None
+                                 # Fuyu: no vision tower — raw patch
+                                 # projection; only image_token_id
+                                 # marks the composite
+                                 or top_get("image_token_id")
                                  is not None):
             self.is_multimodal = True
             self.image_token_index = (

@@ -320,6 +320,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "HunYuanMoEV1ForCausalLM": (
         "vllm_main_modify_tpu.models.moe_misc",
         "HunYuanMoEV1ForCausalLM"),
+    "FuyuForCausalLM": ("vllm_main_modify_tpu.models.fuyu",
+                        "FuyuForCausalLM"),
     "ChatGLMModel": ("vllm_main_modify_tpu.models.llama_variants",
                      "ChatGLMForCausalLM"),
     "ChatGLMForCausalLM": (

@@ -39,6 +39,10 @@ def num_image_tokens_for(model_config) -> int:
     """Tokens one image expands to (CLIP-ViT grid, minus CLS for the
     'default' select strategy; Qwen-VL: merged canonical grid)."""
     hf = model_config.hf_config
+    if model_config.architecture == "FuyuForCausalLM":
+        # no vision tower: raw patches at the canonical resolution
+        size = int(model_config.mm_image_size or 224)
+        return (size // int(getattr(hf, "patch_size", 30)))**2
     vc = getattr(hf, "vision_config", None)
     if vc is None:
         raise ValueError(f"{model_config.architecture} has no "
@@ -140,6 +144,15 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
         arr = _resize_chw(image, size)
         return ((arr - _CLIP_MEAN[:, None, None]) /
                 _CLIP_STD[:, None, None]).astype(np.float32)
+    if model_config.architecture == "FuyuForCausalLM":
+        vs = int(model_config.mm_image_size or 224)
+        if isinstance(image, np.ndarray) and image.ndim == 3 and \
+                image.shape == (3, vs, vs) and \
+                np.issubdtype(image.dtype, np.floating):
+            return image.astype(np.float32)
+        # Fuyu normalization: (x/255 - 0.5) / 0.5
+        arr = _resize_chw(image, vs)
+        return ((arr - 0.5) / 0.5).astype(np.float32)
     vc = model_config.hf_config.vision_config
     vs = vc.image_size
     vs = vs[0] if isinstance(vs, (list, tuple)) else vs  # InternVL
