@@ -373,3 +373,48 @@ def test_chatglm_layout_and_half_rope(tmp_path):
 
     got = _run_ours(d)
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_minicpm3_mla_from_deepseek(tmp_path):
+    """MiniCPM3 = DeepSeek-V2 MLA + absorbed µP scalars. Oracle: HF
+    DeepseekV2 run on a checkpoint with the scalars PRE-applied to its
+    weights (mathematically identical — branch outputs scale at their
+    output projections)."""
+    import torch
+    import transformers
+    import safetensors.numpy as stn
+
+    kw = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+              num_hidden_layers=2, num_attention_heads=4,
+              num_key_value_heads=4, max_position_embeddings=128,
+              tie_word_embeddings=False, kv_lora_rank=32,
+              q_lora_rank=48, qk_nope_head_dim=16, qk_rope_head_dim=8,
+              v_head_dim=16, n_routed_experts=None,
+              first_k_dense_replace=2, topk_method="greedy",
+              aux_loss_alpha=0.0)
+    torch.manual_seed(0)
+    cfg = transformers.DeepseekV2Config(**kw)
+    hf = transformers.DeepseekV2ForCausalLM(cfg).to(
+        torch.float32).eval()
+    d = tmp_path / "minicpm3"
+    hf.save_pretrained(d, safe_serialization=True)
+
+    scale_emb, scale_depth, dmb = 2.0, 1.4, 32
+    s = scale_depth / math.sqrt(2)
+    # oracle: pre-scale the HF weights the same way the loader absorbs
+    with torch.no_grad():
+        hf.model.embed_tokens.weight.mul_(scale_emb)
+        for lyr in hf.model.layers:
+            lyr.self_attn.o_proj.weight.mul_(s)
+            lyr.mlp.down_proj.weight.mul_(s)
+        hf.lm_head.weight.mul_(32 / 64)
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+
+    raw = json.loads((d / "config.json").read_text())
+    raw.update(architectures=["MiniCPM3ForCausalLM"],
+               scale_emb=scale_emb, scale_depth=scale_depth,
+               dim_model_base=dmb,
+               rope_interleave=True)  # align with HF DeepseekV2 rope
+    (d / "config.json").write_text(json.dumps(raw))
+    got = _run_ours(d)
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)

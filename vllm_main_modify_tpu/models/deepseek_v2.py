@@ -384,3 +384,55 @@ class DeepseekV2ForCausalLM:
 # DeepSeek-V3 shares the decoder graph; the sigmoid+bias ("noaux_tc")
 # router is selected by config in __init__ (v3_router).
 DeepseekV3ForCausalLM = DeepseekV2ForCausalLM
+
+
+class MiniCPM3ForCausalLM(DeepseekV2ForCausalLM):
+    """MiniCPM3-4B (reference: vllm minicpm3.py): the DeepSeek-V2 MLA
+    attention graph (same q_a/q_b/kv_a/kv_b checkpoint keys) with a
+    dense MLP, NEOX-style rope on the rope sub-dims, and MiniCPM µP
+    scalars. The scalars are ABSORBED into weights at load — embed
+    rows x scale_emb, o_proj/down_proj x scale_depth/sqrt(L), lm_head
+    / (hidden/dim_model_base) — so the runtime graph is unchanged."""
+
+    def __init__(self, config):
+        import math
+
+        hf = config.hf_config
+        # MiniCPM3 applies standard (rotate-halves) rope, unlike
+        # DeepSeek's interleaved convention
+        hf.rope_interleave = bool(getattr(hf, "rope_interleave",
+                                          False))
+        super().__init__(config)
+        assert not self.tie_embeddings, \
+            "MiniCPM3 scalar absorption requires untied embeddings"
+        g = lambda k, d=None: getattr(hf, k, d)
+        self._scale_emb = float(g("scale_emb", 1.0) or 1.0)
+        depth = g("scale_depth", None)
+        self._res_mult = (float(depth) / math.sqrt(self.L)) \
+            if depth else 1.0
+        dmb = g("dim_model_base", None)
+        self._logits_div = (self.hidden / float(dmb)) if dmb else 1.0
+
+    def param_specs(self):
+        import numpy as np
+
+        def scaled(transform, mult):
+            def f(x):
+                y = x if transform is None else transform(x)
+                return np.ascontiguousarray(
+                    np.asarray(y) * np.float32(mult))
+
+            return f
+
+        specs = super().param_specs()
+        for s in specs:
+            tail = s.path.split(".")[-1]
+            if s.path == "embed_tokens" and self._scale_emb != 1.0:
+                s.transform = scaled(s.transform, self._scale_emb)
+            elif tail in ("o_proj", "down_proj", "shared_down_proj",
+                          "w_down") and self._res_mult != 1.0:
+                s.transform = scaled(s.transform, self._res_mult)
+            elif s.path == "lm_head" and self._logits_div != 1.0:
+                s.transform = scaled(s.transform,
+                                     1.0 / self._logits_div)
+        return specs

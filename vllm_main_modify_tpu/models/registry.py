@@ -322,6 +322,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "HunYuanMoEV1ForCausalLM"),
     "FuyuForCausalLM": ("vllm_main_modify_tpu.models.fuyu",
                         "FuyuForCausalLM"),
+    "MiniCPM3ForCausalLM": ("vllm_main_modify_tpu.models.deepseek_v2",
+                            "MiniCPM3ForCausalLM"),
     "ChatGLMModel": ("vllm_main_modify_tpu.models.llama_variants",
                      "ChatGLMForCausalLM"),
     "ChatGLMForCausalLM": (
