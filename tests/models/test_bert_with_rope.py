@@ -205,3 +205,75 @@ def test_nomic_bert_matches_oracle(tmp_path):
     ref = ref / np.linalg.norm(ref)
     np.testing.assert_allclose(np.asarray(out.data), ref, atol=2e-3,
                                rtol=2e-3)
+
+
+def test_gte_new_classifier(tmp_path):
+    """GteNewForSequenceClassification: CLS → tanh pooler →
+    classifier through the classify pooling path."""
+    import torch
+    import safetensors.torch as stt
+
+    from tests.conftest import _save_tiny_tokenizer
+    from vllm_main_modify_tpu.sampling_params import PoolingParams
+
+    torch.manual_seed(2)
+    sd = {"new.embeddings.word_embeddings.weight":
+          torch.randn(V, H) * 0.2,
+          "new.embeddings.token_type_embeddings.weight":
+          torch.randn(2, H) * 0.1}
+    w, b = _ln(torch)
+    sd["new.embeddings.LayerNorm.weight"] = w
+    sd["new.embeddings.LayerNorm.bias"] = b
+    for l in range(L):
+        p = f"new.encoder.layer.{l}."
+        sd[p + "attention.qkv_proj.weight"] = torch.randn(3 * H,
+                                                          H) * 0.1
+        sd[p + "attention.qkv_proj.bias"] = torch.randn(3 * H) * 0.05
+        sd[p + "attention.o_proj.weight"] = torch.randn(H, H) * 0.1
+        sd[p + "attention.o_proj.bias"] = torch.randn(H) * 0.05
+        sd[p + "mlp.up_gate_proj.weight"] = torch.randn(2 * I,
+                                                        H) * 0.1
+        sd[p + "mlp.down_proj.weight"] = torch.randn(H, I) * 0.1
+        sd[p + "mlp.down_proj.bias"] = torch.randn(H) * 0.05
+        for n in ("attn_ln", "mlp_ln"):
+            w, b = _ln(torch)
+            sd[p + n + ".weight"] = w
+            sd[p + n + ".bias"] = b
+    sd["new.pooler.dense.weight"] = torch.randn(H, H) * 0.1
+    sd["new.pooler.dense.bias"] = torch.randn(H) * 0.05
+    sd["classifier.weight"] = torch.randn(1, H) * 0.1
+    sd["classifier.bias"] = torch.randn(1) * 0.05
+    d = tmp_path / "gte-cls"
+    d.mkdir()
+    stt.save_file({k: v.contiguous() for k, v in sd.items()},
+                  str(d / "model.safetensors"))
+    cfg = dict(model_type="bert",
+               architectures=["GteNewForSequenceClassification"],
+               vocab_size=V, hidden_size=H, intermediate_size=I,
+               num_hidden_layers=L, num_attention_heads=NH,
+               max_position_embeddings=128, layer_norm_eps=1e-12,
+               rope_theta=10000.0, type_vocab_size=2, num_labels=1,
+               position_embedding_type="rope", hidden_act="gelu")
+    (d / "config.json").write_text(json.dumps(cfg))
+    _save_tiny_tokenizer(d)
+
+    llm = LLM(model=str(d), dtype="float32", max_model_len=128,
+              max_num_seqs=4, max_num_batched_tokens=64, block_size=4,
+              num_kv_blocks=8)
+    ids = [5, 9, 42, 7, 13]
+    out = llm.embed([ids], PoolingParams(task="classify",
+                                         activation="none"))[0]
+    cls = _torch_oracle(sd, ids, "encoder.layer.{i}.",
+                        "attention.qkv_proj", "attention.o_proj",
+                        "attn_ln", "mlp_ln", "embeddings.LayerNorm",
+                        True, "geglu", HD, 10000.0, 1e-12, True,
+                        pre="new.")
+    import numpy as _np
+    import torch as _t
+
+    pooled = _np.tanh(cls @ sd["new.pooler.dense.weight"].numpy().T +
+                      sd["new.pooler.dense.bias"].numpy())
+    ref = pooled @ sd["classifier.weight"].numpy().T + \
+        sd["classifier.bias"].numpy()
+    np.testing.assert_allclose(np.asarray(out.data), ref, atol=2e-3,
+                               rtol=2e-3)

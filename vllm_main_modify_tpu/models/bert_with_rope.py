@@ -357,3 +357,39 @@ class NomicBertModel(_BertWithRope):
         bias = bool(g("qkv_proj_bias", True))
         self.qkv_bias = self.o_bias = self.down_bias = bias
         self.mlp_bias = bias and self.gated
+
+
+class GteNewForSequenceClassification(GteNewModel):
+    """GTE-multilingual reranker (reference:
+    bert_with_rope.py GteNewForSequenceClassification): CLS pooling →
+    tanh pooler dense → classifier, served through the runner's
+    classify/score path (LLM.score cross-encoding)."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        self.pooling_type = "cls"
+        self.num_labels = getattr(config.hf_config, "num_labels", 1)
+
+    def param_specs(self) -> list[ParamSpec]:
+        H = self.hidden
+        specs = super().param_specs()
+        specs += [
+            ParamSpec("pooler_dense", (H, H), P(None, None),
+                      self.PREFIX + "pooler.dense.weight",
+                      transform=transpose2d),
+            ParamSpec("pooler_bias", (H, ), P(),
+                      self.PREFIX + "pooler.dense.bias",
+                      transform=None),
+            ParamSpec("score", (H, self.num_labels), P(None, None),
+                      "classifier.weight", transform=transpose2d),
+            ParamSpec("score_bias", (self.num_labels, ), P(),
+                      "classifier.bias", transform=None),
+        ]
+        return specs
+
+    def pool_projection(self, params, pooled):
+        return jnp.tanh(pooled @ params["pooler_dense"].astype(
+            pooled.dtype) + params["pooler_bias"].astype(pooled.dtype))
+
+    def classify_logits(self, params, pooled_hidden):
+        return pooled_hidden  # score head applied by the runner

@@ -301,6 +301,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "SnowflakeGteNewModel"),
     "NomicBertModel": ("vllm_main_modify_tpu.models.bert_with_rope",
                        "NomicBertModel"),
+    "GteNewForSequenceClassification": (
+        "vllm_main_modify_tpu.models.bert_with_rope",
+        "GteNewForSequenceClassification"),
     "Qwen3NextForCausalLM": (
         "vllm_main_modify_tpu.models.qwen3_next",
         "Qwen3NextForCausalLM"),
