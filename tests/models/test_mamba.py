@@ -915,3 +915,145 @@ def test_minimax_chunked_state_carry(tmp_path):
         ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
     got = run_minimax(path, [6, 4])
     np.testing.assert_allclose(got, ref[6:], atol=2e-3, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------
+# Zamba2: mamba2 backbone + cyclically-shared 2H-wide transformer
+# blocks with per-use adapters (checkpoint stores each tied block once,
+# at its first hybrid layer — saved here by data_ptr dedup, matching
+# the hub layout)
+
+
+def build_zamba2(tmp_path, ngroups=1):
+    import safetensors.torch as stt
+    import torch
+    import transformers
+
+    cfg = transformers.Zamba2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=6, num_attention_heads=4,
+        num_key_value_heads=4, mamba_d_state=16, mamba_d_conv=4,
+        mamba_expand=2, mamba_ngroups=ngroups, n_mamba_heads=4,
+        num_mem_blocks=2, use_mem_rope=True,
+        use_shared_attention_adapter=True, adapter_rank=8,
+        max_position_embeddings=128, chunk_size=8,
+        layers_block_type=["mamba", "hybrid", "mamba", "hybrid",
+                           "mamba", "hybrid"])
+    torch.manual_seed(0)
+    model = transformers.Zamba2ForCausalLM(cfg).to(torch.float32).eval()
+    path = tmp_path / f"zamba2-g{ngroups}"
+    path.mkdir()
+    seen, sd = set(), {}
+    for k, v in model.state_dict().items():
+        p = v.data_ptr()
+        if p in seen:
+            continue  # tied block alias: keep first-usage path only
+        seen.add(p)
+        sd[k] = v.contiguous()
+    stt.save_file(sd, str(path / "model.safetensors"))
+    cfg.architectures = ["Zamba2ForCausalLM"]
+    cfg.save_pretrained(path)
+    return str(path), model
+
+
+def run_zamba2(model_dir, chunks):
+    from jax.sharding import Mesh
+
+    config = ModelConfig(model=model_dir, dtype="float32",
+                         max_model_len=128)
+    model = create_model(config)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                ("data", "model"))
+    params = load_model_weights(model, config, mesh)
+    n_slots = 4
+    page = 8
+    kv0 = jnp.zeros((model.G, 8, page, 2 * model.num_kv,
+                     model.head_dim), jnp.float32)
+    conv = jnp.zeros((model.L, n_slots, model.d_conv - 1,
+                      model.conv_dim), jnp.float32)
+    ssm = jnp.zeros((model.L, n_slots, model.m_heads,
+                     model.m_head_dim, model.d_state), jnp.float32)
+    kv = (kv0, (conv, ssm))
+    t_pad = 16
+    bt = np.zeros((4, 4), np.int32)
+    bt[0] = [1, 2, 0, 0]
+    off = 0
+    for chunk in chunks:
+        ids = TOKENS[off:off + chunk]
+        off += chunk
+        meta = make_meta([chunk], t_pad=t_pad)
+        sm = np.full(t_pad, -1, np.int32)
+        for j in range(chunk):
+            pos = off - chunk + j
+            sm[j] = (1 + pos // page) * page + pos % page
+        meta = meta._replace(
+            block_tables=jnp.asarray(bt),
+            seq_lens=jnp.asarray([off, 0, 0, 0], jnp.int32),
+            slot_mapping=jnp.asarray(sm))
+        ids_p = jnp.asarray(ids + [0] * (t_pad - chunk), jnp.int32)
+        pos = jnp.asarray(list(range(off - chunk, off)) + [0] *
+                          (t_pad - chunk), jnp.int32)
+        hidden, kv = model(params, ids_p, pos, kv, meta,
+                           use_pallas=False)
+    logits = model.compute_logits(params, hidden[:chunk])
+    return np.asarray(logits)
+
+
+def test_zamba2_prefill_parity(tmp_path):
+    import torch
+
+    path, hf = build_zamba2(tmp_path)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_zamba2(path, [len(TOKENS)])
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_zamba2_chunked_state_carry(tmp_path):
+    import torch
+
+    path, hf = build_zamba2(tmp_path)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_zamba2(path, [7, 3])
+    np.testing.assert_allclose(got, ref[7:], atol=2e-3, rtol=2e-3)
+
+
+def test_zamba2_grouped_norm_parity(tmp_path):
+    """mamba_ngroups=2: the gated norm variance is per-group
+    (Zamba2RMSNormGated group_size = d_inner // ngroups)."""
+    import torch
+
+    path, hf = build_zamba2(tmp_path, ngroups=2)
+    with torch.no_grad():
+        ref = hf(torch.tensor([TOKENS])).logits[0].float().numpy()
+    got = run_zamba2(path, [len(TOKENS)])
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_zamba2_engine_greedy_match(tmp_path):
+    """Full engine drive: hybrid layers hold BOTH an attention-KV page
+    chain (group 0) and a mamba state slot (group 1) — the overlapping
+    group bookkeeping only gets exercised through the runner."""
+    import torch
+
+    from tests.conftest import _save_tiny_tokenizer
+    from vllm_main_modify_tpu.entrypoints.llm import LLM
+    from vllm_main_modify_tpu.sampling_params import SamplingParams
+
+    path, hf = build_zamba2(tmp_path)
+    import pathlib
+    _save_tiny_tokenizer(pathlib.Path(path))
+    llm = LLM(model=path, dtype="float32", max_model_len=128,
+              max_num_seqs=4, max_num_batched_tokens=64, block_size=4,
+              num_kv_blocks=64)
+    prompts = [[3, 17, 91, 200, 45], [7, 150, 33]]
+    outs = llm.generate([{"prompt_token_ids": p} for p in prompts],
+                        SamplingParams(temperature=0.0, max_tokens=8,
+                                       ignore_eos=True))
+    for p, o in zip(prompts, outs):
+        with torch.no_grad():
+            gen = hf.generate(input_ids=torch.tensor([p]),
+                              max_new_tokens=8, do_sample=False,
+                              eos_token_id=None, pad_token_id=0)
+        assert list(o.outputs[0].token_ids) == gen[0, len(p):].tolist()

@@ -173,6 +173,7 @@ def mamba2_mixer(
     eps: float,
     time_step_limit: tuple = (0.0, float("inf")),
     zxbcdt_multipliers: Optional[tuple] = None,  # FalconH1
+    norm_groups: int = 1,  # Zamba2: grouped gated-norm variance
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Mamba-2 (SSD) block over the packed ragged batch (reference:
     csrc/mamba/ + vllm/model_executor/layers/mamba/mamba_mixer2.py).
@@ -251,8 +252,12 @@ def mamba2_mixer(
     # the norm and gate directly
     y = y * jax.nn.silu(z.astype(jnp.float32))
     if "norm" in w:
-        var = jnp.mean(jnp.square(y), axis=-1, keepdims=True)
-        y = y * jax.lax.rsqrt(var + eps) * \
+        # Zamba2RMSNormGated computes the variance per n_groups-sized
+        # group of the inner dim; norm_groups=1 is the Bamba/Mamba2
+        # full-width norm
+        yg = y.reshape(t, norm_groups, d_inner // norm_groups)
+        var = jnp.mean(jnp.square(yg), axis=-1, keepdims=True)
+        y = (yg * jax.lax.rsqrt(var + eps)).reshape(t, d_inner) * \
             w["norm"].astype(jnp.float32)
     out = y.astype(x.dtype) @ w["out_proj"]
     if "out_bias" in w:

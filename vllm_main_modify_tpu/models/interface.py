@@ -50,6 +50,11 @@ class ParamSpec:
     # layers at 2, 6, 10...): "{i}" expands to layer_ids[i] and
     # layer_offset is ignored
     layer_ids: Optional[tuple] = None
+    # stacked params whose HF names don't fit one template (Zamba2:
+    # pure-mamba layers say "mamba.*", hybrid layers say
+    # "mamba_decoder.mamba.*"): fully-formed key per stacked row,
+    # overrides hf_key
+    hf_key_per_layer: Optional[tuple] = None
 
 
 def transpose2d(x: np.ndarray) -> np.ndarray:

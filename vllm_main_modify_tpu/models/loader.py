@@ -325,7 +325,8 @@ def _assemble_host_tensor(spec: ParamSpec, reader: _TensorReader,
                     out[i, e] = x.astype(np_dtype)
             return out
         for i in range(num_layers):
-            x = fetch(spec.hf_key.format(i=hf_layer(i)))
+            x = fetch(spec.hf_key_per_layer[i] if spec.hf_key_per_layer
+                      else spec.hf_key.format(i=hf_layer(i)))
             assert x.shape == spec.shape[1:], (
                 f"{spec.path} layer {i}: got {x.shape}, "
                 f"want {spec.shape[1:]}")

@@ -171,6 +171,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "GraniteMoeHybridForCausalLM": (
         "vllm_main_modify_tpu.models.bamba",
         "GraniteMoeHybridForCausalLM"),
+    "Zamba2ForCausalLM": ("vllm_main_modify_tpu.models.zamba2",
+                          "Zamba2ForCausalLM"),
     "FalconH1ForCausalLM": ("vllm_main_modify_tpu.models.bamba",
                             "FalconH1ForCausalLM"),
     "BloomForCausalLM": ("vllm_main_modify_tpu.models.bloom",
