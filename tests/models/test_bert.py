@@ -166,3 +166,35 @@ def test_cross_encoder_score_api(tmp_path):
     ranked = llm.rerank("hot day", ["cold night", "warm day"])
     assert [i for i, _ in ranked] == sorted(
         range(2), key=lambda i: scores[i], reverse=True)
+
+
+def test_bert_token_classification(tmp_path):
+    """BertForTokenClassification: per-token logits through the
+    runner's token-level ("all") pooling path."""
+    import torch
+    import transformers
+
+    cfg = transformers.BertConfig(
+        vocab_size=512, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=128, sep_token_id=102, num_labels=5)
+    torch.manual_seed(0)
+    hf = transformers.BertForTokenClassification(cfg).to(
+        torch.float32).eval()
+    path = tmp_path / "tiny-token-cls"
+    hf.save_pretrained(path, safe_serialization=True)
+    _save_tok(path)
+    llm = LLM(model=str(path), dtype="float32", max_model_len=128,
+              max_num_seqs=8, max_num_batched_tokens=64, block_size=4,
+              num_kv_blocks=8)
+    from vllm_main_modify_tpu.sampling_params import PoolingParams
+
+    prompts = [[5, 9, 42, 7], [11, 3, 99, 100, 33, 2]]
+    outs = llm.embed([list(p) for p in prompts],
+                     PoolingParams(task="classify", activation="none"))
+    for ids, out in zip(prompts, outs):
+        with torch.no_grad():
+            ref = hf(torch.tensor([ids])).logits[0].numpy()
+        got = np.asarray(out.data)
+        assert got.shape == ref.shape  # [T, num_labels]
+        np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)

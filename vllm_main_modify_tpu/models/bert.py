@@ -268,6 +268,35 @@ class BertForSequenceClassification(BertEmbeddingModel):
         return pooled_hidden  # score head applied by the runner
 
 
+class BertForTokenClassification(BertEmbeddingModel):
+    """Per-token classification (reference: bert.py
+    BertForTokenClassification): encoder hidden states, one
+    ``classifier`` projection per token — the runner's token-level
+    ("all") pooling path slices each request's rows out of the packed
+    batch and applies the score head host-side."""
+
+    PREFIX = "bert."
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        self.pooling_type = "all"
+        self.num_labels = getattr(config.hf_config, "num_labels", 2)
+
+    def param_specs(self) -> list[ParamSpec]:
+        specs = super().param_specs()
+        specs += [
+            ParamSpec("score", (self.hidden, self.num_labels),
+                      P(None, None), "classifier.weight",
+                      transform=transpose2d),
+            ParamSpec("score_bias", (self.num_labels, ), P(),
+                      "classifier.bias", transform=None),
+        ]
+        return specs
+
+    def classify_logits(self, params, pooled_hidden):
+        return pooled_hidden  # score head applied by the runner
+
+
 class RobertaForSequenceClassification(BertForSequenceClassification):
     """RobertaClassificationHead: dense+tanh over CLS, then
     out_proj."""

@@ -384,3 +384,194 @@ class Qwen2MoeForCausalLM(MoeDecoderBase):
         hf = config.hf_config
         if hf is not None and getattr(hf, "norm_topk_prob", False):
             self.renormalize = True
+
+
+class DeepseekForCausalLM(MoeDecoderBase):
+    """DeepSeek-MoE v1 (reference: vllm/model_executor/models/
+    deepseek.py). Llama GQA attention; a layer is MoE when
+    ``l >= first_k_dense_replace and l % moe_layer_freq == 0``
+    (deepseek.py:296), otherwise a dense SwiGLU MLP of
+    ``intermediate_size``. MoE = softmax top-k over n_routed_experts
+    (renormalize per norm_topk_prob) plus UNGATED shared experts of
+    width ``moe_intermediate_size * n_shared_experts``
+    (deepseek.py:128-162,179)."""
+
+    ROUTER_KEY = "model.layers.{i}.mlp.gate.weight"
+    GATE_KEY = "model.layers.{i}.mlp.experts.{e}.gate_proj.weight"
+    UP_KEY = "model.layers.{i}.mlp.experts.{e}.up_proj.weight"
+    DOWN_KEY = "model.layers.{i}.mlp.experts.{e}.down_proj.weight"
+
+    def __init__(self, config: ModelConfig):
+        hf = config.hf_config
+        g = lambda k, d=None: getattr(hf, k, d)
+        config.num_experts = g("n_routed_experts", 0) or 0
+        config.moe_intermediate_size = g("moe_intermediate_size", 0)
+        super().__init__(config)
+        self.renormalize = bool(g("norm_topk_prob", False))
+        self.n_shared = g("n_shared_experts", 0) or 0
+        fkd = g("first_k_dense_replace", 0) or 0
+        freq = g("moe_layer_freq", 1) or 1
+        self.moe_ids = tuple(l for l in range(self.L)
+                             if l >= fkd and l % freq == 0)
+        self.dense_ids = tuple(l for l in range(self.L)
+                               if l not in set(self.moe_ids))
+
+    def param_specs(self) -> list[ParamSpec]:
+        c = self.cfg
+        qd = self.num_q * self.head_dim
+        kd = self.num_kv * self.head_dim
+        L, H, V, E = self.L, self.hidden, c.vocab_size, self.E
+        mi, I = self.moe_inter, c.intermediate_size
+        t = transpose2d
+
+        def stk(path, shape, spec, hf_key, ids=None, transform=t):
+            return ParamSpec(
+                path, ((L if ids is None else len(ids)), *shape),
+                spec, hf_key, stacked=True,
+                layer_ids=(tuple(ids) if ids is not None else None),
+                transform=transform)
+
+        def expert(path, shape, spec, hf_key):
+            return ParamSpec(path, (len(self.moe_ids), E, *shape),
+                             spec, hf_key, stacked=True,
+                             num_experts=E, layer_ids=self.moe_ids,
+                             transform=_transpose_expert)
+
+        specs = [
+            ParamSpec("embed_tokens", (V, H), P("model", None),
+                      "model.embed_tokens.weight", transform=None),
+            ParamSpec("final_norm", (H, ), P(), "model.norm.weight",
+                      transform=None),
+            ParamSpec("lm_head", (H, V), P(None, "model"),
+                      "lm_head.weight", transform=t),
+            stk("layers.input_layernorm", (H, ), P(None, None),
+                "model.layers.{i}.input_layernorm.weight",
+                transform=None),
+            stk("layers.q_proj", (H, qd), P(None, None, "model"),
+                "model.layers.{i}.self_attn.q_proj.weight"),
+            stk("layers.k_proj", (H, kd), P(None, None, "model"),
+                "model.layers.{i}.self_attn.k_proj.weight"),
+            stk("layers.v_proj", (H, kd), P(None, None, "model"),
+                "model.layers.{i}.self_attn.v_proj.weight"),
+            stk("layers.o_proj", (qd, H), P(None, "model", None),
+                "model.layers.{i}.self_attn.o_proj.weight"),
+            stk("layers.post_attention_layernorm", (H, ),
+                P(None, None),
+                "model.layers.{i}.post_attention_layernorm.weight",
+                transform=None),
+            stk("moe.router", (H, E), P(None, None, None),
+                self.ROUTER_KEY, ids=self.moe_ids),
+            expert("moe.w_gate", (H, mi),
+                   P(None, None, None, "model"), self.GATE_KEY),
+            expert("moe.w_up", (H, mi),
+                   P(None, None, None, "model"), self.UP_KEY),
+            expert("moe.w_down", (mi, H),
+                   P(None, None, "model", None), self.DOWN_KEY),
+        ]
+        if self.n_shared:
+            si = mi * self.n_shared
+            for name, shape, spec in (
+                    ("shared_gate_proj", (H, si),
+                     P(None, None, "model")),
+                    ("shared_up_proj", (H, si),
+                     P(None, None, "model")),
+                    ("shared_down_proj", (si, H),
+                     P(None, "model", None))):
+                hf_name = name.replace("shared_", "")
+                specs.append(
+                    stk(f"moe.{name}", shape, spec,
+                        "model.layers.{i}.mlp.shared_experts." +
+                        hf_name + ".weight", ids=self.moe_ids))
+        if self.dense_ids:
+            specs += [
+                stk("dense.gate_proj", (H, I),
+                    P(None, None, "model"),
+                    "model.layers.{i}.mlp.gate_proj.weight",
+                    ids=self.dense_ids),
+                stk("dense.up_proj", (H, I), P(None, None, "model"),
+                    "model.layers.{i}.mlp.up_proj.weight",
+                    ids=self.dense_ids),
+                stk("dense.down_proj", (I, H),
+                    P(None, "model", None),
+                    "model.layers.{i}.mlp.down_proj.weight",
+                    ids=self.dense_ids),
+            ]
+        return specs
+
+    def __call__(self, params, input_ids, positions, kv_caches,
+                 attn_meta: AttentionMetadata,
+                 use_pallas: Optional[bool] = None):
+        import numpy as np
+
+        cfg = self.cfg
+        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        t = x.shape[0]
+        layers = params["layers"]
+
+        def idx_map(ids):
+            m = np.zeros(self.L, dtype=np.int32)
+            for i, l in enumerate(ids):
+                m[l] = i
+            return jnp.asarray(m)
+
+        moe_map = idx_map(self.moe_ids)
+        dense_map = idx_map(self.dense_ids)
+        is_moe = jnp.asarray(
+            [l in set(self.moe_ids) for l in range(self.L)], bool)
+
+        def pick(group, gl):
+            return jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, gl, 0, keepdims=False), params[group])
+
+        def moe_branch(l, h):
+            w = pick("moe", moe_map[l])
+            y = moe_ffn(h, w["router"], w["w_gate"], w["w_up"],
+                        w["w_down"], self.top_k, self.act_fn,
+                        renormalize=self.renormalize)
+            if self.n_shared:
+                sh = self.act_fn(matmul(h, w["shared_gate_proj"]),
+                                 matmul(h, w["shared_up_proj"]))
+                y = y + matmul(sh, w["shared_down_proj"])
+            return y
+
+        def dense_branch(l, h):
+            w = pick("dense", dense_map[l])
+            return matmul(
+                self.act_fn(matmul(h, w["gate_proj"]),
+                            matmul(h, w["up_proj"])), w["down_proj"])
+
+        def layer_fn(l, carry):
+            x, kv_caches = carry
+            w = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False), layers)
+            res = x
+            h = rms_norm(x, w["input_layernorm"], cfg.rms_norm_eps)
+            q = matmul(h, w["q_proj"]).reshape(t, self.num_q,
+                                               self.head_dim)
+            k = matmul(h, w["k_proj"]).reshape(t, self.num_kv,
+                                               self.head_dim)
+            v = matmul(h, w["v_proj"]).reshape(t, self.num_kv,
+                                               self.head_dim)
+            q, k = apply_rope(q, k, positions, self.inv_freq)
+            o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
+                                     self.sm_scale,
+                                     use_pallas=use_pallas)
+            x = res + matmul(o.reshape(t, -1), w["o_proj"])
+            res = x
+            h = rms_norm(x, w["post_attention_layernorm"],
+                         cfg.rms_norm_eps)
+            if not self.dense_ids:
+                y = moe_branch(l, h)
+            elif not self.moe_ids:
+                y = dense_branch(l, h)
+            else:
+                y = jax.lax.cond(is_moe[l], moe_branch, dense_branch,
+                                 l, h)
+            return res + y, kv_caches
+
+        x, kv_caches = jax.lax.fori_loop(0, self.L, layer_fn,
+                                         (x, kv_caches))
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return x, kv_caches

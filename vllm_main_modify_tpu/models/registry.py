@@ -21,6 +21,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                          "Qwen3ForCausalLM"),
     "Qwen3MoeForCausalLM": ("vllm_main_modify_tpu.models.qwen3",
                             "Qwen3MoeForCausalLM"),
+    "DeepseekForCausalLM": ("vllm_main_modify_tpu.models.moe_llama",
+                            "DeepseekForCausalLM"),
     "MixtralForCausalLM": ("vllm_main_modify_tpu.models.moe_llama",
                            "MixtralForCausalLM"),
     "OlmoeForCausalLM": ("vllm_main_modify_tpu.models.moe_llama",
@@ -73,6 +75,12 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     # exact Llama-graph clones (reference registry.py maps these
     # architecture names straight to llama.py)
     "InternLM2ForCausalLM": (
+        "vllm_main_modify_tpu.models.internlm2_baichuan",
+        "InternLM2ForCausalLM"),
+    # InternLM2-VE's visual-expert FFN only fires on visual tokens
+    # (reference: internlm2_ve.py:86 gates on visual_token_mask);
+    # text serving is exactly InternLM2 and the ve weights are unused
+    "InternLM2VEForCausalLM": (
         "vllm_main_modify_tpu.models.internlm2_baichuan",
         "InternLM2ForCausalLM"),
     "ExaoneForCausalLM": (
@@ -204,6 +212,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                            "RobertaEmbeddingModel"),
     "XLMRobertaModel": ("vllm_main_modify_tpu.models.bert",
                         "RobertaEmbeddingModel"),
+    "BertForTokenClassification": (
+        "vllm_main_modify_tpu.models.bert",
+        "BertForTokenClassification"),
     "BertForSequenceClassification": (
         "vllm_main_modify_tpu.models.bert",
         "BertForSequenceClassification"),

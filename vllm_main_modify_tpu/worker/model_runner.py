@@ -1707,6 +1707,11 @@ class TPUModelRunner:
                                   0.0), row_of, num_segments=r_pad)
                     counts = jnp.maximum(qsl[1:] - qsl[:-1], 1)
                     pooled = sums / counts[:, None]
+                elif pooling_type == "all":
+                    # token-level heads (BertForTokenClassification):
+                    # ship the full packed hidden; the host slices
+                    # each request's rows via its token offsets
+                    pooled = hidden
                 else:
                     pooled = sampled_hidden
                 if hasattr(model, "pool_projection"):
@@ -2058,11 +2063,40 @@ class TPUModelRunner:
         if return_hidden:
             hidden_np = np.asarray(hidden)
             pooler_output = {}
+            token_level = getattr(self.model, "pooling_type",
+                                  "last") == "all"
+            if token_level:
+                # row -> packed token offsets, same order as the
+                # device qsl build in _prepare_inputs
+                offs = np.zeros(num_reqs + 1, np.int64)
+                for i in range(num_reqs):
+                    offs[i + 1] = offs[i] + \
+                        scheduler_output.num_scheduled_tokens.get(
+                            batch.req_ids[i], 0)
             for row in pooling_rows:
                 req_id = batch.req_ids[row]
-                vec = hidden_np[row * nsp].astype(np.float32)
                 state = self.requests.get(req_id)
                 pp = state.pooling_params if state else None
+                if token_level:
+                    hs = hidden_np[offs[row]:offs[row + 1]].astype(
+                        np.float32)
+                    if self._score_np is None:
+                        self._score_np = np.asarray(
+                            self.params["score"], dtype=np.float32)
+                        self._score_bias_np = (
+                            np.asarray(self.params["score_bias"],
+                                       dtype=np.float32)
+                            if "score_bias" in self.params else None)
+                    logits = hs @ self._score_np
+                    if self._score_bias_np is not None:
+                        logits = logits + self._score_bias_np
+                    if pp is None or pp.activation != "none":
+                        logits = logits - logits.max(-1, keepdims=True)
+                        e = np.exp(logits)
+                        logits = e / e.sum(-1, keepdims=True)
+                    pooler_output[req_id] = logits
+                    continue
+                vec = hidden_np[row * nsp].astype(np.float32)
                 if hasattr(self.model, "classify_logits"):
                     # classification pooler: score head + softmax
                     # (reference: pooler 'classify' activation)
