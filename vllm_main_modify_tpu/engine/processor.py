@@ -72,8 +72,9 @@ class Processor:
                     build_mm_inputs
 
                 token_ids, mm_inputs, mm_salt = build_mm_inputs(
-                    token_ids, mm_data["image"],
-                    self.config.model_config)
+                    token_ids, mm_data.get("image"),
+                    self.config.model_config,
+                    videos=mm_data.get("video"))
         elif isinstance(prompt, str):
             prompt_text = prompt
             token_ids = self._tokenize(prompt)

@@ -168,6 +168,19 @@ class LlavaForConditionalGeneration:
         """[N, 3, S, S] f32 → [N, num_image_tokens, text_H] projected
         features (reference: vllm clip.py + llava.py
         _process_image_input)."""
+        return self._project(params,
+                             self._clip_features(params, pixel_values))
+
+    def _project(self, params, x: jax.Array) -> jax.Array:
+        p = params["projector"]
+        x = jax.nn.gelu(x @ p["linear_1"] + p["linear_1_bias"],
+                        approximate=False)
+        return x @ p["linear_2"] + p["linear_2_bias"]
+
+    def _clip_features(self, params, pixel_values: jax.Array
+                       ) -> jax.Array:
+        """CLIP tower up to the feature-select layer, CLS dropped per
+        strategy — pre-projector features [N, P(+1), D]."""
         v = params["vision"]
         n = pixel_values.shape[0]
         x = jax.lax.conv_general_dilated(
@@ -216,11 +229,7 @@ class LlavaForConditionalGeneration:
         x = jax.lax.fori_loop(0, self.n_encoder_layers, layer_fn, x)
         if self.drop_cls:
             x = x[:, 1:]
-        p = params["projector"]
-        x = jax.nn.gelu(x @ p["linear_1"] + p["linear_1_bias"],
-                        approximate=False)
-        x = x @ p["linear_2"] + p["linear_2_bias"]
-        return x  # [N, tokens, text_H] f32
+        return x  # [N, tokens, D] f32
 
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,
@@ -319,3 +328,41 @@ class LlavaNextForConditionalGeneration(LlavaForConditionalGeneration):
         spatial = jnp.concatenate([spatial, newline],
                                   axis=1).reshape(-1, h)
         return jnp.concatenate([base, spatial], axis=0)[None]
+
+
+class LlavaNextVideoForConditionalGeneration(
+        LlavaNextForConditionalGeneration):
+    """LLaVA-NeXT-Video (reference: vllm llava_next_video.py /
+    HF modeling_llava_next_video.py). Images take the anyres path
+    (inherited); videos run every frame through the SAME CLIP tower,
+    spatially pool the per-frame grid by ``spatial_pool_stride``
+    (LlavaNextVideoPooler), project, and concatenate frames — token
+    count = frames * (grid // stride)**2."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.hf_config
+        self.pool_mode = getattr(hf, "spatial_pool_mode", "average")
+        assert self.pool_mode in ("average", "max"), self.pool_mode
+        self.pool_stride = getattr(hf, "spatial_pool_stride", 2)
+        self.video_token_index = getattr(hf, "video_token_index",
+                                         None)
+        g = self.grid // self.pool_stride
+        self.video_tokens_per_frame = g * g
+
+    def encode_video(self, params, pixel_values: jax.Array
+                     ) -> jax.Array:
+        """[1, F, 3, S, S] (or [F, 3, S, S]) → [1, F*t, text_H]."""
+        if pixel_values.ndim == 5:
+            pixel_values = pixel_values[0]
+        f = pixel_values.shape[0]
+        x = self._clip_features(params, pixel_values)  # [F, P, D]
+        g, s, d = self.grid, self.pool_stride, x.shape[-1]
+        x = x.reshape(f, g // s, s, g // s, s, d)
+        if self.pool_mode == "average":
+            x = x.mean(axis=(2, 4))
+        else:
+            x = x.max(axis=(2, 4))
+        x = x.reshape(f, (g // s) * (g // s), d)
+        x = self._project(params, x)
+        return x.reshape(1, -1, x.shape[-1])

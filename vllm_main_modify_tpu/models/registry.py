@@ -157,6 +157,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen2AudioForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_audio",
         "Qwen2AudioForConditionalGeneration"),
+    "LlavaNextVideoForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.llava",
+        "LlavaNextVideoForConditionalGeneration"),
     "LlavaNextForConditionalGeneration": (
         "vllm_main_modify_tpu.models.llava",
         "LlavaNextForConditionalGeneration"),

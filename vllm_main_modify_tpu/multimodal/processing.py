@@ -224,19 +224,42 @@ def _llava_next_prepare(image, model_config
     return pix, n_tok
 
 
+def _video_frames(video, model_config) -> np.ndarray:
+    """Any [F, 3, H, W] / [F, H, W, 3] frame stack (or list of
+    frames) → [F, 3, S, S] f32 normalized."""
+    if isinstance(video, np.ndarray) and video.ndim == 4:
+        frames = list(video)
+    else:
+        frames = list(video)
+    return np.stack([_to_pixel_values(f, model_config)
+                     for f in frames]).astype(np.float32)
+
+
 def build_mm_inputs(
     token_ids: list[int],
     images: Any,
     model_config,
+    videos: Any = None,
 ) -> tuple[list[int], list[dict], str]:
     """Expand each image placeholder in ``token_ids`` to the model's
     per-image token count and preprocess pixels.
 
     Returns (expanded_token_ids, mm_inputs, content_salt)."""
+    if images is None:
+        images = []
     if not isinstance(images, (list, tuple)):
         images = [images]
     image_token = model_config.image_token_index
     n_tok = num_image_tokens_for(model_config)
+
+    video_token = getattr(model_config.hf_config, "video_token_index",
+                          None)
+    if videos is not None and not isinstance(videos, (list, tuple)):
+        videos = [videos]
+    videos = list(videos or [])
+    if videos and video_token is None:
+        raise ValueError("video given but the model has no "
+                         "video_token_index")
 
     placeholders = [i for i, t in enumerate(token_ids)
                     if t == image_token]
@@ -244,16 +267,42 @@ def build_mm_inputs(
         raise ValueError(
             f"prompt has {len(placeholders)} image placeholder(s) "
             f"but {len(images)} image(s) were provided")
+    if video_token is not None:
+        vph = [i for i, t in enumerate(token_ids) if t == video_token]
+        if len(vph) != len(videos):
+            raise ValueError(
+                f"prompt has {len(vph)} video placeholder(s) but "
+                f"{len(videos)} video(s) were provided")
 
-    is_llava_next = model_config.architecture == \
-        "LlavaNextForConditionalGeneration"
+    is_llava_next = model_config.architecture in (
+        "LlavaNextForConditionalGeneration",
+        "LlavaNextVideoForConditionalGeneration")
     is_onevision = model_config.architecture == \
         "LlavaOnevisionForConditionalGeneration"
     expanded: list[int] = []
     mm_inputs: list[dict] = []
     salt = hashlib.sha256()
     img_iter = iter(images)
+    vid_iter = iter(videos)
     for i, tok in enumerate(token_ids):
+        if video_token is not None and tok == video_token:
+            # per-frame pooled tokens (llava_next_video.py: frames *
+            # (grid // spatial_pool_stride)**2)
+            pixels = _video_frames(next(vid_iter), model_config)
+            hf = model_config.hf_config
+            vc = hf.vision_config
+            g = vc.image_size // vc.patch_size
+            stride = getattr(hf, "spatial_pool_stride", 2)
+            this_tok = len(pixels) * (g // stride)**2
+            salt.update(pixels.tobytes())
+            mm_inputs.append({
+                "pixel_values": pixels,
+                "offset": len(expanded),
+                "num_tokens": this_tok,
+                "is_video": True,
+            })
+            expanded.extend([video_token] * this_tok)
+            continue
         if tok != image_token:
             expanded.append(tok)
             continue

@@ -257,6 +257,7 @@ class TPUModelRunner:
         self.mm_ranges: dict[str, list[tuple[int, int, int]]] = {}
         self._mm_free: list[list[int]] = [[0, self.mm_rows]]
         self._mm_encode_write = None
+        self._mm_encode_write_video = None
 
         # multi-LoRA
         lc = config.lora_config
@@ -806,13 +807,26 @@ class TPUModelRunner:
                     buf, feats.astype(buf.dtype), (start, 0))
 
             self._mm_encode_write = jax.jit(encode_write)
+        if self._mm_encode_write_video is None and \
+                hasattr(self.model, "encode_video"):
+            model = self.model
+
+            def encode_write_video(params, pix, buf, start):
+                feats = model.encode_video(params, pix)
+                feats = feats.reshape(-1, buf.shape[1])
+                return jax.lax.dynamic_update_slice(
+                    buf, feats.astype(buf.dtype), (start, 0))
+
+            self._mm_encode_write_video = jax.jit(encode_write_video)
         ranges = []
         for mm in state.mm_inputs:
             n = int(mm["num_tokens"])
             start = self._mm_alloc(n)
             pix = jnp.asarray(mm["pixel_values"][None])
-            self.mm_buffer = self._mm_encode_write(
-                self.params, pix, self.mm_buffer, start)
+            enc = (self._mm_encode_write_video
+                   if mm.get("is_video") else self._mm_encode_write)
+            self.mm_buffer = enc(self.params, pix, self.mm_buffer,
+                                 start)
             ranges.append((int(mm["offset"]), n, start))
         self.mm_ranges[state.req_id] = ranges
 
