@@ -126,6 +126,17 @@ class Qwen2AudioForConditionalGeneration:
         """(name kept for the runner's mm ingest path)
         [1, mel, frames] log-mel → [1, max_pos//2, text_H]."""
         a = params["audio"]
+        x = self._encoder_frames(params, feats)
+        # avg-pool over time (kernel 2, stride 2), THEN layer norm
+        x = x.reshape(x.shape[0] // 2, 2, self.d).mean(axis=1)
+        x = layer_norm(x, a["final_norm"], a["final_norm_bias"], 1e-5)
+        return (x @ params["projector"] +
+                params["projector_bias"])[None]
+
+    def _encoder_frames(self, params, feats: jax.Array) -> jax.Array:
+        """Whisper-style encoder trunk: conv x2 + positions +
+        transformer layers → [max_pos, D] (pre final-norm)."""
+        a = params["audio"]
         if feats.ndim == 3:
             feats = feats[0]
         x = feats.astype(jnp.float32)[None]  # [1, mel, frames]
@@ -171,12 +182,7 @@ class Qwen2AudioForConditionalGeneration:
                             approximate=False)
             return res + (h @ w["fc2"] + w["fc2_bias"])
 
-        x = jax.lax.fori_loop(0, self.a_layers, layer_fn, x)
-        # avg-pool over time (kernel 2, stride 2), THEN layer norm
-        x = x.reshape(t // 2, 2, self.d).mean(axis=1)
-        x = layer_norm(x, a["final_norm"], a["final_norm_bias"], eps)
-        return (x @ params["projector"] +
-                params["projector_bias"])[None]
+        return jax.lax.fori_loop(0, self.a_layers, layer_fn, x)
 
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,
@@ -196,3 +202,41 @@ class Qwen2AudioForConditionalGeneration:
     def compute_logits(self, params, hidden):
         return self.language_model.compute_logits(
             params["language_model"], hidden)
+
+
+class VoxtralForConditionalGeneration(Qwen2AudioForConditionalGeneration):
+    """Voxtral (reference: vllm/model_executor/models/voxtral.py /
+    HF modeling_voxtral.py): the same Whisper-style encoder trunk, but
+    NO avg-pool — the final layer norm is followed by grouping
+    ``r = intermediate_size // d_model`` consecutive frames into one
+    vector (get_audio_features reshape) and a bias-free two-linear
+    projector. Tokens per 30s window = max_source_positions // r."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        ac = config.hf_config.audio_config
+        self.group = ac.intermediate_size // ac.d_model
+        self.num_audio_tokens = self.max_pos // self.group
+
+    def param_specs(self) -> list[ParamSpec]:
+        H = self.cfg.hidden_size
+        specs = [s for s in super().param_specs()
+                 if s.path not in ("projector", "projector_bias")]
+        specs += [
+            ParamSpec("proj_1", (self.group * self.d, H),
+                      P(None, None),
+                      "multi_modal_projector.linear_1.weight",
+                      transform=transpose2d),
+            ParamSpec("proj_2", (H, H), P(None, None),
+                      "multi_modal_projector.linear_2.weight",
+                      transform=transpose2d),
+        ]
+        return specs
+
+    def encode_images(self, params, feats: jax.Array) -> jax.Array:
+        a = params["audio"]
+        x = self._encoder_frames(params, feats)
+        x = layer_norm(x, a["final_norm"], a["final_norm_bias"], 1e-5)
+        x = x.reshape(x.shape[0] // self.group, self.group * self.d)
+        x = jax.nn.gelu(x @ params["proj_1"], approximate=False)
+        return (x @ params["proj_2"])[None]

@@ -154,6 +154,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Mistral3ForConditionalGeneration": (
         "vllm_main_modify_tpu.models.mistral3",
         "Mistral3ForConditionalGeneration"),
+    "VoxtralForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.qwen2_audio",
+        "VoxtralForConditionalGeneration"),
     "Qwen2AudioForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_audio",
         "Qwen2AudioForConditionalGeneration"),

@@ -80,7 +80,8 @@ def build_audio_inputs(
     return list(token_ids), mm_inputs, salt
 
 
-AUDIO_EMBED_ARCHS = ("Qwen2AudioForConditionalGeneration", )
+AUDIO_EMBED_ARCHS = ("Qwen2AudioForConditionalGeneration",
+                     "VoxtralForConditionalGeneration")
 
 
 def build_audio_embeds_inputs(
@@ -122,8 +123,15 @@ def build_audio_embeds_inputs(
         feats = np.pad(feats, ((0, 0), (0, frames - feats.shape[1])))
     feats = feats[:, :frames]
 
-    audio_token = getattr(hf, "audio_token_index", -1)
-    n_tok = max_pos // 2
+    audio_token = getattr(hf, "audio_token_index", None)
+    if audio_token is None:
+        audio_token = getattr(hf, "audio_token_id", -1)
+    if model_config.architecture == "VoxtralForConditionalGeneration":
+        # no avg-pool; r consecutive frames group into one token
+        # (voxtral.py get_audio_features reshape)
+        n_tok = max_pos // (ac.intermediate_size // ac.d_model)
+    else:
+        n_tok = max_pos // 2
     expanded: list[int] = []
     placed = False
     for tok in token_ids:
