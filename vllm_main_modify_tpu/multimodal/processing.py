@@ -75,6 +75,13 @@ def num_image_tokens_for(model_config) -> int:
         pt = pt[0] if isinstance(pt, (list, tuple)) else pt
         return (img // pt)**2 // ds**2
     if model_config.architecture == \
+            "Llama4ForConditionalGeneration":
+        # pixel shuffle scales the grid by pixel_shuffle_ratio
+        # (mllama4.py); one global chunk per image
+        r = float(getattr(vc, "pixel_shuffle_ratio", 0.5))
+        g = vc.image_size // vc.patch_size
+        return int(g * r)**2
+    if model_config.architecture == \
             "LlavaOnevisionForConditionalGeneration":
         # base grid + 1x1 tile grid with a newline per row
         g = vc.image_size // vc.patch_size
