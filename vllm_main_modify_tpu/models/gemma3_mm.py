@@ -33,6 +33,110 @@ from vllm_main_modify_tpu.models.registry import resolve_model_cls
 VP = "vision_tower.vision_model."
 
 
+def siglip_specs(D, I, L, patch, num_patches, prefix=VP):
+    """Parameter specs of a SigLIP vision tower (shared by Gemma3-mm
+    and Aya Vision): conv patch embed + learned positions, pre-LN
+    encoder layers, final post_layernorm."""
+    t = transpose2d
+
+    def vstk(path, shape, spec, hf_key, transform=t):
+        return ParamSpec(f"vision.layers.{path}", (L, *shape), spec,
+                         prefix + "encoder.layers.{i}." + hf_key,
+                         stacked=True, transform=transform)
+
+    specs = [
+        ParamSpec("vision.patch_embedding", (D, 3, patch, patch),
+                  P(None, None, None, None),
+                  prefix + "embeddings.patch_embedding.weight",
+                  transform=None),
+        ParamSpec("vision.patch_bias", (D, ), P(),
+                  prefix + "embeddings.patch_embedding.bias",
+                  transform=None),
+        ParamSpec("vision.position_embedding", (num_patches, D),
+                  P(None, None),
+                  prefix + "embeddings.position_embedding.weight",
+                  transform=None),
+        ParamSpec("vision.post_norm", (D, ), P(),
+                  prefix + "post_layernorm.weight", transform=None),
+        ParamSpec("vision.post_norm_bias", (D, ), P(),
+                  prefix + "post_layernorm.bias", transform=None),
+    ]
+    for n in ("layer_norm1", "layer_norm2"):
+        specs += [
+            vstk(n, (D, ), P(None, None), f"{n}.weight",
+                 transform=None),
+            vstk(f"{n}_bias", (D, ), P(None, None), f"{n}.bias",
+                 transform=None),
+        ]
+    for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        specs += [
+            vstk(n, (D, D), P(None, None, None),
+                 f"self_attn.{n}.weight"),
+            vstk(f"{n}_bias", (D, ), P(None, None),
+                 f"self_attn.{n}.bias", transform=None),
+        ]
+    specs += [
+        vstk("fc1", (D, I), P(None, None, None), "mlp.fc1.weight"),
+        vstk("fc1_bias", (I, ), P(None, None), "mlp.fc1.bias",
+             transform=None),
+        vstk("fc2", (I, D), P(None, None, None), "mlp.fc2.weight"),
+        vstk("fc2_bias", (D, ), P(None, None), "mlp.fc2.bias",
+             transform=None),
+    ]
+    return specs
+
+
+def siglip_encode(v, pixel_values, *, patch, num_patches, v_hidden,
+                  v_heads, v_head_dim, v_layers, eps,
+                  post_norm=True):
+    """SigLIP tower forward → [N, P, D]. ``post_norm=False`` returns
+    hidden_states[-1] (pre post_layernorm — what a composite with
+    vision_feature_layer=-1 selects)."""
+    n = pixel_values.shape[0]
+    x = jax.lax.conv_general_dilated(
+        pixel_values.astype(jnp.float32),
+        v["patch_embedding"].astype(jnp.float32),
+        window_strides=(patch, patch), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    x = x.reshape(n, v_hidden, num_patches)
+    x = jnp.transpose(x, (0, 2, 1)) + \
+        v["patch_bias"].astype(jnp.float32)
+    x = x + v["position_embedding"].astype(jnp.float32)[None]
+
+    layers = v["layers"]
+
+    def layer_fn(l, x):
+        w = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(
+                a, l, 0, keepdims=False), layers)
+        res = x
+        h = layer_norm(x, w["layer_norm1"], w["layer_norm1_bias"],
+                       eps)
+        t = h.shape[1]
+        q = (h @ w["q_proj"] + w["q_proj_bias"]).reshape(
+            n, t, v_heads, v_head_dim)
+        k = (h @ w["k_proj"] + w["k_proj_bias"]).reshape(
+            n, t, v_heads, v_head_dim)
+        val = (h @ w["v_proj"] + w["v_proj_bias"]).reshape(
+            n, t, v_heads, v_head_dim)
+        s = jnp.einsum("nqhd,nkhd->nhqk", q, k) * (v_head_dim**-0.5)
+        p_ = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("nhqk,nkhd->nqhd", p_, val)
+        x = res + (o.reshape(n, t, -1) @ w["out_proj"] +
+                   w["out_proj_bias"])
+        res = x
+        h = layer_norm(x, w["layer_norm2"], w["layer_norm2_bias"],
+                       eps)
+        h = jax.nn.gelu(h @ w["fc1"] + w["fc1_bias"],
+                        approximate=True)
+        return res + (h @ w["fc2"] + w["fc2_bias"])
+
+    x = jax.lax.fori_loop(0, v_layers, layer_fn, x)
+    if post_norm:
+        x = layer_norm(x, v["post_norm"], v["post_norm_bias"], eps)
+    return x
+
+
 class Gemma3ForConditionalGeneration:
 
     bidir_mm_spans = True  # image blocks attend bidirectionally
@@ -70,32 +174,11 @@ class Gemma3ForConditionalGeneration:
     # ------------------------------------------------------------------
 
     def param_specs(self) -> list[ParamSpec]:
-        D, I, L = self.v_hidden, self.v_inter, self.v_layers
+        D = self.v_hidden
         H = self.cfg.hidden_size
-        t = transpose2d
-
-        def vstk(path, shape, spec, hf_key, transform=t):
-            return ParamSpec(f"vision.layers.{path}", (L, *shape),
-                             spec, VP + "encoder.layers.{i}." + hf_key,
-                             stacked=True, transform=transform)
-
-        specs = [
-            ParamSpec("vision.patch_embedding",
-                      (D, 3, self.patch, self.patch),
-                      P(None, None, None, None),
-                      VP + "embeddings.patch_embedding.weight",
-                      transform=None),
-            ParamSpec("vision.patch_bias", (D, ), P(),
-                      VP + "embeddings.patch_embedding.bias",
-                      transform=None),
-            ParamSpec("vision.position_embedding",
-                      (self.num_patches, D), P(None, None),
-                      VP + "embeddings.position_embedding.weight",
-                      transform=None),
-            ParamSpec("vision.post_norm", (D, ), P(),
-                      VP + "post_layernorm.weight", transform=None),
-            ParamSpec("vision.post_norm_bias", (D, ), P(),
-                      VP + "post_layernorm.bias", transform=None),
+        specs = siglip_specs(D, self.v_inter, self.v_layers,
+                             self.patch, self.num_patches)
+        specs += [
             # raw parameter, already [vD, tH] — no transpose
             ParamSpec("mm_projection", (D, H), P(None, None),
                       "multi_modal_projector"
@@ -103,30 +186,6 @@ class Gemma3ForConditionalGeneration:
             ParamSpec("mm_soft_emb_norm", (D, ), P(),
                       "multi_modal_projector.mm_soft_emb_norm.weight",
                       transform=None),
-        ]
-        for n in ("layer_norm1", "layer_norm2"):
-            specs += [
-                vstk(n, (D, ), P(None, None), f"{n}.weight",
-                     transform=None),
-                vstk(f"{n}_bias", (D, ), P(None, None), f"{n}.bias",
-                     transform=None),
-            ]
-        for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
-            specs += [
-                vstk(n, (D, D), P(None, None, None),
-                     f"self_attn.{n}.weight"),
-                vstk(f"{n}_bias", (D, ), P(None, None),
-                     f"self_attn.{n}.bias", transform=None),
-            ]
-        specs += [
-            vstk("fc1", (D, I), P(None, None, None),
-                 "mlp.fc1.weight"),
-            vstk("fc1_bias", (I, ), P(None, None), "mlp.fc1.bias",
-                 transform=None),
-            vstk("fc2", (I, D), P(None, None, None),
-                 "mlp.fc2.weight"),
-            vstk("fc2_bias", (D, ), P(None, None), "mlp.fc2.bias",
-                 transform=None),
         ]
         for s in self.language_model.param_specs():
             s.path = "language_model." + s.path
@@ -152,50 +211,14 @@ class Gemma3ForConditionalGeneration:
     def encode_images(self, params, pixel_values: jax.Array
                       ) -> jax.Array:
         """[N, 3, S, S] → [N, mm_tokens_per_image, text_H]."""
-        v = params["vision"]
         n = pixel_values.shape[0]
-        x = jax.lax.conv_general_dilated(
-            pixel_values.astype(jnp.float32),
-            v["patch_embedding"].astype(jnp.float32),
-            window_strides=(self.patch, self.patch), padding="VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
-        x = x.reshape(n, self.v_hidden, self.num_patches)
-        x = jnp.transpose(x, (0, 2, 1)) + \
-            v["patch_bias"].astype(jnp.float32)
-        x = x + v["position_embedding"].astype(jnp.float32)[None]
-
-        layers = v["layers"]
-
-        def layer_fn(l, x):
-            w = jax.tree.map(
-                lambda a: jax.lax.dynamic_index_in_dim(
-                    a, l, 0, keepdims=False), layers)
-            res = x
-            h = layer_norm(x, w["layer_norm1"], w["layer_norm1_bias"],
-                           self.v_eps)
-            t = h.shape[1]
-            q = (h @ w["q_proj"] + w["q_proj_bias"]).reshape(
-                n, t, self.v_heads, self.v_head_dim)
-            k = (h @ w["k_proj"] + w["k_proj_bias"]).reshape(
-                n, t, self.v_heads, self.v_head_dim)
-            val = (h @ w["v_proj"] + w["v_proj_bias"]).reshape(
-                n, t, self.v_heads, self.v_head_dim)
-            s = jnp.einsum("nqhd,nkhd->nhqk", q, k) * \
-                (self.v_head_dim**-0.5)
-            p_ = jax.nn.softmax(s, axis=-1)
-            o = jnp.einsum("nhqk,nkhd->nqhd", p_, val)
-            x = res + (o.reshape(n, t, -1) @ w["out_proj"] +
-                       w["out_proj_bias"])
-            res = x
-            h = layer_norm(x, w["layer_norm2"], w["layer_norm2_bias"],
-                           self.v_eps)
-            h = jax.nn.gelu(h @ w["fc1"] + w["fc1_bias"],
-                            approximate=True)
-            return res + (h @ w["fc2"] + w["fc2_bias"])
-
-        x = jax.lax.fori_loop(0, self.v_layers, layer_fn, x)
-        x = layer_norm(x, v["post_norm"], v["post_norm_bias"],
-                       self.v_eps)
+        x = siglip_encode(params["vision"], pixel_values,
+                          patch=self.patch,
+                          num_patches=self.num_patches,
+                          v_hidden=self.v_hidden,
+                          v_heads=self.v_heads,
+                          v_head_dim=self.v_head_dim,
+                          v_layers=self.v_layers, eps=self.v_eps)
         # Gemma3MultiModalProjector: grid avg-pool → (1+w) RMS → proj
         g, k = self.grid, self.pool_k
         x = x.reshape(n, g, g, self.v_hidden)

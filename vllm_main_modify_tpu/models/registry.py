@@ -160,6 +160,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen2AudioForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_audio",
         "Qwen2AudioForConditionalGeneration"),
+    "AyaVisionForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.aya_vision",
+        "AyaVisionForConditionalGeneration"),
     "Llama4ForConditionalGeneration": (
         "vllm_main_modify_tpu.models.llama4_mm",
         "Llama4ForConditionalGeneration"),

@@ -75,6 +75,10 @@ def num_image_tokens_for(model_config) -> int:
         pt = pt[0] if isinstance(pt, (list, tuple)) else pt
         return (img // pt)**2 // ds**2
     if model_config.architecture == \
+            "AyaVisionForConditionalGeneration":
+        f = int(getattr(hf, "downsample_factor", 2))
+        return (vc.image_size // vc.patch_size // f)**2
+    if model_config.architecture == \
             "Llama4ForConditionalGeneration":
         # pixel shuffle scales the grid by pixel_shuffle_ratio
         # (mllama4.py); one global chunk per image
