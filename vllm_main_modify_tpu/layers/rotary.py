@@ -154,6 +154,29 @@ def apply_mrope(
     return _rot_halves(q, k, cos, sin)
 
 
+def apply_mrope_interleaved(
+    q: jax.Array,  # [T, Hq, D]
+    k: jax.Array,  # [T, Hk, D]
+    positions: jax.Array,  # [3, T] int32
+    inv_freq: jax.Array,  # [D/2] f32
+    sections: tuple,  # (t, h, w) counts
+) -> tuple[jax.Array, jax.Array]:
+    """Qwen3-VL interleaved mrope (qwen3_vl.py
+    apply_interleaved_mrope): the frequency layout is
+    [T H W T H W ... T T] — index 3i+1 takes H for i < sections[1],
+    3i+2 takes W for i < sections[2], everything else T. Preserves
+    frequency continuity across the three streams."""
+    d2 = inv_freq.shape[0]
+    sel = np.zeros(d2, dtype=np.int32)
+    sel[1:3 * sections[1]:3] = 1
+    sel[2:3 * sections[2]:3] = 2
+    pos_sel = positions[jnp.asarray(sel)]  # [D/2, T]
+    angles = pos_sel.T.astype(jnp.float32) * inv_freq[None, :]
+    cos = jnp.cos(angles)[:, None, :]
+    sin = jnp.sin(angles)[:, None, :]
+    return _rot_halves(q, k, cos, sin)
+
+
 def apply_rope(
     q: jax.Array,  # [T, Hq, D]
     k: jax.Array,  # [T, Hk, D]

@@ -127,12 +127,21 @@ class Qwen3ForCausalLM:
     def kv_cache_spec(self) -> tuple[int, int, int]:
         return self.num_kv, self.head_dim, self.L
 
+    def _apply_rope(self, q, k, positions):
+        """Hook: Qwen3-VL overrides with interleaved mrope."""
+        return apply_rope(q, k, positions, self.inv_freq)
+
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 inputs_embeds: Optional[jax.Array] = None,
+                 deepstack_embeds: Optional[jax.Array] = None):
         cfg = self.cfg
-        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        x = inputs_embeds if inputs_embeds is not None else \
+            jnp.take(params["embed_tokens"], input_ids, axis=0)
         t = x.shape[0]
+        nds = (deepstack_embeds.shape[0]
+               if deepstack_embeds is not None else 0)
 
         layers = params["layers"]
 
@@ -152,7 +161,7 @@ class Qwen3ForCausalLM:
             # per-head q/k norm (the Qwen3 delta)
             q = rms_norm(q, w["q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, w["k_norm"], cfg.rms_norm_eps)
-            q, k = apply_rope(q, k, positions, self.inv_freq)
+            q, k = self._apply_rope(q, k, positions)
             o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
                                      self.sm_scale,
                                      use_pallas=use_pallas)
@@ -172,6 +181,15 @@ class Qwen3ForCausalLM:
                 h = self.act_fn(matmul(h, w["gate_proj"]),
                                 matmul(h, w["up_proj"]))
                 x = res + matmul(h, w["down_proj"])
+            if nds:
+                # Qwen3-VL DeepStack: visual features injected into
+                # the first len(deepstack) layers' outputs at the
+                # image positions (qwen3_vl.py _deepstack_process)
+                ds = jax.lax.dynamic_index_in_dim(
+                    deepstack_embeds, jnp.minimum(l, nds - 1), 0,
+                    keepdims=False)
+                x = x + jnp.where(l < nds, 1.0, 0.0).astype(
+                    x.dtype) * ds.astype(x.dtype)
             return x, kv_caches
 
         # fori_loop with the KV cache as carry: in-place page updates.

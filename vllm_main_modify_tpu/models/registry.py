@@ -160,6 +160,12 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen2AudioForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_audio",
         "Qwen2AudioForConditionalGeneration"),
+    "Qwen3VLForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.qwen3_vl",
+        "Qwen3VLForConditionalGeneration"),
+    "Qwen3VLMoeForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.qwen3_vl",
+        "Qwen3VLMoeForConditionalGeneration"),
     "AyaVisionForConditionalGeneration": (
         "vllm_main_modify_tpu.models.aya_vision",
         "AyaVisionForConditionalGeneration"),

@@ -19,7 +19,9 @@ import numpy as np
 
 
 QWEN_VL_ARCHS = ("Qwen2VLForConditionalGeneration",
-                 "Qwen2_5_VLForConditionalGeneration")
+                 "Qwen2_5_VLForConditionalGeneration",
+                 "Qwen3VLForConditionalGeneration",
+                 "Qwen3VLMoeForConditionalGeneration")
 
 
 def _is_qwen_vl(model_config) -> bool:

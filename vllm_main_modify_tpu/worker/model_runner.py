@@ -546,7 +546,10 @@ class TPUModelRunner:
 
     def _init_aux_buffers(self, mc) -> None:
         if self.is_mm and self.mm_buffer is None:
-            self.mm_buffer = jnp.zeros((self.mm_rows, mc.hidden_size),
+            # Qwen3-VL DeepStack carries (1+nds)*H per image token
+            width = getattr(self.model, "mm_embed_width",
+                            mc.hidden_size)
+            self.mm_buffer = jnp.zeros((self.mm_rows, width),
                                        dtype=mc.jax_dtype)
         if self.is_enc_dec and self.cross_cache is None:
             kvh, kvd, xl, t_enc = self.model.cross_cache_spec()
