@@ -80,17 +80,15 @@ def test_pd_disagg_two_engines(model_dir):
 
 def test_zmq_transport_roundtrip():
     """The production transport moves block payloads over TCP."""
-    import pickle
-
     zmq = pytest.importorskip("zmq")  # noqa: F841
-    from vllm_main_modify_tpu.kv_transfer.connector import \
-        ZmqTransport
+    from vllm_main_modify_tpu.kv_transfer.connector import (
+        ZmqTransport, decode_blocks, encode_blocks)
 
     addr = "tcp://127.0.0.1:25871"
     consumer = ZmqTransport(recv_addr=addr)
     producer = ZmqTransport(send_addr=addr)
     pairs = [(b"h1", np.arange(12, dtype=np.float32).reshape(3, 4))]
-    producer.send(pickle.dumps(pairs, protocol=5))
+    producer.send(encode_blocks(pairs))
     import time
     got = []
     for _ in range(100):
@@ -99,12 +97,45 @@ def test_zmq_transport_roundtrip():
             break
         time.sleep(0.02)
     assert len(got) == 1
-    h, arr = pickle.loads(got[0])[0]
+    h, arr = decode_blocks(got[0])[0]
     assert h == b"h1"
     np.testing.assert_array_equal(
         arr, np.arange(12, dtype=np.float32).reshape(3, 4))
     producer.close()
     consumer.close()
+
+
+def test_wire_codec_roundtrip_and_rejects_malformed():
+    """Block payloads cross a network boundary: the codec must round-
+    trip every dtype used by the KV tiers WITHOUT executable content,
+    and reject malformed/pickled input instead of executing it."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    from vllm_main_modify_tpu.kv_transfer.connector import (
+        decode_blocks, encode_blocks)
+
+    pairs = [
+        (b"\x01" * 32, np.arange(24, dtype=np.float32).reshape(2, 3, 4)),
+        (b"h2", np.ones((4, 8), dtype=np.asarray(
+            jnp.zeros(1, jnp.bfloat16)).dtype)),
+        (b"h3", np.arange(8, dtype=np.int8)),
+    ]
+    out = decode_blocks(encode_blocks(pairs))
+    assert len(out) == 3
+    for (h0, a0), (h1, a1) in zip(pairs, out):
+        assert h0 == h1 and a0.dtype == a1.dtype
+        np.testing.assert_array_equal(a0, a1)
+
+    # a pickle payload (the old wire format / an attacker's payload)
+    # must raise, never unpickle
+    with pytest.raises(ValueError):
+        decode_blocks(pickle.dumps([(b"h", np.zeros(2))]))
+    # truncated payload
+    good = encode_blocks(pairs[:1])
+    with pytest.raises(ValueError):
+        decode_blocks(good[:len(good) // 2])
 
 
 def test_pd_consumer_without_data_recomputes(model_dir):

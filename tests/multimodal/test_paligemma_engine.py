@@ -63,3 +63,23 @@ def test_paligemma_generate_matches_hf(pg_dir):
             eos_token_id=None, pad_token_id=0)
     ref = gen[0, len(expanded):].tolist()
     assert list(out.outputs[0].token_ids) == ref
+
+
+def test_prefix_lm_prompt_exceeding_budget_rejected(pg_dir):
+    """A prefix-LM prompt longer than max_num_batched_tokens can never
+    be scheduled whole (the bidirectional span must enter the KV in
+    one step), so ingest must reject it instead of starving it."""
+    path, _ = pg_dir
+    llm = LLM(model=path, dtype="float32", max_model_len=128,
+              max_num_seqs=8, max_num_batched_tokens=64, block_size=4,
+              num_kv_blocks=256)
+    rng = np.random.default_rng(1)
+    pix = rng.standard_normal((3, 28, 28)).astype(np.float32)
+    # 4 image tokens + 70 text tokens = 74 > 64 budget
+    prompt_ids = [IMG_TOK] + [5] * 70
+    with pytest.raises(ValueError, match="prefix-LM prompt"):
+        llm.generate(
+            [{"prompt_token_ids": prompt_ids,
+              "multi_modal_data": {"image": pix}}],
+            SamplingParams(temperature=0.0, max_tokens=2,
+                           ignore_eos=True))

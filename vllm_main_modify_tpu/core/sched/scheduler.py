@@ -66,6 +66,9 @@ class Scheduler:
         # so the whole block has to enter the KV in one step (set by
         # EngineCore from the model's bidir_mm_spans flag)
         self.mm_span_align = False
+        # prefix-LM (PaliGemma): the WHOLE prompt is one bidirectional
+        # span; _trim_to_mm_boundary refuses partial-prompt chunks
+        self.prefix_lm = False
         self.num_lookahead_tokens = sched_cfg.num_lookahead_tokens
         self.policy = sched_cfg.policy
         self.block_size = cache_cfg.block_size
@@ -181,11 +184,25 @@ class Scheduler:
         bidirectional image block (Gemma3): either stop right before
         the block or cover it whole. Returns 0 when the block cannot
         even start within this step's budget."""
-        if not self.mm_span_align or n <= 0 or \
-                not getattr(request, "mm_inputs", None):
+        if n <= 0:
             return n
         start = request.num_computed_tokens if base is None else base
         end = start + n
+        if self.prefix_lm:
+            # PaliGemma-style prefix-LM: the ENTIRE prompt is one
+            # bidirectional span — never schedule a partial prompt
+            # (even via long_prefill_token_threshold).
+            if start >= request.num_prompt_tokens or \
+                    end >= request.num_prompt_tokens:
+                return n  # decode, or chunk covers the prompt end
+            if start == 0:
+                return 0  # budget can't cover the prompt: wait
+            # resuming mid-prompt (shouldn't happen once ingest
+            # rejects oversize prompts); recover by finishing it
+            return request.num_prompt_tokens - start
+        if not self.mm_span_align or \
+                not getattr(request, "mm_inputs", None):
+            return n
         if end >= request.num_prompt_tokens:
             return n  # chunk reaches past the prompt: nothing split
         for mm in request.mm_inputs:

@@ -114,8 +114,11 @@ class EngineCore:
             getattr(self.model_runner.model, "bidir_mm_spans", False))
         if getattr(self.model_runner.model, "prefix_lm", False):
             # PaliGemma prefix-LM: the whole bidirectional prompt must
-            # enter the KV in one step
+            # enter the KV in one step (the scheduler trim also
+            # refuses partial-prompt chunks, covering the
+            # long_prefill_token_threshold path)
             self.scheduler.enable_chunked_prefill = False
+            self.scheduler.prefix_lm = True
         # multi-step decode chunks cover plain decoder LMs; the runner
         # decides eligibility (enc-dec/mm/LoRA/spec keep single-step)
         self.scheduler.decode_steps_per_dispatch = min(

@@ -457,6 +457,10 @@ class RouterClient:
         self._sock = self._ctx.socket(zmq.DEALER)
         self._sock.connect(addr)
         self._inflight: set[str] = set()
+        # Output batches the router pushed while we were waiting for
+        # a control reply; step() drains these before reading the
+        # socket so no token batch is ever dropped.
+        self._pending_outputs: list = []
         self.scheduler = None  # marks this as a remote core
         self._send(("hello", None))
         status, payload = self._recv_reply(
@@ -469,11 +473,19 @@ class RouterClient:
         self._sock.send(pickle.dumps(msg))
 
     def _recv_reply(self, timeout_ms: int = 60000):
+        """Next CONTROL reply. The router pushes ('outputs', ...)
+        batches to the same DEALER identity asynchronously, so any
+        outputs read here are buffered for step(), not dropped."""
         import zmq
 
-        if not self._sock.poll(timeout_ms, zmq.POLLIN):
-            raise EngineDeadError("engine core not responding")
-        return pickle.loads(self._sock.recv())
+        while True:
+            if not self._sock.poll(timeout_ms, zmq.POLLIN):
+                raise EngineDeadError("engine core not responding")
+            status, payload = pickle.loads(self._sock.recv())
+            if status == "outputs":
+                self._pending_outputs.append(payload)
+                continue
+            return status, payload
 
     # ---- EngineCore interface used by AsyncLLM -----------------------
 
@@ -492,13 +504,16 @@ class RouterClient:
     def step(self) -> EngineCoreOutputs:
         import zmq
 
-        if not self._sock.poll(100, zmq.POLLIN):
-            return EngineCoreOutputs()
-        status, payload = pickle.loads(self._sock.recv())
-        if status == "error":
-            raise EngineDeadError(str(payload))
-        if status != "outputs":
-            return EngineCoreOutputs()
+        if self._pending_outputs:
+            payload = self._pending_outputs.pop(0)
+        else:
+            if not self._sock.poll(100, zmq.POLLIN):
+                return EngineCoreOutputs()
+            status, payload = pickle.loads(self._sock.recv())
+            if status == "error":
+                raise EngineDeadError(str(payload))
+            if status != "outputs":
+                return EngineCoreOutputs()
         for o in payload.outputs:
             if o.finished:
                 self._inflight.discard(o.request_id)

@@ -25,6 +25,24 @@ class Processor:
         self.eos_token_id = None
         if tokenizer is not None:
             self.eos_token_id = tokenizer.eos_token_id
+        # Bidirectional-span models (Gemma3 image blocks, PaliGemma
+        # prefix-LM) need their whole span inside ONE prefill chunk;
+        # a span larger than max_num_batched_tokens could never be
+        # scheduled (the mm-boundary trim would return 0 forever), so
+        # such requests must be rejected here at ingest. The flags are
+        # class attributes, readable without instantiating the model.
+        self._bidir_mm = False
+        self._prefix_lm = False
+        try:
+            from vllm_main_modify_tpu.models.registry import \
+                resolve_model_cls
+
+            cls = resolve_model_cls(config.model_config.architecture)
+            self._bidir_mm = bool(getattr(cls, "bidir_mm_spans",
+                                          False))
+            self._prefix_lm = bool(getattr(cls, "prefix_lm", False))
+        except Exception:  # noqa: BLE001 — unknown arch fails later
+            pass
 
     def process_inputs(
         self,
@@ -88,6 +106,22 @@ class Processor:
             raise ValueError(
                 f"request {request_id}: prompt ({len(token_ids)} tokens) "
                 f"exceeds max_model_len={self.max_model_len}")
+        mbt = self.config.scheduler_config.max_num_batched_tokens
+        if self._prefix_lm and len(token_ids) > mbt:
+            raise ValueError(
+                f"request {request_id}: prefix-LM prompt "
+                f"({len(token_ids)} tokens) exceeds "
+                f"max_num_batched_tokens={mbt}; the bidirectional "
+                "prompt must fit in one prefill step")
+        if self._bidir_mm and mm_inputs:
+            for mm in mm_inputs:
+                nt = int(mm.get("num_tokens", 0))
+                if nt > mbt:
+                    raise ValueError(
+                        f"request {request_id}: bidirectional image "
+                        f"block ({nt} tokens) exceeds "
+                        f"max_num_batched_tokens={mbt} and can never "
+                        "be scheduled whole")
 
         sampling_params = None
         pooling_params = None

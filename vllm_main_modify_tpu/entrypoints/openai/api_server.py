@@ -18,6 +18,7 @@ from __future__ import annotations
 import asyncio
 import json
 import logging
+import os
 from typing import AsyncGenerator, Optional
 
 from aiohttp import web
@@ -107,10 +108,16 @@ class OpenAIServer:
         r.add_post("/v1/load_lora_adapter", self.load_lora_adapter)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
-        r.add_post("/scale_elastic_ep", self.scale_elastic_ep)
         r.add_get("/load", self.server_load)
         r.add_get("/server_info", self.server_info)
-        r.add_post("/collective_rpc", self.collective_rpc)
+        # Remote-admin surface: only in dev mode (reference gates
+        # these behind VLLM_SERVER_DEV_MODE, api_server.py) —
+        # /collective_rpc can invoke arbitrary runner methods and
+        # must never ship on a production listener.
+        if os.environ.get("VLLM_SERVER_DEV_MODE", "0") not in (
+                "0", "", "false", "False"):
+            r.add_post("/scale_elastic_ep", self.scale_elastic_ep)
+            r.add_post("/collective_rpc", self.collective_rpc)
         try:
             from vllm_main_modify_tpu.structured_output.audit_admin import \
                 register_audit_routes
@@ -198,6 +205,15 @@ class OpenAIServer:
             "block_size": self.config.cache_config.block_size,
         })
 
+    # Methods invocable over /collective_rpc even in dev mode: a
+    # caller-supplied method name must not reach arbitrary runner
+    # internals (the route is itself gated behind
+    # VLLM_SERVER_DEV_MODE; this is defense in depth).
+    COLLECTIVE_RPC_ALLOWED = frozenset({
+        "reload_weights", "save_sharded_state", "sleep", "wake_up",
+        "capture_model",
+    })
+
     async def collective_rpc(self,
                              request: web.Request) -> web.Response:
         """Reference: /collective_rpc — invoke a method on the
@@ -209,6 +225,10 @@ class OpenAIServer:
         if runner is None:
             return error_json(400, "engine core is remote; "
                               "collective_rpc unavailable")
+        if method not in self.COLLECTIVE_RPC_ALLOWED:
+            return error_json(
+                400, f"method {method!r} is not allowlisted for "
+                "collective_rpc")
         fn = getattr(runner, method, None)
         if fn is None or not callable(fn):
             return error_json(400, f"unknown method {method!r}")

@@ -28,7 +28,7 @@ engines.
 
 from __future__ import annotations
 
-import pickle
+import struct
 import threading
 from collections import defaultdict
 from dataclasses import dataclass
@@ -39,6 +39,86 @@ import logging
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------
+# wire format
+#
+# Block payloads cross a network boundary (the consumer's PULL socket
+# is reachable by anything that can reach listen_addr), so the codec
+# must be NON-EXECUTABLE: a length-prefixed struct header + raw array
+# bytes, never pickle. Layout (little-endian):
+#
+#   b"KVX1" | u32 count | count x [ u16 hash_len | hash |
+#       u8 dtype_len | dtype-name utf8 | u8 ndim | ndim x u32 dims |
+#       u64 nbytes | raw bytes ]
+
+_MAGIC = b"KVX1"
+
+
+def _np_dtype(name: str) -> np.dtype:
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes  # registered extension dtypes (bfloat16 &c)
+
+        return np.dtype(getattr(ml_dtypes, name))
+
+
+def encode_blocks(pairs: list) -> bytes:
+    """Serialize ``[(hash_bytes, np_array), ...]`` (non-executable)."""
+    out = [_MAGIC, struct.pack("<I", len(pairs))]
+    for h, arr in pairs:
+        arr = np.ascontiguousarray(arr)
+        dt = str(arr.dtype).encode()
+        out.append(struct.pack(f"<H{len(h)}sB{len(dt)}sB", len(h), h,
+                               len(dt), dt, arr.ndim))
+        out.append(struct.pack(f"<{arr.ndim}I", *arr.shape))
+        raw = arr.tobytes()
+        out.append(struct.pack("<Q", len(raw)))
+        out.append(raw)
+    return b"".join(out)
+
+
+def decode_blocks(payload: bytes) -> list:
+    """Inverse of :func:`encode_blocks`; raises ValueError on any
+    malformed input instead of executing it."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("bad kv-transfer magic")
+    try:
+        return _decode_body(payload)
+    except (struct.error, UnicodeDecodeError, AttributeError) as e:
+        raise ValueError(f"malformed kv-transfer payload: {e}") from e
+
+
+def _decode_body(payload: bytes) -> list:
+    pos = 4
+    (count,) = struct.unpack_from("<I", payload, pos)
+    pos += 4
+    pairs = []
+    for _ in range(count):
+        (hlen,) = struct.unpack_from("<H", payload, pos)
+        pos += 2
+        h = payload[pos:pos + hlen]
+        pos += hlen
+        (dlen,) = struct.unpack_from("<B", payload, pos)
+        pos += 1
+        dtype = _np_dtype(payload[pos:pos + dlen].decode())
+        pos += dlen
+        (ndim,) = struct.unpack_from("<B", payload, pos)
+        pos += 1
+        shape = struct.unpack_from(f"<{ndim}I", payload, pos)
+        pos += 4 * ndim
+        (nbytes,) = struct.unpack_from("<Q", payload, pos)
+        pos += 8
+        if nbytes != int(np.prod(shape, dtype=np.int64)) * \
+                dtype.itemsize or pos + nbytes > len(payload):
+            raise ValueError("kv-transfer length mismatch")
+        arr = np.frombuffer(payload, dtype=dtype, count=int(
+            np.prod(shape, dtype=np.int64)), offset=pos).reshape(shape)
+        pos += nbytes
+        pairs.append((h, arr))
+    return pairs
 
 
 @dataclass
@@ -167,7 +247,7 @@ class KVConnector:
         data = extract_fn(block_ids[:n])  # [L, n, page, W]
         pairs = [(bytes(hashes[i]), np.asarray(data[:, i]))
                  for i in range(n)]
-        self.transport.send(pickle.dumps(pairs, protocol=5))
+        self.transport.send(encode_blocks(pairs))
         self.blocks_sent += n
         logger.debug("kv_transfer: sent %d blocks for %s", n,
                      request.request_id)
@@ -181,7 +261,14 @@ class KVConnector:
         """Move received blocks into the offload tier (step start)."""
         n = 0
         for payload in self.transport.recv_all():
-            for h, arr in pickle.loads(payload):
+            try:
+                pairs = decode_blocks(payload)
+            except (ValueError, struct.error, UnicodeDecodeError,
+                    AttributeError) as e:
+                logger.warning("kv_transfer: dropping malformed "
+                               "payload (%s)", e)
+                continue
+            for h, arr in pairs:
                 offload_store.put(h, arr)
                 offload_index.add(h)
                 n += 1

@@ -14,7 +14,7 @@ pairs.
 ``slot_mapping`` maps each new token to its flat slot
 ``page_id * page_size + offset``; padded tokens carry slot 0 of the
 null page combined with a mask. The XLA path is a plain scatter; the
-Pallas path (ops/pallas/kv_update.py) copies contiguous slices.
+page-RMW path (``kv_cache_update_paged`` below) rewrites whole pages.
 """
 
 from __future__ import annotations

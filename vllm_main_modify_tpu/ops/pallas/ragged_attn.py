@@ -133,9 +133,12 @@ def _rpa_kernel(
                        jnp.maximum(t0 - q_start, 0))
             return jnp.maximum((pos_min - sliding_window + 1) // kvb,
                                0).astype(jnp.int32)
-    elif chunk_size is not None:
+    elif chunk_size is not None and num_spans == 0:
         # chunked local attention (Llama4): the smallest attended kv
-        # index is the chunk start of the earliest q row
+        # index is the chunk start of the earliest q row. (Disabled
+        # when bidirectional spans are active, mirroring the
+        # sliding-window guard: a span may live behind the chunk
+        # start and its KV blocks must still be read.)
         def first_kv_block(s):
             q_start = qsl_ref[s]
             q_len = qsl_ref[s + 1] - q_start
