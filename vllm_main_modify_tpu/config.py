@@ -230,6 +230,13 @@ class ParallelConfig:
 
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # DCP (decode context parallel, reference: vllm/v1/attention/
+    # backends/mla/common.py:487-700 + scheduler.py:105-112): shard KV
+    # PAGES across the model axis and merge per-shard attention
+    # partials by LSE. Use when tensor_parallel_size exceeds the
+    # model's KV-head count (head sharding would split inside a head).
+    # Must divide tensor_parallel_size.
+    decode_context_parallel_size: int = 1
     # run the engine core in a background process over ZMQ RPC
     # (reference: VLLM_ENABLE_V1_MULTIPROCESSING / EngineCoreProc);
     # dp > 1 implies one process per DP engine

@@ -266,6 +266,13 @@ class EngineCore:
                 self.kv_connector.close()
             except Exception:  # noqa: BLE001
                 pass
+        if getattr(self.model_runner, "dcp_size", 1) > 1:
+            # trace-time module context (layers/attention.py); reset
+            # so later engines in this process trace non-DCP
+            from vllm_main_modify_tpu.layers.attention import \
+                set_dcp_context
+
+            set_dcp_context(None)
 
     def has_unfinished_requests(self) -> bool:
         return self.scheduler.has_unfinished_requests()

@@ -80,7 +80,9 @@ class LLM:
             parallel_config=ParallelConfig(
                 tensor_parallel_size=tensor_parallel_size,
                 data_parallel_size=data_parallel_size,
-                engine_multiprocess=engine_multiprocess),
+                engine_multiprocess=engine_multiprocess,
+                decode_context_parallel_size=kwargs.pop(
+                    "decode_context_parallel_size", 1)),
             load_config=LoadConfig(load_format=load_format),
             lora_config=LoRAConfig(enable_lora=enable_lora,
                                    max_loras=max_loras,

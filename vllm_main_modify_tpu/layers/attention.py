@@ -17,6 +17,26 @@ import jax.numpy as jnp
 from vllm_main_modify_tpu.ops.attention import ragged_paged_attention
 from vllm_main_modify_tpu.ops.kv_cache import write_to_kv_cache
 
+# --------------------------------------------------------------------
+# DCP (decode context parallel) trace-time context. Set by the model
+# runner when ParallelConfig.decode_context_parallel_size > 1 — KV
+# pages then shard across the mesh's model axis (interleaved by global
+# page id) and attention() takes the shard_map partial+LSE-merge path
+# below instead of the plain GSPMD path. This is a module-level value
+# read at TRACE time (like the use_pallas platform default): one
+# process traces one DCP configuration; the runner resets it on
+# shutdown. Reference: mla/common.py:487-700.
+_DCP_CTX: Optional[tuple] = None  # (mesh, axis_name, n_shards)
+
+
+def set_dcp_context(ctx: Optional[tuple]) -> None:
+    global _DCP_CTX
+    _DCP_CTX = ctx
+
+
+def get_dcp_context() -> Optional[tuple]:
+    return _DCP_CTX
+
 
 class AttentionMetadata(NamedTuple):
     """Static-shape per-step attention inputs (padded).
@@ -102,6 +122,13 @@ def attention(
         use_pallas = jax.devices()[0].platform == "tpu"
     if bidir_spans is None:
         bidir_spans = meta.bidir_spans
+    if _DCP_CTX is not None:
+        assert sliding_window is None and logit_softcap is None and \
+            sinks is None and chunk_size is None and \
+            bidir_spans is None and alibi_slopes is None, \
+            "DCP supports plain causal full attention only"
+        return _dcp_attention(q, k, v, kv_caches, layer_idx, meta,
+                              sm_scale)
     num_kv_heads, head_dim = k.shape[-2], k.shape[-1]
     width = 2 * num_kv_heads * head_dim
     if kv_caches.ndim == 5:
@@ -148,6 +175,103 @@ def attention(
         bidir_spans=bidir_spans,
     )
     return out, flat.reshape(kv_caches.shape)
+
+
+def _dcp_attention(
+    q: jax.Array,  # [T, Hq, D]
+    k: jax.Array,  # [T, Hk, D]
+    v: jax.Array,  # [T, Hk, D]
+    kv_caches: jax.Array,  # [L, P, page, 2*Hk*D], P sharded over axis
+    layer_idx,  # traced int32
+    meta: "AttentionMetadata",
+    sm_scale: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Decode-context-parallel attention (reference:
+    mla/common.py:487-700 + cp_gather_cache): global page id g lives
+    on shard g % n at local row g // n; each shard writes/reads ITS
+    pages only and the exact softmax is recovered with the streaming
+    LSE merge (ops/dcp.py) — one psum pair over ICI, no KV allgather.
+    Host-side state (block tables, slot mapping) stays GLOBAL; the
+    localization happens inside the shard_map region."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    from vllm_main_modify_tpu.ops.dcp import (localize_block_tables,
+                                              partial_paged_attention)
+    from vllm_main_modify_tpu.ops.kv_cache import \
+        write_to_kv_cache_paged
+
+    mesh, axis, n = _DCP_CTX
+    num_kv_heads, head_dim = k.shape[-2], k.shape[-1]
+    width = 2 * num_kv_heads * head_dim
+    if kv_caches.ndim == 5:
+        num_layers, num_pages, page_size = kv_caches.shape[:3]
+        wide = kv_caches.reshape(num_layers, num_pages, page_size,
+                                 width)
+    else:
+        wide = kv_caches
+        num_layers, num_pages, page_size = wide.shape[:3]
+    pl_pages = num_pages // n  # local pages per shard
+    slices = meta.kv_update_slices
+    has_slices = slices is not None
+    nsl = meta.num_kv_update_slices
+
+    def shard_fn(wide_local, li, q, kk, vv, bt, qsl, sl, slots,
+                 slc, nslc):
+        shard = jax.lax.axis_index(axis)
+        row_off = li * (pl_pages * page_size)
+        flat = wide_local.reshape(num_layers * pl_pages, page_size,
+                                  width)
+        if has_slices:
+            # localize page-RMW slices: remote slices get length 0
+            # (dropped by write_to_kv_cache_paged)
+            g = slc[0] // page_size
+            off = slc[0] % page_size
+            mine = (g % n) == shard
+            local_start = (g // n) * page_size + off
+            slc_local = jnp.stack([
+                jnp.where(mine, local_start, 0), slc[1],
+                jnp.where(mine, slc[2], 0)
+            ])
+            flat = write_to_kv_cache_paged(flat, kk, vv, slc_local,
+                                           nslc, row_offset=row_off)
+        else:
+            g = slots // page_size
+            off = slots % page_size
+            mine = (slots >= 0) & ((g % n) == shard)
+            lslot = (g // n) * page_size + off + row_off
+            flat = write_to_kv_cache(flat, kk, vv,
+                                     jnp.where(mine, lslot, -1))
+        bt_local = localize_block_tables(bt, shard, n)
+        bt_off = jnp.where(bt_local >= 0, bt_local + li * pl_pages,
+                           -1)
+        kvl = flat.reshape(num_layers * pl_pages, page_size,
+                           2 * num_kv_heads, head_dim)
+        out, denom, m = partial_paged_attention(q, kvl, bt_off, qsl,
+                                                sl, sm_scale)
+        m_glob = jax.lax.pmax(m, axis)
+        safe = jnp.where(jnp.isfinite(m_glob), m_glob, 0.0)
+        scale = jnp.where(jnp.isfinite(m), jnp.exp(m - safe), 0.0)
+        num = jax.lax.psum(out * scale[..., None], axis)
+        den = jax.lax.psum(denom * scale, axis)
+        o = (num / jnp.maximum(den, 1e-30)[..., None]).astype(q.dtype)
+        return o, flat.reshape(wide_local.shape)
+
+    zero = jnp.zeros((1, ), jnp.int32)
+    out, wide2 = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(PS(None, axis), PS(), PS(), PS(), PS(), PS(), PS(),
+                  PS(), PS(), PS(), PS()),
+        out_specs=(PS(), PS(None, axis)),
+    )(wide, jnp.asarray(layer_idx, jnp.int32), q, k, v,
+      meta.block_tables, meta.query_start_loc, meta.seq_lens,
+      meta.slot_mapping,
+      slices if has_slices else zero,
+      nsl if has_slices else zero)
+    return out, wide2.reshape(kv_caches.shape)
 
 
 def cross_attention(

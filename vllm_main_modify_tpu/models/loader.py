@@ -145,9 +145,12 @@ def _load_quantized(spec: ParamSpec, reader: _TensorReader, config,
     kernels/ repacking)."""
     from vllm_main_modify_tpu.quantization import weights as QW
 
-    if quant in ("gptq", "awq"):
+    if quant in ("gptq", "awq", "gptq_w4a8", "awq_w4a8"):
         from vllm_main_modify_tpu.quantization.formats import (
             repack_awq, repack_gptq)
+
+        w4a8 = quant.endswith("_w4a8")
+        quant = quant.split("_")[0]
 
         base_key = spec.hf_key.rsplit(".weight", 1)[0]
         num_layers = spec.shape[0] if spec.stacked else 1
@@ -195,7 +198,8 @@ def _load_quantized(spec: ParamSpec, reader: _TensorReader, config,
             ]), False)
         return QW.Int4Weight(put(stack(packs), True),
                              put(stack(scs), True),
-                             put(stack(zps), True), perm_arr)
+                             put(stack(zps), True), perm_arr,
+                             w4a8=w4a8)
 
     # pre-quantized W8 checkpoints (compressed-tensors INT8 / HF FP8:
     # <proj>.weight int8|f8e4m3 + <proj>.weight_scale [out] f32 +
@@ -375,6 +379,9 @@ def _on_the_fly_table():
         "int4": QW.quantize_int4,
         "gptq": QW.quantize_int4,
         "awq": QW.quantize_int4,
+        "w4a8": QW.quantize_int4_w4a8,
+        "gptq_w4a8": QW.quantize_int4_w4a8,
+        "awq_w4a8": QW.quantize_int4_w4a8,
         "int8_w8a8": QW.quantize_int8_w8a8,
         "fp8_w8a8": QW.quantize_fp8_w8a8,
         "w8a8": QW.quantize_fp8_w8a8,

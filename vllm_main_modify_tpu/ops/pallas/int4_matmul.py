@@ -14,10 +14,17 @@ Grid: (num_out_tiles, num_k_tiles) — K is the inner (fastest) axis so
 the output tile stays resident while partial products accumulate.
 
 Measured on this environment's tunneled v5e: numerically exact vs the
-XLA oracle; currently VPU-bound on the unpack+dequant (the chip also
-delivers only ~160 GB/s effective HBM through the tunnel, so neither
-path is memory-bound here). Round-2 candidates: W4A8 (int8 MXU
-consumes nibbles directly) and a 2-nibble-per-op unpack.
+XLA oracle; the W4A16 variant is VPU-bound on the unpack+dequant.
+
+W4A8 variant (``int4_matmul_w4a8_pallas``): activations are quantized
+per-token to int8 (quantization/weights.py quantize_activations_int8)
+and the matmul runs on the int8 MXU. The group dequant moves into the
+INTEGER domain — (q - zero) fits int8 exactly (q, zero in [0, 15]) —
+so the per-element VPU work drops to unpack + subtract + narrow, and
+the f32 scale applies to the [T, BO] per-group partial products
+instead of the [BK, BO] weight tile (a T/BK-fold cut at decode batch
+sizes). Reference target: Marlin/QServe-style W4A8 GEMMs
+(csrc/quantization/gptq_marlin/, q_gemm.cu:1848-era).
 """
 
 from __future__ import annotations
@@ -76,6 +83,52 @@ def _int4_kernel(x_ref, packed_ref, scales_ref, zeros_ref, out_ref,
     @pl.when(j == n_k_tiles - 1)
     def _():
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _int4_w4a8_kernel(qx_ref, packed_ref, scales_ref,
+                      zeros_ref, out_ref, acc_ref, *, group_size: int,
+                      n_k_tiles: int):
+    j = pl.program_id(1)
+
+    # unpack nibbles (same lane-blocked layout as the W4A16 kernel)
+    packed = packed_ref[...]
+    bk = packed.shape[0]
+    q = jnp.concatenate(
+        [(packed >> (4 * jj)) & 0xF for jj in range(8)],
+        axis=1)  # [BK, BO] int32
+
+    zeros_i = zeros_ref[...].astype(jnp.int32)  # [BK/g, BO] exact
+    scales = scales_ref[...]  # [BK/g, BO] f32
+    qx = qx_ref[...]  # [T, BK] int8
+
+    # per-group: (q - z) fits int8 exactly; one int8 MXU matmul per
+    # group, f32 scale applied to the [T, BO] partial (not the
+    # [BK, BO] weight tile)
+    acc = None
+    for gi in range(bk // group_size):
+        lo, hi = gi * group_size, (gi + 1) * group_size
+        wq8 = (q[lo:hi] - zeros_i[gi:gi + 1, :]).astype(jnp.int8)
+        part = jax.lax.dot_general(
+            qx[:, lo:hi], wq8,
+            dimension_numbers=(((1, ), (0, )), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        part = part * scales[gi:gi + 1, :]
+        acc = part if acc is None else acc + part
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = acc
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[...] = acc_ref[...] + acc
+
+    @pl.when(j == n_k_tiles - 1)
+    def _():
+        # per-token activation scale applies OUTSIDE (XLA fuses the
+        # [T, O] f32 multiply into the consumer) — keeps this block
+        # free of thin [T, 1] operands
+        out_ref[...] = acc_ref[...]
 
 
 def _pick_tile(dim: int, group: int, cap: int) -> int:
@@ -148,3 +201,54 @@ def int4_matmul_pallas(x: jax.Array, w, interpret: bool = False
         interpret=interpret,
     )(x2, packed, scales, zeros)
     return out.reshape(*t_dim, o)
+
+
+@functools.partial(jax.jit, static_argnames=["interpret"])
+def int4_matmul_w4a8_pallas(x: jax.Array, w, interpret: bool = False
+                            ) -> jax.Array:
+    """W4A8: per-token int8 activations on the int8 MXU (see module
+    docstring). Falls back to the XLA W4A16 path for shapes the
+    kernel does not tile."""
+    from vllm_main_modify_tpu.quantization.int4_dispatch import \
+        int4_matmul_xla
+    from vllm_main_modify_tpu.quantization.weights import \
+        quantize_activations_int8
+
+    t_dim, k = x.shape[:-1], x.shape[-1]
+    x2 = x.reshape(-1, k)
+    t = x2.shape[0]
+    packed, scales, zeros = w.packed, w.scales, w.zeros
+    o = packed.shape[-1] * 8
+    g = k // scales.shape[-2]
+
+    bk = _pick_k_tile(k, g)
+    bo = 0
+    for cand in (1024, 2048, 3072):
+        if o % cand == 0:
+            bo = cand
+            break
+    if bk == 0 or bo == 0 or t % 8 != 0 or (k // g) % (k // bk) != 0:
+        return int4_matmul_xla(x, w)
+
+    qx, s_a = quantize_activations_int8(x2)  # [T,K] int8, [T,1] f32
+    n_k_tiles = k // bk
+    grid = (o // bo, n_k_tiles)
+
+    acc = pl.pallas_call(
+        functools.partial(_int4_w4a8_kernel, group_size=g,
+                          n_k_tiles=n_k_tiles),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t, bk), lambda i, j: (0, j)),
+            pl.BlockSpec((bk, bo // 8), lambda i, j: (j, i)),
+            pl.BlockSpec((bk // g, bo), lambda i, j: (j, i)),
+            pl.BlockSpec((bk // g, bo), lambda i, j: (j, i)),
+        ],
+        out_specs=pl.BlockSpec((t, bo), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((t, o), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((t, bo), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(qx, packed, scales, zeros)
+    return (acc * s_a).astype(x.dtype).reshape(*t_dim, o)

@@ -22,10 +22,30 @@ def int4_matmul_xla(x: jax.Array, w) -> jax.Array:
     return x @ deq
 
 
+def int4_matmul_w4a8_xla(x: jax.Array, w) -> jax.Array:
+    """W4A8 oracle/CPU path: same math as the Pallas kernel — int8
+    activations, exact integer per-group dots, f32 group scales."""
+    from vllm_main_modify_tpu.quantization.weights import (
+        dequant_int4, quantize_activations_int8)
+
+    qx, s_a = quantize_activations_int8(x.reshape(-1, x.shape[-1]))
+    deq = dequant_int4(w, dtype=jnp.float32)
+    acc = jax.lax.dot_general(
+        qx.astype(jnp.float32), deq,
+        dimension_numbers=(((1, ), (0, )), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (acc * s_a).astype(x.dtype).reshape(*x.shape[:-1],
+                                               deq.shape[-1])
+
+
 def int4_matmul(x: jax.Array, w) -> jax.Array:
     if jax.devices()[0].platform == "tpu":
-        from vllm_main_modify_tpu.ops.pallas.int4_matmul import \
-            int4_matmul_pallas
+        from vllm_main_modify_tpu.ops.pallas.int4_matmul import (
+            int4_matmul_pallas, int4_matmul_w4a8_pallas)
 
+        if getattr(w, "w4a8", False):
+            return int4_matmul_w4a8_pallas(x, w)
         return int4_matmul_pallas(x, w)
+    if getattr(w, "w4a8", False):
+        return int4_matmul_w4a8_xla(x, w)
     return int4_matmul_xla(x, w)

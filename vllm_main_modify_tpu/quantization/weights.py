@@ -84,21 +84,30 @@ class Int4Weight:
     interleaved nibble order linearized at load) both repack to this.
     ``perm``: optional [..., in] int32 — activation permutation for
     GPTQ act-order checkpoints (rows were sorted by group at load).
+    ``w4a8``: static flag — quantize activations to int8 per token and
+    run the int8-MXU W4A8 kernel (Marlin/QServe-style; opt-in via
+    quantization="gptq_w4a8"/"awq_w4a8"/"w4a8").
     """
 
     packed: jax.Array
     scales: jax.Array
     zeros: jax.Array
     perm: jax.Array | None = None
+    w4a8: bool = False
 
     def tree_flatten(self):
         if self.perm is None:
-            return (self.packed, self.scales, self.zeros), False
-        return (self.packed, self.scales, self.zeros, self.perm), True
+            return (self.packed, self.scales,
+                    self.zeros), (False, self.w4a8)
+        return (self.packed, self.scales, self.zeros,
+                self.perm), (True, self.w4a8)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        has_perm, w4a8 = aux
+        if has_perm:
+            return cls(*children, w4a8=w4a8)
+        return cls(*children, perm=None, w4a8=w4a8)
 
     @property
     def shape(self):
@@ -346,3 +355,11 @@ def int4_pack(q: jax.Array) -> jax.Array:
     shifts = jnp.arange(8, dtype=jnp.uint32) * 4
     words = (qr << shifts).sum(axis=-1, dtype=jnp.uint32)
     return words.astype(jnp.int32)
+
+
+def quantize_int4_w4a8(w: jax.Array, group_size: int = 128
+                       ) -> Int4Weight:
+    """As :func:`quantize_int4` but flagged for the W4A8 (int8-MXU)
+    matmul path."""
+    q = quantize_int4(w, group_size)
+    return Int4Weight(q.packed, q.scales, q.zeros, q.perm, w4a8=True)

@@ -293,6 +293,30 @@ class TPUModelRunner:
         self._kv_sharding = NamedSharding(
             self.mesh, P(None, None, None, "model"))
         self._replicated = NamedSharding(self.mesh, P())
+        # DCP (decode context parallel): shard KV PAGES across the
+        # model axis instead of heads, attention merges per-shard
+        # partials by LSE (layers/attention.py _dcp_attention). For
+        # when TP exceeds the KV-head count (reference:
+        # mla/common.py:487-700, scheduler.py:105-112).
+        self.dcp_size = config.parallel_config.decode_context_parallel_size
+        if self.dcp_size > 1:
+            tp = config.parallel_config.tensor_parallel_size
+            if self.dcp_size != tp:
+                raise ValueError(
+                    f"decode_context_parallel_size ({self.dcp_size}) "
+                    f"must equal tensor_parallel_size ({tp}) — pages "
+                    "shard over the whole model axis")
+            if (self.num_kv_groups > 1 or self.is_enc_dec
+                    or self.eagle is not None):
+                raise ValueError(
+                    "DCP requires a single full-attention KV group "
+                    "(no hybrid/enc-dec/EAGLE)")
+            self._kv_sharding = NamedSharding(
+                self.mesh, P(None, "model", None, None))
+            from vllm_main_modify_tpu.layers.attention import \
+                set_dcp_context
+
+            set_dcp_context((self.mesh, "model", self.dcp_size))
 
     # ------------------------------------------------------------------
     # setup
@@ -477,8 +501,12 @@ class TPUModelRunner:
             if self.kv_groups[0].num_layers == 0:
                 return [2]  # encoder-only: no KV at all
             if full_pages is not None:
-                return [full_pages]
-            return [max(avail_bytes // self.page_bytes(), 16)]
+                n = full_pages
+            else:
+                n = max(avail_bytes // self.page_bytes(), 16)
+            if self.dcp_size > 1:  # page axis shards evenly
+                n = max(n // self.dcp_size, 1) * self.dcp_size
+            return [n]
         counts = [0] * self.num_kv_groups
         spent = 0
         for gi, g in enumerate(self.kv_groups):
