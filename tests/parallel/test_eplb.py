@@ -131,3 +131,64 @@ def test_physical_moe_matches_logical():
     got = moe_apply(x, weights, phys_experts, wg_p, wu_p, wd_p, act)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+@pytest.fixture(scope="module")
+def mixtral_dir(tmp_path_factory):
+    import torch
+    import transformers
+
+    cfg = transformers.MixtralConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=128,
+        num_local_experts=4, num_experts_per_tok=2)
+    torch.manual_seed(0)
+    hf = transformers.MixtralForCausalLM(cfg).to(torch.float32).eval()
+    path = tmp_path_factory.mktemp("models") / "tiny-mixtral"
+    hf.save_pretrained(path, safe_serialization=True)
+    from tests.conftest import _save_tiny_tokenizer
+
+    _save_tiny_tokenizer(path)
+    return str(path)
+
+
+def test_eplb_engine_serving(mixtral_dir):
+    """EPLB through the engine (reference: eplb_state.py +
+    gpu_model_runner.py:1834): loads are tracked from the live
+    router, the placement is rearranged on cadence, and generations
+    stay IDENTICAL to the non-EPLB engine across rearrangements."""
+    from vllm_main_modify_tpu.entrypoints.llm import LLM
+    from vllm_main_modify_tpu.sampling_params import SamplingParams
+
+    prompts = [{"prompt_token_ids": [7 * i + 3, 11, 13, 17 + i]}
+               for i in range(4)]
+    sp = SamplingParams(temperature=0.0, max_tokens=16,
+                        ignore_eos=True)
+    kw = dict(model=mixtral_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=8, max_num_batched_tokens=64, block_size=4,
+              num_kv_blocks=128)
+    ref = [list(o.outputs[0].token_ids)
+           for o in LLM(**kw).generate(prompts, sp)]
+
+    llm = LLM(**kw, enable_eplb=True, num_redundant_experts=4,
+              eplb_window=3)
+    runner = llm.engine.engine_core.model_runner
+    st = runner.eplb_state
+    assert st is not None and st.num_physical == 8
+    init_phy2log = st.phy2log.copy()
+
+    got = [list(o.outputs[0].token_ids)
+           for o in llm.generate(prompts, sp)]
+    assert got == ref  # physical placement must not change outputs
+
+    # the window (3 steps) elapsed during decode: placement rearranged
+    assert st.num_rearrangements >= 1
+    # the rearrangement actually reacted to load (hot experts get the
+    # redundant slots; with a random router the map almost surely
+    # differs from the uniform-load initial packing)
+    assert not np.array_equal(st.phy2log, init_phy2log)
+
+    # and serving AFTER a rearrangement is still exact
+    got2 = [list(o.outputs[0].token_ids)
+            for o in llm.generate(prompts, sp)]
+    assert got2 == ref

@@ -21,26 +21,43 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _time(fn, x, w, iters: int = 100) -> float:
-    """Per-iteration device time with iterations SERIALIZED inside a
-    lax.scan (each iteration's input depends on the previous output),
-    so overlapped async dispatch can't fake impossible bandwidths —
-    independent-call timing through this environment's tunnel showed
-    >5 TB/s implied HBM reads, i.e. pure pipelining artifacts."""
+def _time(fn, x, w, iters_a: int = 50, iters_b: int = 250) -> float:
+    """Per-iteration device time, measured to survive this
+    environment's tunneled TPU runtime, where three artifacts corrupt
+    naive timing (each observed here):
 
-    @jax.jit
-    def loop(x, w):
-        def body(c, _):
-            y = fn(x + c.astype(x.dtype), w)
-            return y.ravel()[0].astype(jnp.float32) * 1e-12, None
+    1. block_until_ready returns BEFORE execution finishes — a
+       device→host fetch (float()) is the only real barrier;
+    2. un-chained repeated calls pipeline into impossible bandwidths,
+       so iterations run SERIALIZED inside a lax.scan with the carry
+       feeding the next input — and the per-iteration reduction must
+       be max(), not sum() (XLA collapses sum(x@w) into
+       rowsum(x)·colsum(w) and hoists it) nor a [0] peek (DCE'd to
+       one column);
+    3. each blocking fetch costs a fixed ~26 ms RTT, so the
+       per-iteration time is the DIFFERENCE of two iteration counts.
+    """
 
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
-        return c
+    def loop(iters):
+        @jax.jit
+        def g(x, w):
+            def body(c, _):
+                y = fn(x + c.astype(x.dtype), w)
+                return y.astype(jnp.float32).max() * 1e-12, None
 
-    jax.block_until_ready(loop(x, w))  # compile + warm
-    t0 = time.perf_counter()
-    jax.block_until_ready(loop(x, w))
-    return (time.perf_counter() - t0) / iters
+            c, _ = jax.lax.scan(body, jnp.float32(0), None,
+                                length=iters)
+            return c
+
+        float(g(x, w))  # compile + warm
+        best = float("inf")
+        for _ in range(3):  # min-of-3: RTT jitter is one-sided noise
+            t0 = time.perf_counter()
+            float(g(x, w))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (loop(iters_b) - loop(iters_a)) / (iters_b - iters_a)
 
 
 def run(t_sizes=(8, 16, 32), verbose: bool = True) -> list[dict]:

@@ -243,6 +243,12 @@ class ParallelConfig:
     engine_multiprocess: bool = False
     expert_parallel_size: int = 1
     enable_expert_parallel: bool = False
+    # EPLB (expert load balancing, reference: vllm/distributed/eplb/):
+    # track per-expert routing load and periodically rebalance the
+    # physical expert placement (hot experts get redundant replicas).
+    enable_eplb: bool = False
+    num_redundant_experts: int = 0
+    eplb_window: int = 32  # engine steps between rearrangements
     # axis names used in sharding rules
     data_axis: str = "data"
     model_axis: str = "model"

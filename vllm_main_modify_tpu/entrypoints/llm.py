@@ -82,7 +82,11 @@ class LLM:
                 data_parallel_size=data_parallel_size,
                 engine_multiprocess=engine_multiprocess,
                 decode_context_parallel_size=kwargs.pop(
-                    "decode_context_parallel_size", 1)),
+                    "decode_context_parallel_size", 1),
+                enable_eplb=kwargs.pop("enable_eplb", False),
+                num_redundant_experts=kwargs.pop(
+                    "num_redundant_experts", 0),
+                eplb_window=kwargs.pop("eplb_window", 32)),
             load_config=LoadConfig(load_format=load_format),
             lora_config=LoRAConfig(enable_lora=enable_lora,
                                    max_loras=max_loras,

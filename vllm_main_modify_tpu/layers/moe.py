@@ -11,10 +11,59 @@ weights. Under GSPMD the expert axis shards over the mesh for EP.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class EplbExpertWeight:
+    """One stacked expert tensor in PHYSICAL layout plus the
+    logical→physical routing map (EPLB; reference:
+    vllm/distributed/eplb/eplb_state.py + rebalance_execute.py).
+
+    ``phys``: [L, P, ...] physical expert weights (P >= E, hot experts
+    replicated). ``log2phy``: [L, E, R] physical slot per (logical,
+    replica), -1 padded. ``logcnt``: [L, E] live replica count.
+    All leaves lead with the layer axis so the scaffolds' per-layer
+    tree slicing works unchanged; moe_apply detects the container and
+    routes logical top-k ids through the map with round-robin replica
+    choice. Rebalancing swaps the arrays in the params tree — shapes
+    are constant, so no recompilation."""
+
+    phys: jax.Array
+    log2phy: jax.Array
+    logcnt: jax.Array
+
+    def tree_flatten(self):
+        return (self.phys, self.log2phy, self.logcnt), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.phys.shape
+
+    @property
+    def dtype(self):
+        return self.phys.dtype
+
+
+def eplb_translate(experts: jax.Array, log2phy: jax.Array,
+                   logcnt: jax.Array) -> jax.Array:
+    """Logical top-k ids [T, k] → physical slot ids, spreading tokens
+    round-robin across each expert's replicas (parallel/eplb.py
+    translate_experts, in-graph version)."""
+    t = experts.shape[0]
+    tok = jnp.arange(t, dtype=jnp.int32)[:, None]
+    replica = tok % jnp.take(logcnt, experts)
+    return jnp.take(log2phy.reshape(-1),
+                    experts * log2phy.shape[1] + replica)
 
 
 def group_limited_topk(
@@ -50,8 +99,11 @@ def moe_ffn(
     topk_group: int = 0,
     router_bias: Optional[jax.Array] = None,  # [E]
     biases: Optional[tuple] = None,  # (b_gate[E,I], b_up[E,I], b_down[E,H])
+    return_counts: bool = False,
 ) -> jax.Array:
-    """Top-k routed expert FFN (SwiGLU experts)."""
+    """Top-k routed expert FFN (SwiGLU experts). With
+    ``return_counts`` also returns the per-LOGICAL-expert token
+    histogram [E] int32 (EPLB load tracking)."""
     t, hidden = x.shape
     num_experts = router_weight.shape[1]
 
@@ -68,8 +120,13 @@ def moe_ffn(
         weights, experts = jax.lax.top_k(probs, top_k)  # [T, k]
     if renormalize:
         weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    return moe_apply(x, weights, experts, w_gate, w_up, w_down, act_fn,
-                     biases=biases)
+    y = moe_apply(x, weights, experts, w_gate, w_up, w_down, act_fn,
+                  biases=biases)
+    if return_counts:
+        counts = jnp.bincount(experts.reshape(-1),
+                              length=num_experts).astype(jnp.int32)
+        return y, counts
+    return y
 
 
 def moe_apply(
@@ -85,8 +142,20 @@ def moe_apply(
 ) -> jax.Array:
     """Grouped-GEMM expert application for an already-routed batch
     (routing variants — softmax/sigmoid, group-limited, bias-corrected
-    — live in the callers; this is the shared ragged_dot machinery)."""
+    — live in the callers; this is the shared ragged_dot machinery).
+
+    Expert weights may arrive as :class:`EplbExpertWeight` — logical
+    top-k ids then translate through the load-balancer's placement map
+    and the grouped GEMM runs over the PHYSICAL expert axis."""
     t, hidden = x.shape
+    if isinstance(w_gate, EplbExpertWeight):
+        experts = eplb_translate(experts, w_gate.log2phy,
+                                 w_gate.logcnt)
+        w_gate = w_gate.phys
+        w_up = w_up.phys if isinstance(w_up, EplbExpertWeight) \
+            else w_up
+        w_down = w_down.phys if isinstance(w_down, EplbExpertWeight) \
+            else w_down
     num_experts = w_gate.shape[0]
     top_k = experts.shape[1]
 

@@ -163,6 +163,10 @@ class MoeDecoderBase:
     def kv_cache_spec(self) -> tuple[int, int, int]:
         return self.num_kv, self.head_dim, self.L
 
+    # EPLB (set by the runner): collect per-layer logical expert-load
+    # histograms and return them as a third output [L, E] int32
+    eplb_collect = False
+
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,
                  use_pallas: Optional[bool] = None):
@@ -173,9 +177,10 @@ class MoeDecoderBase:
         t = x.shape[0]
 
         layers = params["layers"]
+        eplb = self.eplb_collect
 
         def layer_fn(l, carry):
-            x, kv_caches = carry
+            x, kv_caches, counts = carry
             w = jax.tree.map(
                 lambda a: jax.lax.dynamic_index_in_dim(
                     a, l, 0, keepdims=False), layers)
@@ -209,7 +214,12 @@ class MoeDecoderBase:
                          cfg.rms_norm_eps)
             y = moe_ffn(h, w["router"], w["w_gate"], w["w_up"],
                         w["w_down"], self.top_k, self.act_fn,
-                        renormalize=self.renormalize)
+                        renormalize=self.renormalize,
+                        return_counts=eplb)
+            if eplb:
+                y, cnt = y
+                counts = jax.lax.dynamic_update_index_in_dim(
+                    counts, cnt, l, 0)
             if self.has_shared_expert:
                 sh = self.act_fn(matmul(h, w["shared_gate_proj"]),
                                  matmul(h, w["shared_up_proj"]))
@@ -224,14 +234,18 @@ class MoeDecoderBase:
             if self.residual_mult != 1.0:
                 y = y * jnp.asarray(self.residual_mult, dtype=y.dtype)
             x = res + y
-            return x, kv_caches
+            return x, kv_caches, counts
 
         # fori_loop with the KV cache as carry: in-place page updates.
         # (a lax.scan emitting per-layer KV would allocate a SECOND
         # full-size KV buffer for the stacked outputs — 2x HBM)
-        x, kv_caches = jax.lax.fori_loop(0, self.L, layer_fn,
-                                         (x, kv_caches))
+        counts0 = jnp.zeros((self.L, self.E), jnp.int32) if eplb \
+            else jnp.zeros((), jnp.int32)
+        x, kv_caches, counts = jax.lax.fori_loop(
+            0, self.L, layer_fn, (x, kv_caches, counts0))
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        if eplb:
+            return x, kv_caches, counts
         return x, kv_caches
 
     def compute_logits(self, params, hidden):

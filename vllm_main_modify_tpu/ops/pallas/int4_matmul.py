@@ -13,8 +13,12 @@ VMEM scratch across K tiles.
 Grid: (num_out_tiles, num_k_tiles) — K is the inner (fastest) axis so
 the output tile stays resident while partial products accumulate.
 
-Measured on this environment's tunneled v5e: numerically exact vs the
-XLA oracle; the W4A16 variant is VPU-bound on the unpack+dequant.
+Measured on this environment's tunneled v5e (serialized-scan
+microbench, benchmarks/microbench_int4.py — naive timing through the
+tunnel is invalid, see its docstring): the W4A16 variant is VPU-bound
+on the unpack+dequant and lands at par with the bf16 XLA matmul
+(~740 GB/s effective weight stream); the W4A8 variant below reaches
+2.1-3.4x over bf16 at decode batch sizes (T=8..32).
 
 W4A8 variant (``int4_matmul_w4a8_pallas``): activations are quantized
 per-token to int8 (quantization/weights.py quantize_activations_int8)

@@ -39,6 +39,9 @@ class SamplerOutput(NamedTuple):
     # EAGLE: next step's draft proposals, filled by the fused propose
     # pass in the step fn (worker/model_runner.py), not by sample()
     draft_tokens: jax.Array = None  # [r_pad, K] i32
+    # EPLB: per-(layer, logical expert) token histogram of this step's
+    # routing, filled by the step fn when load balancing is on
+    eplb_counts: jax.Array = None  # [L, E] i32
 
 
 def apply_top_k_top_p(logits: jax.Array, top_k: jax.Array,

@@ -288,6 +288,35 @@ class TPUModelRunner:
         # global GSPMD arrays stay consistent
         self.step_broadcaster = None
 
+        # EPLB (reference: eplb_state.py + gpu_model_runner.py:1834
+        # eplb_step): physical expert placement + load tracking; the
+        # step fn returns per-layer logical expert histograms and the
+        # runner rearranges the placement every eplb_window steps.
+        self.eplb_state = None
+        pc = config.parallel_config
+        if pc.enable_eplb:
+            ex_specs = [s for s in self.model.param_specs()
+                        if getattr(s, "num_experts", 0) > 0]
+            if not ex_specs:
+                raise ValueError("enable_eplb on a non-MoE model")
+            if not hasattr(type(self.model), "eplb_collect"):
+                raise ValueError(
+                    f"{type(self.model).__name__} does not support "
+                    "EPLB load collection yet")
+            from vllm_main_modify_tpu.parallel.eplb import EplbState
+
+            num_moe_layers = ex_specs[0].shape[0]
+            num_logical = ex_specs[0].num_experts
+            self.eplb_state = EplbState(
+                num_layers=num_moe_layers,
+                num_logical=num_logical,
+                num_physical=num_logical + pc.num_redundant_experts,
+                num_devices=pc.tensor_parallel_size,
+                window=pc.eplb_window)
+            self.model.eplb_collect = True
+            # the multi-step decode scan does not thread histograms
+            self.decode_chunk_steps = 1
+
         # cache stored width-native [L, P, page, 2K*D]; 'model' shards
         # the width axis (whole (k,v,D) pairs per head stay contiguous)
         self._kv_sharding = NamedSharding(
@@ -370,8 +399,71 @@ class TPUModelRunner:
                 self.config.load_config.load_format)
         if self.enable_lora:
             self._init_lora_stacks()
+        if self.eplb_state is not None:
+            self._eplb_wrap_params()
         jax.block_until_ready(jax.tree.leaves(self.params))
         logger.info("model loaded in %.1fs", time.monotonic() - t0)
+
+    # ------------------------------------------------------------------
+    # EPLB: physical expert placement (reference: eplb_state.py,
+    # rebalance_execute.py — the P2P weight shuffle collapses to one
+    # device gather per expert tensor under GSPMD)
+    # ------------------------------------------------------------------
+
+    def _expert_param_paths(self) -> list[str]:
+        return [s.path for s in self.model.param_specs()
+                if getattr(s, "num_experts", 0) > 0]
+
+    def _eplb_wrap_params(self) -> None:
+        """Replace each logical [L, E, ...] expert tensor with the
+        physical-layout container (layers/moe.py EplbExpertWeight)."""
+        from vllm_main_modify_tpu.layers.moe import EplbExpertWeight
+
+        st = self.eplb_state
+        l2p = jnp.asarray(st.log2phy, jnp.int32)
+        cnt = jnp.asarray(st.logcnt, jnp.int32)
+        for path in self._expert_param_paths():
+            node, key = self._tree_node(path)
+            arr = node[key]
+            if not isinstance(arr, jax.Array):
+                raise ValueError(
+                    "EPLB with quantized expert weights is not "
+                    f"supported yet ({path} is {type(arr).__name__})")
+            node[key] = EplbExpertWeight(
+                st.build_physical_weights(arr), l2p, cnt)
+
+    def _tree_node(self, path: str):
+        parts = path.split(".")
+        node = self.params
+        for p in parts[:-1]:
+            node = node[p]
+        return node, parts[-1]
+
+    def eplb_step(self, counts: np.ndarray) -> None:
+        """Accumulate one step's histograms; rearrange on cadence
+        (reference: gpu_model_runner.py:1834 eplb_step)."""
+        from vllm_main_modify_tpu.layers.moe import EplbExpertWeight
+
+        st = self.eplb_state
+        st.loads += counts.astype(np.int64)
+        if not st.should_rebalance():
+            return
+        old_l2p = st.log2phy  # [L, E, R]
+        st.rearrange()
+        # new physical slot p holds logical e = phy2log[l, p]; gather
+        # its weights from e's FIRST replica in the OLD placement
+        rows = np.arange(st.num_layers)[:, None]
+        src = old_l2p[rows, st.phy2log, 0]  # [L, P] old physical slot
+        src_dev = jnp.asarray(src, jnp.int32)
+        l2p = jnp.asarray(st.log2phy, jnp.int32)
+        cnt = jnp.asarray(st.logcnt, jnp.int32)
+        for path in self._expert_param_paths():
+            node, key = self._tree_node(path)
+            w = node[key]
+            idx = src_dev.reshape(*src_dev.shape,
+                                  *([1] * (w.phys.ndim - 2)))
+            node[key] = EplbExpertWeight(
+                jnp.take_along_axis(w.phys, idx, axis=1), l2p, cnt)
 
     def _init_lora_stacks(self) -> None:
         """Zero-initialized stacked adapter slots live inside the param
@@ -1428,6 +1520,7 @@ class TPUModelRunner:
         eagle = self.eagle
         is_eagle3 = eagle is not None and getattr(eagle, "is_eagle3",
                                                   False)
+        eplb = self.eplb_state is not None
         medusa = self.medusa
         mlpspec = self.mlpspec
         max_spec = self.max_spec
@@ -1591,6 +1684,10 @@ class TPUModelRunner:
                 hidden, kv_caches, aux3 = model(
                     params, input_ids, model_positions, kv_caches,
                     attn_meta, use_pallas=use_pallas, **mm_kwargs)
+            elif eplb:
+                hidden, kv_caches, eplb_counts = model(
+                    params, input_ids, model_positions, kv_caches,
+                    attn_meta, use_pallas=use_pallas, **mm_kwargs)
             else:
                 hidden, kv_caches = model(params, input_ids,
                                           model_positions, kv_caches,
@@ -1666,6 +1763,8 @@ class TPUModelRunner:
                 **pen_kwargs, **bias_kwargs)
             key = jax.random.PRNGKey(base_seed)
             out = sample(logits, meta, key)
+            if eplb:
+                out = out._replace(eplb_counts=eplb_counts)
             if eagle is not None:
                 # EAGLE-3 drafts from the fc-combined aux hiddens;
                 # EAGLE-1 from the target's final hidden
@@ -2088,6 +2187,8 @@ class TPUModelRunner:
 
         # device -> host (single transfer of the small sampled arrays)
         sampled_np = np.asarray(out.sampled)
+        if self.eplb_state is not None:
+            self.eplb_step(np.asarray(out.eplb_counts))
         nsp = self.num_sample_positions
         accept_np = None
         if nsp > 1:
@@ -2391,6 +2492,10 @@ class TPUModelRunner:
         self._prev_sampled2 = self._prev_sampled
         self._prev_sampled = out.sampled
         self._pending_fill = new_fill
+        if self.eplb_state is not None:
+            # blocking fetch; EPLB cadence work rides the async path
+            # at one small [L, E] transfer per step
+            self.eplb_step(np.asarray(out.eplb_counts))
 
         # start the D2H transfer now; by the time the engine materializes
         # this handle (one step later) the copy is already on the host —
