@@ -104,6 +104,130 @@ def run_batch(core, rng, num_prompts: int) -> None:
         core.step()
 
 
+def llama3_8b_config(dtype="bfloat16", quantization=None):
+    """Llama-3-8B dims (HF meta-llama/Meta-Llama-3-8B)."""
+    from vllm_main_modify_tpu.config import ModelConfig
+
+    cfg = ModelConfig(model="", dtype=dtype,
+                      max_model_len=MAX_MODEL_LEN,
+                      quantization=quantization)
+    cfg.architecture = "LlamaForCausalLM"
+    cfg.vocab_size = 128256
+    cfg.hidden_size = 4096
+    cfg.num_layers = 32
+    cfg.num_attention_heads = 32
+    cfg.num_kv_heads = 8
+    cfg.head_dim = 128
+    cfg.intermediate_size = 14336
+    cfg.rope_theta = 500000.0
+    return cfg
+
+
+# quantized 8B serving workload (north star: BASELINE.md — Llama-3-8B
+# GPTQ-INT4 and FP8 W8A8 + FP8-KV tokens/s/chip; methodology per
+# vllm/benchmarks/serve.py:84-95 TTFT/ITL percentiles)
+Q_PROMPTS = int(os.environ.get("BENCH_Q_PROMPTS", "32"))
+Q_PREFIX = 512
+Q_DECODE = 128
+
+
+def run_serving(core, rng, num_prompts: int, prefix: int,
+                decode: int) -> dict:
+    """Drive one batch, recording per-request token arrival times.
+    Returns tokens/s (output tokens over wall), TTFT p50 (request
+    submit → first token), mean ITL."""
+    from vllm_main_modify_tpu.engine.types import EngineCoreRequest
+    from vllm_main_modify_tpu.sampling_params import SamplingParams
+
+    vocab = core.config.model_config.vocab_size
+    t_start = time.monotonic()
+    arrivals: dict[str, list[float]] = {}
+    for i in range(num_prompts):
+        rid = f"q-{time.monotonic_ns()}-{i}"
+        arrivals[rid] = []
+        core.add_request(EngineCoreRequest(
+            request_id=rid,
+            prompt_token_ids=rng.integers(
+                1, vocab - 1, size=prefix).tolist(),
+            sampling_params=SamplingParams(temperature=0.0,
+                                           max_tokens=decode,
+                                           ignore_eos=True)))
+    while core.has_unfinished_requests():
+        out = core.step()
+        now = time.monotonic()
+        for o in out.outputs:
+            if o.new_token_ids:
+                arrivals[o.request_id].extend(
+                    [now] * len(o.new_token_ids))
+    t_end = time.monotonic()
+    total_tokens = sum(len(a) for a in arrivals.values())
+    ttfts = sorted(a[0] - t_start for a in arrivals.values() if a)
+    itls = [(a[-1] - a[0]) / (len(a) - 1)
+            for a in arrivals.values() if len(a) > 1]
+    return {
+        "tokens_per_s": total_tokens / (t_end - t_start),
+        "ttft_p50_ms": ttfts[len(ttfts) // 2] * 1e3,
+        "itl_mean_ms": (sum(itls) / len(itls)) * 1e3,
+        "wall_s": t_end - t_start,
+    }
+
+
+def bench_quant(tag: str, quantization: str, cache_dtype: str,
+                results: dict) -> None:
+    """One quantized 8B serving config: dummy weights (identical
+    compute/memory traffic), one warmup batch, one measured batch."""
+    import numpy as np
+
+    from vllm_main_modify_tpu.config import (CacheConfig, EngineConfig,
+                                             LoadConfig,
+                                             SchedulerConfig)
+    from vllm_main_modify_tpu.engine.core import EngineCore
+
+    prompts = Q_PROMPTS
+    core = None
+    while True:  # OOM-adaptive: fp8-8B weights ~14.7 GB on 16 GB HBM
+        config = EngineConfig(
+            model_config=llama3_8b_config(quantization=quantization),
+            cache_config=CacheConfig(block_size=32,
+                                     cache_dtype=cache_dtype,
+                                     enable_prefix_caching=False),
+            scheduler_config=SchedulerConfig(
+                max_num_batched_tokens=MAX_BATCHED_TOKENS,
+                max_num_seqs=prompts,
+                max_model_len=MAX_MODEL_LEN,
+                async_scheduling=True,
+                num_decode_steps_per_dispatch=int(
+                    os.environ.get("BENCH_DECODE_STEPS", "16"))),
+            load_config=LoadConfig(load_format="dummy"),
+        )
+        try:
+            core = EngineCore(config)
+            rng = np.random.default_rng(1)
+            t0 = time.monotonic()
+            run_serving(core, rng, prompts, Q_PREFIX, Q_DECODE)
+            break
+        except Exception as e:  # noqa: BLE001
+            if core is not None:
+                core.shutdown()
+                core = None
+            if "RESOURCE_EXHAUSTED" in repr(e) and prompts > 4:
+                prompts //= 2
+                print(f"# {tag}: OOM, retrying with {prompts} "
+                      "prompts", file=sys.stderr)
+                continue
+            raise
+    print(f"# {tag} warmup (incl. compiles): "
+          f"{time.monotonic() - t0:.1f}s", file=sys.stderr)
+    m = run_serving(core, rng, prompts, Q_PREFIX, Q_DECODE)
+    print(f"# {tag} ({prompts} prompts): {m}", file=sys.stderr)
+    results[f"{tag}_tokens_per_s_chip"] = round(m["tokens_per_s"], 1)
+    results[f"{tag}_ttft_p50_ms"] = round(m["ttft_p50_ms"], 1)
+    results[f"{tag}_itl_mean_ms"] = round(m["itl_mean_ms"], 2)
+    results[f"{tag}_num_prompts"] = prompts
+    core.shutdown()
+    del core
+
+
 def main() -> None:
     import numpy as np
 
@@ -152,15 +276,35 @@ def main() -> None:
         times.append(time.monotonic() - t0)
     value = sum(times) / len(times)
     print(f"# runs: {[f'{t:.2f}' for t in times]}", file=sys.stderr)
+    core.shutdown()
+    del core
 
-    print(
-        json.dumps({
-            "metric":
-            "e2e_latency_qwen2.5-1.5b_64x(500prefill+50decode)",
-            "value": round(value, 3),
-            "unit": "s",
-            "vs_baseline": round(BASELINE_S / value, 3),
-        }))
+    results = {
+        "metric":
+        "e2e_latency_qwen2.5-1.5b_64x(500prefill+50decode)",
+        "value": round(value, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / value, 3),
+    }
+
+    # north-star quantized 8B serving (BASELINE.md): skip any config
+    # that would blow the wall-clock budget so the driver always gets
+    # the JSON line. Roofline context: docs/perf_v5e.md.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "5400"))
+    t_start = time.monotonic()
+    if not SMOKE and os.environ.get("BENCH_QUANT", "1") == "1":
+        for tag, quant, kv in (("int4_w4a8", "gptq_w4a8", "auto"),
+                               ("fp8_w8a8_fp8kv", "fp8_w8a8", "fp8")):
+            if time.monotonic() - t_start > budget_s:
+                print(f"# skipping {tag}: over budget",
+                      file=sys.stderr)
+                continue
+            try:
+                bench_quant(tag, quant, kv, results)
+            except Exception as e:  # noqa: BLE001
+                print(f"# {tag} failed: {e!r}", file=sys.stderr)
+
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -362,12 +362,67 @@ def init_dummy_params(model, config: ModelConfig, mesh: Mesh) -> dict:
             return (jax.random.normal(k, shape, dtype=jnp.float32) *
                     scale).astype(config.jax_dtype)
 
-        arr = jax.jit(init, out_shardings=sharding)(sub)
         quant = (config.quantization or "").lower() or None
         if quant and _is_quantizable(spec):
-            arr = _ON_THE_FLY[quant](arr)
+            # generate directly in the quantized domain: routing a
+            # dummy 8B through float init would transiently hold the
+            # full bf16 tensor (OOM on a 16 GB chip), and benchmarks
+            # only need the right shapes/dtypes/memory traffic
+            arr = _dummy_quantized(spec, quant, mesh)
+        else:
+            arr = jax.jit(init, out_shardings=sharding)(sub)
         _set_path(params, spec.path, arr)
     return params
+
+
+def _dummy_quantized(spec: ParamSpec, quant: str, mesh: Mesh):
+    """Random quantized weights with the exact container layout the
+    real loader would produce (no float intermediate)."""
+    from vllm_main_modify_tpu.quantization import weights as QW
+
+    *lead, k, o = spec.shape
+
+    def put(shape, dtype, fill=None, last=True):
+        sharding = _sub_sharding(mesh, spec, len(shape) - len(lead),
+                                 last)
+
+        def init():
+            if fill is not None:
+                return jnp.full(shape, fill, dtype=dtype)
+            if dtype == jnp.int32:
+                return jnp.broadcast_to(
+                    jnp.arange(shape[-1], dtype=jnp.int32) *
+                    0x11111111, shape)
+            return jnp.full(shape, 0.01, dtype=dtype)
+
+        return jax.jit(init, out_shardings=sharding)()
+
+    if quant in ("int4", "gptq", "awq", "w4a8", "gptq_w4a8",
+                 "awq_w4a8"):
+        g = min(128, k)
+        return QW.Int4Weight(
+            put((*lead, k, o // 8), jnp.int32),
+            put((*lead, k // g, o), jnp.float32, fill=0.01),
+            put((*lead, k // g, o), jnp.float32, fill=8.0),
+            w4a8=quant.endswith("w4a8"))
+    if quant in ("fp8_w8a8", "w8a8"):
+        return QW.Fp8W8A8Weight(
+            put((*lead, k, o), jnp.float8_e4m3fn, fill=0.02),
+            put((*lead, o), jnp.float32, fill=1.0, last=True))
+    if quant in ("int8_w8a8", "compressed-tensors"):
+        return QW.Int8W8A8Weight(
+            put((*lead, k, o), jnp.int8, fill=3),
+            put((*lead, o), jnp.float32, fill=0.01, last=True))
+    if quant == "int8":
+        return QW.Int8Weight(put((*lead, k, o), jnp.int8, fill=3),
+                             put((*lead, o), jnp.float32, fill=0.01,
+                                 last=True))
+    if quant == "fp8":
+        return QW.Fp8Weight(put((*lead, k, o), jnp.float8_e4m3fn,
+                                fill=0.02),
+                            put((*lead, o), jnp.float32, fill=1.0,
+                                last=True))
+    raise ValueError(f"unknown quantization method {quant!r}")
 
 
 def _on_the_fly_table():

@@ -480,6 +480,15 @@ def _qwen2_factory(config: ModelConfig):
 
 def resolve_model_cls(architecture: str) -> Callable:
     if architecture not in _REGISTRY:
+        if architecture.endswith("ForCausalLM"):
+            # transformers-backend fallback (reference:
+            # models/transformers.py @ registry.py:330-334): any
+            # llama-layout decoder serves without registration; the
+            # factory raises a clear error otherwise
+            from vllm_main_modify_tpu.models.transformers_fallback \
+                import transformers_fallback_factory
+
+            return transformers_fallback_factory
         raise ValueError(
             f"Architecture {architecture!r} is not supported yet. "
             f"Known: {sorted(_REGISTRY)}")
