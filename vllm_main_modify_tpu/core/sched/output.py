@@ -77,6 +77,7 @@ class SchedulerOutput:
     scheduled_spec_decode_tokens: dict[str, list[int]] = field(
         default_factory=dict)
     # cascade attention: pages shared by every scheduled request
+    num_common_prefix_pages: int = 0
     # requests finished/aborted since last step (runner must evict)
     finished_req_ids: set[str] = field(default_factory=set)
     # structured output: row-packed bitmask over the vocab + row map

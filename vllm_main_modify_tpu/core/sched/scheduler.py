@@ -66,6 +66,9 @@ class Scheduler:
         # so the whole block has to enter the KV in one step (set by
         # EngineCore from the model's bidir_mm_spans flag)
         self.mm_span_align = False
+        # cascade attention hint (set by EngineCore when the runner
+        # can consume it)
+        self.enable_cascade = False
         # prefix-LM (PaliGemma): the WHOLE prompt is one bidirectional
         # span; _trim_to_mm_boundary refuses partial-prompt chunks
         self.prefix_lm = False
@@ -462,14 +465,21 @@ class Scheduler:
         assert total <= self.max_num_scheduled_tokens
         assert token_budget >= 0
 
-        # NOTE: the reference computes a cascade-attention hint here
-        # (num_common_prefix_blocks, gpu_model_runner.py:1293) to
-        # split shared-prefix reads into one pass. On TPU the paged
-        # kernel already streams each page once per query block from
-        # HBM and the prefix pages are deduplicated in storage by the
-        # prefix cache; a two-phase cascade kernel is a possible
-        # future optimization, so the hint is not computed (it was
-        # dead weight in every step).
+        # cascade-attention hint (reference: num_common_prefix_blocks,
+        # gpu_model_runner.py:1293): pages shared at the front of
+        # EVERY scheduled request's block table, capped so all query
+        # positions lie strictly past them. The runner turns this
+        # into a two-pass shared-prefix read (one gather of the
+        # common pages for the whole batch + LSE merge).
+        num_common_prefix_pages = 0
+        if self.enable_cascade and len(num_scheduled_tokens) >= 2:
+            sched = [self.requests[rid]
+                     for rid in num_scheduled_tokens]
+            n = self.kv_cache_manager.get_num_common_prefix_blocks(
+                sched)
+            min_computed = min(r.num_computed_tokens for r in sched)
+            num_common_prefix_pages = min(
+                n, min_computed // self.block_size)
 
         # grammar bitmask for structured-output requests
         grammar_bitmask = None
@@ -499,6 +509,7 @@ class Scheduler:
             kv_save_blocks=self._step_kv_saves,
             kv_load_blocks=self._step_kv_loads,
             num_decode_steps=decode_steps,
+            num_common_prefix_pages=num_common_prefix_pages,
         )
         self._step_kv_saves = []
         self._step_kv_loads = []

@@ -108,6 +108,14 @@ class EngineCore:
         if getattr(self.model_runner.model, "is_encoder_only", False):
             # bidirectional attention cannot be computed incrementally
             self.scheduler.enable_chunked_prefill = False
+        # cascade attention (reference: gpu_model_runner.py:1293):
+        # compute the shared-prefix hint only when the runner can
+        # consume it (XLA path, single KV group, text decoder)
+        self.scheduler.enable_cascade = (
+            not self.model_runner.use_pallas
+            and self.model_runner.num_kv_groups == 1
+            and not self.model_runner.is_enc_dec
+            and not self.model_runner.is_mm)
         # Gemma3-style bidirectional image blocks: prefill chunks must
         # not split an image (scheduler._trim_to_mm_boundary)
         self.scheduler.mm_span_align = bool(

@@ -68,6 +68,12 @@ class AttentionMetadata(NamedTuple):
     # hybrid KV groups (core/kv_cache_interface.py): per-group paging
     # overrides for groups 1..N-1; group 0 lives in the base fields
     groups: tuple = ()
+    # cascade (shared-prefix) attention: STATIC page count every
+    # scheduled request shares at the front of its block table (0 =
+    # off). Always a trace-time Python int — the runner builds the
+    # metadata inside the jitted step. Reference:
+    # gpu_model_runner.py:1293.
+    cascade_pages: int = 0
 
     def for_group(self, g: int) -> "AttentionMetadata":
         """Metadata view for KV group ``g`` — substitutes the paging
@@ -122,6 +128,44 @@ def attention(
         use_pallas = jax.devices()[0].platform == "tpu"
     if bidir_spans is None:
         bidir_spans = meta.bidir_spans
+    if meta.cascade_pages and not use_pallas and \
+            sliding_window is None and logit_softcap is None and \
+            sinks is None and chunk_size is None and \
+            bidir_spans is None and alibi_slopes is None and \
+            _DCP_CTX is None:
+        # cascade path (XLA; the Pallas fast-path is future work):
+        # write KV normally, then the two-pass shared-prefix read
+        num_kv_heads, head_dim = k.shape[-2], k.shape[-1]
+        width = 2 * num_kv_heads * head_dim
+        if kv_caches.ndim == 5:
+            nl, np_, ps = kv_caches.shape[:3]
+            wide = kv_caches.reshape(nl, np_, ps, width)
+        else:
+            wide = kv_caches
+            nl, np_, ps = wide.shape[:3]
+        flat = wide.reshape(nl * np_, ps, width)
+        row_offset = layer_idx * (np_ * ps)
+        if meta.kv_update_slices is not None:
+            from vllm_main_modify_tpu.ops.kv_cache import \
+                write_to_kv_cache_paged
+
+            flat = write_to_kv_cache_paged(flat, k, v,
+                                           meta.kv_update_slices,
+                                           meta.num_kv_update_slices,
+                                           row_offset=row_offset)
+        else:
+            slots = jnp.where(meta.slot_mapping >= 0,
+                              meta.slot_mapping + row_offset, -1)
+            flat = write_to_kv_cache(flat, k, v, slots)
+        from vllm_main_modify_tpu.ops.attention import \
+            cascade_ragged_attention_xla
+
+        out = cascade_ragged_attention_xla(
+            q, flat.reshape(nl * np_, ps, 2 * num_kv_heads, head_dim),
+            meta.block_tables + layer_idx * np_,
+            meta.query_start_loc, meta.seq_lens, sm_scale,
+            common_pages=meta.cascade_pages)
+        return out, flat.reshape(kv_caches.shape)
     if _DCP_CTX is not None:
         assert sliding_window is None and logit_softcap is None and \
             sinks is None and chunk_size is None and \

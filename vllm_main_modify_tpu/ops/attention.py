@@ -202,3 +202,66 @@ def ragged_paged_attention(
                                       sinks=sinks,
                                       chunk_size=chunk_size,
                                       bidir_spans=bidir_spans)
+
+
+def cascade_ragged_attention_xla(
+    q: jax.Array,  # [T, num_q_heads, head_dim]
+    kv_cache: jax.Array,  # [P, page, 2K, D]
+    block_tables: jax.Array,  # [R, max_pages] (page_base applied)
+    query_start_loc: jax.Array,  # [R+1]
+    seq_lens: jax.Array,  # [R]
+    sm_scale: float,
+    common_pages: int,  # STATIC: shared-prefix pages (>0)
+) -> jax.Array:
+    """Cascade (shared-prefix) attention — reference:
+    gpu_model_runner.py:1293 cascade detection + FlashInfer cascade
+    kernels. Every scheduled request shares its first ``common_pages``
+    KV pages and every query position lies strictly past them, so:
+
+    - PREFIX pass: gather the common pages ONCE (T-independent — the
+      baseline re-gathers them per token) and attend all queries to
+      them without a mask (all positions valid, all causal);
+    - SUFFIX pass: the ordinary ragged path over the statically
+      sliced table tail (max_pages - common_pages wide — fewer bytes);
+    - exact LSE merge of the two partials (same math as ops/dcp.py).
+    """
+    num_tokens, num_q_heads, head_dim = q.shape
+    _, page_size, two_k, _ = kv_cache.shape
+    num_kv_heads = two_k // 2
+    group = num_q_heads // num_kv_heads
+    cp = common_pages * page_size
+
+    # ---- prefix pass (one gather for the whole batch)
+    common = block_tables[0, :common_pages]  # [C]
+    kvc = kv_cache[common].reshape(cp, two_k, head_dim)
+    kc = kvc[:, 0::2, :].astype(jnp.float32)  # [cp, K, D]
+    vc = kvc[:, 1::2, :].astype(jnp.float32)
+    qf = q.astype(jnp.float32).reshape(num_tokens, num_kv_heads,
+                                       group, head_dim)
+    sc = jnp.einsum("tkgd,skd->tkgs", qf, kc) * sm_scale
+    m1 = jnp.max(sc, axis=-1)  # [T, K, g]
+    e1 = jnp.exp(sc - m1[..., None])
+    d1 = jnp.sum(e1, axis=-1)
+    o1 = jnp.einsum("tkgs,skd->tkgd", e1, vc)
+
+    # ---- suffix pass (positions relative to the suffix start: pages
+    # and lengths both shift by the prefix, so the causal mask in the
+    # partial path is exact)
+    from vllm_main_modify_tpu.ops.dcp import partial_paged_attention
+
+    o2, d2, m2 = partial_paged_attention(
+        q, kv_cache, block_tables[:, common_pages:], query_start_loc,
+        jnp.maximum(seq_lens - cp, 0), sm_scale)
+    o2 = o2.reshape(num_tokens, num_kv_heads, group, head_dim)
+    d2 = d2.reshape(num_tokens, num_kv_heads, group)
+    m2 = m2.reshape(num_tokens, num_kv_heads, group)
+
+    # ---- exact LSE merge
+    m = jnp.maximum(m1, jnp.where(jnp.isfinite(m2), m2, m1))
+    s1 = jnp.exp(m1 - m)
+    s2 = jnp.where(jnp.isfinite(m2), jnp.exp(m2 - m), 0.0)
+    num = o1 * s1[..., None] + o2 * s2[..., None]
+    den = d1 * s1 + d2 * s2
+    out = num / jnp.maximum(den, 1e-30)[..., None]
+    return out.reshape(num_tokens, num_q_heads,
+                       head_dim).astype(q.dtype)

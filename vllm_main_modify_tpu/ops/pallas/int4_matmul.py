@@ -181,7 +181,12 @@ def int4_matmul_pallas(x: jax.Array, w, interpret: bool = False
         if o % cand == 0:
             bo = cand
             break
-    if bk == 0 or bo == 0 or t % 8 != 0 or (k // g) % (k // bk) != 0:
+    # the kernels keep the full T axis VMEM-resident (decode is their
+    # reason to exist); large-T prefill is MXU-bound, where the XLA
+    # dequant+matmul tiles properly — measured: T=8192 blows the
+    # 128 MB VMEM budget (145.95M requested)
+    if bk == 0 or bo == 0 or t % 8 != 0 or t > 512 or \
+            (k // g) % (k // bk) != 0:
         return int4_matmul_xla(x, w)
 
     n_k_tiles = k // bk
@@ -231,8 +236,9 @@ def int4_matmul_w4a8_pallas(x: jax.Array, w, interpret: bool = False
         if o % cand == 0:
             bo = cand
             break
-    if bk == 0 or bo == 0 or t % 8 != 0 or (k // g) % (k // bk) != 0:
-        return int4_matmul_xla(x, w)
+    if bk == 0 or bo == 0 or t % 8 != 0 or t > 512 or \
+            (k // g) % (k // bk) != 0:
+        return int4_matmul_xla(x, w)  # see T-budget note above
 
     qx, s_a = quantize_activations_int8(x2)  # [T,K] int8, [T,1] f32
     n_k_tiles = k // bk

@@ -126,6 +126,7 @@ class TPUModelRunner:
         self.req_buckets = self._get_paddings(MIN_REQ_BUCKET,
                                               self.max_num_reqs)
         self._step_count = 0
+        self.cascade_steps = 0  # steps served via cascade attention
         # async pipelining state: device arrays of the last TWO steps'
         # sampled tokens + req_id -> (age, dispatch row, position)
         # fills (age 0 = newest). Depth-2 pipelining keeps two steps in
@@ -1494,7 +1495,8 @@ class TPUModelRunner:
                      has_penalties: bool = False,
                      has_bias: bool = False,
                      mm_pad: int = 0,
-                     prompt_lp: int = 0):
+                     prompt_lp: int = 0,
+                     cascade: int = 0):
         """One compiled executable per (bucket, sampler-static)
         combination. The step consumes ONE packed int32 buffer (see
         _prepare_inputs) and unpacks with static slices on device."""
@@ -1651,6 +1653,7 @@ class TPUModelRunner:
                 bidir_spans=(seg("bidir_spans").reshape(
                     r_pad, max_mm_spans, 2)
                     if (bidir_mm and mm_pad) else None),
+                cascade_pages=cascade,
             )
             if group_kinds:
                 attn_meta = attn_meta._replace(groups=tuple(
@@ -2135,6 +2138,18 @@ class TPUModelRunner:
     # execute (reference: execute_model tpu_model_runner.py:981)
     # ------------------------------------------------------------------
 
+    def _cascade_bucket(self, scheduler_output) -> int:
+        """Static shared-prefix page bucket for cascade attention
+        (power-of-2 floor of the scheduler hint bounds compile
+        variants; 0 = off). XLA path only this round — the Pallas
+        kernel fast-path is future work."""
+        n = getattr(scheduler_output, "num_common_prefix_pages", 0)
+        if n < 2 or self.use_pallas or self.num_kv_groups > 1 or \
+                self.is_enc_dec or self.is_mm:
+            return 0
+        self.cascade_steps += 1
+        return 1 << (n.bit_length() - 1)
+
     def execute_model(
             self, scheduler_output: SchedulerOutput) -> ModelRunnerOutput:
         self._update_states(scheduler_output)
@@ -2152,6 +2167,7 @@ class TPUModelRunner:
          prompt_lp) = self._prepare_inputs(scheduler_output)
         statics = self._sampling_statics()
         max_num_logprobs = statics[-1]
+        cascade = self._cascade_bucket(scheduler_output)
         pooling_rows = [
             row for row in sample_rows
             if (st := self.requests.get(
@@ -2166,10 +2182,10 @@ class TPUModelRunner:
                                     apply_grammar, False,
                                     return_hidden, False,
                                     has_penalties, has_bias, mm_pad,
-                                    prompt_lp)
+                                    prompt_lp, cascade)
         self._note_compile((t_pad, r_pad, *statics, apply_grammar,
                             return_hidden, has_penalties, has_bias,
-                            mm_pad, prompt_lp))
+                            mm_pad, prompt_lp, cascade))
 
         self._step_count += 1
         if self.step_broadcaster is not None:
@@ -2177,7 +2193,7 @@ class TPUModelRunner:
                 self._step_count,
                 ("step", t_pad, r_pad, *statics, apply_grammar, False,
                  return_hidden, False, has_penalties, has_bias,
-                 mm_pad, prompt_lp), packed)
+                 mm_pad, prompt_lp, cascade), packed)
         packed_dev = jnp.asarray(packed, device=self._replicated)
         self.kv_caches, out, hidden, plp_aux = step_fn(
             self.params, self.kv_caches, packed_dev,
@@ -2440,6 +2456,7 @@ class TPUModelRunner:
          prompt_lp) = self._prepare_inputs(scheduler_output)
         statics = self._sampling_statics()
         max_num_logprobs = statics[-1]
+        cascade = self._cascade_bucket(scheduler_output)
         has_prev = self._prev_sampled is not None
         has_prev2 = self._prev_sampled2 is not None and any(
             v[0] == 1 for v in self._pending_fill.values())
@@ -2449,10 +2466,10 @@ class TPUModelRunner:
         step_fn = self._get_step_fn(t_pad, r_pad, *statics,
                                     apply_grammar, has_prev, False,
                                     has_prev2, has_penalties, has_bias,
-                                    mm_pad, prompt_lp)
+                                    mm_pad, prompt_lp, cascade)
         self._note_compile((t_pad, r_pad, *statics, apply_grammar,
                             has_prev, has_prev2, has_penalties,
-                            has_bias, mm_pad, prompt_lp,
+                            has_bias, mm_pad, prompt_lp, cascade,
                             None if not has_prev
                             else self._prev_sampled.shape[0]))
 
@@ -2462,7 +2479,7 @@ class TPUModelRunner:
                 self._step_count,
                 ("step", t_pad, r_pad, *statics, apply_grammar,
                  has_prev, False, has_prev2, has_penalties, has_bias,
-                 mm_pad, prompt_lp), packed)
+                 mm_pad, prompt_lp, cascade), packed)
         packed_dev = jnp.asarray(packed, device=self._replicated)
         self.kv_caches, out, _, plp_aux = step_fn(
             self.params, self.kv_caches, packed_dev,
