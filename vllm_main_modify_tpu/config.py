@@ -196,6 +196,11 @@ class SchedulerConfig:
     max_model_len: int = 2048
     enable_chunked_prefill: bool = True
     long_prefill_token_threshold: int = 0  # 0 = off
+    # Per-step budget for NEW vision-encoder work (reference:
+    # max_num_encoder_input_tokens, scheduler.py:711-831): a prompt
+    # with many images prefills across several steps instead of
+    # encoding everything at once. 0 = unlimited.
+    max_num_encoder_input_tokens: int = 16384
     policy: Literal["fcfs", "priority"] = "fcfs"
     # Spec decode lookahead tokens per request (0 = disabled).
     num_lookahead_tokens: int = 0

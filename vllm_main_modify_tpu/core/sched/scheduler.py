@@ -72,6 +72,8 @@ class Scheduler:
         # prefix-LM (PaliGemma): the WHOLE prompt is one bidirectional
         # span; _trim_to_mm_boundary refuses partial-prompt chunks
         self.prefix_lm = False
+        self.max_encoder_tokens = \
+            sched_cfg.max_num_encoder_input_tokens
         self.num_lookahead_tokens = sched_cfg.num_lookahead_tokens
         self.policy = sched_cfg.policy
         self.block_size = cache_cfg.block_size
@@ -219,6 +221,28 @@ class Scheduler:
                 return max(n, hi - start)
         return n
 
+    def _trim_to_encoder_budget(self, request, base: int, n: int,
+                                budget: int) -> tuple[int, int]:
+        """Per-step encoder budget (reference: scheduler.py:711-831 +
+        encoder_cache_manager budget): an image whose block STARTS
+        inside this chunk is encoded this step; stop the chunk before
+        the first image that exceeds the remaining budget. Returns
+        (trimmed n, encoder tokens charged)."""
+        mm = getattr(request, "mm_inputs", None)
+        if not mm or n <= 0 or self.max_encoder_tokens <= 0:
+            return n, 0
+        used = 0
+        for m in sorted(mm, key=lambda m: int(m.get("offset", -1))):
+            lo = int(m.get("offset", -1))
+            if lo < base or lo >= base + n:
+                continue  # encoded earlier / not reached / audio(-1)
+            cost = int(m["num_tokens"])
+            if used + cost > budget:
+                n = lo - base
+                break
+            used += cost
+        return n, used
+
     def _eligible_decode_steps(self, token_budget: int) -> int:
         """How many decode iterations one dispatch may run (1 = the
         normal single-step path).
@@ -290,6 +314,8 @@ class Scheduler:
         num_scheduled_tokens: dict[str, int] = {}
         spec_decode_tokens: dict[str, list[int]] = {}
         token_budget = self.max_num_scheduled_tokens
+        # per-step encoder budget (reference: scheduler.py:711-831)
+        encoder_budget = self.max_encoder_tokens or (1 << 62)
 
         # ---- multi-step decode eligibility (pre-pass) ----------------
         # When every running request is in steady single-token decode
@@ -317,10 +343,15 @@ class Scheduler:
                 self.max_model_len - 1 - request.num_computed_tokens)
             num_new_tokens = self._trim_to_mm_boundary(
                 request, num_new_tokens)
+            num_new_tokens, enc_used = self._trim_to_encoder_budget(
+                request, request.num_computed_tokens, num_new_tokens,
+                encoder_budget)
             if num_new_tokens <= 0:
-                # async-scheduling placeholder already in flight
+                # async-scheduling placeholder already in flight, or
+                # the next image block waits for encoder budget
                 req_index += 1
                 continue
+            encoder_budget -= enc_used
 
             # allocate, preempting victims from the tail on pressure
             while True:
@@ -421,8 +452,13 @@ class Scheduler:
                 num_new_tokens = self._trim_to_mm_boundary(
                     request, num_new_tokens,
                     base=num_computed_tokens)
+                num_new_tokens, enc_used = \
+                    self._trim_to_encoder_budget(
+                        request, num_computed_tokens, num_new_tokens,
+                        encoder_budget)
                 if num_new_tokens <= 0:
                     break  # image block doesn't fit this step's budget
+                encoder_budget -= enc_used
 
                 new_blocks = self.kv_cache_manager.allocate_slots(
                     request,

@@ -113,6 +113,17 @@ class Processor:
                 f"({len(token_ids)} tokens) exceeds "
                 f"max_num_batched_tokens={mbt}; the bidirectional "
                 "prompt must fit in one prefill step")
+        enc_budget = getattr(self.config.scheduler_config,
+                             "max_num_encoder_input_tokens", 0)
+        if enc_budget and mm_inputs:
+            for mm in mm_inputs:
+                if "offset" in mm and int(mm.get("offset", -1)) >= 0 \
+                        and int(mm["num_tokens"]) > enc_budget:
+                    raise ValueError(
+                        f"request {request_id}: image block "
+                        f"({mm['num_tokens']} tokens) exceeds "
+                        f"max_num_encoder_input_tokens={enc_budget} "
+                        "and could never be scheduled")
         if self._bidir_mm and mm_inputs:
             for mm in mm_inputs:
                 nt = int(mm.get("num_tokens", 0))

@@ -76,7 +76,9 @@ class LLM:
                 max_model_len=max_model_len,
                 async_scheduling=async_scheduling,
                 num_decode_steps_per_dispatch=(
-                    num_decode_steps_per_dispatch)),
+                    num_decode_steps_per_dispatch),
+                max_num_encoder_input_tokens=kwargs.pop(
+                    "max_num_encoder_input_tokens", 16384)),
             parallel_config=ParallelConfig(
                 tensor_parallel_size=tensor_parallel_size,
                 data_parallel_size=data_parallel_size,

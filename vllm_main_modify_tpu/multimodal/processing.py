@@ -313,6 +313,9 @@ def build_mm_inputs(
                 "offset": len(expanded),
                 "num_tokens": this_tok,
                 "is_video": True,
+                "hash": hashlib.sha256(
+                    pixels.tobytes() + bytes(str(pixels.shape),
+                                             "ascii")).hexdigest()[:24],
             })
             expanded.extend([video_token] * this_tok)
             continue
@@ -336,6 +339,11 @@ def build_mm_inputs(
             "pixel_values": pixels,
             "offset": len(expanded),
             "num_tokens": this_tok,
+            # content key for cross-request encoder-output reuse
+            # (reference: encoder_cache_manager.py keyed by mm hash)
+            "hash": hashlib.sha256(
+                pixels.tobytes() + bytes(str(pixels.shape),
+                                         "ascii")).hexdigest()[:24],
         })
         expanded.extend([image_token] * this_tok)
     if mm_inputs and _is_qwen_vl(model_config):

@@ -24,7 +24,8 @@ class CachedRequestState:
 
     __slots__ = ("req_id", "prompt_token_ids", "sampling_params",
                  "pooling_params", "block_ids", "num_computed_tokens",
-                 "output_token_ids", "lora_name", "mm_inputs")
+                 "output_token_ids", "lora_name", "mm_inputs",
+                 "mm_encoded")
 
     def __init__(self, new_req: NewRequestData) -> None:
         self.req_id = new_req.req_id
@@ -39,6 +40,7 @@ class CachedRequestState:
         self.output_token_ids: list[int] = []
         self.lora_name = new_req.lora_name
         self.mm_inputs = getattr(new_req, "mm_inputs", None)
+        self.mm_encoded: set = set()  # indices already encoded
 
     @property
     def num_tokens(self) -> int:

@@ -21,6 +21,7 @@ gpu_model_runner.py. TPU-native redesign:
 from __future__ import annotations
 
 import functools
+from collections import OrderedDict
 import logging
 import time
 import os
@@ -256,6 +257,14 @@ class TPUModelRunner:
         self.mm_buffer: Optional[jax.Array] = None
         self.mm_rows = 4096
         self.mm_ranges: dict[str, list[tuple[int, int, int]]] = {}
+        # cross-request encoder-output cache (reference:
+        # vllm/v1/core/encoder_cache_manager.py): content hash →
+        # [start, n, refcount]; zero-ref entries stay resident in an
+        # idle LRU and are evicted only when the buffer fills
+        self.mm_cache: dict[str, list] = {}
+        self.mm_idle: "OrderedDict[str, tuple[int, int]]" =             OrderedDict()
+        self.mm_req_hashes: dict[str, list] = {}
+        self.mm_encode_calls = 0  # encoder invocations (tests/stats)
         self._mm_free: list[list[int]] = [[0, self.mm_rows]]
         self._mm_encode_write = None
         self._mm_encode_write_video = None
@@ -845,13 +854,21 @@ class TPUModelRunner:
                     state.num_computed_tokens
                 if new_blocks:
                     self.input_batch.append_block_ids(row, new_blocks)
+            if state.mm_inputs:
+                # encoder-budgeted prompts: encode images as their
+                # blocks come into this step's chunk
+                self._ingest_mm(state, upto=state.num_computed_tokens +
+                                scheduled.get(req_id, 0))
 
         for new_req in scheduler_output.scheduled_new_reqs:
             state = CachedRequestState(new_req)
             self.requests[new_req.req_id] = state
             reqs_to_add.append(state)
             if state.mm_inputs:
-                self._ingest_mm(state)
+                self._ingest_mm(
+                    state,
+                    upto=getattr(state, "num_computed_tokens", 0) +
+                    scheduled.get(new_req.req_id, 0))
 
         # condense BEFORE adding so new rows land on free tail slots
         self.input_batch.condense()
@@ -872,15 +889,36 @@ class TPUModelRunner:
                 blk[0] += n
                 blk[1] -= n
                 return start
+        # evict idle (zero-ref) cached encoder outputs, oldest first
+        while self.mm_idle:
+            h, (start, rows) = self.mm_idle.popitem(last=False)
+            del self.mm_cache[h]
+            self._mm_free.append([start, rows])
+            for blk in self._mm_free:
+                if blk[1] >= n:
+                    s = blk[0]
+                    blk[0] += n
+                    blk[1] -= n
+                    return s
         raise RuntimeError(
             f"multimodal feature buffer exhausted (need {n} rows; "
             f"mm_rows={self.mm_rows})")
 
     def _free_mm(self, req_id: str) -> None:
         ranges = self.mm_ranges.pop(req_id, None)
+        hashes = self.mm_req_hashes.pop(req_id, None) or []
         if ranges:
-            for _, n, start in ranges:
-                self._mm_free.append([start, n])
+            for (_, n, start), h in zip(
+                    ranges, list(hashes) + [None] * len(ranges)):
+                ent = self.mm_cache.get(h) if h else None
+                if ent is not None:
+                    ent[2] -= 1
+                    if ent[2] <= 0:
+                        # keep resident for reuse; reclaimable on
+                        # pressure (_mm_alloc)
+                        self.mm_idle[h] = (ent[0], ent[1])
+                else:
+                    self._mm_free.append([start, n])
         slot = self.cross_tables.pop(req_id, None)
         if slot is not None:
             self._cross_free.append(slot)
@@ -913,13 +951,17 @@ class TPUModelRunner:
             first_page * self.page_size)
         self.cross_tables[state.req_id] = slot
 
-    def _ingest_mm(self, state) -> None:
-        """Run the vision encoder for a new request's images and write
-        the projected features into the device buffer (one jit,
-        compiled once; reference: _execute_mm_encoder
-        gpu_model_runner.py:1565)."""
+    def _ingest_mm(self, state, upto: Optional[int] = None) -> None:
+        """Run the vision encoder for this request's not-yet-encoded
+        images whose token block starts before ``upto`` (None = all),
+        writing projected features into the device buffer. Encoder
+        outputs are cached across requests by content hash (reference:
+        _execute_mm_encoder gpu_model_runner.py:1565 +
+        encoder_cache_manager.py)."""
         if state.mm_inputs and "input_features" in state.mm_inputs[0]:
-            self._ingest_audio(state)
+            if not getattr(state, "mm_encoded", None):
+                self._ingest_audio(state)
+                state.mm_encoded = set(range(len(state.mm_inputs)))
             return
         if self._mm_encode_write is None:
             model = self.model
@@ -942,17 +984,41 @@ class TPUModelRunner:
                     buf, feats.astype(buf.dtype), (start, 0))
 
             self._mm_encode_write_video = jax.jit(encode_write_video)
-        ranges = []
-        for mm in state.mm_inputs:
+        done = getattr(state, "mm_encoded", None)
+        if done is None:
+            done = state.mm_encoded = set()
+        ranges = self.mm_ranges.setdefault(state.req_id, [])
+        hashes = self.mm_req_hashes.setdefault(state.req_id, [])
+        for i, mm in enumerate(state.mm_inputs):
+            if i in done:
+                continue
+            if upto is not None and int(mm["offset"]) >= upto:
+                continue  # not reached by this chunk yet (encoder
+                # budget chunks multi-image prompts across steps)
+            done.add(i)
             n = int(mm["num_tokens"])
+            h = mm.get("hash")
+            ent = self.mm_cache.get(h) if h else None
+            if ent is not None:
+                # cross-request reuse: same content already encoded
+                ent[2] += 1
+                self.mm_idle.pop(h, None)
+                ranges.append((int(mm["offset"]), n, ent[0]))
+                hashes.append(h)
+                continue
             start = self._mm_alloc(n)
             pix = jnp.asarray(mm["pixel_values"][None])
             enc = (self._mm_encode_write_video
                    if mm.get("is_video") else self._mm_encode_write)
             self.mm_buffer = enc(self.params, pix, self.mm_buffer,
                                  start)
+            self.mm_encode_calls += 1
             ranges.append((int(mm["offset"]), n, start))
-        self.mm_ranges[state.req_id] = ranges
+            if h:
+                self.mm_cache[h] = [start, n, 1]
+                hashes.append(h)
+            else:
+                hashes.append(None)
 
     # ------------------------------------------------------------------
     # per-step input build (reference: _prepare_inputs
