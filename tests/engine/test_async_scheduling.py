@@ -79,3 +79,36 @@ def test_async_prompt_logprobs(llm_pair):
         for tid in ds:
             assert abs(ds[tid].logprob - da[tid].logprob) < 1e-4
             assert ds[tid].rank == da[tid].rank
+
+
+def test_async_multistep_preemption_under_kv_pressure(tiny_llama_dir):
+    """Async scheduling + multi-step decode + preemption: a preempted
+    request's in-flight steps still land their tokens, so the pending
+    placeholder count must survive preemption (regression: the count
+    went negative and tripped the accounting assert; found by the 8B
+    quantized serving bench under KV pressure). Greedy tokens must
+    match the unpressured sync engine exactly."""
+    from vllm_main_modify_tpu.entrypoints.llm import LLM
+    from vllm_main_modify_tpu.sampling_params import SamplingParams
+
+    prompts = [{"prompt_token_ids": list(range(3 + i, 99 + i))}
+               for i in range(8)]
+    sp = SamplingParams(temperature=0.0, max_tokens=16,
+                        ignore_eos=True)
+
+    def run(blocks, asy):
+        llm = LLM(model=tiny_llama_dir, dtype="float32",
+                  max_model_len=128, max_num_seqs=8,
+                  max_num_batched_tokens=512, block_size=4,
+                  num_kv_blocks=blocks, async_scheduling=asy,
+                  num_decode_steps_per_dispatch=8,
+                  enable_prefix_caching=False)
+        out = [list(o.outputs[0].token_ids)
+               for o in llm.generate(prompts, sp)]
+        return out, \
+            llm.engine.engine_core.scheduler.num_preempted_reqs_total
+
+    ref, _ = run(512, False)
+    got, npre = run(130, True)
+    assert npre > 0, "KV pressure produced no preemption"
+    assert got == ref

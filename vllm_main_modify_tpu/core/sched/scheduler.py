@@ -607,7 +607,13 @@ class Scheduler:
         request.num_preemptions += 1
         self.num_preempted_reqs_total += 1
         request.spec_token_ids.clear()
-        request.num_output_placeholders = 0
+        # num_output_placeholders is intentionally NOT reset: under
+        # async scheduling the preempted request's dispatched step(s)
+        # are still in flight and WILL land their sampled tokens at
+        # update_from_output (valid outputs — sampled from complete
+        # pre-preemption KV state), decrementing the pending count.
+        # Zeroing here drove the count negative on landing (found by
+        # the 8B quantized serving bench under KV pressure).
         request.record_event("preempted")
         self.waiting.prepend_request(request)
 

@@ -128,11 +128,16 @@ def attention(
         use_pallas = jax.devices()[0].platform == "tpu"
     if bidir_spans is None:
         bidir_spans = meta.bidir_spans
-    if meta.cascade_pages and not use_pallas and \
+    if isinstance(meta.cascade_pages, int) and meta.cascade_pages \
+            and not use_pallas and \
             sliding_window is None and logit_softcap is None and \
             sinks is None and chunk_size is None and \
             bidir_spans is None and alibi_slopes is None and \
             _DCP_CTX is None:
+        # (isinstance: when metadata crosses a jit boundary as an
+        # ARGUMENT — tests, entry() — the field arrives traced and
+        # cascade simply stays off; the runner builds metadata inside
+        # the step, where the field is a trace-time Python int)
         # cascade path (XLA; the Pallas fast-path is future work):
         # write KV normally, then the two-pass shared-prefix read
         num_kv_heads, head_dim = k.shape[-2], k.shape[-1]
