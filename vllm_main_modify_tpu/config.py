@@ -84,6 +84,11 @@ class ModelConfig:
     def _load_hf_config(self) -> None:
         from transformers import AutoConfig
 
+        # register local config classes for remote-code model types
+        # (ultravox, ...) so offline loading works without
+        # trust_remote_code (reference: vllm/transformers_utils/config.py)
+        from vllm_main_modify_tpu.models import hf_config_shims  # noqa: F401
+
         self.hf_config = AutoConfig.from_pretrained(
             self.model,
             trust_remote_code=self.trust_remote_code,

@@ -1,0 +1,72 @@
+"""Local HF config classes for remote-code model types.
+
+Reference: vllm/transformers_utils/configs/ — checkpoints like
+Ultravox, MiniCPM-V and Phi-3V declare a ``model_type`` transformers
+doesn't ship a config class for, relying on ``trust_remote_code`` to
+download one. No-egress environments (and security-conscious
+deployments) can't do that, so — like the reference — we register
+lightweight local config classes with ``AutoConfig`` so
+``AutoConfig.from_pretrained`` resolves these checkpoints offline.
+
+Only the fields the TPU engine reads are modeled; unknown keys pass
+through ``PretrainedConfig`` untouched.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from transformers import CONFIG_MAPPING, AutoConfig, PretrainedConfig
+
+
+def _sub_config(d: Optional[dict], default_type: str):
+    d = dict(d or {})
+    model_type = d.pop("model_type", default_type)
+    return CONFIG_MAPPING[model_type](**d)
+
+
+class UltravoxConfig(PretrainedConfig):
+    """fixie-ai/ultravox checkpoints (reference:
+    vllm/transformers_utils/configs/ultravox.py). Whisper audio tower +
+    StackAudioFrames projector + any text backbone."""
+
+    model_type = "ultravox"
+
+    def __init__(
+        self,
+        audio_config: Optional[dict[str, Any]] = None,
+        text_config: Optional[dict[str, Any]] = None,
+        audio_model_id: Optional[str] = None,
+        text_model_id: Optional[str] = None,
+        ignore_index: int = -100,
+        audio_token_index: int = 32000,
+        hidden_size: int = 4096,
+        stack_factor: int = 8,
+        norm_init: float = 0.4,
+        projector_act: str = "swiglu",
+        projector_ln_mid: bool = False,
+        **kwargs,
+    ):
+        self.ignore_index = ignore_index
+        self.audio_token_index = audio_token_index
+        self.hidden_size = hidden_size
+        self.stack_factor = stack_factor
+        self.norm_init = norm_init
+        self.projector_act = projector_act
+        self.projector_ln_mid = projector_ln_mid
+        # offline build: the wrapped configs must be inline dicts
+        # (model-id indirection would need network egress)
+        self.audio_model_id = None
+        self.text_model_id = None
+        self.audio_config = _sub_config(audio_config, "whisper")
+        self.text_config = _sub_config(text_config, "llama")
+        super().__init__(**kwargs)
+
+
+def register() -> None:
+    for cfg_cls in (UltravoxConfig, ):
+        if cfg_cls.model_type not in CONFIG_MAPPING:
+            AutoConfig.register(cfg_cls.model_type, cfg_cls)
+
+
+register()

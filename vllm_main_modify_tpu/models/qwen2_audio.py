@@ -240,3 +240,74 @@ class VoxtralForConditionalGeneration(Qwen2AudioForConditionalGeneration):
         x = x.reshape(x.shape[0] // self.group, self.group * self.d)
         x = jax.nn.gelu(x @ params["proj_1"], approximate=False)
         return (x @ params["proj_2"])[None]
+
+
+class UltravoxModel(Qwen2AudioForConditionalGeneration):
+    """Ultravox (reference: vllm/model_executor/models/ultravox.py):
+    the same Whisper-style encoder trunk + final LN, then
+    StackAudioFrames — ``stack_factor`` consecutive frames concatenate
+    into one vector (T padded up to a multiple) — followed by the
+    fixie projector: RMSNorm → bias-free linear_1 → swiglu
+    (x[:d] * silu(x[d:]), MulAndSilu) → RMSNorm (mid for v0.5+, post
+    for v0.4.1-) → bias-free linear_2. Tokens per 30s window =
+    ceil(max_source_positions / stack_factor)."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.hf_config
+        self.stack = int(getattr(hf, "stack_factor", 8))
+        self.proj_hidden = int(getattr(hf, "hidden_size", 4096))
+        self.proj_act = getattr(hf, "projector_act", "swiglu")
+        self.proj_ln_mid = bool(getattr(hf, "projector_ln_mid",
+                                        False))
+        from vllm_main_modify_tpu.utils import cdiv
+
+        self.num_audio_tokens = cdiv(self.max_pos, self.stack)
+        self.dim_in = self.d * self.stack
+        self.dim_mid = self.proj_hidden // 2 \
+            if self.proj_act == "swiglu" else self.proj_hidden
+
+    def param_specs(self) -> list[ParamSpec]:
+        H = self.cfg.hidden_size
+        MP = "multi_modal_projector."
+        specs = [s for s in super().param_specs()
+                 if s.path not in ("projector", "projector_bias")]
+        specs += [
+            ParamSpec("proj_ln_pre", (self.dim_in, ), P(),
+                      MP + "ln_pre.weight", transform=None),
+            ParamSpec("proj_fc1", (self.dim_in, self.proj_hidden),
+                      P(None, None), MP + "linear_1.weight",
+                      transform=transpose2d),
+            ParamSpec("proj_fc2", (self.dim_mid, H), P(None, None),
+                      MP + "linear_2.weight", transform=transpose2d),
+            ParamSpec("proj_ln_out",
+                      (self.dim_mid if self.proj_ln_mid else H, ),
+                      P(),
+                      MP + ("ln_mid.weight" if self.proj_ln_mid
+                            else "ln_post.weight"), transform=None),
+        ]
+        return specs
+
+    def encode_images(self, params, feats: jax.Array) -> jax.Array:
+        from vllm_main_modify_tpu.layers.normalization import rms_norm
+
+        a = params["audio"]
+        x = self._encoder_frames(params, feats)
+        x = layer_norm(x, a["final_norm"], a["final_norm_bias"], 1e-5)
+        pad = self.num_audio_tokens * self.stack - x.shape[0]
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+        x = x.reshape(self.num_audio_tokens, self.dim_in)
+        x = rms_norm(x, params["proj_ln_pre"], 1e-6)
+        x = x @ params["proj_fc1"]
+        if self.proj_act == "swiglu":
+            d = x.shape[-1] // 2
+            x = x[:, :d] * jax.nn.silu(x[:, d:])
+        else:
+            x = jax.nn.gelu(x, approximate=False)
+        if self.proj_ln_mid:
+            x = rms_norm(x, params["proj_ln_out"], 1e-6)
+        x = x @ params["proj_fc2"]
+        if not self.proj_ln_mid:
+            x = rms_norm(x, params["proj_ln_out"], 1e-6)
+        return x[None]

@@ -157,6 +157,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "VoxtralForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_audio",
         "VoxtralForConditionalGeneration"),
+    "UltravoxModel": (
+        "vllm_main_modify_tpu.models.qwen2_audio", "UltravoxModel"),
     "Qwen2AudioForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_audio",
         "Qwen2AudioForConditionalGeneration"),

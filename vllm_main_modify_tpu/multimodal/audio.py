@@ -81,7 +81,8 @@ def build_audio_inputs(
 
 
 AUDIO_EMBED_ARCHS = ("Qwen2AudioForConditionalGeneration",
-                     "VoxtralForConditionalGeneration")
+                     "VoxtralForConditionalGeneration",
+                     "UltravoxModel")
 
 
 def build_audio_embeds_inputs(
@@ -130,6 +131,11 @@ def build_audio_embeds_inputs(
         # no avg-pool; r consecutive frames group into one token
         # (voxtral.py get_audio_features reshape)
         n_tok = max_pos // (ac.intermediate_size // ac.d_model)
+    elif model_config.architecture == "UltravoxModel":
+        # StackAudioFrames pads T up to a stack_factor multiple
+        # (ultravox.py:246-254)
+        stack = int(getattr(hf, "stack_factor", 8))
+        n_tok = (max_pos + stack - 1) // stack
     else:
         n_tok = max_pos // 2
     expanded: list[int] = []
