@@ -66,6 +66,9 @@ def _mk_runner():
     runner = object.__new__(TPUModelRunner)
     runner.mm_ranges = {}
     runner._mm_free = []
+    runner.mm_cache = {}
+    runner.mm_idle = __import__("collections").OrderedDict()
+    runner.mm_req_hashes = {}
     runner.cross_tables = {}
     runner._cross_free = []
     runner.input_batch = InputBatch(max_num_reqs=8, max_model_len=64,

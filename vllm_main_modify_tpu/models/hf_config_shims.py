@@ -63,8 +63,57 @@ class UltravoxConfig(PretrainedConfig):
         super().__init__(**kwargs)
 
 
+class InternVLChatConfig(PretrainedConfig):
+    """Remote-code OpenGVLab InternVL checkpoints (reference:
+    vllm/transformers_utils/configs/ — resolved via trust_remote_code
+    there; local shim here). The text tree lives under ``llm_config``;
+    the InternViT vision config has no transformers class, so it stays
+    a plain PretrainedConfig."""
+
+    model_type = "internvl_chat"
+
+    def __init__(
+        self,
+        vision_config: Optional[dict[str, Any]] = None,
+        llm_config: Optional[dict[str, Any]] = None,
+        downsample_ratio: float = 0.5,
+        select_layer: int = -1,
+        ps_version: str = "v2",
+        force_image_size: Optional[int] = None,
+        image_token_index: Optional[int] = None,
+        **kwargs,
+    ):
+        self.vision_config = PretrainedConfig(**(vision_config or {}))
+        d = dict(llm_config or {})
+        llm_type = d.pop("model_type", "qwen2")
+        self.llm_config = CONFIG_MAPPING[llm_type](**d)
+        # expose as text_config too: ModelConfig._derive_from_hf and
+        # the composite detection read the standard name
+        self.text_config = self.llm_config
+        self.downsample_ratio = downsample_ratio
+        self.select_layer = select_layer
+        self.ps_version = ps_version
+        self.force_image_size = force_image_size
+        if image_token_index is not None:
+            self.image_token_index = image_token_index
+        super().__init__(**kwargs)
+
+
+class NVLMDConfig(InternVLChatConfig):
+    model_type = "NVLM_D"
+
+
+class H2OVLChatConfig(InternVLChatConfig):
+    model_type = "h2ovl_chat"
+
+
+class SkyworkR1VChatConfig(InternVLChatConfig):
+    model_type = "skywork_chat"
+
+
 def register() -> None:
-    for cfg_cls in (UltravoxConfig, ):
+    for cfg_cls in (UltravoxConfig, InternVLChatConfig, NVLMDConfig,
+                    H2OVLChatConfig, SkyworkR1VChatConfig):
         if cfg_cls.model_type not in CONFIG_MAPPING:
             AutoConfig.register(cfg_cls.model_type, cfg_cls)
 

@@ -315,6 +315,21 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "InternS1ForConditionalGeneration": (
         "vllm_main_modify_tpu.models.internvl",
         "InternVLForConditionalGeneration"),
+    # remote-code OpenGVLab layout + derivatives (reference:
+    # internvl.py InternVLChatModel, nvlm_d.py:160, h2ovl.py,
+    # skyworkr1v.py)
+    "InternVLChatModel": (
+        "vllm_main_modify_tpu.models.internvl", "InternVLChatModel"),
+    "H2OVLChatModel": (
+        "vllm_main_modify_tpu.models.internvl", "InternVLChatModel"),
+    "SkyworkR1VChatModel": (
+        "vllm_main_modify_tpu.models.internvl", "InternVLChatModel"),
+    "NVLM_D": (
+        "vllm_main_modify_tpu.models.internvl", "NVLM_D_Model"),
+    # Tarsier-1: llava checkpoint layout (reference: tarsier.py)
+    "TarsierForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.llava",
+        "LlavaForConditionalGeneration"),
     "LlavaOnevisionForConditionalGeneration": (
         "vllm_main_modify_tpu.models.llava_onevision",
         "LlavaOnevisionForConditionalGeneration"),
@@ -481,6 +496,13 @@ def _qwen2_factory(config: ModelConfig):
 
 
 def resolve_model_cls(architecture: str) -> Callable:
+    if architecture in ("TransformersForCausalLM", "TransformersModel"):
+        # explicit opt-in names (reference: registry.py:330-334 —
+        # model_impl="transformers"): route straight to the fallback
+        from vllm_main_modify_tpu.models.transformers_fallback \
+            import transformers_fallback_factory
+
+        return transformers_fallback_factory
     if architecture not in _REGISTRY:
         if architecture.endswith("ForCausalLM"):
             # transformers-backend fallback (reference:

@@ -68,10 +68,12 @@ def num_image_tokens_for(model_config) -> int:
         return int(getattr(hf, "mm_tokens_per_image", 256))
     if model_config.architecture in (
             "InternVLForConditionalGeneration",
-            "InternS1ForConditionalGeneration"):
+            "InternS1ForConditionalGeneration",
+            "InternVLChatModel", "NVLM_D", "H2OVLChatModel",
+            "SkyworkR1VChatModel"):
         ds = int(round(1 / float(getattr(hf, "downsample_ratio",
                                          0.5))))
-        img = vc.image_size
+        img = getattr(hf, "force_image_size", None) or vc.image_size
         img = img[0] if isinstance(img, (list, tuple)) else img
         pt = vc.patch_size
         pt = pt[0] if isinstance(pt, (list, tuple)) else pt
@@ -167,7 +169,8 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
         arr = _resize_chw(image, vs)
         return ((arr - 0.5) / 0.5).astype(np.float32)
     vc = model_config.hf_config.vision_config
-    vs = vc.image_size
+    vs = getattr(model_config.hf_config, "force_image_size",
+                 None) or vc.image_size  # remote-code InternVL
     vs = vs[0] if isinstance(vs, (list, tuple)) else vs  # InternVL
     if isinstance(image, np.ndarray) and image.ndim == 3 and \
             image.shape == (3, vs, vs) and \
