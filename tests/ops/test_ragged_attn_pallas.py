@@ -147,3 +147,116 @@ def test_pallas_fp8_kv_interpret():
         num_seqs=jnp.asarray([1], jnp.int32), interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
+
+
+# ---------------------------------------------------------------------
+# decode fast path (pure_decode=True): one q token per sequence
+
+
+def build_decode_case(rng, kv_lens, num_q_heads, num_kv_heads,
+                      head_dim, page_size, num_pages,
+                      dtype=jnp.float32):
+    """kv_lens: per-row context length; 0 = padding row. q has exactly
+    num_rows tokens (row s == sequence s)."""
+    num_reqs = len(kv_lens)
+    max_pages = max(-(-kv // page_size) for kv in kv_lens if kv) or 1
+    q = jnp.asarray(
+        rng.standard_normal((num_reqs, num_q_heads, head_dim)), dtype)
+    kv_cache = jnp.asarray(
+        rng.standard_normal(
+            (num_pages, page_size, 2 * num_kv_heads, head_dim)), dtype)
+    qsl = np.arange(num_reqs + 1, dtype=np.int32)
+    n_active = sum(1 for kv in kv_lens if kv)
+    qsl = np.minimum(qsl, n_active)
+    block_tables = np.zeros((num_reqs, max_pages), dtype=np.int32)
+    next_page = 1
+    for r, kv_len in enumerate(kv_lens):
+        n_pages = -(-kv_len // page_size)
+        assert next_page + n_pages <= num_pages
+        block_tables[r, :n_pages] = np.arange(next_page,
+                                              next_page + n_pages)
+        next_page += n_pages
+    return (q, kv_cache, jnp.asarray(block_tables), jnp.asarray(qsl),
+            jnp.asarray(np.asarray(kv_lens, np.int32)))
+
+
+@pytest.mark.parametrize("heads", [(4, 4), (12, 2), (8, 1)])
+def test_decode_fast_path_matches_oracle(heads):
+    num_q, num_kv = heads
+    rng = np.random.default_rng(7)
+    kv_lens = [17, 33, 1, 64, 40, 9]
+    q, kv, bt, qsl, lens = build_decode_case(rng, kv_lens, num_q,
+                                             num_kv, 128, 8, 64)
+    sm = 128**-0.5
+    ref = ragged_paged_attention_xla(q, kv, bt, qsl, lens, sm)
+    got = ragged_paged_attention_pallas(
+        q, kv, bt, qsl, lens, sm,
+        num_seqs=jnp.asarray([len(kv_lens)], jnp.int32),
+        pure_decode=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_decode_fast_path_padding_rows_zero():
+    """Padding rows (seq_len 0 / beyond num_seqs) come out exactly 0,
+    matching the general kernel's contract."""
+    rng = np.random.default_rng(8)
+    kv_lens = [12, 30, 0, 0]
+    q, kv, bt, qsl, lens = build_decode_case(rng, kv_lens, 4, 2, 128,
+                                             8, 32)
+    got = ragged_paged_attention_pallas(
+        q, kv, bt, qsl, lens, 0.125,
+        num_seqs=jnp.asarray([2], jnp.int32), pure_decode=True,
+        interpret=True)
+    assert np.all(np.asarray(got[2:]) == 0.0)
+    ref = ragged_paged_attention_xla(q, kv, bt, qsl, lens, 0.125)
+    np.testing.assert_allclose(np.asarray(got[:2]),
+                               np.asarray(ref[:2]), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_decode_fast_path_sliding_window():
+    rng = np.random.default_rng(9)
+    kv_lens = [40, 33, 16, 7]
+    q, kv, bt, qsl, lens = build_decode_case(rng, kv_lens, 4, 2, 128,
+                                             8, 64)
+    ref = ragged_paged_attention_xla(q, kv, bt, qsl, lens, 0.125,
+                                     sliding_window=16)
+    got = ragged_paged_attention_pallas(
+        q, kv, bt, qsl, lens, 0.125, sliding_window=16,
+        num_seqs=jnp.asarray([4], jnp.int32), pure_decode=True,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_decode_fast_path_softcap_and_sinks():
+    rng = np.random.default_rng(10)
+    kv_lens = [25, 10]
+    q, kv, bt, qsl, lens = build_decode_case(rng, kv_lens, 4, 2, 128,
+                                             8, 32)
+    sinks = jnp.asarray(rng.standard_normal(4), jnp.float32)
+    ref = ragged_paged_attention_xla(q, kv, bt, qsl, lens, 0.125,
+                                     logit_softcap=20.0, sinks=sinks)
+    got = ragged_paged_attention_pallas(
+        q, kv, bt, qsl, lens, 0.125, logit_softcap=20.0, sinks=sinks,
+        num_seqs=jnp.asarray([2], jnp.int32), pure_decode=True,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_decode_fast_path_chunked_local():
+    """Llama4 chunked local attention in the decode specialization."""
+    rng = np.random.default_rng(12)
+    kv_lens = [40, 17, 64]
+    q, kv, bt, qsl, lens = build_decode_case(rng, kv_lens, 4, 2, 128,
+                                             8, 64)
+    ref = ragged_paged_attention_xla(q, kv, bt, qsl, lens, 0.125,
+                                     chunk_size=16)
+    got = ragged_paged_attention_pallas(
+        q, kv, bt, qsl, lens, 0.125, chunk_size=16,
+        num_seqs=jnp.asarray([3], jnp.int32), pure_decode=True,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

@@ -74,6 +74,10 @@ class AttentionMetadata(NamedTuple):
     # metadata inside the jitted step. Reference:
     # gpu_model_runner.py:1293.
     cascade_pages: int = 0
+    # STATIC trace-time flag: every sequence in this dispatch has
+    # exactly one query token at row s == seq s (decode-chunk scan) —
+    # routes the Pallas kernel to its decode specialization
+    pure_decode: bool = False
 
     def for_group(self, g: int) -> "AttentionMetadata":
         """Metadata view for KV group ``g`` — substitutes the paging
@@ -222,6 +226,8 @@ def attention(
         sinks=sinks,
         chunk_size=chunk_size,
         bidir_spans=bidir_spans,
+        pure_decode=(isinstance(meta.pure_decode, bool)
+                     and meta.pure_decode),
     )
     return out, flat.reshape(kv_caches.shape)
 

@@ -161,6 +161,7 @@ def ragged_paged_attention(
     sinks: Optional[jax.Array] = None,
     chunk_size: Optional[int] = None,
     bidir_spans: Optional[jax.Array] = None,
+    pure_decode: bool = False,
 ) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, XLA reference elsewhere.
     ``page_base`` offsets block-table entries into a stacked
@@ -184,7 +185,8 @@ def ragged_paged_attention(
             logit_softcap=logit_softcap, num_seqs=num_seqs,
             page_base=page_base, causal=causal,
             alibi_slopes=alibi_slopes, sinks=sinks,
-            chunk_size=chunk_size, bidir_spans=bidir_spans)
+            chunk_size=chunk_size, bidir_spans=bidir_spans,
+            pure_decode=pure_decode)
     bt = block_tables + page_base if page_base is not None else \
         block_tables
     if kv_cache.ndim == 3:

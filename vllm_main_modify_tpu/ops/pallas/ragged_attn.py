@@ -30,6 +30,7 @@ sequence, kv < seq_len, optional sliding window and logit softcap.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -346,11 +347,386 @@ def _rpa_kernel(
     o_copy.wait()
 
 
+def _rpa_decode_kernel(
+    # scalar prefetch (SMEM)
+    seq_lens_ref,  # [R]
+    block_tables_ref,  # [R, max_pages]
+    num_seqs_ref,  # [1]
+    page_base_ref,  # [1]
+    sinks_ref,  # [num_q_heads] f32
+    # inputs (HBM)
+    q_hbm,  # [T*HqP, D]  (row s*HqP.. is sequence s's q heads;
+    #                      HqP = Hq rounded up to the 8-sublane tile)
+    kv_hbm,  # [P*page, 2*Hk*D]
+    # output (HBM)
+    o_hbm,  # [T*HqP, D]
+    # scratch
+    q_vmem,  # [BS*HqP, D]
+    kv_vmem,  # [N_BUF, KVB, 2*Hk*D]
+    o_vmem,  # [BS*HqP, D]
+    q_sem,
+    o_sem,
+    kv_sems,  # [N_BUF, NPP]
+    *,
+    sm_scale: float,
+    num_q_heads: int,
+    hq_pad: int,  # num_q_heads rounded up to a multiple of 8
+    num_kv_heads: int,
+    head_dim: int,
+    page_size: int,
+    sliding_window: Optional[int],
+    logit_softcap: Optional[float],
+    has_sinks: bool,
+    chunk_size: Optional[int],
+):
+    """Decode specialization of the ragged kernel: every sequence has
+    exactly ONE query token (row s of the batch). vs the general
+    kernel this (a) computes scores only for the OWNING sequence's
+    q heads ([group, kvb] instead of [bq*group, kvb] — the general
+    kernel wastes >95% of its MXU/VPU work on masked-out rows when 32
+    decode seqs share one q block), (b) keeps tiny per-sequence
+    accumulators flushed to the output row when the item stream
+    advances to the next sequence, and (c) skips page DMAs wholly
+    beyond seq_len (no padding traffic). Measured on v5e: decode-step
+    attention 5.7 ms → sub-ms for 32 x ~550-token sequences."""
+    i = pl.program_id(0)
+    bs = q_vmem.shape[0] // hq_pad  # sequences per program
+    kvb = kv_vmem.shape[1]
+    npp = kvb // page_size
+    group = num_q_heads // num_kv_heads
+    s_base = i * bs
+    num_seqs = num_seqs_ref[0]
+
+    q_copy = pltpu.make_async_copy(
+        q_hbm.at[pl.ds(s_base * hq_pad, bs * hq_pad)],
+        q_vmem, q_sem)
+    q_copy.start()
+    o_vmem[...] = jnp.zeros_like(o_vmem)
+
+    def seq_valid(s):
+        return (s < num_seqs) & (seq_lens_ref[s] > 0)
+
+    def first_valid_seq(s):
+        def cond(s2):
+            return (s2 < jnp.minimum(s_base + bs, num_seqs)) & \
+                jnp.logical_not(seq_valid(s2))
+
+        s2 = jax.lax.while_loop(cond, lambda s2: s2 + 1, s)
+        return s2, (s2 < jnp.minimum(s_base + bs, num_seqs))
+
+    def num_kv_blocks(s):
+        return pl.cdiv(seq_lens_ref[s], kvb)
+
+    if sliding_window is not None:
+        def first_kv_block(s):
+            return jnp.maximum(
+                (seq_lens_ref[s] - sliding_window) // kvb,
+                0).astype(jnp.int32)
+    elif chunk_size is not None:
+        def first_kv_block(s):
+            pos = seq_lens_ref[s] - 1
+            return jnp.maximum(
+                (pos // chunk_size) * chunk_size // kvb,
+                0).astype(jnp.int32)
+    else:
+        def first_kv_block(s):
+            return jnp.int32(0)
+
+    def next_item(s, kb, valid):
+        def advance_seq():
+            s2, ok = first_valid_seq(s + 1)
+            return s2, first_kv_block(s2), ok
+
+        def same_seq():
+            return s, kb + 1, jnp.bool_(True)
+
+        return jax.lax.cond(
+            valid & (kb + 1 < num_kv_blocks(s)), same_seq, advance_seq)
+
+    page_base = page_base_ref[0]
+
+    def start_kv_dma(s, kb, slot):
+        kv_len = seq_lens_ref[s]
+        for j in range(npp):
+            # skip pages wholly beyond the sequence (padding traffic)
+            needed = kb * kvb + j * page_size < kv_len
+
+            @pl.when(needed)
+            def _():
+                page_id = page_base + \
+                    block_tables_ref[s, kb * npp + j]
+                pltpu.make_async_copy(
+                    kv_hbm.at[pl.ds(page_id * page_size, page_size)],
+                    kv_vmem.at[slot, pl.ds(j * page_size, page_size)],
+                    kv_sems.at[slot, j]).start()
+
+            @pl.when(jnp.logical_not(needed))
+            def _():
+                # stale VMEM can hold NaN/inf bit patterns; masked
+                # probabilities are 0 but 0*NaN = NaN in p @ v —
+                # zero-fill the skipped region (VMEM store, ~free vs
+                # the skipped HBM DMA)
+                kv_vmem[slot, pl.ds(j * page_size, page_size)] = \
+                    jnp.zeros((page_size, kv_vmem.shape[-1]),
+                              kv_vmem.dtype)
+
+    def wait_kv_dma(s, kb, slot):
+        kv_len = seq_lens_ref[s]
+        for j in range(npp):
+            @pl.when(kb * kvb + j * page_size < kv_len)
+            def _():
+                pltpu.make_async_copy(
+                    kv_hbm.at[pl.ds(0, page_size)],
+                    kv_vmem.at[slot, pl.ds(j * page_size, page_size)],
+                    kv_sems.at[slot, j]).wait()
+
+    s0, v0 = first_valid_seq(s_base)
+    kb0 = first_kv_block(s0)
+
+    @pl.when(v0)
+    def _():
+        start_kv_dma(s0, kb0, 0)
+
+    s1, kb1, v1 = jax.lax.cond(
+        v0, lambda: next_item(s0, kb0, v0),
+        lambda: (s0, jnp.int32(0), jnp.bool_(False)))
+
+    @pl.when(v1)
+    def _():
+        start_kv_dma(s1, kb1, 1)
+
+    q_copy.wait()
+
+    # compute sub-block: MXU QK/PV columns scale with the PADDED kv
+    # block, so skip 128-column sub-blocks wholly beyond kv_len — the
+    # work becomes ∝ ceil(kv_len/SB) independent of the stream block
+    # size (measured on v5e: 12% whole-bench win at 550-token decode)
+    SB = 128 if kvb % 128 == 0 else kvb
+    n_sub = kvb // SB
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, SB), 1)
+
+    def flush(s, m, l, acc):
+        """Normalize sequence s's accumulators into its output row."""
+        row = (s - s_base) * hq_pad  # multiple of 8 (sublane tile)
+        if has_sinks:
+            outs = []
+            for h in range(num_kv_heads):
+                svals = [sinks_ref[h * group + gi]
+                         for gi in range(group)]
+                s_col = jnp.stack(svals).reshape(group, 1)
+                m_t = jnp.maximum(m[h], s_col)
+                sc = jnp.exp(m[h] - m_t)
+                outs.append((acc[h] * sc) /
+                            (l[h] * sc + jnp.exp(s_col - m_t)))
+            out = jnp.concatenate(outs, axis=0)
+        else:
+            out = (acc / jnp.maximum(l, 1e-20)).reshape(
+                num_q_heads, head_dim)
+        if hq_pad != num_q_heads:
+            out = jnp.concatenate([
+                out,
+                jnp.zeros((hq_pad - num_q_heads, head_dim), out.dtype)
+            ], axis=0)
+        o_vmem[pl.ds(row, hq_pad), :] = out.astype(o_vmem.dtype)
+
+    def compute_item(s, kb, slot, m, l, acc):
+        kv_len = seq_lens_ref[s]
+        row = (s - s_base) * hq_pad  # multiple of 8 (sublane tile)
+        qs = q_vmem[pl.ds(row, hq_pad), :]  # [HqP, D]
+
+        def sub_block(si, m, l, acc):
+            kv = kv_vmem[slot, pl.ds(si * SB, SB)].reshape(
+                SB, num_kv_heads, 2, head_dim)
+            kv_idx = kb * kvb + si * SB + col  # [1, SB]
+            mask = kv_idx < kv_len  # decode: pos == kv_len-1
+            if sliding_window is not None:
+                mask &= kv_idx > kv_len - 1 - sliding_window
+            if chunk_size is not None:
+                mask &= (kv_idx // chunk_size) == ((kv_len - 1) //
+                                                   chunk_size)
+            new_m, new_l, new_acc = [], [], []
+            for h in range(num_kv_heads):
+                k = kv[:, h, 0, :]  # [SB, D]
+                v = kv[:, h, 1, :]
+                if kv.dtype != qs.dtype:
+                    k = k.astype(qs.dtype)
+                    v = v.astype(qs.dtype)
+                qh = qs[h * group:(h + 1) * group, :]  # [group, D]
+                scores = jax.lax.dot_general(
+                    qh, k,
+                    dimension_numbers=(((1, ), (1, )), ((), ())),
+                    preferred_element_type=jnp.float32) * sm_scale
+                if logit_softcap is not None:
+                    scores = jnp.tanh(scores / logit_softcap) * \
+                        logit_softcap
+                scores = jnp.where(mask, scores, NEG_INF)
+                m_h, l_h, acc_h = m[h], l[h], acc[h]
+                m_new = jnp.maximum(
+                    m_h, jnp.max(scores, axis=-1, keepdims=True))
+                p = jnp.exp(scores - m_new)
+                p = jnp.where(mask, p, 0.0)
+                scale_old = jnp.exp(m_h - m_new)
+                l_new = l_h * scale_old + jnp.sum(
+                    p, axis=-1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p.astype(v.dtype), v,
+                    dimension_numbers=(((1, ), (0, )), ((), ())),
+                    preferred_element_type=jnp.float32)
+                new_m.append(m_new)
+                new_l.append(l_new)
+                new_acc.append(acc_h * scale_old + pv)
+            return (jnp.stack(new_m), jnp.stack(new_l),
+                    jnp.stack(new_acc))
+
+        for si in range(n_sub):
+            if si == 0:
+                m, l, acc = sub_block(0, m, l, acc)
+            else:
+                # window/chunk lower bounds are handled by
+                # first_kv_block at item granularity; within an item
+                # only the upper bound can skip whole sub-blocks
+                m, l, acc = jax.lax.cond(
+                    kb * kvb + si * SB < kv_len,
+                    lambda m, l, acc, si=si: sub_block(si, m, l, acc),
+                    lambda m, l, acc: (m, l, acc), m, l, acc)
+        return m, l, acc
+
+    m0 = jnp.full((num_kv_heads, group, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((num_kv_heads, group, 1), jnp.float32)
+    acc0 = jnp.zeros((num_kv_heads, group, head_dim), jnp.float32)
+
+    def pipe_cond(carry):
+        (_, _, valid, *_rest) = carry
+        return valid
+
+    def pipe_body(carry):
+        (s, kb, valid, ns, nkb, nvalid, slot, m, l, acc) = carry
+        n2s, n2kb, n2valid = jax.lax.cond(
+            nvalid, lambda: next_item(ns, nkb, nvalid),
+            lambda: (ns, nkb, jnp.bool_(False)))
+
+        @pl.when(n2valid)
+        def _():
+            start_kv_dma(n2s, n2kb, jax.lax.rem(slot + 2, N_BUF))
+
+        wait_kv_dma(s, kb, slot)
+        m, l, acc = compute_item(s, kb, slot, m, l, acc)
+
+        # flush + reset accumulators when the stream leaves sequence s
+        done_seq = jnp.logical_not(nvalid) | (ns != s)
+
+        @pl.when(done_seq)
+        def _():
+            flush(s, m, l, acc)
+
+        m, l, acc = jax.lax.cond(
+            done_seq, lambda: (m0, l0, acc0), lambda: (m, l, acc))
+        return (ns, nkb, nvalid, n2s, n2kb, n2valid,
+                jax.lax.rem(slot + 1, N_BUF), m, l, acc)
+
+    carry = (s0, kb0, v0, s1, kb1, v1, jnp.int32(0), m0, l0, acc0)
+    jax.lax.while_loop(pipe_cond, pipe_body, carry)
+
+    o_copy = pltpu.make_async_copy(
+        o_vmem, o_hbm.at[pl.ds(s_base * hq_pad, bs * hq_pad)], o_sem)
+    o_copy.start()
+    o_copy.wait()
+
+
+def _decode_attention_pallas(
+    q: jax.Array,  # [T, Hq, D] — T == num padded seqs, 1 token each
+    kv_cache2: jax.Array,  # [P*page, 2*Hk*D] width layout
+    block_tables: jax.Array,
+    seq_lens: jax.Array,
+    sm_scale: float,
+    num_kv_heads: int,
+    page_size: int,
+    sliding_window: Optional[int],
+    logit_softcap: Optional[float],
+    num_seqs: jax.Array,
+    page_base: jax.Array,
+    sinks_in: jax.Array,
+    has_sinks: bool,
+    chunk_size: Optional[int],
+    interpret: bool,
+) -> jax.Array:
+    t, num_q_heads, head_dim = q.shape
+    width = 2 * num_kv_heads * head_dim
+    # sequences per program: keep q+o VMEM small; 128 seqs/program
+    bs = min(t, 128)
+    while t % bs:
+        bs //= 2
+    kvb_budget = KV_STREAM_BYTES // (
+        N_BUF * width * kv_cache2.dtype.itemsize)
+    kvb_tokens = max(min(kvb_budget, 1024), 128)
+    env = os.environ.get("VLLM_TPU_DECODE_KV_BLOCK")
+    if env:  # workload tuning: MXU columns scale with the padded
+        kvb_tokens = int(env)  # block, so ~typical decode ctx is best
+    npp = max(kvb_tokens // page_size, 1)
+    kvb = npp * page_size
+    max_pages = block_tables.shape[1]
+    if max_pages % npp != 0:
+        block_tables = jnp.pad(
+            block_tables, ((0, 0), (0, npp - max_pages % npp)))
+
+    # per-sequence q rows padded to the 8-row sublane tile so every
+    # dynamic VMEM slice offset ((s - s_base) * hq_pad) is provably
+    # tile-aligned for Mosaic
+    hq_pad = -(-num_q_heads // 8) * 8
+    kernel = functools.partial(
+        _rpa_decode_kernel,
+        sm_scale=sm_scale,
+        num_q_heads=num_q_heads,
+        hq_pad=hq_pad,
+        num_kv_heads=num_kv_heads,
+        head_dim=head_dim,
+        page_size=page_size,
+        sliding_window=sliding_window,
+        logit_softcap=logit_softcap,
+        has_sinks=has_sinks,
+        chunk_size=chunk_size,
+    )
+    if hq_pad != num_q_heads:
+        qp = jnp.pad(q, ((0, 0), (0, hq_pad - num_q_heads), (0, 0)))
+    else:
+        qp = q
+    q2 = qp.reshape(t * hq_pad, head_dim)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(t // bs, ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((bs * hq_pad, head_dim), q.dtype),
+            pltpu.VMEM((N_BUF, kvb, width), kv_cache2.dtype),
+            pltpu.VMEM((bs * hq_pad, head_dim), q.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((N_BUF, npp)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q2.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", ),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(seq_lens, block_tables, num_seqs, page_base, sinks_in, q2,
+      kv_cache2)
+    out = out.reshape(t, hq_pad, head_dim)
+    return out[:, :num_q_heads, :] if hq_pad != num_q_heads else out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=["sm_scale", "num_kv_heads", "sliding_window",
                      "logit_softcap", "interpret", "causal",
-                     "alibi_slopes", "chunk_size"],
+                     "alibi_slopes", "chunk_size", "pure_decode"],
 )
 def ragged_paged_attention_pallas(
     q: jax.Array,  # [T, Hq, D]
@@ -370,6 +746,7 @@ def ragged_paged_attention_pallas(
     sinks: Optional[jax.Array] = None,  # [Hq] f32 learned sink logits
     chunk_size: Optional[int] = None,  # Llama4 chunked local attn
     bidir_spans: Optional[jax.Array] = None,  # [R, S, 2] kv positions
+    pure_decode: bool = False,  # STATIC: every seq has q_len == 1
 ) -> jax.Array:
     t, num_q_heads, head_dim = q.shape
     num_pages, page_size = kv_cache.shape[:2]
@@ -381,6 +758,22 @@ def ragged_paged_attention_pallas(
     num_reqs = block_tables.shape[0]
     if num_seqs is None:
         num_seqs = jnp.asarray([num_reqs], dtype=jnp.int32)
+
+    if (pure_decode and causal and t == num_reqs
+            and alibi_slopes is None and bidir_spans is None
+            and head_dim % 128 == 0):
+        # decode fast path: one q token per sequence (row s == seq s)
+        if sinks is None:
+            sinks_d = jnp.zeros((num_q_heads, ), jnp.float32)
+        else:
+            sinks_d = sinks.astype(jnp.float32).reshape(num_q_heads)
+        kv2d = kv_cache.reshape(num_pages * page_size,
+                                two_kh * head_dim)
+        return _decode_attention_pallas(
+            q, kv2d, block_tables, seq_lens, sm_scale, num_kv_heads,
+            page_size, sliding_window, logit_softcap, num_seqs,
+            page_base, sinks_d, sinks is not None, chunk_size,
+            interpret)
 
     group_ratio = num_q_heads // (num_kv_heads or 1)
     # scores live in VMEM as [bq*group, kvb] f32 — clamp bq so huge

@@ -1562,7 +1562,8 @@ class TPUModelRunner:
                      has_bias: bool = False,
                      mm_pad: int = 0,
                      prompt_lp: int = 0,
-                     cascade: int = 0):
+                     cascade: int = 0,
+                     pure_decode: bool = False):
         """One compiled executable per (bucket, sampler-static)
         combination. The step consumes ONE packed int32 buffer (see
         _prepare_inputs) and unpacks with static slices on device."""
@@ -1720,6 +1721,7 @@ class TPUModelRunner:
                     r_pad, max_mm_spans, 2)
                     if (bidir_mm and mm_pad) else None),
                 cascade_pages=cascade,
+                pure_decode=pure_decode,
             )
             if group_kinds:
                 attn_meta = attn_meta._replace(groups=tuple(
@@ -2057,6 +2059,7 @@ class TPUModelRunner:
                         jnp.where(active, 1, 0).astype(jnp.int32)
                     ]),
                     num_kv_update_slices=num_seqs,
+                    pure_decode=True,
                 )
                 hidden, kv = model(params, toks, pos, kv, attn_meta,
                                    use_pallas=use_pallas)
@@ -2216,6 +2219,20 @@ class TPUModelRunner:
         self.cascade_steps += 1
         return 1 << (n.bit_length() - 1)
 
+    def _is_pure_decode(self, scheduler_output: SchedulerOutput,
+                        t_pad: int, r_pad: int) -> bool:
+        """True when this dispatch can take the Pallas decode fast
+        path: q row s IS sequence s (every persistent-batch row has
+        exactly one scheduled token) and the token/request pads agree
+        so the kernel sees one q row per batch row."""
+        if t_pad != r_pad or self.num_sample_positions > 1:
+            return False
+        batch = self.input_batch
+        sched = scheduler_output.num_scheduled_tokens
+        return all(
+            sched.get(batch.req_ids[i], 0) == 1
+            for i in range(batch.num_reqs))
+
     def execute_model(
             self, scheduler_output: SchedulerOutput) -> ModelRunnerOutput:
         self._update_states(scheduler_output)
@@ -2244,14 +2261,16 @@ class TPUModelRunner:
         plp_plan = (self._prompt_lp_plan(scheduler_output)
                     if prompt_lp else None)
 
+        pure_decode = self._is_pure_decode(scheduler_output, t_pad,
+                                           r_pad)
         step_fn = self._get_step_fn(t_pad, r_pad, *statics,
                                     apply_grammar, False,
                                     return_hidden, False,
                                     has_penalties, has_bias, mm_pad,
-                                    prompt_lp, cascade)
+                                    prompt_lp, cascade, pure_decode)
         self._note_compile((t_pad, r_pad, *statics, apply_grammar,
                             return_hidden, has_penalties, has_bias,
-                            mm_pad, prompt_lp, cascade))
+                            mm_pad, prompt_lp, cascade, pure_decode))
 
         self._step_count += 1
         if self.step_broadcaster is not None:
@@ -2259,7 +2278,7 @@ class TPUModelRunner:
                 self._step_count,
                 ("step", t_pad, r_pad, *statics, apply_grammar, False,
                  return_hidden, False, has_penalties, has_bias,
-                 mm_pad, prompt_lp, cascade), packed)
+                 mm_pad, prompt_lp, cascade, pure_decode), packed)
         packed_dev = jnp.asarray(packed, device=self._replicated)
         self.kv_caches, out, hidden, plp_aux = step_fn(
             self.params, self.kv_caches, packed_dev,
@@ -2529,13 +2548,17 @@ class TPUModelRunner:
         plp_plan = (self._prompt_lp_plan(scheduler_output)
                     if prompt_lp else None)
 
+        pure_decode = self._is_pure_decode(scheduler_output, t_pad,
+                                           r_pad)
         step_fn = self._get_step_fn(t_pad, r_pad, *statics,
                                     apply_grammar, has_prev, False,
                                     has_prev2, has_penalties, has_bias,
-                                    mm_pad, prompt_lp, cascade)
+                                    mm_pad, prompt_lp, cascade,
+                                    pure_decode)
         self._note_compile((t_pad, r_pad, *statics, apply_grammar,
                             has_prev, has_prev2, has_penalties,
                             has_bias, mm_pad, prompt_lp, cascade,
+                            pure_decode,
                             None if not has_prev
                             else self._prev_sampled.shape[0]))
 
@@ -2545,7 +2568,7 @@ class TPUModelRunner:
                 self._step_count,
                 ("step", t_pad, r_pad, *statics, apply_grammar,
                  has_prev, False, has_prev2, has_penalties, has_bias,
-                 mm_pad, prompt_lp, cascade), packed)
+                 mm_pad, prompt_lp, cascade, pure_decode), packed)
         packed_dev = jnp.asarray(packed, device=self._replicated)
         self.kv_caches, out, _, plp_aux = step_fn(
             self.params, self.kv_caches, packed_dev,
@@ -2607,6 +2630,12 @@ class TPUModelRunner:
                     continue
                 self._run_dummy_step(t_pad, r_pad)
                 n += 1
+                if t_pad == r_pad:
+                    # decode fast-path variant (pure_decode=True):
+                    # serving hits it on every all-decode step
+                    self._run_dummy_step(t_pad, r_pad,
+                                         pure_decode=True)
+                    n += 1
         if self.decode_chunk_steps > 1:
             for r_pad in self.req_buckets:
                 for hp, hp2 in ((False, False), (True, False),
@@ -2620,7 +2649,8 @@ class TPUModelRunner:
         # capture phase, any new compile during serving is a bug
         self._compile_baseline = self.num_compilations
 
-    def _run_dummy_step(self, t_pad: int, r_pad: int) -> None:
+    def _run_dummy_step(self, t_pad: int, r_pad: int,
+                        pure_decode: bool = False) -> None:
         s_pad = t_pad // self.page_size + r_pad + 1
         layout = self._packed_layout(t_pad, r_pad, s_pad)
         packed = np.zeros(layout["total"], dtype=np.int32)
@@ -2629,7 +2659,8 @@ class TPUModelRunner:
         a, b = layout["top_p"]
         packed[a:b].view(np.float32)[:] = 1.0
         step_fn = self._get_step_fn(t_pad, r_pad, True, False, False,
-                                    False, 0, False)
+                                    False, 0, False,
+                                    pure_decode=pure_decode)
         self.kv_caches, _, _, _ = step_fn(
             self.params, self.kv_caches,
             jnp.asarray(packed, device=self._replicated))
