@@ -122,6 +122,11 @@ class ModelConfig:
                 or top_get("image_token_id")
                 or top_get("audio_token_index") or -1)
             hf = text
+        elif top_get("image_token_index") is not None:
+            # Phi-3V style: the top config IS the text config with an
+            # embedded vision tower description (img_processor dict)
+            self.is_multimodal = True
+            self.image_token_index = top_get("image_token_index")
         get = lambda k, d=None: getattr(hf, k, d)
         self.vocab_size = get("vocab_size", self.vocab_size)
         self.hidden_size = get("hidden_size", self.hidden_size)

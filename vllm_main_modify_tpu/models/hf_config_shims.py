@@ -63,6 +63,33 @@ class UltravoxConfig(PretrainedConfig):
         super().__init__(**kwargs)
 
 
+class Phi3VConfig(PretrainedConfig):
+    """microsoft/Phi-3-vision checkpoints (reference:
+    vllm/transformers_utils — trust_remote_code there): a Phi-3 text
+    config with ``img_processor``/``embd_layer`` vision dicts at the
+    top level. ``image_token_index`` must be provided (the official
+    convention uses negative placeholder ids rewritten by the chat
+    processor; programmatic use passes a real vocab id)."""
+
+    model_type = "phi3_v"
+
+    def __init__(
+        self,
+        img_processor: Optional[dict[str, Any]] = None,
+        embd_layer: Optional[dict[str, Any]] = None,
+        image_token_index: Optional[int] = None,
+        **kwargs,
+    ):
+        self.img_processor = img_processor or {}
+        self.embd_layer = embd_layer or {}
+        if image_token_index is not None:
+            self.image_token_index = image_token_index
+        # Phi3Config defaults False; the PretrainedConfig base would
+        # default True and silently drop lm_head at load
+        kwargs.setdefault("tie_word_embeddings", False)
+        super().__init__(**kwargs)
+
+
 class InternVLChatConfig(PretrainedConfig):
     """Remote-code OpenGVLab InternVL checkpoints (reference:
     vllm/transformers_utils/configs/ — resolved via trust_remote_code
@@ -113,7 +140,8 @@ class SkyworkR1VChatConfig(InternVLChatConfig):
 
 def register() -> None:
     for cfg_cls in (UltravoxConfig, InternVLChatConfig, NVLMDConfig,
-                    H2OVLChatConfig, SkyworkR1VChatConfig):
+                    H2OVLChatConfig, SkyworkR1VChatConfig,
+                    Phi3VConfig):
         if cfg_cls.model_type not in CONFIG_MAPPING:
             AutoConfig.register(cfg_cls.model_type, cfg_cls)
 

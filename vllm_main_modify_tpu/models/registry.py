@@ -46,6 +46,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                               "DeepseekV3ForCausalLM"),
     "Phi3ForCausalLM": ("vllm_main_modify_tpu.models.llama",
                         "Phi3ForCausalLM"),
+    "Phi3VForCausalLM": ("vllm_main_modify_tpu.models.phi3v",
+                         "Phi3VForCausalLM"),
     "SmolLM3ForCausalLM": ("vllm_main_modify_tpu.models.llama",
                            "SmolLM3ForCausalLM"),
     "Glm4ForCausalLM": ("vllm_main_modify_tpu.models.glm4",

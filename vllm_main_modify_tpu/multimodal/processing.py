@@ -45,6 +45,16 @@ def num_image_tokens_for(model_config) -> int:
         # no vision tower: raw patches at the canonical resolution
         size = int(model_config.mm_image_size or 224)
         return (size // int(getattr(hf, "patch_size", 30)))**2
+    if model_config.architecture == "Phi3VForCausalLM":
+        # HD transform at the fixed 1x1 crop grid: sub block with a
+        # newline per merged row + glb_GN separator + global block
+        # (models/phi3v.py)
+        from vllm_main_modify_tpu.models.phi3v import \
+            phi3v_vision_dims
+
+        d = phi3v_vision_dims(hf)
+        m = d["image_size"] // d["patch_size"] // 2
+        return 2 * m * (m + 1) + 1
     vc = getattr(hf, "vision_config", None)
     if vc is None:
         raise ValueError(f"{model_config.architecture} has no "
@@ -168,6 +178,18 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
         # Fuyu normalization: (x/255 - 0.5) / 0.5
         arr = _resize_chw(image, vs)
         return ((arr - 0.5) / 0.5).astype(np.float32)
+    if model_config.architecture == "Phi3VForCausalLM":
+        from vllm_main_modify_tpu.models.phi3v import \
+            phi3v_vision_dims
+
+        vs = phi3v_vision_dims(model_config.hf_config)["image_size"]
+        if isinstance(image, np.ndarray) and image.ndim == 3 and \
+                image.shape == (3, vs, vs) and \
+                np.issubdtype(image.dtype, np.floating):
+            return image.astype(np.float32)
+        arr = _resize_chw(image, vs)  # CLIP normalization (HF phi3v)
+        return ((arr - _CLIP_MEAN[:, None, None]) /
+                _CLIP_STD[:, None, None]).astype(np.float32)
     vc = model_config.hf_config.vision_config
     vs = getattr(model_config.hf_config, "force_image_size",
                  None) or vc.image_size  # remote-code InternVL
@@ -295,6 +317,9 @@ def build_mm_inputs(
         "LlavaNextVideoForConditionalGeneration")
     is_onevision = model_config.architecture == \
         "LlavaOnevisionForConditionalGeneration"
+    # Phi-3V: global image + one 1x1 HD crop (identical at the
+    # canonical square resolution), stacked [2, 3, S, S]
+    is_phi3v = model_config.architecture == "Phi3VForCausalLM"
     expanded: list[int] = []
     mm_inputs: list[dict] = []
     salt = hashlib.sha256()
@@ -328,7 +353,7 @@ def build_mm_inputs(
         if is_llava_next:
             pixels, this_tok = _llava_next_prepare(
                 next(img_iter), model_config)
-        elif is_onevision:
+        elif is_onevision or is_phi3v:
             # base + one tile (identical at the canonical square
             # resolution) — HF anyres at pinpoint == base size
             pv = _to_pixel_values(next(img_iter), model_config)
