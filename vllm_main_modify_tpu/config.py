@@ -89,6 +89,14 @@ class ModelConfig:
         # trust_remote_code (reference: vllm/transformers_utils/config.py)
         from vllm_main_modify_tpu.models import hf_config_shims  # noqa: F401
 
+        if not os.path.exists(os.path.join(self.model, "config.json")) \
+                and os.path.exists(os.path.join(self.model,
+                                                "params.json")):
+            # mistral-format repo (reference:
+            # vllm/transformers_utils/configs/mistral adaptation)
+            self.hf_config = hf_config_shims.load_mistral_params_json(
+                self.model)
+            return
         self.hf_config = AutoConfig.from_pretrained(
             self.model,
             trust_remote_code=self.trust_remote_code,

@@ -138,6 +138,60 @@ class SkyworkR1VChatConfig(InternVLChatConfig):
     model_type = "skywork_chat"
 
 
+def load_mistral_params_json(model_dir: str) -> PretrainedConfig:
+    """Synthesize an HF-style composite config from a mistral-format
+    repo's ``params.json`` (reference: the mistral config adaptation
+    in vllm/transformers_utils/). Pixtral repos carry a
+    ``vision_encoder`` block; text-only mistral repos map to a plain
+    MistralForCausalLM."""
+    import json
+    import os
+
+    with open(os.path.join(model_dir, "params.json")) as f:
+        p = json.load(f)
+    text = CONFIG_MAPPING["mistral"](
+        vocab_size=p["vocab_size"],
+        hidden_size=p["dim"],
+        num_hidden_layers=p["n_layers"],
+        num_attention_heads=p["n_heads"],
+        num_key_value_heads=p.get("n_kv_heads", p["n_heads"]),
+        intermediate_size=p["hidden_dim"],
+        head_dim=p.get("head_dim"),
+        rms_norm_eps=p.get("norm_eps", 1e-5),
+        rope_theta=p.get("rope_theta", 1e6),
+        max_position_embeddings=p.get("max_seq_len", 131072),
+        tie_word_embeddings=False,
+        architectures=["MistralForCausalLM"],
+    )
+    ve = p.get("vision_encoder")
+    if ve is None:
+        text.architectures = ["MistralForCausalLM"]
+        return text
+    cfg = PretrainedConfig()
+    cfg.architectures = ["PixtralForConditionalGeneration"]
+    cfg.model_type = "pixtral"
+    cfg.text_config = text
+    cfg.vision_config = PretrainedConfig(
+        model_type="pixtral",
+        hidden_size=ve["hidden_size"],
+        intermediate_size=ve["intermediate_size"],
+        num_hidden_layers=ve["num_hidden_layers"],
+        num_attention_heads=ve["num_attention_heads"],
+        image_size=ve["image_size"],
+        patch_size=ve["patch_size"],
+        rope_theta=ve.get("rope_theta", 1e4),
+        head_dim=ve["hidden_size"] // ve["num_attention_heads"],
+    )
+    # mistral tekken multimodal special tokens: [IMG]=10,
+    # [IMG_BREAK]=12, [IMG_END]=13 (reference: pixtral.py processor)
+    cfg.image_token_index = ve.get("image_token_id", 10)
+    cfg.image_break_token_id = ve.get("image_break_token_id", 12)
+    cfg.image_end_token_id = ve.get("image_end_token_id", 13)
+    cfg.vision_feature_layer = -1
+    cfg.vision_feature_select_strategy = "full"
+    return cfg
+
+
 def register() -> None:
     for cfg_cls in (UltravoxConfig, InternVLChatConfig, NVLMDConfig,
                     H2OVLChatConfig, SkyworkR1VChatConfig,

@@ -153,6 +153,29 @@ class Mistral3ForConditionalGeneration:
     def encode_images(self, params, pixel_values: jax.Array
                       ) -> jax.Array:
         """[N, 3, S, S] f32 → [N, num_image_tokens, text_H]."""
+        x = self._tower(params, pixel_values)
+        g = self.grid
+        n = x.shape[0]
+
+        mg = params["merger"]
+        x = rms_norm(x, mg["norm"], self.v_eps)
+        # 2x2 unfold, channel-major block order (torch F.unfold)
+        sm, d = self.sm, self.v_hidden
+        x = x.reshape(n, g // sm, sm, g // sm, sm, d)
+        x = jnp.transpose(x, (0, 1, 3, 5, 2, 4)).reshape(
+            n, (g // sm)**2, d * sm * sm)
+        x = x @ mg["merging"]
+        x = x @ mg["linear_1"]
+        if "linear_1_bias" in mg:
+            x = x + mg["linear_1_bias"]
+        x = jax.nn.gelu(x, approximate=False)
+        x = x @ mg["linear_2"]
+        if "linear_2_bias" in mg:
+            x = x + mg["linear_2_bias"]
+        return x
+
+    def _tower(self, params, pixel_values: jax.Array) -> jax.Array:
+        """Pixtral ViT: [N, 3, S, S] → [N, P, D] (pre-merger)."""
         v = params["vision"]
         n = pixel_values.shape[0]
         x = jax.lax.conv_general_dilated(
@@ -203,24 +226,7 @@ class Mistral3ForConditionalGeneration:
             h = jax.nn.silu(h @ w["gate_proj"]) * (h @ w["up_proj"])
             return res + h @ w["down_proj"]
 
-        x = jax.lax.fori_loop(0, self.v_layers, layer_fn, x)
-
-        mg = params["merger"]
-        x = rms_norm(x, mg["norm"], self.v_eps)
-        # 2x2 unfold, channel-major block order (torch F.unfold)
-        sm, d = self.sm, self.v_hidden
-        x = x.reshape(n, g // sm, sm, g // sm, sm, d)
-        x = jnp.transpose(x, (0, 1, 3, 5, 2, 4)).reshape(
-            n, (g // sm)**2, d * sm * sm)
-        x = x @ mg["merging"]
-        x = x @ mg["linear_1"]
-        if "linear_1_bias" in mg:
-            x = x + mg["linear_1_bias"]
-        x = jax.nn.gelu(x, approximate=False)
-        x = x @ mg["linear_2"]
-        if "linear_2_bias" in mg:
-            x = x + mg["linear_2_bias"]
-        return x
+        return jax.lax.fori_loop(0, self.v_layers, layer_fn, x)
 
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,

@@ -142,8 +142,10 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "vllm_main_modify_tpu.models.whisper",
         "WhisperForConditionalGeneration"),
     "LlavaForConditionalGeneration": (
-        "vllm_main_modify_tpu.models.llava",
-        "LlavaForConditionalGeneration"),
+        "vllm_main_modify_tpu.models.registry", "_llava_factory"),
+    "PixtralForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.pixtral",
+        "PixtralForConditionalGeneration"),
     "Qwen2VLForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_vl",
         "Qwen2VLForConditionalGeneration"),
@@ -461,6 +463,23 @@ def _seq_cls_qwen2_factory(config: ModelConfig):
 
     config.attention_bias = True  # Qwen2 unconditional qkv biases
     return LlamaForSequenceClassification(config)
+
+
+def _llava_factory(config: ModelConfig):
+    """LLaVA checkpoints carry different towers under one arch name
+    (reference: llava.py init_vision_tower_for_llava) — HF-format
+    Pixtral-12B is a LlavaForConditionalGeneration whose
+    vision_config.model_type is 'pixtral'."""
+    vc = getattr(config.hf_config, "vision_config", None)
+    if getattr(vc, "model_type", "") == "pixtral":
+        from vllm_main_modify_tpu.models.pixtral import \
+            PixtralHFForConditionalGeneration
+
+        return PixtralHFForConditionalGeneration(config)
+    from vllm_main_modify_tpu.models.llava import \
+        LlavaForConditionalGeneration
+
+    return LlavaForConditionalGeneration(config)
 
 
 def _pooling_gemma2_factory(config: ModelConfig):

@@ -72,6 +72,15 @@ def num_image_tokens_for(model_config) -> int:
         size = int(model_config.mm_image_size or vc.image_size)
         sm = getattr(hf, "spatial_merge_size", 2)
         return (size // vc.patch_size // sm)**2
+    if getattr(vc, "model_type", "") == "pixtral":
+        # HF-format Pixtral under the Llava arch name, or the
+        # mistral-format PixtralForConditionalGeneration: one token
+        # per patch + [IMG_BREAK] per row (last row [IMG_END])
+        size = int(model_config.mm_image_size or vc.image_size)
+        g = size // vc.patch_size
+        if getattr(hf, "image_break_token_id", None) is not None:
+            return g * (g + 1)
+        return g * g
     if model_config.architecture == \
             "Gemma3ForConditionalGeneration":
         # avg-pooled to a fixed soft-token budget (gemma3_mm.py)
@@ -191,8 +200,9 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
         return ((arr - _CLIP_MEAN[:, None, None]) /
                 _CLIP_STD[:, None, None]).astype(np.float32)
     vc = model_config.hf_config.vision_config
-    vs = getattr(model_config.hf_config, "force_image_size",
-                 None) or vc.image_size  # remote-code InternVL
+    vs = model_config.mm_image_size or getattr(
+        model_config.hf_config, "force_image_size",
+        None) or vc.image_size  # remote-code InternVL / pixtral
     vs = vs[0] if isinstance(vs, (list, tuple)) else vs  # InternVL
     if isinstance(image, np.ndarray) and image.ndim == 3 and \
             image.shape == (3, vs, vs) and \
