@@ -177,6 +177,40 @@ def apply_mrope_interleaved(
     return _rot_halves(q, k, cos, sin)
 
 
+def apply_mrope_glm(
+    q: jax.Array,  # [T, Hq, D]  (D = rotary dim)
+    k: jax.Array,  # [T, Hk, D]
+    positions: jax.Array,  # [3, T] int32
+    inv_freq: jax.Array,  # [D/2] f32
+    sections: tuple,  # ints summing to D/2
+) -> tuple[jax.Array, jax.Array]:
+    """GLM-4.1V multimodal rope (HF modeling_glm4v
+    apply_multimodal_rotary_pos_emb): Qwen2-VL-style section-chunk
+    stream selection over the frequency dim, but GLM's INTERLEAVED
+    pair rotation ((x[2i], x[2i+1]) share angle i)."""
+    d2 = inv_freq.shape[0]
+    assert sum(sections) == d2, (
+        f"mrope_section {sections} must sum to rotary_dim/2 = {d2}")
+    sec_idx = jnp.asarray(np.repeat(np.arange(3), sections),
+                          dtype=jnp.int32)
+    angles3 = positions[:, :, None].astype(jnp.float32) * \
+        inv_freq[None, None, :]  # [3, T, D/2]
+    angles = angles3[sec_idx, :, jnp.arange(d2)].T  # [T, D/2]
+    cos = jnp.cos(angles)[:, None, :]
+    sin = jnp.sin(angles)[:, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        x1 = xf[..., 0::2]
+        x2 = xf[..., 1::2]
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        return jnp.stack([o1, o2],
+                         axis=-1).reshape(x.shape).astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
 def apply_rope(
     q: jax.Array,  # [T, Hq, D]
     k: jax.Array,  # [T, Hk, D]

@@ -109,11 +109,16 @@ class Glm4ForCausalLM:
     def kv_cache_spec(self) -> tuple[int, int, int]:
         return self.num_kv, self.head_dim, self.L
 
+    def _rope(self, q, k, positions):
+        return apply_rope_interleaved(q, k, positions, self.inv_freq)
+
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 inputs_embeds: Optional[jax.Array] = None):
         cfg = self.cfg
-        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        x = inputs_embeds if inputs_embeds is not None else \
+            jnp.take(params["embed_tokens"], input_ids, axis=0)
         t = x.shape[0]
         layers = params["layers"]
         rd = self.rot_dim
@@ -132,8 +137,8 @@ class Glm4ForCausalLM:
             k = k.reshape(t, self.num_kv, self.head_dim)
             v = v.reshape(t, self.num_kv, self.head_dim)
             # partial INTERLEAVED rotary (GLM convention)
-            q_rot, k_rot = apply_rope_interleaved(
-                q[..., :rd], k[..., :rd], positions, self.inv_freq)
+            q_rot, k_rot = self._rope(q[..., :rd], k[..., :rd],
+                                      positions)
             q = jnp.concatenate([q_rot, q[..., rd:]], axis=-1)
             k = jnp.concatenate([k_rot, k[..., rd:]], axis=-1)
             o, kv = attention(q, k, v, kv, l, attn_meta, self.sm_scale,

@@ -255,6 +255,13 @@ class _V3MoeDecoder:
     def kv_cache_spec(self) -> tuple[int, int, int]:
         return self.num_kv, self.head_dim, self.L
 
+    def _rope(self, q, k, positions):
+        if self.rope_interleaved:
+            return apply_rope_interleaved(q, k, positions,
+                                          self.inv_freq)
+        return apply_rope_partial(q, k, positions, self.inv_freq,
+                                  self.rot_dim)
+
     # ------------------------------------------------------------------
 
     def _route(self, h, w):
@@ -277,8 +284,10 @@ class _V3MoeDecoder:
 
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,
-                 use_pallas: Optional[bool] = None):
-        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+                 use_pallas: Optional[bool] = None,
+                 inputs_embeds: Optional[jax.Array] = None):
+        x = inputs_embeds if inputs_embeds is not None else \
+            jnp.take(params["embed_tokens"], input_ids, axis=0)
         t = x.shape[0]
         layers = params["layers"]
 
@@ -345,12 +354,7 @@ class _V3MoeDecoder:
             if self.qk_norm:
                 q = rms_norm(q, w["q_norm"], self.eps)
                 k = rms_norm(k, w["k_norm"], self.eps)
-            if self.rope_interleaved:
-                q, k = apply_rope_interleaved(q, k, positions,
-                                              self.inv_freq)
-            else:
-                q, k = apply_rope_partial(q, k, positions,
-                                          self.inv_freq, self.rot_dim)
+            q, k = self._rope(q, k, positions)
             o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
                                      self.sm_scale,
                                      use_pallas=use_pallas)

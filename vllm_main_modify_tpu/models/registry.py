@@ -146,6 +146,12 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "PixtralForConditionalGeneration": (
         "vllm_main_modify_tpu.models.pixtral",
         "PixtralForConditionalGeneration"),
+    "Glm4vForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.glm4v",
+        "Glm4vForConditionalGeneration"),
+    "Glm4vMoeForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.glm4v",
+        "Glm4vMoeForConditionalGeneration"),
     "Qwen2VLForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_vl",
         "Qwen2VLForConditionalGeneration"),

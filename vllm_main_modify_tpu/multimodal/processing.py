@@ -21,7 +21,12 @@ import numpy as np
 QWEN_VL_ARCHS = ("Qwen2VLForConditionalGeneration",
                  "Qwen2_5_VLForConditionalGeneration",
                  "Qwen3VLForConditionalGeneration",
-                 "Qwen3VLMoeForConditionalGeneration")
+                 "Qwen3VLMoeForConditionalGeneration",
+                 # GLM-4.1V/4.5V share the Qwen2-VL mm-rope ingest
+                 # (fixed-res grid + 3-D positions); only the in-model
+                 # rotation convention differs (models/glm4v.py)
+                 "Glm4vForConditionalGeneration",
+                 "Glm4vMoeForConditionalGeneration")
 
 
 def _is_qwen_vl(model_config) -> bool:
@@ -32,7 +37,10 @@ def _qwen_vl_dims(model_config) -> tuple[int, int, int]:
     """(canonical size px, patch grid, merge) for the fixed-resolution
     Qwen-VL path."""
     vc = model_config.hf_config.vision_config
-    size = int(model_config.mm_image_size or 448)
+    # Qwen-VL vision configs are native-dynamic-res (no image_size);
+    # GLM-4V carries the learned-pos-embedding grid's image_size.
+    size = int(model_config.mm_image_size
+               or getattr(vc, "image_size", None) or 448)
     return size, size // vc.patch_size, getattr(
         vc, "spatial_merge_size", 2)
 
