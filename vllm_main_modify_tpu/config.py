@@ -253,6 +253,12 @@ class ParallelConfig:
 
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # PP (pipeline parallel, reference: parallel_state.py:654-829 +
+    # get_pp_indices): the stacked layer axis of the weights and the
+    # KV cache shards across a "stage" mesh axis; the decoder runs as
+    # a ring-ppermute pipeline inside shard_map (parallel/pp.py). For
+    # models whose weights exceed one host's HBM.
+    pipeline_parallel_size: int = 1
     # DCP (decode context parallel, reference: vllm/v1/attention/
     # backends/mla/common.py:487-700 + scheduler.py:105-112): shard KV
     # PAGES across the model axis and merge per-shard attention
@@ -275,14 +281,26 @@ class ParallelConfig:
     # axis names used in sharding rules
     data_axis: str = "data"
     model_axis: str = "model"
+    stage_axis: str = "stage"
 
     @property
     def world_size(self) -> int:
-        return self.tensor_parallel_size * self.data_parallel_size
+        return (self.tensor_parallel_size * self.data_parallel_size *
+                self.pipeline_parallel_size)
 
     @property
-    def mesh_shape(self) -> tuple[int, int]:
+    def mesh_shape(self) -> tuple[int, ...]:
+        if self.pipeline_parallel_size > 1:
+            return (self.data_parallel_size,
+                    self.pipeline_parallel_size,
+                    self.tensor_parallel_size)
         return (self.data_parallel_size, self.tensor_parallel_size)
+
+    @property
+    def mesh_axes(self) -> tuple[str, ...]:
+        if self.pipeline_parallel_size > 1:
+            return (self.data_axis, self.stage_axis, self.model_axis)
+        return (self.data_axis, self.model_axis)
 
 
 @dataclass

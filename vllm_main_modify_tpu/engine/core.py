@@ -40,7 +40,7 @@ def build_mesh(config: EngineConfig):
     if world > len(devices):
         raise ValueError(f"need {world} devices, have {len(devices)}")
     arr = np.array(devices[:world]).reshape(pc.mesh_shape)
-    return Mesh(arr, (pc.data_axis, pc.model_axis))
+    return Mesh(arr, pc.mesh_axes)
 
 
 class EngineCore:

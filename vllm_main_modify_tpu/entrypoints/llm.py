@@ -85,6 +85,8 @@ class LLM:
                 engine_multiprocess=engine_multiprocess,
                 decode_context_parallel_size=kwargs.pop(
                     "decode_context_parallel_size", 1),
+                pipeline_parallel_size=kwargs.pop(
+                    "pipeline_parallel_size", 1),
                 enable_eplb=kwargs.pop("enable_eplb", False),
                 num_redundant_experts=kwargs.pop(
                     "num_redundant_experts", 0),

@@ -172,6 +172,27 @@ class LlamaForCausalLM:
         layers = params["layers"]
         aux_ids = self.aux_hidden_ids
 
+        if getattr(self, "pp_stages", 0) and self.pp_stages > 1:
+            # pipeline parallelism: stage-sharded layer slabs, ring
+            # ppermute schedule (parallel/pp.py)
+            assert aux_ids is None, (
+                "EAGLE-3 aux taps are not supported with pipeline "
+                "parallelism")
+            from vllm_main_modify_tpu.parallel.pp import \
+                pipeline_forward
+
+            def layer_body(w, xx, kv, local_l, global_l, pos, meta):
+                return self._layer_step(w, xx, kv, local_l, pos, meta,
+                                        {}, use_pallas, t,
+                                        rope_l=global_l)
+
+            x, kv_caches = pipeline_forward(
+                self.pp_mesh, self.pp_axis, self.pp_stages, layers,
+                kv_caches, x, positions, attn_meta, layer_body,
+                self.L)
+            x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+            return x, kv_caches
+
         if aux_ids is None:
             def layer_fn(l, carry):
                 x, kv_caches = carry
@@ -212,10 +233,12 @@ class LlamaForCausalLM:
         return x, kv_caches, aux
 
     def _layer_step(self, w, x, kv_caches, l, positions, attn_meta,
-                    params, use_pallas, t):
+                    params, use_pallas, t, rope_l=None):
         """One decoder layer on already-indexed per-layer weights ``w``
         (factored out so variants — Solar's backbone skip connections,
-        TeleChat2's extra biases — reuse the exact body)."""
+        TeleChat2's extra biases — reuse the exact body). ``rope_l``:
+        GLOBAL layer id for per-layer rope gating when ``l`` is a
+        stage-local index (pipeline parallelism)."""
         cfg = self.cfg
         res = x
         h = rms_norm(x, w["input_layernorm"], cfg.rms_norm_eps)
@@ -247,7 +270,7 @@ class LlamaForCausalLM:
         else:
             # SmolLM3 nope layers: every Nth layer skips rope
             qr, kr = self._apply_rope(q, k, positions)
-            use = self.rope_layer_mask[l]
+            use = self.rope_layer_mask[l if rope_l is None else rope_l]
             q = jnp.where(use, qr, q)
             k = jnp.where(use, kr, k)
         o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,

@@ -109,16 +109,33 @@ def _sub_sharding(mesh: Mesh, spec: ParamSpec, ndim_tail: int,
     return NamedSharding(mesh, PartitionSpec(*derived[:ndim_tail + lead]))
 
 
+def _stage_shard_specs(specs: list, stage_axis: str) -> list:
+    """Pipeline parallelism (parallel/pp.py): stacked per-layer specs
+    shard their leading layer axis on the stage mesh axis."""
+    from jax.sharding import PartitionSpec
+
+    for s in specs:
+        if s.stacked:
+            entries = list(s.sharding)
+            entries += [None] * (len(s.shape) - len(entries))
+            entries[0] = stage_axis
+            s.sharding = PartitionSpec(*entries)
+    return specs
+
+
 def load_model_weights(
     model,
     config: ModelConfig,
     mesh: Mesh,
     load_format: str = "auto",
+    stage_axis: Optional[str] = None,
 ) -> dict:
     """Build the sharded param pytree for ``model`` (Model protocol)."""
     specs = model.param_specs()
+    if stage_axis is not None:
+        specs = _stage_shard_specs(specs, stage_axis)
     if load_format == "dummy":
-        return init_dummy_params(model, config, mesh)
+        return init_dummy_params(model, config, mesh, specs=specs)
 
     reader = _TensorReader(_hf_tensor_index(config.model))
     dtype = config.jax_dtype
@@ -346,12 +363,13 @@ def _assemble_host_tensor(spec: ParamSpec, reader: _TensorReader,
     return x.astype(np_dtype)
 
 
-def init_dummy_params(model, config: ModelConfig, mesh: Mesh) -> dict:
+def init_dummy_params(model, config: ModelConfig, mesh: Mesh,
+                      specs: Optional[list] = None) -> dict:
     """Random-init params sharded over the mesh (benchmarking without
     checkpoints; reference: model_loader/dummy loader)."""
     params: dict = {}
     key = jax.random.PRNGKey(config.seed)
-    for spec in model.param_specs():
+    for spec in (specs if specs is not None else model.param_specs()):
         key, sub = jax.random.split(key)
         sharding = NamedSharding(mesh, spec.sharding)
         scale = 0.02 if len(spec.shape) > 1 else 1.0

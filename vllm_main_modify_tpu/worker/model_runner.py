@@ -332,6 +332,39 @@ class TPUModelRunner:
         self._kv_sharding = NamedSharding(
             self.mesh, P(None, None, None, "model"))
         self._replicated = NamedSharding(self.mesh, P())
+        # PP (parallel/pp.py): layer axis of weights + KV shards on
+        # the 'stage' mesh axis; the model runs its layer stack as a
+        # ring-ppermute pipeline
+        self.pp_size = pc.pipeline_parallel_size
+        if self.pp_size > 1:
+            if pc.stage_axis not in self.mesh.axis_names:
+                raise ValueError(
+                    f"pipeline_parallel_size {self.pp_size} needs a "
+                    f"{pc.stage_axis!r} mesh axis (got "
+                    f"{self.mesh.axis_names})")
+            if (self.num_kv_groups > 1 or self.is_enc_dec
+                    or self.eagle is not None
+                    or self.medusa is not None
+                    or self.mlpspec is not None or self.enable_lora
+                    or pc.decode_context_parallel_size > 1
+                    or pc.enable_eplb):
+                raise ValueError(
+                    "pipeline parallelism requires a single "
+                    "full-attention KV group and no "
+                    "spec-decode/LoRA/DCP/EPLB (round-4 work)")
+            if not hasattr(type(self.model), "_layer_step"):
+                raise ValueError(
+                    f"{type(self.model).__name__} does not support "
+                    "pipeline parallelism (no _layer_step seam)")
+            if mc.num_layers % self.pp_size:
+                raise ValueError(
+                    f"num_layers ({mc.num_layers}) must divide "
+                    f"pipeline_parallel_size ({self.pp_size})")
+            self._kv_sharding = NamedSharding(
+                self.mesh, P(pc.stage_axis, None, None, "model"))
+            self.model.pp_mesh = self.mesh
+            self.model.pp_axis = pc.stage_axis
+            self.model.pp_stages = self.pp_size
         # DCP (decode context parallel): shard KV PAGES across the
         # model axis instead of heads, attention merges per-shard
         # partials by LSE (layers/attention.py _dcp_attention). For
@@ -392,7 +425,9 @@ class TPUModelRunner:
         t0 = time.monotonic()
         self.params = load_model_weights(
             self.model, self.config.model_config, self.mesh,
-            self.config.load_config.load_format)
+            self.config.load_config.load_format,
+            stage_axis=(self.config.parallel_config.stage_axis
+                        if self.pp_size > 1 else None))
         if self.eagle is not None:
             # draft weights ride in the same tree so the fused step
             # stays a (params, inputs) pure function
