@@ -182,3 +182,75 @@ def test_reasoning_parser_variants():
     p = get_reasoning_parser("seed_oss")
     r = p.extract("<seed:think>x</seed:think>y")
     assert r.reasoning_content == "x" and r.content == "y"
+
+
+def test_kimi_k2_parser():
+    p = get_tool_parser("kimi_k2")
+    text = ("pre<|tool_calls_section_begin|>"
+            "<|tool_call_begin|>functions.get_weather:0"
+            "<|tool_call_argument_begin|>{\"city\": \"SF\"}"
+            "<|tool_call_end|><|tool_calls_section_end|>")
+    r = p.extract(text)
+    assert r.tools_called and r.tool_calls[0].name == "get_weather"
+    assert json.loads(r.tool_calls[0].arguments) == {"city": "SF"}
+    assert r.content == "pre"
+
+
+def test_longcat_parser():
+    p = get_tool_parser("longcat")
+    r = p.extract('say<longcat_tool_call>{"name": "f", "arguments":'
+                  ' {"x": 1}}</longcat_tool_call>')
+    assert r.tools_called and r.tool_calls[0].name == "f"
+    assert json.loads(r.tool_calls[0].arguments) == {"x": 1}
+
+
+def test_step3_parser():
+    p = get_tool_parser("step3")
+    text = ("<｜tool_calls_begin｜><｜tool_call_begin｜>function"
+            "<｜tool_sep｜><steptml:invoke name=\"add\">"
+            "<steptml:parameter name=\"a\">3</steptml:parameter>"
+            "<steptml:parameter name=\"b\">txt</steptml:parameter>"
+            "</steptml:invoke><｜tool_call_end｜><｜tool_calls_end｜>")
+    r = p.extract(text)
+    assert r.tools_called and r.tool_calls[0].name == "add"
+    assert json.loads(r.tool_calls[0].arguments) == {"a": 3,
+                                                     "b": "txt"}
+
+
+def test_seed_oss_tool_parser():
+    p = get_tool_parser("seed_oss")
+    text = ("<seed:tool_call><function=go>"
+            "<parameter=dir>north</parameter></function>"
+            "</seed:tool_call>")
+    r = p.extract(text)
+    assert r.tools_called and r.tool_calls[0].name == "go"
+    assert json.loads(r.tool_calls[0].arguments) == {"dir": "north"}
+
+
+def test_deepseek_v31_parser():
+    p = get_tool_parser("deepseek_v31")
+    text = ("think<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>lookup"
+            "<｜tool▁sep｜>{\"q\": \"x\"}<｜tool▁call▁end｜>"
+            "<｜tool▁calls▁end｜>")
+    r = p.extract(text)
+    assert r.tools_called and r.tool_calls[0].name == "lookup"
+    assert r.content == "think"
+
+
+def test_openai_harmony_parser():
+    p = get_tool_parser("openai")
+    text = ("<|channel|>analysis<|message|>hmm<|end|>"
+            "<|channel|>commentary to=functions.get_time "
+            "<|constrain|>json<|message|>{\"tz\": \"UTC\"}<|call|>")
+    r = p.extract(text)
+    assert r.tools_called and r.tool_calls[0].name == "get_time"
+    assert json.loads(r.tool_calls[0].arguments) == {"tz": "UTC"}
+
+
+def test_gptoss_reasoning_parser():
+    p = get_reasoning_parser("gptoss")
+    r = p.extract("<|channel|>analysis<|message|>ponder<|end|>"
+                  "<|channel|>final<|message|>reply<|return|>")
+    assert r.reasoning_content == "ponder" and r.content == "reply"
+    r2 = p.extract("no channels at all")
+    assert r2.reasoning_content is None and r2.content

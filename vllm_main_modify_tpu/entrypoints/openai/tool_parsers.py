@@ -364,6 +364,163 @@ class Granite20bFCToolParser:
         return ExtractedToolCalls(bool(calls), calls, content)
 
 
+class KimiK2ToolParser:
+    """Kimi-K2 section format (reference: kimi_k2_tool_parser.py):
+    ``<|tool_calls_section_begin|><|tool_call_begin|>functions.NAME:IDX
+    <|tool_call_argument_begin|>{json}<|tool_call_end|>...``"""
+
+    BLOCK = re.compile(
+        r"<\|tool_call_begin\|>\s*(?P<id>.+?:\d+)\s*"
+        r"<\|tool_call_argument_begin\|>\s*(?P<args>.*?)\s*"
+        r"<\|tool_call_end\|>", re.DOTALL)
+
+    def extract(self, text: str) -> ExtractedToolCalls:
+        start = text.find("<|tool_calls_section_begin|>")
+        if start < 0:
+            return ExtractedToolCalls(False, [], text)
+        calls = []
+        for m in self.BLOCK.finditer(text):
+            tc_id = m.group("id").strip()
+            # id is "functions.NAME:IDX" — recover NAME
+            name = tc_id.split(":", 1)[0]
+            if "." in name:
+                name = name.split(".", 1)[1]
+            try:
+                args = json.loads(m.group("args"))
+            except json.JSONDecodeError:
+                continue
+            calls.append(ToolCall(name=name,
+                                  arguments=json.dumps(args),
+                                  id=tc_id))
+        content = text[:start].strip() or None
+        return ExtractedToolCalls(bool(calls), calls, content)
+
+
+class LongcatToolParser:
+    """``<longcat_tool_call>{json}</longcat_tool_call>`` (reference:
+    longcat_tool_parser.py; content is a {name, arguments} object)."""
+
+    BLOCK = re.compile(
+        r"<longcat_tool_call>(.*?)(?:</longcat_tool_call>|$)",
+        re.DOTALL)
+
+    def extract(self, text: str) -> ExtractedToolCalls:
+        first = text.find("<longcat_tool_call>")
+        if first < 0:
+            return ExtractedToolCalls(False, [], text)
+        calls = []
+        for m in self.BLOCK.finditer(text):
+            try:
+                obj = json.loads(m.group(1).strip())
+            except json.JSONDecodeError:
+                continue
+            if not isinstance(obj, dict) or "name" not in obj:
+                continue
+            calls.append(
+                ToolCall(name=obj["name"],
+                         arguments=json.dumps(
+                             obj.get("arguments",
+                                     obj.get("parameters", {})))))
+        content = text[:first].strip() or None
+        return ExtractedToolCalls(bool(calls), calls, content)
+
+
+class Step3ToolParser:
+    """Step-3 steptml invokes inside a unicode-delimited block
+    (reference: step3_tool_parser.py): ``<｜tool_calls_begin｜>
+    <｜tool_call_begin｜>function<｜tool_sep｜><steptml:invoke
+    name="N"><steptml:parameter name="K">V</steptml:parameter>
+    </steptml:invoke><｜tool_call_end｜>...``. Parameter values are
+    plain text; JSON-decode where possible (the reference casts via
+    the tool schema, which is not available at this layer)."""
+
+    INVOKE = re.compile(r'<steptml:invoke name="([^"]+)">(.*?)'
+                        r"</steptml:invoke>", re.DOTALL)
+    PARAM = re.compile(r'<steptml:parameter name="([^"]+)">'
+                       r"([^<]*)</steptml:parameter>")
+
+    def extract(self, text: str) -> ExtractedToolCalls:
+        start = text.find("<｜tool_calls_begin｜>")
+        if start < 0:
+            return ExtractedToolCalls(False, [], text)
+        calls = []
+        for m in self.INVOKE.finditer(text):
+            args = {}
+            for pm in self.PARAM.finditer(m.group(2)):
+                val = pm.group(2).strip()
+                try:
+                    val = json.loads(val)
+                except json.JSONDecodeError:
+                    pass
+                args[pm.group(1)] = val
+            calls.append(ToolCall(name=m.group(1),
+                                  arguments=json.dumps(args)))
+        content = text[:start].strip() or None
+        return ExtractedToolCalls(bool(calls), calls, content)
+
+
+class SeedOssToolParser(Qwen3CoderToolParser):
+    """Seed-OSS function/parameter XML inside ``<seed:tool_call>``
+    (reference: seed_oss_tool_parser.py)."""
+
+    CALL = re.compile(r"<seed:tool_call>\s*<function=([^>]+)>(.*?)"
+                      r"</function>\s*</seed:tool_call>", re.DOTALL)
+
+
+class DeepSeekV31ToolParser:
+    """DeepSeek-V3.1 compact blocks (reference:
+    deepseekv31_tool_parser.py): ``<｜tool▁call▁begin｜>NAME
+    <｜tool▁sep｜>{json}<｜tool▁call▁end｜>`` — no 'function' keyword
+    or json fence, unlike V3."""
+
+    BLOCK = re.compile(r"<｜tool▁call▁begin｜>(?P<name>.*?)"
+                       r"<｜tool▁sep｜>(?P<args>.*?)<｜tool▁call▁end｜>",
+                       re.DOTALL)
+
+    def extract(self, text: str) -> ExtractedToolCalls:
+        start = text.find("<｜tool▁calls▁begin｜>")
+        if start < 0:
+            return ExtractedToolCalls(False, [], text)
+        calls = []
+        for m in self.BLOCK.finditer(text):
+            try:
+                args = json.loads(m.group("args"))
+            except json.JSONDecodeError:
+                continue
+            calls.append(ToolCall(name=m.group("name").strip(),
+                                  arguments=json.dumps(args)))
+        content = text[:start].strip() or None
+        return ExtractedToolCalls(bool(calls), calls, content)
+
+
+class OpenAIHarmonyToolParser:
+    """GPT-OSS harmony commentary channel (reference:
+    openai_tool_parser.py, which decodes via the harmony library;
+    this parses the rendered text form): ``<|channel|>commentary
+    to=functions.NAME <|constrain|>json<|message|>{args}<|call|>``."""
+
+    BLOCK = re.compile(
+        r"<\|channel\|>commentary to=(?:functions\.)?([\w.-]+)"
+        r".*?<\|message\|>(.*?)(?:<\|call\|>|$)", re.DOTALL)
+
+    def extract(self, text: str) -> ExtractedToolCalls:
+        calls = []
+        for m in self.BLOCK.finditer(text):
+            try:
+                args = json.loads(m.group(2).strip())
+            except json.JSONDecodeError:
+                continue
+            calls.append(ToolCall(name=m.group(1),
+                                  arguments=json.dumps(args)))
+        if not calls:
+            return ExtractedToolCalls(False, [], text)
+        # final-channel text (if any) is the user-visible content
+        fm = re.search(r"<\|channel\|>final<\|message\|>(.*?)"
+                       r"(?:<\|return\|>|<\|end\|>|$)", text, re.DOTALL)
+        content = fm.group(1).strip() if fm else None
+        return ExtractedToolCalls(True, calls, content or None)
+
+
 TOOL_PARSERS = {
     "hermes": HermesToolParser,
     "llama3_json": Llama3JsonToolParser,
@@ -383,6 +540,13 @@ TOOL_PARSERS = {
     "glm4_moe": GLM4MoeToolParser,
     "glm45": GLM4MoeToolParser,
     "phi4_mini_json": Phi4MiniJsonToolParser,
+    "kimi_k2": KimiK2ToolParser,
+    "longcat": LongcatToolParser,
+    "step3": Step3ToolParser,
+    "seed_oss": SeedOssToolParser,
+    "qwen3_xml": Qwen3CoderToolParser,
+    "deepseek_v31": DeepSeekV31ToolParser,
+    "openai": OpenAIHarmonyToolParser,
 }
 
 

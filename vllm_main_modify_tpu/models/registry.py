@@ -410,6 +410,18 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                          "Dots1ForCausalLM"),
     "Ernie4_5_MoeForCausalLM": ("vllm_main_modify_tpu.models.moe_v3",
                                 "Ernie4_5_MoeForCausalLM"),
+    # Transformers-backend fallback explicit names (reference:
+    # registry.py:330-334, model_impl="transformers"). resolve_model_cls
+    # also routes unknown *ForCausalLM names here implicitly.
+    "TransformersForCausalLM": (
+        "vllm_main_modify_tpu.models.transformers_fallback",
+        "transformers_fallback_factory"),
+    "TransformersModel": (
+        "vllm_main_modify_tpu.models.transformers_fallback",
+        "transformers_fallback_factory"),
+    "TransformersForMultimodalLM": (
+        "vllm_main_modify_tpu.models.transformers_fallback",
+        "transformers_fallback_factory"),
 }
 
 

@@ -89,6 +89,28 @@ class HunyuanReasoningParser:
                                (content or "").strip() or None)
 
 
+class GptOssReasoningParser:
+    """GPT-OSS harmony channels (reference:
+    gptoss_reasoning_parser.py): the ``analysis`` channel is
+    reasoning, the ``final`` channel is content."""
+
+    CHAN = re.compile(r"<\|channel\|>(\w+)<\|message\|>(.*?)"
+                      r"(?=<\|channel\|>|<\|end\|>|<\|return\|>|$)",
+                      re.DOTALL)
+
+    def extract(self, text: str) -> ReasoningOutput:
+        reasoning, content = [], []
+        matched = False
+        for m in self.CHAN.finditer(text):
+            matched = True
+            (reasoning if m.group(1) == "analysis" else
+             content).append(m.group(2).strip())
+        if not matched:
+            return ReasoningOutput(None, text)
+        return ReasoningOutput("\n".join(reasoning) or None,
+                               "\n".join(content) or None)
+
+
 REASONING_PARSERS = {
     "deepseek_r1": ThinkTagReasoningParser,
     "deepseek_v3": ThinkTagReasoningParser,
@@ -102,6 +124,8 @@ REASONING_PARSERS = {
     "mistral": _tag_parser("[THINK]", "[/THINK]"),
     "granite": GraniteReasoningParser,
     "hunyuan_a13b": HunyuanReasoningParser,
+    "gptoss": GptOssReasoningParser,
+    "openai_gptoss": GptOssReasoningParser,
 }
 
 
