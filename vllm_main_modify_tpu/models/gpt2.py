@@ -171,3 +171,111 @@ class GPT2ForSequenceClassification(GPT2LMHeadModel):
 
     def classify_logits(self, params, pooled_hidden):
         return pooled_hidden  # score head applied by the runner
+
+
+class JAISLMHeadModel(GPT2LMHeadModel):
+    """JAIS (reference: vllm/model_executor/models/jais.py): a GPT-2
+    skeleton with muP scaling — alibi position bias instead of wpe
+    (jais.py:114-119,235), embeddings scale (jais.py:236-239), swiglu
+    MLP via a second c_fc2 projection (jais.py:145-172), 1/d attention
+    scaling when mup_scale_qk_dot_by_d (jais.py:93-94), and an output
+    logits scale (jais.py:307-313)."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.hf_config
+        g = lambda k, d=None: getattr(hf, k, d)
+        self.alibi = g("position_embedding_type",
+                       "learned") == "alibi"
+        if self.alibi:
+            from vllm_main_modify_tpu.models.bloom import \
+                get_alibi_slopes
+
+            self.slopes = get_alibi_slopes(self.num_heads)
+        self.emb_scale = g("embeddings_scale",
+                           g("mup_embeddings_scale", 1.0)) or 1.0
+        self.swiglu = g("activation_function") == "swiglu"
+        if g("scale_qk_dot_by_d", g("mup_scale_qk_dot_by_d", False)):
+            self.sm_scale = 1.0 / self.head_dim
+        ws = g("width_scale")
+        self.logits_scale = ws if ws is not None else \
+            (g("mup_output_alpha", 1.0) * g("mup_width_scale", 1.0))
+
+    def param_specs(self) -> list[ParamSpec]:
+        specs = super().param_specs()
+        if self.alibi:
+            specs = [s for s in specs if s.path != "wpe"]
+        if self.swiglu:
+            H, I, L = self.hidden, self.inter, self.L
+            specs += [
+                ParamSpec("layers.fc_in2", (L, H, I),
+                          P(None, None, "model"),
+                          "transformer.h.{i}.mlp.c_fc2.weight",
+                          stacked=True),
+                ParamSpec("layers.fc_in2_bias", (L, I),
+                          P(None, "model"),
+                          "transformer.h.{i}.mlp.c_fc2.bias",
+                          stacked=True),
+            ]
+        if not self.cfg.tie_word_embeddings:
+            specs.append(
+                ParamSpec("lm_head",
+                          (self.hidden, self.cfg.vocab_size),
+                          P(None, "model"), "lm_head.weight",
+                          transform=lambda x: np.ascontiguousarray(
+                              x.T)))
+        return specs
+
+    def __call__(self, params, input_ids, positions, kv_caches,
+                 attn_meta: AttentionMetadata,
+                 use_pallas: Optional[bool] = None):
+        x = jnp.take(params["wte"], input_ids, axis=0)
+        if not self.alibi:
+            x = x + jnp.take(params["wpe"], positions, axis=0)
+        x = x * self.emb_scale
+        t = x.shape[0]
+        layers = params["layers"]
+        slopes = self.slopes if self.alibi else None
+
+        def layer_fn(l, carry):
+            x, kv_caches = carry
+            w = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False), layers)
+            res = x
+            h = layer_norm(x, w["ln_1"], w["ln_1_bias"], self.ln_eps)
+            q = (matmul(h, w["q_proj"]) + w["q_bias"]).reshape(
+                t, self.num_heads, self.head_dim)
+            k = (matmul(h, w["k_proj"]) + w["k_bias"]).reshape(
+                t, self.num_heads, self.head_dim)
+            v = (matmul(h, w["v_proj"]) + w["v_bias"]).reshape(
+                t, self.num_heads, self.head_dim)
+            o, kv_caches = attention(q, k, v, kv_caches, l, attn_meta,
+                                     self.sm_scale,
+                                     alibi_slopes=slopes,
+                                     use_pallas=use_pallas)
+            x = res + matmul(o.reshape(t, -1), w["o_proj"]) + \
+                w["o_bias"]
+
+            res = x
+            h = layer_norm(x, w["ln_2"], w["ln_2_bias"], self.ln_eps)
+            h1 = matmul(h, w["fc_in"]) + w["fc_in_bias"]
+            if self.swiglu:
+                h2 = matmul(h, w["fc_in2"]) + w["fc_in2_bias"]
+                h = h1 * jax.nn.silu(h2)
+            else:
+                h = jax.nn.gelu(h1, approximate=True)
+            x = res + matmul(h, w["fc_out"]) + w["fc_out_bias"]
+            return x, kv_caches
+
+        x, kv_caches = jax.lax.fori_loop(0, self.L, layer_fn,
+                                         (x, kv_caches))
+        x = layer_norm(x, params["ln_f"], params["ln_f_bias"],
+                       self.ln_eps)
+        return x, kv_caches
+
+    def compute_logits(self, params, hidden):
+        w = params["lm_head"] if "lm_head" in params \
+            else params["wte"].T
+        logits = hidden.astype(jnp.float32) @ w.astype(jnp.float32)
+        return logits * self.logits_scale

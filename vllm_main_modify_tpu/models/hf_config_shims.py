@@ -192,10 +192,32 @@ def load_mistral_params_json(model_dir: str) -> PretrainedConfig:
     return cfg
 
 
+def _make_jais_config():
+    """JAIS repos declare model_type='jais' with remote code
+    (reference: vllm/transformers_utils/configs/jais.py). The config
+    is GPT-2-shaped (n_embd/n_head/n_layer attribute map) plus muP
+    fields read as plain attributes by the model."""
+    from transformers import GPT2Config
+
+    class JAISConfig(GPT2Config):
+        model_type = "jais"
+
+    return JAISConfig
+
+
+class NemotronNASConfig(PretrainedConfig):
+    """DeciLM / Nemotron-NAS remote-code config (reference:
+    vllm/transformers_utils/configs/nemotron_nas.py): llama fields
+    plus per-layer ``block_configs`` (kept as plain dicts)."""
+
+    model_type = "nemotron-nas"
+
+
 def register() -> None:
     for cfg_cls in (UltravoxConfig, InternVLChatConfig, NVLMDConfig,
                     H2OVLChatConfig, SkyworkR1VChatConfig,
-                    Phi3VConfig):
+                    Phi3VConfig, NemotronNASConfig,
+                    _make_jais_config()):
         if cfg_cls.model_type not in CONFIG_MAPPING:
             AutoConfig.register(cfg_cls.model_type, cfg_cls)
 

@@ -55,6 +55,11 @@ class ParamSpec:
     # "mamba_decoder.mamba.*"): fully-formed key per stacked row,
     # overrides hf_key
     hf_key_per_layer: Optional[tuple] = None
+    # heterogeneous stacks (DeciLM/nemotron-nas no-op blocks,
+    # reference nemotron_nas.py:122-123): layers whose HF tensor is
+    # absent load as this constant instead of raising; zero weights
+    # make the skipped sub-block an exact no-op under the residual
+    fill_missing: Optional[float] = None
 
 
 def transpose2d(x: np.ndarray) -> np.ndarray:

@@ -357,3 +357,159 @@ class ChatGLMForCausalLM(LlamaForCausalLM):
                 s.hf_key = base + "mlp.dense_4h_to_h.weight"
             specs.append(s)
         return specs
+
+
+_FS2_RENAMES = [
+    # fairseq2 checkpoint layout → HF llama keys, reversed from the
+    # reference's WeightsMapper (fairseq2_llama.py:58-73)
+    ("model.embed_tokens.", "decoder_frontend.embed."),
+    (".input_layernorm.", ".self_attn_layer_norm."),
+    (".post_attention_layernorm.", ".ffn_layer_norm."),
+    (".self_attn.o_proj.", ".self_attn.output_proj."),
+    (".mlp.gate_proj.", ".ffn.gate_proj."),
+    (".mlp.up_proj.", ".ffn.inner_proj."),
+    (".mlp.down_proj.", ".ffn.output_proj."),
+    ("model.norm.", "decoder.layer_norm."),
+    ("lm_head.", "final_proj."),
+    ("model.layers.", "decoder.layers."),
+]
+
+
+def _fs2_permute(n_heads: int, head_dim: int):
+    """fairseq2 stores q/k rows in interleaved-rope order; convert to
+    the HF half-split layout (reference fairseq2_llama.py:108-119),
+    then apply the usual torch→jax transpose."""
+
+    def f(w: np.ndarray) -> np.ndarray:
+        out = w.reshape(n_heads, head_dim // 2, 2, -1)
+        out = out.swapaxes(1, 2).reshape(n_heads * head_dim, -1)
+        return np.ascontiguousarray(out.T)
+
+    return f
+
+
+class Fairseq2LlamaForCausalLM(LlamaForCausalLM):
+    """Llama trained/serialized with fairseq2 (reference:
+    fairseq2_llama.py): torch ``model.pt`` checkpoint (the loader's
+    ``_pt_state_dict`` unwraps the model_key envelope), fairseq2 key
+    names, and interleaved-rope q/k rows that must be permuted to the
+    HF layout at load."""
+
+    def param_specs(self) -> list[ParamSpec]:
+        specs = super().param_specs()
+        for s in specs:
+            for new, old in _FS2_RENAMES:
+                s.hf_key = s.hf_key.replace(new, old)
+            tail = s.path.rsplit(".", 1)[-1]
+            if tail == "q_proj":
+                s.transform = _fs2_permute(self.num_q, self.head_dim)
+            elif tail == "k_proj":
+                s.transform = _fs2_permute(self.num_kv, self.head_dim)
+        return specs
+
+
+def _deci_ffn_size(ffn_mult: float, hidden: int) -> int:
+    """DeciLM intermediate sizing (reference:
+    nemotron_nas.py:55-66): int(2*mult*H/3) rounded up to 256."""
+    i = int(2 * ffn_mult * hidden / 3)
+    return i if i % 256 == 0 else i + 256 - i % 256
+
+
+def _kv_repeat(max_rows: int, head_dim: int):
+    """Expand a layer's kv projection to the stack-wide max kv-head
+    count by repeating heads (repeat_interleave semantics keep the
+    GQA q→kv mapping exact), then torch→jax transpose."""
+
+    def f(x: np.ndarray) -> np.ndarray:
+        if x.shape[0] < max_rows:
+            rep = max_rows // x.shape[0]
+            x = np.repeat(x.reshape(-1, head_dim, x.shape[-1]), rep,
+                          axis=0).reshape(max_rows, -1)
+        return np.ascontiguousarray(x.T)
+
+    return f
+
+
+def _pad_rows_t(max_rows: int):
+    def f(x: np.ndarray) -> np.ndarray:
+        if x.shape[0] < max_rows:
+            x = np.pad(x, ((0, max_rows - x.shape[0]), (0, 0)))
+        return np.ascontiguousarray(x.T)
+
+    return f
+
+
+def _pad_cols_t(max_cols: int):
+    def f(x: np.ndarray) -> np.ndarray:
+        if x.shape[1] < max_cols:
+            x = np.pad(x, ((0, 0), (0, max_cols - x.shape[1])))
+        return np.ascontiguousarray(x.T)
+
+    return f
+
+
+class DeciLMForCausalLM(LlamaForCausalLM):
+    """DeciLM / Nemotron-NAS (reference: nemotron_nas.py): a Llama
+    graph whose per-layer ``block_configs`` vary the GQA group size,
+    the FFN width, or skip the attention/FFN sub-block entirely
+    (no_op, nemotron_nas.py:122-123,187,202). TPU-first mapping: the
+    stacked ``lax.fori_loop`` layer body needs uniform shapes, so kv
+    heads are expanded to the stack max by head repetition (exact
+    under GQA), FFN widths zero-padded to the max, and no-op blocks
+    load all-zero weights — a zero o_proj/down_proj makes the
+    residual branch an exact no-op with no per-layer Python
+    branching in the jitted graph."""
+
+    def __init__(self, config: ModelConfig):
+        hf = config.hf_config
+        blocks = getattr(hf, "block_configs", None)
+        if blocks is None:
+            raise ValueError(
+                "DeciLMForCausalLM requires block_configs "
+                "(nemotron-nas checkpoints)")
+
+        def d(b):
+            return b if isinstance(b, dict) else b.__dict__
+
+        H = config.hidden_size
+        NH = config.num_attention_heads
+        self.kv_per_layer, self.inter_per_layer = [], []
+        for b in blocks:
+            attn, ffn = d(b)["attention"], d(b)["ffn"]
+            attn, ffn = d(attn), d(ffn)
+            if attn.get("no_op") or attn.get("replace_with_linear"):
+                if attn.get("replace_with_linear"):
+                    raise ValueError(
+                        "DeciLM replace_with_linear blocks are not "
+                        "supported")
+                self.kv_per_layer.append(0)
+            else:
+                self.kv_per_layer.append(
+                    NH // attn["n_heads_in_group"])
+            self.inter_per_layer.append(
+                0 if ffn.get("no_op") else
+                _deci_ffn_size(ffn["ffn_mult"], H))
+        config.num_kv_heads = max(self.kv_per_layer)
+        config.intermediate_size = max(self.inter_per_layer)
+        super().__init__(config)
+        assert not self.qkv_bias, "DeciLM attention bias unsupported"
+
+    def param_specs(self) -> list[ParamSpec]:
+        specs = super().param_specs()
+        kd = self.num_kv * self.head_dim
+        for s in specs:
+            tail = s.path.rsplit(".", 1)[-1]
+            if tail in ("q_proj", "k_proj", "v_proj", "o_proj",
+                        "input_layernorm"):
+                s.fill_missing = 0.0
+            if tail in ("k_proj", "v_proj"):
+                s.transform = _kv_repeat(kd, self.head_dim)
+            if tail in ("gate_proj", "up_proj",
+                        "post_attention_layernorm"):
+                s.fill_missing = 0.0
+            if tail in ("gate_proj", "up_proj"):
+                s.transform = _pad_rows_t(self.inter)
+            if tail == "down_proj":
+                s.fill_missing = 0.0
+                s.transform = _pad_cols_t(self.inter)
+        return specs

@@ -50,6 +50,13 @@ def _hf_tensor_index(model_dir: str) -> dict[str, str]:
         }
     files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
     if not files:
+        # fairseq2-format checkpoints ship torch .pt files
+        # (reference: fairseq2_llama.py allow_patterns_overrides
+        # ["model.pt", "model.{rank}.pt"])
+        pts = sorted(glob.glob(os.path.join(model_dir, "*.pt")))
+        if pts:
+            return {name: path for path in pts
+                    for name in _pt_tensor_names(path)}
         raise FileNotFoundError(
             f"no .safetensors files under {model_dir}")
     from safetensors import safe_open
@@ -60,6 +67,26 @@ def _hf_tensor_index(model_dir: str) -> dict[str, str]:
             for name in f.keys():
                 out[name] = path
     return out
+
+
+def _pt_state_dict(path: str) -> dict:
+    """torch .pt checkpoint → flat state dict, unwrapping fairseq2's
+    {"model_key": name, name: state_dict} envelope
+    (reference: fairseq2_llama.py:52-56)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False,
+                     mmap=True)
+    if isinstance(obj, dict) and "model_key" in obj:
+        obj = obj[obj["model_key"]]
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return obj
+
+
+def _pt_tensor_names(path: str) -> list[str]:
+    return [k for k, v in _pt_state_dict(path).items()
+            if hasattr(v, "shape")]
 
 
 class _TensorReader:
@@ -73,13 +100,25 @@ class _TensorReader:
         return name in self._index
 
     def get(self, name: str) -> np.ndarray:
-        from safetensors import safe_open
-
         path = self._index[name]
         h = self._handles.get(path)
         if h is None:
-            h = safe_open(path, framework="numpy")
+            if path.endswith(".pt"):
+                h = _pt_state_dict(path)
+            else:
+                from safetensors import safe_open
+
+                h = safe_open(path, framework="numpy")
             self._handles[path] = h
+        if isinstance(h, dict):
+            t = h[name]
+            if hasattr(t, "numpy"):
+                import torch
+
+                if t.dtype == torch.bfloat16:
+                    t = t.float()
+                return t.detach().numpy()
+            return np.asarray(t)
         return h.get_tensor(name)
 
 
@@ -315,7 +354,7 @@ def _assemble_host_tensor(spec: ParamSpec, reader: _TensorReader,
     np_dtype = np.dtype(jnp.dtype(dtype).name) if jnp.dtype(dtype) != \
         jnp.bfloat16 else np.dtype("bfloat16")
 
-    def fetch(name: str) -> np.ndarray:
+    def fetch(name: str, want_shape=None) -> np.ndarray:
         if name not in reader and "." in name:
             # bare-backbone checkpoints (e.g. LlamaModel embedders,
             # original GPT-2) store tensors without the base-model
@@ -324,6 +363,10 @@ def _assemble_host_tensor(spec: ParamSpec, reader: _TensorReader,
             if stripped in reader:
                 name = stripped
         if name not in reader:
+            if spec.fill_missing is not None and \
+                    want_shape is not None:
+                return np.full(want_shape, spec.fill_missing,
+                               np_dtype)
             raise KeyError(f"missing HF tensor {name!r} "
                            f"for param {spec.path!r}")
         x = reader.get(name)
@@ -339,7 +382,8 @@ def _assemble_host_tensor(spec: ParamSpec, reader: _TensorReader,
         if spec.num_experts > 0:
             for i in range(num_layers):
                 for e in range(spec.num_experts):
-                    x = fetch(spec.hf_key.format(i=hf_layer(i), e=e))
+                    x = fetch(spec.hf_key.format(i=hf_layer(i), e=e),
+                              want_shape=spec.shape[2:])
                     assert x.shape == spec.shape[2:], (
                         f"{spec.path} layer {i} expert {e}: got "
                         f"{x.shape}, want {spec.shape[2:]}")
@@ -347,13 +391,14 @@ def _assemble_host_tensor(spec: ParamSpec, reader: _TensorReader,
             return out
         for i in range(num_layers):
             x = fetch(spec.hf_key_per_layer[i] if spec.hf_key_per_layer
-                      else spec.hf_key.format(i=hf_layer(i)))
+                      else spec.hf_key.format(i=hf_layer(i)),
+                      want_shape=spec.shape[1:])
             assert x.shape == spec.shape[1:], (
                 f"{spec.path} layer {i}: got {x.shape}, "
                 f"want {spec.shape[1:]}")
             out[i] = x.astype(np_dtype)
         return out
-    x = fetch(spec.hf_key)
+    x = fetch(spec.hf_key, want_shape=tuple(spec.shape))
     assert x.shape == tuple(spec.shape), (
         f"{spec.path}: got {x.shape}, want {spec.shape}")
     if np.issubdtype(x.dtype, np.integer):

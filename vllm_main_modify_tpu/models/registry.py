@@ -410,6 +410,14 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                          "Dots1ForCausalLM"),
     "Ernie4_5_MoeForCausalLM": ("vllm_main_modify_tpu.models.moe_v3",
                                 "Ernie4_5_MoeForCausalLM"),
+    "DeciLMForCausalLM": (
+        "vllm_main_modify_tpu.models.llama_variants",
+        "DeciLMForCausalLM"),
+    "JAISLMHeadModel": ("vllm_main_modify_tpu.models.gpt2",
+                        "JAISLMHeadModel"),
+    "Fairseq2LlamaForCausalLM": (
+        "vllm_main_modify_tpu.models.llama_variants",
+        "Fairseq2LlamaForCausalLM"),
     # Transformers-backend fallback explicit names (reference:
     # registry.py:330-334, model_impl="transformers"). resolve_model_cls
     # also routes unknown *ForCausalLM names here implicitly.
