@@ -102,6 +102,20 @@ class ModelConfig:
             trust_remote_code=self.trust_remote_code,
             revision=self.revision,
         )
+        # composite HF configs (Qwen2-VL style sub-config trees) can
+        # silently replace a custom `architectures` entry (e.g.
+        # JinaVLForRanking) with the class default on reload; the raw
+        # config.json is authoritative (reference:
+        # vllm/transformers_utils/config.py reads the file directly)
+        cfg_path = os.path.join(self.model, "config.json")
+        if os.path.exists(cfg_path):
+            import json
+            try:
+                raw = json.load(open(cfg_path)).get("architectures")
+            except (OSError, ValueError):
+                raw = None
+            if raw:
+                self.hf_config.architectures = raw
 
     def _derive_from_hf(self) -> None:
         hf = self.hf_config

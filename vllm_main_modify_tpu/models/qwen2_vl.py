@@ -460,3 +460,40 @@ def _quick_gelu(x):
 
 class Qwen2_5_VLForConditionalGeneration(Qwen2VLForConditionalGeneration):
     is_qwen2_5 = True
+
+
+class JinaVLForSequenceClassification(Qwen2VLForConditionalGeneration):
+    """jina-reranker-m0 (reference: vllm/model_executor/models/
+    jina_vl.py — Qwen2-VL backbone + JinaVLScorer: Linear(H,H)+bias →
+    ReLU → Linear(H,num_labels)+bias over the last-token hidden state;
+    checkpoint keys score.0.* / score.2.*). Registered under the
+    ``JinaVLForRanking`` architecture name."""
+
+    def __init__(self, config: ModelConfig):
+        config.is_pooling_model = True
+        super().__init__(config)
+        hf = config.hf_config
+        self.num_labels = getattr(hf, "num_labels", 1) or 1
+
+    def param_specs(self) -> list[ParamSpec]:
+        H = self.language_model.hidden
+        specs = super().param_specs()
+        specs += [
+            ParamSpec("score_dense", (H, H), P(None, None),
+                      "score.0.weight", transform=transpose2d),
+            ParamSpec("score_dense_bias", (H, ), P(), "score.0.bias",
+                      transform=None),
+            ParamSpec("score", (H, self.num_labels), P(None, None),
+                      "score.2.weight", transform=transpose2d),
+            ParamSpec("score_bias", (self.num_labels, ), P(),
+                      "score.2.bias", transform=None),
+        ]
+        return specs
+
+    def pool_projection(self, params, pooled):
+        h = pooled @ params["score_dense"].astype(pooled.dtype) + \
+            params["score_dense_bias"].astype(pooled.dtype)
+        return jax.nn.relu(h)
+
+    def classify_logits(self, params, pooled_hidden):
+        return pooled_hidden  # score head applied by the runner

@@ -158,6 +158,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen2_5_VLForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_vl",
         "Qwen2_5_VLForConditionalGeneration"),
+    "JinaVLForRanking": (
+        "vllm_main_modify_tpu.models.qwen2_vl",
+        "JinaVLForSequenceClassification"),
     "Tarsier2ForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_vl",
         "Qwen2VLForConditionalGeneration"),
