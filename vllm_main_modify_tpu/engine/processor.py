@@ -41,8 +41,14 @@ class Processor:
             self._bidir_mm = bool(getattr(cls, "bidir_mm_spans",
                                           False))
             self._prefix_lm = bool(getattr(cls, "prefix_lm", False))
+            # BART family: the prompt is the ENCODER input; the
+            # decoder side starts from decoder_start_token_id
+            # (reference: vllm encoder-decoder prompt handling,
+            # vllm/inputs/preprocess.py)
+            self._text_enc_dec = bool(getattr(cls, "is_text_enc_dec",
+                                              False))
         except Exception:  # noqa: BLE001 — unknown arch fails later
-            pass
+            self._text_enc_dec = False
 
     def process_inputs(
         self,
@@ -99,6 +105,35 @@ class Processor:
         else:
             prompt_text = None
             token_ids = list(prompt)
+
+        if self._text_enc_dec and mm_inputs is None:
+            # text encoder-decoder (BART family): the tokenized
+            # prompt feeds the ENCODER; decoding starts from
+            # decoder_start_token_id (or an explicit decoder prompt)
+            import numpy as np
+
+            hf = self.config.model_config.hf_config
+            enc_ids = list(token_ids)
+            if not enc_ids:
+                raise ValueError(
+                    f"request {request_id}: empty encoder prompt")
+            if len(enc_ids) > self.max_model_len:
+                raise ValueError(
+                    f"request {request_id}: encoder prompt "
+                    f"({len(enc_ids)} tokens) exceeds "
+                    f"max_model_len={self.max_model_len}")
+            dec = None
+            if isinstance(prompt, dict):
+                dec = prompt.get("decoder_prompt_token_ids")
+            if dec is None:
+                start = getattr(hf, "decoder_start_token_id", None)
+                if start is None:
+                    start = self.eos_token_id or 0
+                dec = [int(start)]
+            token_ids = list(dec)
+            mm_inputs = [{
+                "encoder_input_ids": np.asarray(enc_ids, np.int32)
+            }]
 
         if not token_ids:
             raise ValueError(f"request {request_id}: empty prompt")

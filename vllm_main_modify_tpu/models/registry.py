@@ -158,6 +158,15 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen2_5_VLForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_vl",
         "Qwen2_5_VLForConditionalGeneration"),
+    "BartForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.bart",
+        "BartForConditionalGeneration"),
+    "BartModel": (
+        "vllm_main_modify_tpu.models.bart",
+        "BartForConditionalGeneration"),
+    "MBartForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.bart",
+        "MBartForConditionalGeneration"),
     "JinaVLForRanking": (
         "vllm_main_modify_tpu.models.qwen2_vl",
         "JinaVLForSequenceClassification"),

@@ -251,6 +251,8 @@ class TPUModelRunner:
                                   False)
         self.cross_cache: Optional[jax.Array] = None
         self.cross_tables: dict[str, int] = {}  # req_id -> slot
+        # per-request TRUE encoder length (text enc-dec pads to t_enc)
+        self.cross_lens: dict[str, int] = {}
         self._cross_free: list[int] = []
         self._cross_pages_per_req = 0
         self._cross_encode = None
@@ -955,6 +957,7 @@ class TPUModelRunner:
                 else:
                     self._mm_free.append([start, n])
         slot = self.cross_tables.pop(req_id, None)
+        self.cross_lens.pop(req_id, None)
         if slot is not None:
             self._cross_free.append(slot)
 
@@ -967,8 +970,16 @@ class TPUModelRunner:
             model = self.model
             page = self.page_size
 
-            def enc_write(params, feats, cache, start_row):
-                enc = model.encode_audio(params, feats[None])[0]
+            text_enc = getattr(model, "is_text_enc_dec", False)
+
+            def enc_write(params, feats, enc_len, cache, start_row):
+                if text_enc:
+                    # BART family: padded encoder token ids + true
+                    # length (models/bart.py encode_text_enc)
+                    enc = model.encode_text_enc(params, feats,
+                                                enc_len)
+                else:
+                    enc = model.encode_audio(params, feats[None])[0]
                 ckv = model.encode_cross_kv(params, enc)  # [L, T, W]
                 xl, p2, pg, wdt = cache.shape
                 flat = cache.reshape(xl, p2 * pg, wdt)
@@ -977,13 +988,23 @@ class TPUModelRunner:
                 return flat.reshape(cache.shape)
 
             self._cross_encode = jax.jit(enc_write,
-                                         donate_argnums=(2, ))
-        feats = state.mm_inputs[0]["input_features"]
+                                         donate_argnums=(3, ))
+        mm0 = state.mm_inputs[0]
+        t_enc = self.model.cross_cache_spec()[3]
+        if "encoder_input_ids" in mm0:
+            ids = np.asarray(mm0["encoder_input_ids"],
+                             dtype=np.int32)[:t_enc]
+            enc_len = len(ids)
+            feats = np.zeros(t_enc, np.int32)
+            feats[:enc_len] = ids
+            self.cross_lens[state.req_id] = enc_len
+        else:
+            feats, enc_len = mm0["input_features"], t_enc
         slot = self._cross_free.pop()
         first_page = 1 + slot * self._cross_pages_per_req
         self.cross_cache = self._cross_encode(
-            self.params, jnp.asarray(feats), self.cross_cache,
-            first_page * self.page_size)
+            self.params, jnp.asarray(feats), enc_len,
+            self.cross_cache, first_page * self.page_size)
         self.cross_tables[state.req_id] = slot
 
     def _ingest_mm(self, state, upto: Optional[int] = None) -> None:
@@ -993,7 +1014,9 @@ class TPUModelRunner:
         outputs are cached across requests by content hash (reference:
         _execute_mm_encoder gpu_model_runner.py:1565 +
         encoder_cache_manager.py)."""
-        if state.mm_inputs and "input_features" in state.mm_inputs[0]:
+        if state.mm_inputs and ("input_features" in state.mm_inputs[0]
+                                or "encoder_input_ids"
+                                in state.mm_inputs[0]):
             if not getattr(state, "mm_encoded", None):
                 self._ingest_audio(state)
                 state.mm_encoded = set(range(len(state.mm_inputs)))
@@ -1153,7 +1176,8 @@ class TPUModelRunner:
                 if slot is not None:
                     first = 1 + slot * cp
                     cbt[row] = np.arange(first, first + cp)
-                    csl[row] = t_enc
+                    csl[row] = self.cross_lens.get(
+                        batch.req_ids[row], t_enc)
         lora_seg = seg("lora_slots") if self.enable_lora else None
         spec_counts: dict[int, int] = {}
         proposed: dict[int, list[int]] = {}
