@@ -205,6 +205,18 @@ def _make_jais_config():
     return JAISConfig
 
 
+class BailingMoeConfig(PretrainedConfig):
+    """Bailing/Ling MoE remote-code config (reference:
+    vllm/transformers_utils/configs — model_type 'bailing_moe'):
+    plain attribute passthrough; the model reads the fields directly."""
+
+    model_type = "bailing_moe"
+
+
+class BailingMoeV2Config(PretrainedConfig):
+    model_type = "bailing_moe_v2"
+
+
 class NemotronNASConfig(PretrainedConfig):
     """DeciLM / Nemotron-NAS remote-code config (reference:
     vllm/transformers_utils/configs/nemotron_nas.py): llama fields
@@ -217,6 +229,7 @@ def register() -> None:
     for cfg_cls in (UltravoxConfig, InternVLChatConfig, NVLMDConfig,
                     H2OVLChatConfig, SkyworkR1VChatConfig,
                     Phi3VConfig, NemotronNASConfig,
+                    BailingMoeConfig, BailingMoeV2Config,
                     _make_jais_config()):
         if cfg_cls.model_type not in CONFIG_MAPPING:
             AutoConfig.register(cfg_cls.model_type, cfg_cls)

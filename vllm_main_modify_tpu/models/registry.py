@@ -158,6 +158,12 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen2_5_VLForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_vl",
         "Qwen2_5_VLForConditionalGeneration"),
+    "BailingMoeForCausalLM": (
+        "vllm_main_modify_tpu.models.bailing",
+        "BailingMoeForCausalLM"),
+    "BailingMoeV2ForCausalLM": (
+        "vllm_main_modify_tpu.models.bailing",
+        "BailingMoeForCausalLM"),
     "BartForConditionalGeneration": (
         "vllm_main_modify_tpu.models.bart",
         "BartForConditionalGeneration"),
