@@ -158,6 +158,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen2_5_VLForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_vl",
         "Qwen2_5_VLForConditionalGeneration"),
+    "LongcatFlashForCausalLM": (
+        "vllm_main_modify_tpu.models.longcat",
+        "LongcatFlashForCausalLM"),
     "BailingMoeForCausalLM": (
         "vllm_main_modify_tpu.models.bailing",
         "BailingMoeForCausalLM"),
