@@ -37,7 +37,10 @@ if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
 # remote-compile platform it slows every compile ~150x (measured
 # 0.8s -> 133.8s for one matmul) and writes no cache files.
 
-BASELINE_S = 1.7  # v6e, reference tests/v1/tpu/test_perf.py:62-73
+# Same-class-chip baseline: the bench chip is v5e-class (16 GB HBM),
+# so compare against the reference's historical v5e number 1.4 s ±
+# 0.30 (tests/v1/tpu/test_perf.py:62-64), not the v6e 1.7 s.
+BASELINE_S = 1.4
 
 NUM_PROMPTS = 64
 PREFIX_LEN = 500
@@ -286,15 +289,20 @@ def main() -> None:
         "unit": "s",
         "vs_baseline": round(BASELINE_S / value, 3),
     }
+    # Emit the headline JSON IMMEDIATELY so the driver always parses a
+    # result even if it kills us mid-quant-config (round 3 lost its
+    # number to exactly that). Each quant config re-prints the full
+    # enriched dict; the last complete JSON line wins.
+    print(json.dumps(results), flush=True)
 
     # north-star quantized 8B serving (BASELINE.md): skip any config
     # that would blow the wall-clock budget so the driver always gets
     # the JSON line. Roofline context: docs/perf_v5e.md.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "5400"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     t_start = time.monotonic()
     if not SMOKE and os.environ.get("BENCH_QUANT", "1") == "1":
-        for tag, quant, kv in (("int4_w4a8", "gptq_w4a8", "auto"),
-                               ("fp8_w8a8_fp8kv", "fp8_w8a8", "fp8")):
+        for tag, quant, kv in (("fp8_w8a8_fp8kv", "fp8_w8a8", "fp8"),
+                               ("int4_w4a8", "gptq_w4a8", "auto")):
             if time.monotonic() - t_start > budget_s:
                 print(f"# skipping {tag}: over budget",
                       file=sys.stderr)
@@ -303,8 +311,7 @@ def main() -> None:
                 bench_quant(tag, quant, kv, results)
             except Exception as e:  # noqa: BLE001
                 print(f"# {tag} failed: {e!r}", file=sys.stderr)
-
-    print(json.dumps(results))
+            print(json.dumps(results), flush=True)
 
 
 if __name__ == "__main__":

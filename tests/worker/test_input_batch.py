@@ -70,6 +70,7 @@ def _mk_runner():
     runner.mm_idle = __import__("collections").OrderedDict()
     runner.mm_req_hashes = {}
     runner.cross_tables = {}
+    runner.cross_lens = {}
     runner._cross_free = []
     runner.input_batch = InputBatch(max_num_reqs=8, max_model_len=64,
                                     max_blocks_per_req=8)

@@ -79,6 +79,17 @@ class LongcatFlashForCausalLM(DeepseekV2ForCausalLM):
             ParamSpec("lm_head", (H, V), P(None, "model"),
                       "lm_head.weight", transform=t),
         ]
+        # LongCat MLA applies lora-rank compensation scales (HF
+        # LongcatFlashMLA: mla_scale_q_lora on q_pass+q_rot,
+        # mla_scale_kv_lora on the normed latent before kv_b_proj).
+        # Both are bias-free linears, so fold the scales into the
+        # q_b/kv_b weights at load time.
+        q_scale = (H / self.q_lora_rank) ** 0.5
+        kv_scale = (H / self.kv_lora_rank) ** 0.5
+
+        def scaled(transform, scale):
+            return lambda w: transform(w) * scale
+
         for j in (0, 1):
             attn = self._attn_specs(f"layers.a{j}", L, 0)
             for s in attn:
@@ -90,6 +101,10 @@ class LongcatFlashForCausalLM(DeepseekV2ForCausalLM):
                     f"input_layernorm.{j}.weight").replace(
                     "post_attention_layernorm.weight",
                     f"post_attention_layernorm.{j}.weight")
+                if s.path.endswith("q_b_proj"):
+                    s.transform = scaled(s.transform, q_scale)
+                elif s.path.endswith("kv_b_proj"):
+                    s.transform = scaled(s.transform, kv_scale)
             specs += attn
             for name, shape, spec in (
                 ("gate_proj", (H, I), P(None, None, "model")),
