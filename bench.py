@@ -207,6 +207,12 @@ def bench_quant(tag: str, quantization: str, cache_dtype: str,
             core = EngineCore(config)
             rng = np.random.default_rng(1)
             t0 = time.monotonic()
+            # TWO warmup rounds (same as main()): the drain tail of
+            # round 1 compiles shrinking-batch buckets; round 2 hits
+            # the remaining mixed prefill+decode variants. Without
+            # this, compiles leak into the measured run (round-3 TTFT
+            # p50 "17.5 s" was mostly XLA compile time).
+            run_serving(core, rng, prompts, Q_PREFIX, Q_DECODE)
             run_serving(core, rng, prompts, Q_PREFIX, Q_DECODE)
             break
         except Exception as e:  # noqa: BLE001

@@ -21,6 +21,22 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    A single-process full-suite run accumulates thousands of XLA:CPU
+    executables; past some threshold the XLA:CPU compiler segfaults
+    (observed twice at different Pallas-interpret tests, each green in
+    isolation). Dropping the caches per module keeps the resident
+    compile state bounded; within-module jit reuse is unaffected."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def tiny_llama_dir(tmp_path_factory):
     """A tiny random-weight HF Llama checkpoint saved to disk, used for

@@ -118,6 +118,42 @@ def test_int4_w4a8_pallas_matches_oracle_interpret():
     assert rel_err(got, np.asarray(x) @ np.asarray(w)) < 0.15
 
 
+def test_int4_w4a8_pallas_prefill_m_grid_interpret():
+    """Large-T path: T > 512 runs the M-gridded kernel (512-row
+    tiles) instead of the XLA fallback — same oracle parity."""
+    from vllm_main_modify_tpu.ops.pallas.int4_matmul import \
+        int4_matmul_w4a8_pallas
+    from vllm_main_modify_tpu.quantization.int4_dispatch import \
+        int4_matmul_w4a8_xla
+
+    rng = np.random.default_rng(6)
+    k_dim, o_dim, g = 1024, 1024, 128
+    w = jnp.asarray(rng.standard_normal((k_dim, o_dim)) * 0.05,
+                    jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1024, k_dim)), jnp.float32)
+    qw = quantize_int4(w, group_size=g)
+    ref = int4_matmul_w4a8_xla(x, qw)
+    got = int4_matmul_w4a8_pallas(x, qw, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_int4_pallas_prefill_m_grid_interpret():
+    from vllm_main_modify_tpu.ops.pallas.int4_matmul import \
+        int4_matmul_pallas
+
+    rng = np.random.default_rng(7)
+    k_dim, o_dim, g = 1024, 1024, 128
+    w = jnp.asarray(rng.standard_normal((k_dim, o_dim)) * 0.05,
+                    jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1024, k_dim)), jnp.float32)
+    qw = quantize_int4(w, group_size=g)
+    ref = int4_matmul_xla(x, qw)
+    got = int4_matmul_pallas(x, qw, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
+
+
 def test_int4_w4a8_flag_dispatch():
     """quantize_int4_w4a8 flags the container; matmul() routes it to
     the W4A8 path and survives pytree flatten/unflatten."""

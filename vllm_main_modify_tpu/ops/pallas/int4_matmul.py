@@ -10,8 +10,12 @@ VPU while the MXU consumes the previous tile (automatic BlockSpec
 pipelining double-buffers the weight stream). Accumulation is f32 in
 VMEM scratch across K tiles.
 
-Grid: (num_out_tiles, num_k_tiles) — K is the inner (fastest) axis so
-the output tile stays resident while partial products accumulate.
+Grid: (num_m_tiles, num_out_tiles, num_k_tiles) — K is the inner
+(fastest) axis so the output tile stays resident while partial
+products accumulate. Decode batches (T ≤ 512) run as one M tile;
+prefill T is gridded in 512-row tiles, which amortizes the per-weight-
+tile nibble unpack over many MXU rows and keeps prefill on the int8
+MXU (2x bf16 peak on v5e) instead of falling back to XLA dequant.
 
 Measured on this environment's tunneled v5e (serialized-scan
 microbench, benchmarks/microbench_int4.py — naive timing through the
@@ -43,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _int4_kernel(x_ref, packed_ref, scales_ref, zeros_ref, out_ref,
                  acc_ref, *, group_size: int, n_k_tiles: int):
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     # unpack nibbles WITHOUT reshapes or repeats (Mosaic lowers
     # neither lane-dim splits nor element-repeat): the lane-blocked
@@ -90,9 +94,9 @@ def _int4_kernel(x_ref, packed_ref, scales_ref, zeros_ref, out_ref,
 
 
 def _int4_w4a8_kernel(qx_ref, packed_ref, scales_ref,
-                      zeros_ref, out_ref, acc_ref, *, group_size: int,
-                      n_k_tiles: int):
-    j = pl.program_id(1)
+                      zeros_ref, sa_ref, out_ref, acc_ref, *,
+                      group_size: int, n_k_tiles: int):
+    j = pl.program_id(2)
 
     # unpack nibbles (same lane-blocked layout as the W4A16 kernel)
     packed = packed_ref[...]
@@ -129,10 +133,13 @@ def _int4_w4a8_kernel(qx_ref, packed_ref, scales_ref,
 
     @pl.when(j == n_k_tiles - 1)
     def _():
-        # per-token activation scale applies OUTSIDE (XLA fuses the
-        # [T, O] f32 multiply into the consumer) — keeps this block
-        # free of thin [T, 1] operands
-        out_ref[...] = acc_ref[...]
+        # per-token activation scale in the epilogue: sa is tiled to
+        # 128 lanes on the host (thin [T, 1] blocks don't tile); the
+        # in-kernel [BM, 1] slice broadcast is a plain VPU op. Casting
+        # here (not outside) keeps the HBM out-stream at x.dtype width
+        # — at prefill sizes a f32 [T, O] round trip would dominate.
+        out_ref[...] = (acc_ref[...] *
+                        sa_ref[:, 0:1]).astype(out_ref.dtype)
 
 
 def _pick_tile(dim: int, group: int, cap: int) -> int:
@@ -161,6 +168,19 @@ def _pick_k_tile(k: int, g: int, cap: int = 1024) -> int:
     return best
 
 
+def _pick_m_tile(t: int) -> int:
+    """Token-axis tile: decode batches (≤512) stay single-tile; large
+    prefill T is gridded in 512-row tiles (256 for odd buckets) so the
+    per-tile nibble unpack amortizes over many MXU rows. 0 = no tiling
+    (caller falls back to XLA)."""
+    if t <= 512:
+        return t if t % 8 == 0 else 0
+    for bm in (512, 256):
+        if t % bm == 0:
+            return bm
+    return 0
+
+
 @functools.partial(jax.jit, static_argnames=["interpret"])
 def int4_matmul_pallas(x: jax.Array, w, interpret: bool = False
                        ) -> jax.Array:
@@ -175,38 +195,36 @@ def int4_matmul_pallas(x: jax.Array, w, interpret: bool = False
     g = k // scales.shape[-2]
 
     bk = _pick_k_tile(k, g)
+    bm = _pick_m_tile(t)
     bo = 0
     # packed tile width bo/8 must be a multiple of 128 lanes
     for cand in (1024, 2048, 3072):
         if o % cand == 0:
             bo = cand
             break
-    # the kernels keep the full T axis VMEM-resident (decode is their
-    # reason to exist); large-T prefill is MXU-bound, where the XLA
-    # dequant+matmul tiles properly — measured: T=8192 blows the
-    # 128 MB VMEM budget (145.95M requested)
-    if bk == 0 or bo == 0 or t % 8 != 0 or t > 512 or \
+    if bk == 0 or bo == 0 or bm == 0 or \
             (k // g) % (k // bk) != 0:
         return int4_matmul_xla(x, w)
 
     n_k_tiles = k // bk
-    grid = (o // bo, n_k_tiles)
+    grid = (t // bm, o // bo, n_k_tiles)
 
     out = pl.pallas_call(
         functools.partial(_int4_kernel, group_size=g,
                           n_k_tiles=n_k_tiles),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((t, bk), lambda i, j: (0, j)),
-            pl.BlockSpec((bk, bo // 8), lambda i, j: (j, i)),
-            pl.BlockSpec((bk // g, bo), lambda i, j: (j, i)),
-            pl.BlockSpec((bk // g, bo), lambda i, j: (j, i)),
+            pl.BlockSpec((bm, bk), lambda m, i, j: (m, j)),
+            pl.BlockSpec((bk, bo // 8), lambda m, i, j: (j, i)),
+            pl.BlockSpec((bk // g, bo), lambda m, i, j: (j, i)),
+            pl.BlockSpec((bk // g, bo), lambda m, i, j: (j, i)),
         ],
-        out_specs=pl.BlockSpec((t, bo), lambda i, j: (0, i)),
+        out_specs=pl.BlockSpec((bm, bo), lambda m, i, j: (m, i)),
         out_shape=jax.ShapeDtypeStruct((t, o), x.dtype),
-        scratch_shapes=[pltpu.VMEM((t, bo), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel",
+                                 "arbitrary")),
         interpret=interpret,
     )(x2, packed, scales, zeros)
     return out.reshape(*t_dim, o)
@@ -231,34 +249,40 @@ def int4_matmul_w4a8_pallas(x: jax.Array, w, interpret: bool = False
     g = k // scales.shape[-2]
 
     bk = _pick_k_tile(k, g)
+    bm = _pick_m_tile(t)
     bo = 0
     for cand in (1024, 2048, 3072):
         if o % cand == 0:
             bo = cand
             break
-    if bk == 0 or bo == 0 or t % 8 != 0 or t > 512 or \
+    if bk == 0 or bo == 0 or bm == 0 or \
             (k // g) % (k // bk) != 0:
-        return int4_matmul_xla(x, w)  # see T-budget note above
+        return int4_matmul_xla(x, w)
 
     qx, s_a = quantize_activations_int8(x2)  # [T,K] int8, [T,1] f32
+    # activation scale tiled to a full 128-lane block (thin [T, 1]
+    # operands don't tile); applied in the kernel epilogue
+    sa = jnp.broadcast_to(s_a.astype(jnp.float32), (t, 128))
     n_k_tiles = k // bk
-    grid = (o // bo, n_k_tiles)
+    grid = (t // bm, o // bo, n_k_tiles)
 
-    acc = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_int4_w4a8_kernel, group_size=g,
                           n_k_tiles=n_k_tiles),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((t, bk), lambda i, j: (0, j)),
-            pl.BlockSpec((bk, bo // 8), lambda i, j: (j, i)),
-            pl.BlockSpec((bk // g, bo), lambda i, j: (j, i)),
-            pl.BlockSpec((bk // g, bo), lambda i, j: (j, i)),
+            pl.BlockSpec((bm, bk), lambda m, i, j: (m, j)),
+            pl.BlockSpec((bk, bo // 8), lambda m, i, j: (j, i)),
+            pl.BlockSpec((bk // g, bo), lambda m, i, j: (j, i)),
+            pl.BlockSpec((bk // g, bo), lambda m, i, j: (j, i)),
+            pl.BlockSpec((bm, 128), lambda m, i, j: (m, 0)),
         ],
-        out_specs=pl.BlockSpec((t, bo), lambda i, j: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((t, o), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((t, bo), jnp.float32)],
+        out_specs=pl.BlockSpec((bm, bo), lambda m, i, j: (m, i)),
+        out_shape=jax.ShapeDtypeStruct((t, o), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel",
+                                 "arbitrary")),
         interpret=interpret,
-    )(qx, packed, scales, zeros)
-    return (acc * s_a).astype(x.dtype).reshape(*t_dim, o)
+    )(qx, packed, scales, zeros, sa)
+    return out.reshape(*t_dim, o)
