@@ -339,3 +339,25 @@ def test_mlpspec_drafts_flow(mlpspec_pair):
     spec.generate(["hello world hello world"], p)
     stats = spec.engine.engine_core.scheduler.make_stats()
     assert stats.spec_num_draft_tokens > 0
+
+
+def test_spec_logprobs_one_entry_per_token(llm_pair):
+    """Spec decode + logprobs: one logprobs dict per emitted token,
+    each containing that token with a finite logprob (reference
+    returns one row per accepted token; repo previously emitted
+    exactly one row per step)."""
+    base, spec = llm_pair
+    prompts = ["hello world hello world hello world hello"]
+    p = SamplingParams(temperature=0.0, max_tokens=12,
+                       ignore_eos=True, logprobs=2)
+    b = base.generate(prompts, p)[0].outputs[0]
+    s = spec.generate(prompts, p)[0].outputs[0]
+    assert s.token_ids == b.token_ids  # greedy parity preserved
+    assert s.logprobs is not None
+    assert len(s.logprobs) == len(s.token_ids)
+    for tok, entry in zip(s.token_ids, s.logprobs):
+        assert tok in entry
+        assert np.isfinite(entry[tok].logprob)
+    # parity: logprob values match the non-spec engine's
+    for be, se, tok in zip(b.logprobs, s.logprobs, b.token_ids):
+        assert abs(be[tok].logprob - se[tok].logprob) < 1e-3

@@ -757,16 +757,20 @@ class Scheduler:
         from vllm_main_modify_tpu.outputs import Logprob
 
         out = []
-        # runner packs one row per sampled token; row index == req_index
-        # for single-token steps (spec decode rows handled by runner)
-        row_ids = logprobs.logprob_token_ids[req_index]
-        row_lps = logprobs.logprobs[req_index]
-        rank = logprobs.sampled_token_ranks[req_index]
-        entry = {}
-        for j, (tid, lp) in enumerate(zip(row_ids, row_lps)):
-            entry[int(tid)] = Logprob(logprob=float(lp),
-                                      rank=rank if j == 0 else j)
-        out.append(entry)
+        # one row per emitted token (spec decode may accept several
+        # per step; the runner packed a row for each — reference:
+        # one logprob entry per accepted token)
+        rows_ids = logprobs.logprob_token_ids[req_index]
+        rows_lps = logprobs.logprobs[req_index]
+        ranks = logprobs.sampled_token_ranks[req_index]
+        for i in range(min(num_new, len(rows_ids))):
+            entry = {}
+            for j, (tid, lp) in enumerate(zip(rows_ids[i],
+                                              rows_lps[i])):
+                entry[int(tid)] = Logprob(
+                    logprob=float(lp),
+                    rank=int(ranks[i]) if j == 0 else j)
+            out.append(entry)
         return out
 
     # ------------------------------------------------------------------

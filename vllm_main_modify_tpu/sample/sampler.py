@@ -223,14 +223,23 @@ def sample(
         sampled = jnp.where(meta.temperature <= 0.0, greedy, random)
 
     if k_lp > 0:
+        # the row describes the token the engine will EMIT: under
+        # rejection sampling an accepted position emits the draft, not
+        # the recovery sample (reference: one logprob row per accepted
+        # token, vllm/v1/sample/rejection_sampler.py + logprobs lists)
+        emitted = sampled
+        if meta.need_rejection and spec_accept is not None:
+            emitted = jnp.where(spec_accept,
+                                jnp.maximum(meta.draft_token_ids, 0),
+                                sampled)
         logp = jax.nn.log_softmax(logits, axis=-1)
         top_lp, top_ids = jax.lax.top_k(logp, k_lp)
-        sampled_lp = jnp.take_along_axis(logp, sampled[:, None],
+        sampled_lp = jnp.take_along_axis(logp, emitted[:, None],
                                          axis=-1)
         # 1-based rank (vLLM convention: rank 1 = argmax) =
         # #tokens with strictly higher logprob + 1
         ranks = 1 + jnp.sum(logp > sampled_lp, axis=-1).astype(jnp.int32)
-        lp_ids = jnp.concatenate([sampled[:, None], top_ids], axis=-1)
+        lp_ids = jnp.concatenate([emitted[:, None], top_ids], axis=-1)
         lps = jnp.concatenate([sampled_lp, top_lp], axis=-1)
     else:
         lp_ids = jnp.zeros((r, 0), dtype=jnp.int32)

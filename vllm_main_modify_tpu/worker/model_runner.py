@@ -234,7 +234,6 @@ class TPUModelRunner:
         # — here the "cache" IS the device buffer.
         self._score_np = None  # classification head, host-cached
         self._score_bias_np = None
-        self._warned_spec_logprobs = False
         self.is_mm = mc.is_multimodal
         self.uses_mrope = bool(getattr(self.model, "uses_mrope",
                                        False))
@@ -1593,16 +1592,6 @@ class TPUModelRunner:
         max_lp = int(batch.num_logprobs[:n].max()) if n else 0
         if max_lp > 0:
             max_lp = next_power_of_2(max_lp)
-        if self.max_spec > 0 and max_lp > 0:
-            # logprobs rows would need per-position bookkeeping; the
-            # reference similarly restricts spec decode + logprobs
-            if not self._warned_spec_logprobs:
-                self._warned_spec_logprobs = True
-                logger.warning(
-                    "logprobs are disabled while speculative decoding "
-                    "is active (per-position bookkeeping across "
-                    "accepted drafts is not supported)")
-            max_lp = 0
         return (not batch.random_reqs, bool(batch.top_k_reqs),
                 bool(batch.top_p_reqs), bool(batch.min_p_reqs), max_lp)
 
@@ -2475,19 +2464,29 @@ class TPUModelRunner:
 
         logprobs_lists = None
         if max_num_logprobs > 0:
+            # one row per EMITTED token: under spec decode (nsp > 1)
+            # request i's accepted token j lives at device row
+            # i*nsp + j (the sampler wrote the emitted token's
+            # logprob/rank there)
+            def _rows(src, cast):
+                out = []
+                for i in range(num_reqs):
+                    if i not in sample_row_set:
+                        out.append([])
+                    elif nsp > 1:
+                        out.append([
+                            cast(src[i * nsp + j])
+                            for j in range(len(sampled_token_ids[i]))
+                        ])
+                    else:
+                        out.append([cast(src[i])])
+                return out
+
             logprobs_lists = LogprobsLists(
-                logprob_token_ids=[
-                    lp_ids_np[i].tolist() if i in sample_row_set else []
-                    for i in range(num_reqs)
-                ],
-                logprobs=[
-                    lps_np[i].tolist() if i in sample_row_set else []
-                    for i in range(num_reqs)
-                ],
-                sampled_token_ranks=[
-                    int(ranks_np[i]) if i in sample_row_set else 0
-                    for i in range(num_reqs)
-                ],
+                logprob_token_ids=_rows(lp_ids_np,
+                                        lambda r: r.tolist()),
+                logprobs=_rows(lps_np, lambda r: r.tolist()),
+                sampled_token_ranks=_rows(ranks_np, int),
             )
 
         plp_dict = {}
@@ -2834,15 +2833,15 @@ class AsyncStepHandle:
             n = len(self.req_ids)
             logprobs_lists = LogprobsLists(
                 logprob_token_ids=[
-                    lp_ids_np[i].tolist() if i in sampled_rows else []
-                    for i in range(n)
+                    [lp_ids_np[i].tolist()] if i in sampled_rows
+                    else [] for i in range(n)
                 ],
                 logprobs=[
-                    lps_np[i].tolist() if i in sampled_rows else []
+                    [lps_np[i].tolist()] if i in sampled_rows else []
                     for i in range(n)
                 ],
                 sampled_token_ranks=[
-                    int(ranks_np[i]) if i in sampled_rows else 0
+                    [int(ranks_np[i])] if i in sampled_rows else []
                     for i in range(n)
                 ],
             )

@@ -19,9 +19,11 @@ import numpy as np
 class LogprobsLists:
     """Per-token top logprobs, token ids and the sampled token's rank."""
 
-    logprob_token_ids: list[list[int]]
-    logprobs: list[list[float]]
-    sampled_token_ranks: list[int]
+    # per request, per EMITTED token (spec decode may emit several
+    # per step): [num_reqs][num_new][K+1], sampled/emitted token first
+    logprob_token_ids: list[list[list[int]]]
+    logprobs: list[list[list[float]]]
+    sampled_token_ranks: list[list[int]]
 
     def slice_rows(self, start: int, end: int) -> "LogprobsLists":
         return LogprobsLists(self.logprob_token_ids[start:end],
