@@ -74,6 +74,12 @@ class Scheduler:
         self.prefix_lm = False
         self.max_encoder_tokens = \
             sched_cfg.max_num_encoder_input_tokens
+        # distinct-adapter cap per batch: the runner has max_loras
+        # device slots, so a step must never need more (reference:
+        # scheduler.py:324-330 max_loras enforcement)
+        lora_cfg = getattr(config, "lora_config", None)
+        self.max_loras = (lora_cfg.max_loras if lora_cfg is not None
+                          and lora_cfg.enable_lora else 0)
         self.num_lookahead_tokens = sched_cfg.num_lookahead_tokens
         self.policy = sched_cfg.policy
         self.block_size = cache_cfg.block_size
@@ -404,6 +410,18 @@ class Scheduler:
                         skipped.append(request)
                         continue
                     request.status = RequestStatus.WAITING
+
+                if self.max_loras and request.lora_name is not None:
+                    # admitting this adapter must not exceed the
+                    # runner's device slots for the running batch
+                    active = {r.lora_name
+                              for r in self.running
+                              if r.lora_name is not None}
+                    if request.lora_name not in active and \
+                            len(active) >= self.max_loras:
+                        self.waiting.pop_request()
+                        skipped.append(request)
+                        continue
 
                 # prefix-cache lookup only on first-ever scheduling.
                 # prompt_logprobs needs logits at EVERY prompt position,

@@ -141,8 +141,17 @@ class EngineCore:
 
         self._block_hasher = None
         if config.cache_config.enable_prefix_caching:
+            # adapter identity is part of every block hash: KV computed
+            # under adapter A must never serve a request under adapter
+            # B (reference: LoRA extra keys,
+            # vllm/v1/core/kv_cache_utils.py:420-545)
+            def _lora_extra_key(request, block_idx):
+                name = getattr(request, "lora_name", None)
+                return (name, ) if name is not None else None
+
             self._block_hasher = get_request_block_hasher(
-                config.cache_config.block_size)
+                config.cache_config.block_size,
+                extra_keys_fn=_lora_extra_key)
 
     def _size_kv_cache(self) -> list[int]:
         """Per-KV-group page counts (one entry for single-group

@@ -97,10 +97,13 @@ class LoRAManager:
             return slot
         raise KeyError(f"LoRA adapter {name!r} not activated")
 
-    def activate(self, name: str, lora_params: dict,
+    def activate(self, name: str, sites: dict[str, list],
                  update_fn) -> int:
         """Ensure `name` occupies a slot; loads + writes the device
-        stacks via ``update_fn(layer_key, slot, array)`` on miss.
+        stacks via ``update_fn(path, slot, a_stack, b_stack)`` on
+        miss. ``sites``: target tail -> [(tree path, num_layers,
+        layer_offset)] from the runner's param-spec scan — a checkpoint
+        target maps onto every tree site with the same module tail.
         Returns the slot."""
         if name in self._slots:
             self._slots.move_to_end(name)
@@ -117,25 +120,27 @@ class LoRAManager:
             raise ValueError(
                 f"adapter rank {adapter.rank} > max_lora_rank "
                 f"{self.max_rank}")
-        for target in TARGETS:
-            a_key, b_key = f"lora_{target}_a", f"lora_{target}_b"
-            if a_key not in lora_params:
-                continue
-            sa = lora_params[a_key].shape  # [L, S, H, r_max]
-            sb = lora_params[b_key].shape  # [L, S, r_max, O]
-            a_stack = np.zeros((self.num_layers, sa[2], self.max_rank),
-                               dtype=np.float32)
-            b_stack = np.zeros((self.num_layers, self.max_rank, sb[3]),
-                               dtype=np.float32)
-            for layer in range(self.num_layers):
-                w = adapter.weights.get((layer, target))
-                if w is None:
-                    continue
-                a, b = w
-                a_stack[layer, :, :adapter.rank] = a
-                b_stack[layer, :adapter.rank, :] = b
-            update_fn(a_key, slot, a_stack)
-            update_fn(b_key, slot, b_stack)
+        targets = {t for (_, t) in adapter.weights}
+        for target in targets:
+            for path, num_l, layer_off in sites.get(target, ()):
+                a_stack = b_stack = None
+                for layer in range(num_l):
+                    w = adapter.weights.get(
+                        (layer + layer_off, target))
+                    if w is None:
+                        continue
+                    a, b = w
+                    if a_stack is None:
+                        a_stack = np.zeros(
+                            (num_l, a.shape[0], self.max_rank),
+                            dtype=np.float32)
+                        b_stack = np.zeros(
+                            (num_l, self.max_rank, b.shape[1]),
+                            dtype=np.float32)
+                    a_stack[layer, :, :adapter.rank] = a
+                    b_stack[layer, :adapter.rank, :] = b
+                if a_stack is not None:
+                    update_fn(path, slot, a_stack, b_stack)
         self.scales[slot] = adapter.scaling
         self._slots[name] = slot
         return slot

@@ -31,7 +31,6 @@ from vllm_main_modify_tpu.layers.normalization import rms_norm
 from vllm_main_modify_tpu.layers.rotary import (apply_rope,
                                                 compute_inv_freq)
 from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
-from vllm_main_modify_tpu.lora.ops import lora_apply
 from vllm_main_modify_tpu.quantization.weights import matmul
 
 
@@ -134,20 +133,6 @@ class LlamaForCausalLM:
         """Hook: subclasses substitute mrope (Qwen2-VL) etc."""
         return apply_rope(q, k, positions, self.inv_freq)
 
-    def lora_target_shapes(self) -> dict[str, tuple[int, int]]:
-        """target module -> (in_dim, out_dim) for stacked LoRA slots."""
-        qd = self.num_q * self.head_dim
-        kd = self.num_kv * self.head_dim
-        return {
-            "q_proj": (self.hidden, qd),
-            "k_proj": (self.hidden, kd),
-            "v_proj": (self.hidden, kd),
-            "o_proj": (qd, self.hidden),
-            "gate_proj": (self.hidden, self.inter),
-            "up_proj": (self.hidden, self.inter),
-            "down_proj": (self.inter, self.hidden),
-        }
-
     # ------------------------------------------------------------------
 
     def __call__(
@@ -242,20 +227,12 @@ class LlamaForCausalLM:
         cfg = self.cfg
         res = x
         h = rms_norm(x, w["input_layernorm"], cfg.rms_norm_eps)
-        has_lora = "lora_q_proj_a" in w
-        lora_slots = attn_meta.token_lora_slots
-        lora_scales = params.get("lora_scales")
-
-        def lora(y, base, target):
-            if not has_lora:
-                return y
-            return y + lora_apply(base, w[f"lora_{target}_a"],
-                                  w[f"lora_{target}_b"],
-                                  lora_scales, lora_slots)
-
-        q = lora(matmul(h, w["q_proj"]), h, "q_proj")
-        k = lora(matmul(h, w["k_proj"]), h, "k_proj")
-        v = lora(matmul(h, w["v_proj"]), h, "v_proj")
+        # LoRA rides the matmul() seam: the runner wraps targeted
+        # weights in LoraWeight and opens a lora_context around the
+        # forward, so no per-model adapter code is needed
+        q = matmul(h, w["q_proj"])
+        k = matmul(h, w["k_proj"])
+        v = matmul(h, w["v_proj"])
         if self.qkv_bias:
             q = q + w["q_bias"]
             k = k + w["k_bias"]
@@ -279,8 +256,7 @@ class LlamaForCausalLM:
                                  alibi_slopes=self.alibi_slopes,
                                  use_pallas=use_pallas)
         o_flat = o.reshape(t, -1)
-        attn_out = lora(matmul(o_flat, w["o_proj"]), o_flat,
-                        "o_proj")
+        attn_out = matmul(o_flat, w["o_proj"])
         if "o_bias" in w:  # TeleChat2-style dense bias
             attn_out = attn_out + w["o_bias"]
         if self.residual_mult != 1.0:
@@ -291,11 +267,9 @@ class LlamaForCausalLM:
         res = x
         h = rms_norm(x, w["post_attention_layernorm"],
                      cfg.rms_norm_eps)
-        h = self.act_fn(lora(matmul(h, w["gate_proj"]), h,
-                             "gate_proj"),
-                        lora(matmul(h, w["up_proj"]), h,
-                             "up_proj"))
-        mlp_out = lora(matmul(h, w["down_proj"]), h, "down_proj")
+        h = self.act_fn(matmul(h, w["gate_proj"]),
+                        matmul(h, w["up_proj"]))
+        mlp_out = matmul(h, w["down_proj"])
         if "down_bias" in w:
             mlp_out = mlp_out + w["down_bias"]
         if self.residual_mult != 1.0:

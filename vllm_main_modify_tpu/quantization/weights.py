@@ -172,6 +172,59 @@ class Int8W8A8Weight:
         return self.qweight.shape
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class LoraWeight:
+    """A base weight (plain or quantized) plus stacked multi-LoRA
+    adapter slots (reference capability: vllm/lora/layers/ applies
+    adapters to every linear of every model; punica TPU
+    punica_wrapper/punica_tpu.py:21).
+
+    ``base``: [..., in, out] — any weight ``matmul`` accepts.
+    ``a``/``b``: [..., S, in, r] / [..., S, r, out] adapter stacks
+    (slot 0 = null adapter). Layer-stacked models carry a leading L
+    axis on all three, so lax.scan layer slicing works unchanged.
+
+    ``matmul`` adds the per-token adapter delta whenever a
+    :func:`lora_context` is active (the model runner opens one around
+    the forward with the step's per-token slot ids) — models need no
+    LoRA code at all."""
+
+    base: object
+    a: jax.Array
+    b: jax.Array
+
+    def tree_flatten(self):
+        return (self.base, self.a, self.b), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.base.shape
+
+
+_LORA_CTX: list = []
+
+
+class lora_context:
+    """Context manager active during model tracing: (scales [S],
+    token_slots [T]). matmul() reads it for LoraWeight operands."""
+
+    def __init__(self, scales, token_slots):
+        self.val = (scales, token_slots)
+
+    def __enter__(self):
+        _LORA_CTX.append(self.val)
+        return self
+
+    def __exit__(self, *exc):
+        _LORA_CTX.pop()
+        return False
+
+
 QuantizedWeight = Union[Int8Weight, Fp8Weight, Int4Weight,
                         Fp8W8A8Weight, Int8W8A8Weight]
 
@@ -245,6 +298,16 @@ def matmul(x: jax.Array, w) -> jax.Array:
     """x @ w for plain or quantized weights; models call ONLY this."""
     if isinstance(w, jax.Array):
         return x @ w
+    if isinstance(w, LoraWeight):
+        y = matmul(x, w.base)
+        if _LORA_CTX:
+            from vllm_main_modify_tpu.lora.ops import lora_apply
+
+            scales, slots = _LORA_CTX[-1]
+            x2 = x.reshape(-1, x.shape[-1])
+            delta = lora_apply(x2, w.a, w.b, scales, slots)
+            y = y + delta.reshape(y.shape).astype(y.dtype)
+        return y
     if isinstance(w, Int8Weight):
         # int8 MXU: accumulate f32, scale per out-channel
         acc = jax.lax.dot_general(

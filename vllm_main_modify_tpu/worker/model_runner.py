@@ -20,6 +20,7 @@ gpu_model_runner.py. TPU-native redesign:
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from collections import OrderedDict
 import logging
@@ -42,6 +43,7 @@ from vllm_main_modify_tpu.layers.attention import (AttentionMetadata,
 from vllm_main_modify_tpu.models.loader import load_model_weights
 from vllm_main_modify_tpu.models.registry import create_model
 from vllm_main_modify_tpu.ops.kv_cache import kv_cache_shape
+from vllm_main_modify_tpu.quantization.weights import lora_context
 from vllm_main_modify_tpu.sample.metadata import SamplingMetadata
 from vllm_main_modify_tpu.sample.sampler import sample
 from vllm_main_modify_tpu.utils import cdiv, next_power_of_2
@@ -511,32 +513,75 @@ class TPUModelRunner:
             node[key] = EplbExpertWeight(
                 jnp.take_along_axis(w.phys, idx, axis=1), l2p, cnt)
 
+    # adapter-targetable module tails (HF/PEFT naming; fused-weight
+    # layouts like qkv_proj are per-model opt-ins via lora_sites())
+    _LORA_TARGET_TAILS = frozenset(
+        ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+         "up_proj", "down_proj", "fc1", "fc2", "out_proj"))
+
     def _init_lora_stacks(self) -> None:
-        """Zero-initialized stacked adapter slots live inside the param
-        tree, so adapter loads are slot-slice updates and the jitted
-        step never changes shape (reference capability:
+        """Wrap every adapter-targetable weight in a LoraWeight with
+        zero-initialized stacked slots, so adapter loads are slot-slice
+        updates, the jitted step never changes shape, and EVERY model
+        gets adapters through the shared matmul() seam (reference
+        capability: vllm/lora/layers/ wraps every linear;
         vllm/lora/models.py LoRAModelManager slots)."""
-        shapes = self.model.lora_target_shapes()
+        from vllm_main_modify_tpu.quantization.weights import \
+            LoraWeight
+
         s_slots = self.lora_manager.num_slots
         r = self.config.lora_config.max_lora_rank
-        num_l = self.config.model_config.num_layers
-        layers = self.params["layers"]
-        for target, (din, dout) in shapes.items():
-            layers[f"lora_{target}_a"] = jnp.zeros(
-                (num_l, s_slots, din, r), dtype=jnp.float32)
-            layers[f"lora_{target}_b"] = jnp.zeros(
-                (num_l, s_slots, r, dout), dtype=jnp.float32)
+        # target tail -> [(tree path, num_layers, layer_offset)]
+        self._lora_sites: dict[str, list] = {}
+        for spec in self.model.param_specs():
+            if not spec.stacked or getattr(spec, "num_experts", 0):
+                continue
+            if len(spec.shape) != 3:
+                continue
+            tail = spec.path.split(".")[-1]
+            if tail not in self._LORA_TARGET_TAILS:
+                continue
+            num_l, din, dout = spec.shape
+            node, key = self._tree_node(spec.path)
+            node[key] = LoraWeight(
+                node[key],
+                jnp.zeros((num_l, s_slots, din, r),
+                          dtype=jnp.float32),
+                jnp.zeros((num_l, s_slots, r, dout),
+                          dtype=jnp.float32))
+            self._lora_sites.setdefault(tail, []).append(
+                (spec.path, num_l,
+                 getattr(spec, "layer_offset", 0)))
         self.params["lora_scales"] = jnp.zeros(s_slots,
                                                dtype=jnp.float32)
 
-    def _lora_update_fn(self, key: str, slot: int,
-                        array: np.ndarray) -> None:
-        layers = self.params["layers"]
-        layers[key] = layers[key].at[:, slot].set(
-            jnp.asarray(array))
+    def _lora_update_fn(self, path: str, slot: int,
+                        a: np.ndarray, b: np.ndarray) -> None:
+        from vllm_main_modify_tpu.quantization.weights import \
+            LoraWeight
+
+        node, key = self._tree_node(path)
+        w = node[key]
+        node[key] = LoraWeight(
+            w.base,
+            w.a.at[:, slot].set(jnp.asarray(a)),
+            w.b.at[:, slot].set(jnp.asarray(b)))
 
     def _activate_loras(self,
                         scheduler_output: SchedulerOutput) -> None:
+        has_new = any(r.lora_name is not None
+                      for r in scheduler_output.scheduled_new_reqs)
+        if has_new:
+            # touch every adapter still resident in the batch so LRU
+            # eviction can only hit adapters with no running requests
+            # (the scheduler caps distinct running adapters at
+            # max_loras, so a safe victim always exists)
+            for state in self.requests.values():
+                if state.lora_name is not None:
+                    try:
+                        self.lora_manager.slot_of(state.lora_name)
+                    except KeyError:
+                        pass
         for new_req in scheduler_output.scheduled_new_reqs:
             if new_req.lora_name is None:
                 continue
@@ -544,7 +589,7 @@ class TPUModelRunner:
                 self.lora_manager.register(new_req.lora_name,
                                            new_req.lora_path)
             self.lora_manager.activate(new_req.lora_name,
-                                       self.params["layers"],
+                                       self._lora_sites,
                                        self._lora_update_fn)
             self.params["lora_scales"] = jnp.asarray(
                 self.lora_manager.scales)
@@ -1798,21 +1843,30 @@ class TPUModelRunner:
             model_positions = (
                 seg("mrope_positions").reshape(3, t_pad)
                 if uses_mrope else seg("positions"))
-            if is_eagle3:
-                # target collects aux tap hiddens for the draft's fc
-                hidden, kv_caches, aux3 = model(
-                    params, input_ids, model_positions, kv_caches,
-                    attn_meta, use_pallas=use_pallas, **mm_kwargs)
-            elif eplb:
-                hidden, kv_caches, eplb_counts = model(
-                    params, input_ids, model_positions, kv_caches,
-                    attn_meta, use_pallas=use_pallas, **mm_kwargs)
-            else:
-                hidden, kv_caches = model(params, input_ids,
-                                          model_positions, kv_caches,
-                                          attn_meta,
-                                          use_pallas=use_pallas,
-                                          **mm_kwargs)
+            # LoRA context: while tracing inside it, every matmul()
+            # over a LoraWeight adds the per-token adapter delta —
+            # adapters reach EVERY model through the shared weight
+            # seam (reference: vllm/lora/layers/ wraps every linear)
+            lora_ctx = (lora_context(params["lora_scales"],
+                                     seg("lora_slots"))
+                        if enable_lora else contextlib.nullcontext())
+            with lora_ctx:
+                if is_eagle3:
+                    # target collects aux tap hiddens for the draft's
+                    # fc
+                    hidden, kv_caches, aux3 = model(
+                        params, input_ids, model_positions, kv_caches,
+                        attn_meta, use_pallas=use_pallas, **mm_kwargs)
+                elif eplb:
+                    hidden, kv_caches, eplb_counts = model(
+                        params, input_ids, model_positions, kv_caches,
+                        attn_meta, use_pallas=use_pallas, **mm_kwargs)
+                else:
+                    hidden, kv_caches = model(params, input_ids,
+                                              model_positions,
+                                              kv_caches, attn_meta,
+                                              use_pallas=use_pallas,
+                                              **mm_kwargs)
             sampled_hidden = jnp.take(hidden, logits_indices, axis=0)
             logits = model.compute_logits(params, sampled_hidden)
 
