@@ -254,3 +254,130 @@ def test_gptoss_reasoning_parser():
     assert r.reasoning_content == "ponder" and r.content == "reply"
     r2 = p.extract("no channels at all")
     assert r2.reasoning_content is None and r2.content
+
+
+# ---- streaming extraction (reference: extract_tool_calls_streaming
+# in vllm/entrypoints/openai/tool_parsers/*.py) ----------------------
+
+
+def _stream(extractor, text, chunk=3):
+    deltas = []
+    for i in range(0, len(text), chunk):
+        deltas += extractor.push(text[i:i + chunk])
+    deltas += extractor.finish()
+    return deltas
+
+
+def _join_content(deltas, key="content"):
+    return "".join(d.get(key, "") for d in deltas)
+
+
+def test_streaming_hermes_no_marker_leak():
+    from vllm_main_modify_tpu.entrypoints.openai.tool_parsers import (
+        HermesToolParser, StreamingExtractor)
+
+    text = ('I will look that up. <tool_call>{"name": "get_weather", '
+            '"arguments": {"city": "SF"}}</tool_call>')
+    for chunk in (1, 3, 7, len(text)):
+        ex = StreamingExtractor(HermesToolParser())
+        deltas = _stream(ex, text, chunk)
+        content = _join_content(deltas)
+        assert "<tool_call" not in content
+        assert "get_weather" not in content
+        assert content.strip() == "I will look that up."
+        calls = [c for d in deltas for c in d.get("tool_calls", [])]
+        assert len(calls) == 1
+        assert calls[0]["function"]["name"] == "get_weather"
+        assert json.loads(
+            calls[0]["function"]["arguments"]) == {"city": "SF"}
+        assert calls[0]["index"] == 0
+        assert ex.tools_called
+
+
+def test_streaming_hermes_two_calls_indices():
+    from vllm_main_modify_tpu.entrypoints.openai.tool_parsers import (
+        HermesToolParser, StreamingExtractor)
+
+    text = ('<tool_call>{"name": "a", "arguments": {}}</tool_call>'
+            '<tool_call>{"name": "b", "arguments": {"x": 1}}'
+            '</tool_call>')
+    ex = StreamingExtractor(HermesToolParser())
+    deltas = _stream(ex, text, 5)
+    calls = [c for d in deltas for c in d.get("tool_calls", [])]
+    assert [c["function"]["name"] for c in calls] == ["a", "b"]
+    assert [c["index"] for c in calls] == [0, 1]
+    assert _join_content(deltas).strip() == ""
+
+
+def test_streaming_mistral():
+    from vllm_main_modify_tpu.entrypoints.openai.tool_parsers import (
+        MistralToolParser, StreamingExtractor)
+
+    text = ('Sure. [TOOL_CALLS] [{"name": "f", '
+            '"arguments": {"k": 2}}]')
+    ex = StreamingExtractor(MistralToolParser())
+    deltas = _stream(ex, text, 4)
+    content = _join_content(deltas)
+    assert "[TOOL_CALLS]" not in content
+    calls = [c for d in deltas for c in d.get("tool_calls", [])]
+    assert calls and calls[0]["function"]["name"] == "f"
+
+
+def test_streaming_llama3_json_holds_whole_object():
+    from vllm_main_modify_tpu.entrypoints.openai.tool_parsers import (
+        Llama3JsonToolParser, StreamingExtractor)
+
+    text = '{"name": "lookup", "parameters": {"q": "x"}}'
+    ex = StreamingExtractor(Llama3JsonToolParser())
+    deltas = _stream(ex, text, 6)
+    # nothing of the JSON leaks as content; one call at the end
+    assert _join_content(deltas) == ""
+    calls = [c for d in deltas for c in d.get("tool_calls", [])]
+    assert calls and calls[0]["function"]["name"] == "lookup"
+
+
+def test_streaming_llama3_json_plain_content_streams():
+    from vllm_main_modify_tpu.entrypoints.openai.tool_parsers import (
+        Llama3JsonToolParser, StreamingExtractor)
+
+    ex = StreamingExtractor(Llama3JsonToolParser())
+    first = ex.push("Hello the weather ")
+    assert first and first[0]["content"]
+    deltas = first + ex.push("is nice.") + ex.finish()
+    assert _join_content(deltas) == "Hello the weather is nice."
+    assert not ex.tools_called
+
+
+def test_streaming_reasoning_think_tags():
+    from vllm_main_modify_tpu.entrypoints.openai.tool_parsers import \
+        StreamingExtractor
+    from vllm_main_modify_tpu.reasoning import get_reasoning_parser
+
+    rp = get_reasoning_parser("deepseek_r1")
+    text = "<think>step one. step two.</think>The answer is 42."
+    for chunk in (1, 4, 9):
+        ex = StreamingExtractor(None, rp)
+        deltas = _stream(ex, text, chunk)
+        content = _join_content(deltas)
+        reasoning = _join_content(deltas, "reasoning_content")
+        assert "<think>" not in content and "</think>" not in content
+        assert content == "The answer is 42."
+        assert reasoning == "step one. step two."
+
+
+def test_streaming_reasoning_plus_tools():
+    from vllm_main_modify_tpu.entrypoints.openai.tool_parsers import (
+        HermesToolParser, StreamingExtractor)
+    from vllm_main_modify_tpu.reasoning import get_reasoning_parser
+
+    rp = get_reasoning_parser("qwen3")
+    text = ('<think>must call the API</think>Calling now. '
+            '<tool_call>{"name": "api", "arguments": {}}</tool_call>')
+    ex = StreamingExtractor(HermesToolParser(), rp)
+    deltas = _stream(ex, text, 5)
+    assert _join_content(deltas, "reasoning_content") == \
+        "must call the API"
+    content = _join_content(deltas)
+    assert "<tool_call" not in content and "think" not in content
+    calls = [c for d in deltas for c in d.get("tool_calls", [])]
+    assert calls and calls[0]["function"]["name"] == "api"

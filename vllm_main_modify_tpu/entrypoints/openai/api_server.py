@@ -903,7 +903,8 @@ class OpenAIServer:
 
         if body.stream:
             return await self._stream_chat(request, body, prompt,
-                                           params, request_id)
+                                           params, request_id,
+                                           forced_tools=forced_tools)
         try:
             final = None
             async for out in self.engine.generate(prompt, params,
@@ -1017,7 +1018,9 @@ class OpenAIServer:
         return True
 
     async def _stream_chat(self, request, body, prompt, params,
-                           request_id) -> web.StreamResponse:
+                           request_id,
+                           forced_tools: bool = False
+                           ) -> web.StreamResponse:
         resp = web.StreamResponse(
             headers={"Content-Type": "text/event-stream",
                      "Cache-Control": "no-cache"})
@@ -1030,28 +1033,98 @@ class OpenAIServer:
                                                 content=""))
             ])
         await resp.write(
-            f"data: {json.dumps(first.model_dump())}\n\n".encode())
+            f"data: {json.dumps(first.model_dump(exclude_none=True))}"
+            "\n\n".encode())
+
+        # incremental extraction state (reference:
+        # extract_tool_calls_streaming, serving_chat.py SSE path):
+        # tool-call/reasoning deltas stream structured; raw marker
+        # text never reaches the client
+        extractor = None
+        tool_parser = (self.tool_parser
+                       if (body.tools and not forced_tools) else None)
+        if tool_parser is not None or \
+                self.reasoning_parser is not None:
+            from vllm_main_modify_tpu.entrypoints.openai \
+                .tool_parsers import StreamingExtractor
+
+            extractor = StreamingExtractor(tool_parser,
+                                           self.reasoning_parser)
+        forced_text = []
+
+        async def write_delta(fields: dict, finish=None):
+            chunk = ChatCompletionStreamResponse(
+                id=request_id, model=body.model or self.model_name,
+                choices=[
+                    ChatCompletionStreamChoice(
+                        index=0, delta=DeltaMessage(**fields),
+                        finish_reason=finish)
+                ])
+            await resp.write(
+                f"data: "
+                f"{json.dumps(chunk.model_dump(exclude_none=True))}"
+                "\n\n".encode())
+
         try:
             async for out in self.engine.generate(prompt, params,
                                                   request_id):
                 co = out.outputs[0]
-                chunk = ChatCompletionStreamResponse(
-                    id=request_id, model=body.model or self.model_name,
-                    choices=[
-                        ChatCompletionStreamChoice(
-                            index=0,
-                            delta=DeltaMessage(content=co.text),
-                            finish_reason=co.finish_reason)
-                    ])
-                await resp.write(
-                    f"data: {json.dumps(chunk.model_dump())}\n\n"
-                    .encode())
+                finish = co.finish_reason
+                if forced_tools:
+                    # guided decoding constrained the whole output to
+                    # the tool schema: buffer, emit one call at end
+                    forced_text.append(co.text)
+                    if finish is None:
+                        continue
+                    fields = self._parse_forced_tool(
+                        "".join(forced_text))
+                    if fields is not None:
+                        await write_delta(fields, "tool_calls")
+                    else:
+                        await write_delta(
+                            {"content": "".join(forced_text)}, finish)
+                    continue
+                if extractor is None:
+                    if co.text or finish is not None:
+                        await write_delta({"content": co.text},
+                                          finish)
+                    continue
+                deltas = extractor.push(co.text)
+                if finish is not None:
+                    deltas += extractor.finish()
+                    if extractor.tools_called:
+                        finish = "tool_calls"
+                if not deltas and finish is not None:
+                    deltas = [{"content": ""}]
+                for i, fields in enumerate(deltas):
+                    last = i == len(deltas) - 1
+                    await write_delta(
+                        fields, finish if last else None)
         except (ValueError, EngineDeadError) as e:
             err = {"error": {"message": str(e)}}
             await resp.write(f"data: {json.dumps(err)}\n\n".encode())
         await resp.write(b"data: [DONE]\n\n")
         await resp.write_eof()
         return resp
+
+    @staticmethod
+    def _parse_forced_tool(text: str) -> Optional[dict]:
+        """Parse a guided-decoding tool JSON into a tool_calls delta
+        (None if it does not parse)."""
+        from vllm_main_modify_tpu.entrypoints.openai.tool_parsers \
+            import ToolCall
+
+        try:
+            obj = json.loads(text)
+        except json.JSONDecodeError:
+            return None
+        call = ToolCall(
+            name=obj.get("name", ""),
+            arguments=json.dumps(
+                obj.get("parameters", obj.get("arguments", {}))))
+        oc = call.to_openai()
+        oc["index"] = 0
+        return {"tool_calls": [oc]}
 
     # ---- logprob formatting ------------------------------------------
 

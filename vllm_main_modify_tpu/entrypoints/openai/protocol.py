@@ -202,6 +202,9 @@ class ChatCompletionResponse(OpenAIBaseModel):
 class DeltaMessage(OpenAIBaseModel):
     role: Optional[str] = None
     content: Optional[str] = None
+    reasoning_content: Optional[str] = None
+    # [{"index", "id", "type", "function": {"name", "arguments"}}]
+    tool_calls: Optional[list[dict]] = None
 
 
 class ChatCompletionStreamChoice(OpenAIBaseModel):

@@ -45,6 +45,7 @@ class HermesToolParser:
 
     PATTERN = re.compile(r"<tool_call>\s*(.*?)\s*</tool_call>",
                          re.DOTALL)
+    START_MARKERS = ("<tool_call>", )
 
     def extract(self, text: str) -> ExtractedToolCalls:
         calls = []
@@ -64,6 +65,8 @@ class HermesToolParser:
 
 class Llama3JsonToolParser:
     """Bare JSON object with name/parameters (Llama-3.x json tools)."""
+
+    HOLD_IF_PREFIX = ("{", )
 
     def extract(self, text: str) -> ExtractedToolCalls:
         stripped = text.strip()
@@ -90,6 +93,7 @@ class MistralToolParser:
     """[TOOL_CALLS] [ {...}, ... ] prefix format."""
 
     PREFIX = "[TOOL_CALLS]"
+    START_MARKERS = ("[TOOL_CALLS]", )
 
     def extract(self, text: str) -> ExtractedToolCalls:
         idx = text.find(self.PREFIX)
@@ -115,6 +119,8 @@ class PythonicToolParser:
     """Python-call-list format: ``[get_weather(city="SF"), f(x=3)]``
     (reference: tool_parsers/pythonic_tool_parser.py; Llama-4
     pythonic templates)."""
+
+    HOLD_IF_PREFIX = ("[", )
 
     def extract(self, text: str) -> ExtractedToolCalls:
         import ast
@@ -150,6 +156,8 @@ class JsonArrayToolParser:
     Granite 3.x ``<|tool_call|>``, xLAM, Jamba/Hunyuan
     ``<tool_calls>`` blocks (reference: granite_tool_parser.py,
     xlam_tool_parser.py, jamba_tool_parser.py)."""
+
+    HOLD_IF_PREFIX = ("[", "`")
 
     def __init__(self, prefixes: tuple = ("<|tool_call|>", ),
                  strip_tags: tuple = ()) -> None:
@@ -216,6 +224,7 @@ class InternLM2ToolParser:
     PATTERN = re.compile(
         r"<\|action_start\|><\|plugin\|>\s*(.*?)\s*<\|action_end\|>",
         re.DOTALL)
+    START_MARKERS = ("<|action_start|>", )
 
     def extract(self, text: str) -> ExtractedToolCalls:
         m = self.PATTERN.search(text)
@@ -242,6 +251,7 @@ class DeepSeekV3ToolParser:
     BLOCK = re.compile(
         r"<｜tool▁call▁begin｜>function<｜tool▁sep｜>([^\n]+)\n"
         r"```json\n(.*?)\n```<｜tool▁call▁end｜>", re.DOTALL)
+    START_MARKERS = ("<｜tool▁calls▁begin｜>", )
 
     def extract(self, text: str) -> ExtractedToolCalls:
         start = text.find("<｜tool▁calls▁begin｜>")
@@ -267,6 +277,7 @@ class Qwen3CoderToolParser:
 
     CALL = re.compile(r"<tool_call>\s*<function=([^>]+)>(.*?)"
                       r"</function>\s*</tool_call>", re.DOTALL)
+    START_MARKERS = ("<tool_call>", )
     PARAM = re.compile(r"<parameter=([^>]+)>(.*?)</parameter>",
                        re.DOTALL)
 
@@ -294,6 +305,7 @@ class GLM4MoeToolParser:
 
     CALL = re.compile(r"<tool_call>\s*([^\n<]+)(.*?)</tool_call>",
                       re.DOTALL)
+    START_MARKERS = ("<tool_call>", )
     KV = re.compile(r"<arg_key>(.*?)</arg_key>\s*"
                     r"<arg_value>(.*?)</arg_value>", re.DOTALL)
 
@@ -317,6 +329,8 @@ class GLM4MoeToolParser:
 class Phi4MiniJsonToolParser:
     """``functools[{...}, ...]`` (reference:
     phi4mini_tool_parser.py)."""
+
+    START_MARKERS = ("functools[", )
 
     def extract(self, text: str) -> ExtractedToolCalls:
         idx = text.find("functools[")
@@ -345,6 +359,7 @@ class Granite20bFCToolParser:
 
     BLOCK = re.compile(r"<function_call>\s*(\{.*?\})(?=\s*(?:"
                        r"<function_call>|$))", re.DOTALL)
+    START_MARKERS = ("<function_call>", )
 
     def extract(self, text: str) -> ExtractedToolCalls:
         calls = []
@@ -373,6 +388,7 @@ class KimiK2ToolParser:
         r"<\|tool_call_begin\|>\s*(?P<id>.+?:\d+)\s*"
         r"<\|tool_call_argument_begin\|>\s*(?P<args>.*?)\s*"
         r"<\|tool_call_end\|>", re.DOTALL)
+    START_MARKERS = ("<|tool_calls_section_begin|>", )
 
     def extract(self, text: str) -> ExtractedToolCalls:
         start = text.find("<|tool_calls_section_begin|>")
@@ -403,6 +419,7 @@ class LongcatToolParser:
     BLOCK = re.compile(
         r"<longcat_tool_call>(.*?)(?:</longcat_tool_call>|$)",
         re.DOTALL)
+    START_MARKERS = ("<longcat_tool_call>", )
 
     def extract(self, text: str) -> ExtractedToolCalls:
         first = text.find("<longcat_tool_call>")
@@ -436,6 +453,7 @@ class Step3ToolParser:
 
     INVOKE = re.compile(r'<steptml:invoke name="([^"]+)">(.*?)'
                         r"</steptml:invoke>", re.DOTALL)
+    START_MARKERS = ("<｜tool_calls_begin｜>", )
     PARAM = re.compile(r'<steptml:parameter name="([^"]+)">'
                        r"([^<]*)</steptml:parameter>")
 
@@ -465,6 +483,7 @@ class SeedOssToolParser(Qwen3CoderToolParser):
 
     CALL = re.compile(r"<seed:tool_call>\s*<function=([^>]+)>(.*?)"
                       r"</function>\s*</seed:tool_call>", re.DOTALL)
+    START_MARKERS = ("<seed:tool_call>", )
 
 
 class DeepSeekV31ToolParser:
@@ -476,6 +495,7 @@ class DeepSeekV31ToolParser:
     BLOCK = re.compile(r"<｜tool▁call▁begin｜>(?P<name>.*?)"
                        r"<｜tool▁sep｜>(?P<args>.*?)<｜tool▁call▁end｜>",
                        re.DOTALL)
+    START_MARKERS = ("<｜tool▁calls▁begin｜>", )
 
     def extract(self, text: str) -> ExtractedToolCalls:
         start = text.find("<｜tool▁calls▁begin｜>")
@@ -502,6 +522,7 @@ class OpenAIHarmonyToolParser:
     BLOCK = re.compile(
         r"<\|channel\|>commentary to=(?:functions\.)?([\w.-]+)"
         r".*?<\|message\|>(.*?)(?:<\|call\|>|$)", re.DOTALL)
+    START_MARKERS = ("<|channel|>", )
 
     def extract(self, text: str) -> ExtractedToolCalls:
         calls = []
@@ -556,3 +577,142 @@ def get_tool_parser(name: str):
             f"unknown tool parser {name!r}; known: "
             f"{sorted(TOOL_PARSERS)}")
     return TOOL_PARSERS[name]()
+
+
+class StreamingExtractor:
+    """Incremental tool-call + reasoning extraction over a growing
+    response (reference: per-parser ``extract_tool_calls_streaming``
+    in vllm/entrypoints/openai/tool_parsers/*.py).
+
+    Generic across every registered parser: each push re-runs the
+    batch ``extract()`` on the accumulated text and emits only the
+    monotone delta, while holding back any tail that could be the
+    start of a tool-call marker — so streamed responses never leak raw
+    ``<tool_call>``-style text to clients. Parsers opt into streaming
+    content via ``START_MARKERS`` (in-text region markers) and/or
+    ``HOLD_IF_PREFIX`` (whole-output prefixes that *may* be a call);
+    a parser with neither buffers content until finish (safe default).
+    Complete tool calls stream as one delta each (name + arguments),
+    in OpenAI ``delta.tool_calls`` format."""
+
+    def __init__(self, tool_parser=None, reasoning_parser=None):
+        self.tp = tool_parser
+        self.rp = reasoning_parser
+        self.acc = ""
+        self.n_reason = 0
+        self.n_content = 0
+        self.n_calls = 0
+        self.tools_called = False
+        markers = list(getattr(tool_parser, "START_MARKERS", ()))
+        if isinstance(tool_parser, JsonArrayToolParser):
+            markers += list(tool_parser.prefixes)
+            markers += [o for o, _ in tool_parser.strip_tags]
+        # a partial reasoning START tag must not leak as content
+        for attr in ("START", "END"):
+            m = getattr(reasoning_parser, attr, None)
+            if m:
+                markers.append(m)
+        self.markers = [m for m in markers if m]
+        self.hold_prefixes = tuple(
+            getattr(tool_parser, "HOLD_IF_PREFIX", ()))
+        self.buffer_all = (
+            tool_parser is not None
+            and not getattr(tool_parser, "START_MARKERS", ())
+            and not self.hold_prefixes)
+
+    # ------------------------------------------------------------------
+
+    def _hold(self, content: str) -> str:
+        """Trim ``content`` to the part that is safely plain text."""
+        if self.buffer_all:
+            return ""
+        s = content.lstrip()
+        for p in self.hold_prefixes:
+            # the whole output may still turn out to be a tool call
+            if s.startswith(p) or (s and p.startswith(s)):
+                return ""
+        # cut at the first marker occurrence (an incomplete tool
+        # region the batch parser didn't consume yet)
+        cut = len(content)
+        for m in self.markers:
+            i = content.find(m)
+            if 0 <= i < cut:
+                cut = i
+        content = content[:cut]
+        # hold back a trailing PARTIAL marker
+        best = 0
+        for m in self.markers:
+            for k in range(min(len(m) - 1, len(content)), 0, -1):
+                if content.endswith(m[:k]):
+                    best = max(best, k)
+                    break
+        return content[:-best] if best else content
+
+    @staticmethod
+    def _trim_partial(text: str, markers) -> str:
+        """Strip a trailing PARTIAL occurrence of any marker."""
+        best = 0
+        for m in markers:
+            if not m:
+                continue
+            for k in range(min(len(m) - 1, len(text)), 0, -1):
+                if text.endswith(m[:k]):
+                    best = max(best, k)
+                    break
+        return text[:-best] if best else text
+
+    def _state(self, final: bool = False):
+        text = self.acc
+        reasoning = ""
+        if self.rp is not None:
+            ro = self.rp.extract(text)
+            reasoning = ro.reasoning_content or ""
+            text = ro.content or ""
+            if not final:
+                # an in-flight "</thi" must not leak as reasoning
+                reasoning = self._trim_partial(
+                    reasoning,
+                    (getattr(self.rp, "END", None), ))
+        calls: list[ToolCall] = []
+        content = text
+        if self.tp is not None:
+            et = self.tp.extract(text)
+            calls = et.tool_calls
+            content = et.content or ""
+        if not final:
+            content = self._hold(content)
+        return reasoning, content, calls
+
+    def _emit(self, reasoning, content, calls) -> list[dict]:
+        out = []
+        if self.n_reason < len(reasoning):
+            out.append(
+                {"reasoning_content": reasoning[self.n_reason:]})
+            self.n_reason = len(reasoning)
+        if self.n_content < len(content):
+            out.append({"content": content[self.n_content:]})
+            self.n_content = len(content)
+        if self.n_calls < len(calls):
+            self.tools_called = True
+            out.append({"tool_calls": [{
+                "index": self.n_calls + j,
+                "id": c.id,
+                "type": "function",
+                "function": {"name": c.name,
+                             "arguments": c.arguments},
+            } for j, c in enumerate(calls[self.n_calls:])]})
+            self.n_calls = len(calls)
+        return out
+
+    # ------------------------------------------------------------------
+
+    def push(self, delta_text: str) -> list[dict]:
+        """Consume a text delta; returns DeltaMessage field dicts."""
+        if not delta_text:
+            return []
+        self.acc += delta_text
+        return self._emit(*self._state())
+
+    def finish(self) -> list[dict]:
+        """Flush everything the final extraction settles on."""
+        return self._emit(*self._state(final=True))
