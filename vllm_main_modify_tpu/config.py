@@ -386,9 +386,20 @@ def _detect_spec_method(draft_dir: str) -> str:
         return "medusa"
     if "Eagle3" in name or "eagle3" in name.lower():
         return "eagle3"
-    if "Eagle" in name or "MTP" in name.upper():
-        # EAGLE-style drafts and DeepSeek/Ernie/GLM MTP modules share
-        # the fc(embed ++ target_hidden) -> decoder-layers shape
+    if "MTP" in name.upper():
+        # checkpoint-shipped MTP heads (reference: deepseek_mtp.py,
+        # glm4_moe_mtp.py, ernie_mtp.py, qwen3_next_mtp.py,
+        # longcat_flash_mtp.py) — family picked by architecture
+        low = name.lower()
+        for fam, method in (("deepseek", "deepseek_mtp"),
+                            ("glm", "glm4_moe_mtp"),
+                            ("ernie", "ernie_mtp"),
+                            ("qwen3next", "qwen3_next_mtp"),
+                            ("longcat", "longcat_flash_mtp")):
+            if fam in low.replace("_", ""):
+                return method
+        return "deepseek_mtp"
+    if "Eagle" in name:
         return "eagle"
     if "MLPSpeculator" in name:
         return "mlp_speculator"

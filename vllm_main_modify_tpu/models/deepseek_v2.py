@@ -308,9 +308,11 @@ class DeepseekV2ForCausalLM:
 
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 inputs_embeds: Optional[jax.Array] = None):
         cfg = self.cfg
-        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        x = inputs_embeds if inputs_embeds is not None else \
+            jnp.take(params["embed_tokens"], input_ids, axis=0)
 
         def pick(tree, i):
             return jax.tree.map(

@@ -167,9 +167,13 @@ class TPUModelRunner:
         self.mlpspec = None  # MLP speculator (spec_decode/...)
         self.mlpspec_cfg = None
         if spec.enabled:
+            from vllm_main_modify_tpu.spec_decode.mtp import \
+                MTP_METHODS
+
             assert spec.method in ("ngram", "eagle", "eagle3",
                                    "medusa",
-                                   "mlp_speculator"), spec.method
+                                   "mlp_speculator") + MTP_METHODS, \
+                spec.method
             assert not sc.async_scheduling, \
                 "spec decode requires sync scheduling"
             if spec.method == "ngram":
@@ -206,6 +210,19 @@ class TPUModelRunner:
                     self.medusa.num_heads, (
                         "num_speculative_tokens exceeds the medusa "
                         "head count")
+            elif spec.method in MTP_METHODS:
+                # the MTP head lives inside the target checkpoint —
+                # same dir, shares the target's embedding; rides the
+                # EAGLE draft interface (fused propose + rejection
+                # sampling)
+                from vllm_main_modify_tpu.spec_decode.mtp import (
+                    MtpDraftModel, make_mtp_config)
+
+                self.eagle_cfg = make_mtp_config(mc)
+                if spec.draft_model:
+                    self.eagle_cfg.model = spec.draft_model
+                self.eagle = MtpDraftModel(self.eagle_cfg, mc,
+                                           spec.method)
             else:
                 from vllm_main_modify_tpu.spec_decode.eagle import (
                     Eagle3DraftModel, EagleDraftModel,
