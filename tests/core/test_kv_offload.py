@@ -26,7 +26,9 @@ def test_offload_extends_prefix_cache(tiny_llama_dir):
     """A prefix evicted from the tiny device cache must be restored
     from host and produce identical output."""
     # tiny device cache (32 blocks) forces eviction between requests
-    llm = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+    # max_model_len must fit the device pool (startup liveness check:
+    # engine/core.py); 26 pages - null = 100 tokens
+    llm = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=100,
               max_num_seqs=4, max_num_batched_tokens=64, block_size=4,
               num_kv_blocks=26)
     core = llm.engine.engine_core

@@ -195,7 +195,7 @@ def test_spec_method_autodetect(tmp_path):
 
     for archs, want in ((["MedusaModel"], "medusa"),
                         (["EagleLlamaForCausalLM"], "eagle"),
-                        (["DeepSeekMTPModel"], "eagle")):
+                        (["DeepSeekMTPModel"], "deepseek_mtp")):
         d = tmp_path / archs[0]
         d.mkdir()
         (d / "config.json").write_text(

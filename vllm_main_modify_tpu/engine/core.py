@@ -61,6 +61,25 @@ class EngineCore:
         logger.info("KV cache: %s pages x %d tokens",
                     "+".join(map(str, kv_pages)),
                     config.cache_config.block_size)
+        # liveness guard (reference: estimate_max_model_len /
+        # "max seq len larger than KV cache" startup error,
+        # vllm/v1/core/kv_cache_utils.py): a max_model_len request
+        # must be admissible in EVERY kv group, else the scheduler
+        # would spin forever on an unschedulable head-of-queue
+        # request (observed: fp8-8B mis-sizing left 16 pages and the
+        # engine spun 13M empty steps)
+        bs = config.cache_config.block_size
+        sc_cfg = config.scheduler_config
+        for grp, pages in zip(self.model_runner.kv_groups, kv_pages):
+            need = grp.max_pages_per_req(bs, sc_cfg.max_model_len,
+                                         sc_cfg.num_lookahead_tokens)
+            if pages - 1 < need:  # page/slot 0 = null block
+                raise ValueError(
+                    f"KV cache group '{grp.kind}' has {pages} pages "
+                    f"x {bs} tokens but max_model_len="
+                    f"{sc_cfg.max_model_len} needs {need}; decrease "
+                    "max_model_len or free device memory (smaller "
+                    "model / quantization / gpu_memory_utilization)")
 
         # P/D disaggregation connector (kv_transfer/connector.py):
         # the consumer role receives remote blocks into the offload

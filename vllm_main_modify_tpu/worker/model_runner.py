@@ -626,9 +626,19 @@ class TPUModelRunner:
         XLA activations are transient and bounded by the step shapes."""
         dev = jax.local_devices()[0]
         mc = self.config.model_config
-        # headroom for activations: 2x the largest padded step
-        act = (self.max_num_tokens *
-               max(mc.hidden_size * 8, mc.vocab_size) * 4 * 2)
+        # headroom for activations, double-buffered: the widest live
+        # tensor in a step is the MLP intermediate [T, 2*inter] (bf16);
+        # logits are only materialized at the <= max_seqs * nsp sample
+        # rows, NOT all T positions (a T x vocab reservation starved
+        # fp8-8B to 16 KV pages and deadlocked admission). The
+        # prompt-logprobs path does build [chunk, vocab] logits — its
+        # chunk is budgeted by the scheduler, not reserved here.
+        inter = getattr(mc, "intermediate_size", 0) or \
+            4 * mc.hidden_size
+        widest = max(2 * inter, 8 * mc.hidden_size)
+        act = (self.max_num_tokens * widest * 2 * 2 +
+               self.max_num_reqs * self.num_sample_positions *
+               mc.vocab_size * 4 * 4)
         util = self.config.cache_config.gpu_memory_utilization
 
         stats = getattr(dev, "memory_stats", lambda: None)()
