@@ -169,6 +169,18 @@ class SyncMPClient:
     def step(self) -> EngineCoreOutputs:
         return self._rpc("step")
 
+    # split-phase step for concurrent fan-out (DPLBClient): send the
+    # RPC to every engine first, collect replies after — dp=N wall
+    # time becomes max(engine step) instead of sum
+    def step_send(self) -> None:
+        self._sock.send(pickle.dumps(("step", None)))
+
+    def step_recv(self) -> EngineCoreOutputs:
+        status, result = self._recv()
+        if status == "error":
+            raise ValueError(result)
+        return result
+
     def abort_requests(self, request_ids) -> None:
         self._rpc("abort", list(request_ids))
 
@@ -226,10 +238,16 @@ class DPLBClient:
 
     def step(self) -> EngineCoreOutputs:
         merged = EngineCoreOutputs()
-        for i, eng in enumerate(self.engines):
-            if eng is None or not self._loads[i]:
-                continue
-            out = eng.step()
+        # fan out, then collect: the engines (separate processes) step
+        # CONCURRENTLY, so dp=N wall time ~ max engine step, not the
+        # sum (reference: per-rank DPEngineCoreProc busy loops run in
+        # parallel, core.py:1040)
+        active = [(i, eng) for i, eng in enumerate(self.engines)
+                  if eng is not None and self._loads[i]]
+        for _, eng in active:
+            eng.step_send()
+        for i, eng in active:
+            out = eng.step_recv()
             for o in out.outputs:
                 if o.finished:
                     self._loads[i] -= 1

@@ -230,15 +230,17 @@ def _rpa_kernel(
                    (pos >= lo) & (pos < hi))
             mask |= bid
 
-        kv = kv_vmem[slot].reshape(kvb, num_kv_heads, 2, head_dim)
-        k = kv[:, :, 0, :]  # [KVB, Hk, D]
-        v = kv[:, :, 1, :]
+        kv = kv_vmem[slot]
         if kv.dtype != q_all.dtype:
             # quantized (fp8) KV cache: stream 1-byte pages, upcast
             # in VMEM right before the MXU (reference capability:
-            # pallas.py:335-343 fp8 kv-cache quantization)
-            k = k.astype(q_all.dtype)
-            v = v.astype(q_all.dtype)
+            # pallas.py:335-343 fp8 kv-cache quantization). Convert
+            # the CONTIGUOUS block before any strided head slicing —
+            # slicing 8-bit data costs Mosaic element relayouts
+            kv = kv.astype(q_all.dtype)
+        kv = kv.reshape(kvb, num_kv_heads, 2, head_dim)
+        k = kv[:, :, 0, :]  # [KVB, Hk, D]
+        v = kv[:, :, 1, :]
 
         new_m, new_l, new_acc = [], [], []
         for h in range(num_kv_heads):
@@ -367,6 +369,7 @@ def _rpa_decode_kernel(
     q_sem,
     o_sem,
     kv_sems,  # [N_BUF, NPP]
+    kv16_vmem=None,  # [KVB, 2*Hk*D] q.dtype — quantized-KV upcast
     *,
     sm_scale: float,
     num_q_heads: int,
@@ -534,9 +537,18 @@ def _rpa_decode_kernel(
         row = (s - s_base) * hq_pad  # multiple of 8 (sublane tile)
         qs = q_vmem[pl.ds(row, hq_pad), :]  # [HqP, D]
 
+        if kv16_vmem is not None:
+            # quantized (fp8) KV: upcast the WHOLE stream block once —
+            # per-head strided slices of 8-bit data force Mosaic into
+            # element relayouts (measured 2.6x on the whole kernel);
+            # one contiguous convert then 16-bit slicing is clean
+            kv16_vmem[...] = kv_vmem[slot].astype(kv16_vmem.dtype)
+
         def sub_block(si, m, l, acc):
-            kv = kv_vmem[slot, pl.ds(si * SB, SB)].reshape(
-                SB, num_kv_heads, 2, head_dim)
+            kv = (kv_vmem[slot, pl.ds(si * SB, SB)]
+                  if kv16_vmem is None else
+                  kv16_vmem[pl.ds(si * SB, SB)]).reshape(
+                      SB, num_kv_heads, 2, head_dim)
             kv_idx = kb * kvb + si * SB + col  # [1, SB]
             mask = kv_idx < kv_len  # decode: pos == kv_len-1
             if sliding_window is not None:
@@ -706,7 +718,8 @@ def _decode_attention_pallas(
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((N_BUF, npp)),
-        ],
+        ] + ([pltpu.VMEM((kvb, width), q.dtype)]
+             if kv_cache2.dtype != q.dtype else []),
     )
     out = pl.pallas_call(
         kernel,
