@@ -381,3 +381,36 @@ def test_streaming_reasoning_plus_tools():
     assert "<tool_call" not in content and "think" not in content
     calls = [c for d in deltas for c in d.get("tool_calls", [])]
     assert calls and calls[0]["function"]["name"] == "api"
+
+
+def test_whisper_translate_task_prompt():
+    """/v1/audio/translations forces <|translate|> while
+    /v1/audio/transcriptions forces <|transcribe|> (reference: the
+    separate audio task routes; repo previously aliased translations
+    to the transcription handler with no task token)."""
+    from vllm_main_modify_tpu.entrypoints.openai.api_server import \
+        OpenAIServer
+
+    class FakeTok:
+        unk_token_id = 0
+        TOKENS = {"<|startoftranscript|>": 50258, "<|en|>": 50259,
+                  "<|de|>": 50261, "<|transcribe|>": 50359,
+                  "<|translate|>": 50358, "<|notimestamps|>": 50363}
+
+        def convert_tokens_to_ids(self, t):
+            return self.TOKENS.get(t, 0)
+
+    class FakeEngine:
+        tokenizer = FakeTok()
+
+    srv = object.__new__(OpenAIServer)
+    srv.engine = FakeEngine()
+    trans = srv._whisper_task_prompt("transcribe", None)
+    transl = srv._whisper_task_prompt("translate", "de")
+    assert trans == [50258, 50359, 50363]
+    assert transl == [50258, 50261, 50358, 50363]
+    # non-whisper tokenizer -> None (model default prompt applies)
+    srv.engine.tokenizer = type("T", (), {
+        "unk_token_id": 0,
+        "convert_tokens_to_ids": lambda self, t: 0})()
+    assert srv._whisper_task_prompt("translate", None) is None

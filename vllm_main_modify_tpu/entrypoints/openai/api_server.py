@@ -97,7 +97,7 @@ class OpenAIServer:
         r.add_post("/v2/rerank", self.rerank)
         r.add_post("/classify", self.classify)
         r.add_post("/v1/audio/transcriptions", self.transcriptions)
-        r.add_post("/v1/audio/translations", self.transcriptions)
+        r.add_post("/v1/audio/translations", self.translations)
         r.add_post("/tokenize", self.tokenize)
         r.add_post("/detokenize", self.detokenize)
         r.add_get("/metrics", self.prometheus_metrics)
@@ -304,11 +304,45 @@ class OpenAIServer:
             wav = wav.reshape(-1, channels).mean(axis=1)
         return wav, rate
 
-    async def transcriptions(self,
-                             request: web.Request) -> web.Response:
-        """Whisper transcription (reference: /v1/audio/transcriptions
+    def _whisper_task_prompt(self, task: str,
+                             language: Optional[str]) -> Optional[list]:
+        """Decoder prompt with the task token (reference: Whisper task
+        forcing in the audio serving path — <|translate|> vs
+        <|transcribe|>). None when the tokenizer lacks Whisper's task
+        tokens (the model default then applies)."""
+        tok = getattr(self.engine, "tokenizer", None)
+        if tok is None:
+            return None
+
+        def tid(t):
+            try:
+                i = tok.convert_tokens_to_ids(t)
+            except Exception:  # noqa: BLE001
+                return None
+            unk = getattr(tok, "unk_token_id", None)
+            return None if i is None or i == unk else i
+
+        task_id = tid(f"<|{task}|>")
+        sot = tid("<|startoftranscript|>")
+        if task_id is None or sot is None:
+            return None
+        ids = [sot]
+        if language:
+            lang_id = tid(f"<|{language.lower()}|>")
+            if lang_id is not None:
+                ids.append(lang_id)
+        ids.append(task_id)
+        nts = tid("<|notimestamps|>")
+        if nts is not None:
+            ids.append(nts)
+        return ids
+
+    async def transcriptions(self, request: web.Request,
+                             task: str = "transcribe") -> web.Response:
+        """Whisper transcription/translation (reference:
+        /v1/audio/{transcriptions,translations},
         serving_transcription.py). Multipart form: file (WAV), model,
-        temperature."""
+        temperature, language."""
         from vllm_main_modify_tpu.sampling_params import SamplingParams
 
         try:
@@ -318,21 +352,30 @@ class OpenAIServer:
                 return error_json(400, "file is required")
             wav, rate = self._decode_wav(file_field.file.read())
             temperature = float(form.get("temperature", 0.0))
+            language = form.get("language") or None
         except ValueError as e:
             return error_json(400, str(e))
         except Exception as e:  # noqa: BLE001
             return error_json(400, f"could not decode audio: {e}")
         params = SamplingParams(temperature=temperature,
                                 max_tokens=self.max_model_len // 2)
+        prompt = {"multi_modal_data": {"audio": (wav, rate)}}
+        task_ids = self._whisper_task_prompt(task, language)
+        if task_ids is not None:
+            prompt["prompt_token_ids"] = task_ids
         try:
             final = None
             async for out in self.engine.generate(
-                    {"multi_modal_data": {"audio": (wav, rate)}},
-                    params, f"transcribe-{random_uuid()}"):
+                    prompt, params, f"{task}-{random_uuid()}"):
                 final = out
         except ValueError as e:
             return error_json(400, str(e))
         return web.json_response({"text": final.outputs[0].text})
+
+    async def translations(self, request: web.Request) -> web.Response:
+        """Whisper X->English translation: same pipeline with the
+        <|translate|> task token forced."""
+        return await self.transcriptions(request, task="translate")
 
     # ---- /score /rerank /classify ------------------------------------
 
