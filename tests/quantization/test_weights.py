@@ -170,3 +170,135 @@ def test_int4_w4a8_flag_dispatch():
     qw2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert qw2.w4a8
     assert rel_err(matmul(x, qw), x @ w) < 0.15
+
+
+# ---- MXFP4 (GPT-OSS) + block-scale FP8 (DeepSeek) ------------------
+
+
+def test_mxfp4_roundtrip_and_matmul():
+    from vllm_main_modify_tpu.quantization.weights import (
+        dequant_mxfp4, quantize_mxfp4)
+
+    rng = np.random.default_rng(8)
+    w = jnp.asarray(rng.standard_normal((256, 128)) * 0.05,
+                    jnp.float32)
+    qw = quantize_mxfp4(w)
+    assert qw.packed.dtype == jnp.uint8
+    assert qw.packed.shape == (256, 64)
+    assert qw.scales.shape == (8, 128)
+    deq = dequant_mxfp4(qw, jnp.float32)
+    # 4-bit e2m1 with power-of-2 scales: ~0.1 relative on gaussian
+    assert rel_err(deq, w) < 0.2
+    x = jnp.asarray(rng.standard_normal((16, 256)), jnp.float32)
+    assert rel_err(matmul(x, qw), x @ w) < 0.2
+
+
+def test_mxfp4_repack_matches_oracle():
+    """Checkpoint layout (blocks u8 [out, in/32, 16] low-nibble-first
+    + e8m0 scales [out, in/32]) repacks to the canonical form with
+    exact dequant parity."""
+    from vllm_main_modify_tpu.quantization.formats import repack_mxfp4
+    from vllm_main_modify_tpu.quantization.weights import (
+        FP4_E2M1, Mxfp4Weight, dequant_mxfp4)
+
+    rng = np.random.default_rng(9)
+    out_d, in_d = 8, 64
+    nib = rng.integers(0, 16, (out_d, in_d)).astype(np.uint8)
+    e8m0 = rng.integers(120, 132, (out_d, in_d // 32)).astype(np.uint8)
+    blocks = (nib[:, 0::2] | (nib[:, 1::2] << 4)).reshape(
+        out_d, in_d // 32, 16)
+    packed, scales = repack_mxfp4(blocks, e8m0)
+    got = np.asarray(dequant_mxfp4(
+        Mxfp4Weight(jnp.asarray(packed), jnp.asarray(scales)),
+        jnp.float32))
+    lut = np.asarray(FP4_E2M1, np.float32)
+    want = (lut[nib] * np.repeat(
+        2.0**(e8m0.astype(np.float32) - 127), 32, axis=1)).T
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_fp8_block_roundtrip_and_matmul():
+    from vllm_main_modify_tpu.quantization.weights import (
+        dequant_fp8_block, quantize_fp8_block)
+
+    rng = np.random.default_rng(10)
+    w = jnp.asarray(rng.standard_normal((256, 256)) * 0.03,
+                    jnp.float32)
+    qw = quantize_fp8_block(w, (128, 128))
+    assert qw.scales.shape == (2, 2)
+    deq = dequant_fp8_block(qw, jnp.float32)
+    assert rel_err(deq, w) < 0.03
+    x = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+    assert rel_err(matmul(x, qw), x @ w) < 0.05
+
+
+def test_fp8_block_checkpoint_e2e(tiny_llama_dir, tmp_path_factory):
+    """A DeepSeek-style block-fp8 export of the tiny llama (weight
+    f8e4m3 + weight_scale_inv per projection + quantization_config)
+    loads through the engine and generates sanely vs bf16."""
+    import json
+    import os
+    import shutil
+
+    import ml_dtypes
+    from safetensors.numpy import load_file, save_file
+
+    from vllm_main_modify_tpu.entrypoints.llm import LLM
+    from vllm_main_modify_tpu.sampling_params import SamplingParams
+
+    src = load_file(os.path.join(tiny_llama_dir,
+                                 "model.safetensors"))
+    out_dir = str(tmp_path_factory.mktemp("fp8block") / "m")
+    os.makedirs(out_dir, exist_ok=True)
+    bn = bk = 32  # tiny dims; block semantics identical to 128
+    tensors = {}
+    for k, v in src.items():
+        if k.endswith(".weight") and v.ndim == 2 and \
+                "proj" in k and v.shape[0] % bn == 0 and \
+                v.shape[1] % bk == 0:
+            w = v.astype(np.float32)
+            o_d, i_d = w.shape
+            wb = w.reshape(o_d // bn, bn, i_d // bk, bk)
+            amax = np.abs(wb).max(axis=(1, 3))
+            s = np.maximum(amax / 448.0, 1e-12).astype(np.float32)
+            q = (wb / s[:, None, :, None]).reshape(o_d, i_d)
+            tensors[k] = q.astype(ml_dtypes.float8_e4m3fn)
+            tensors[k.replace(".weight", ".weight_scale_inv")] = s
+        else:
+            tensors[k] = v
+    save_file(tensors, os.path.join(out_dir, "model.safetensors"))
+    for f in os.listdir(tiny_llama_dir):
+        if f != "model.safetensors":
+            shutil.copy(os.path.join(tiny_llama_dir, f),
+                        os.path.join(out_dir, f))
+    with open(os.path.join(out_dir, "config.json")) as f:
+        cfg = json.load(f)
+    cfg["quantization_config"] = {
+        "quant_method": "fp8", "fmt": "e4m3",
+        "weight_block_size": [bn, bk]}
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+    kw = dict(dtype="float32", max_model_len=64, max_num_seqs=4,
+              max_num_batched_tokens=32, block_size=4,
+              num_kv_blocks=64)
+    p = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    got_llm = LLM(model=out_dir, **kw)  # noqa: F841
+    # the loader must have produced block containers for the projs,
+    # and dequant must reproduce the original weights to fp8 accuracy
+    from vllm_main_modify_tpu.quantization.weights import (
+        Fp8BlockWeight, dequant_fp8_block)
+    layers = got_llm.engine.engine_core.model_runner.params["layers"]
+    assert isinstance(layers["gate_proj"], Fp8BlockWeight)
+    orig = np.stack([
+        src[f"model.layers.{i}.mlp.gate_proj.weight"].astype(
+            np.float32).T for i in range(2)
+    ])
+    deq = np.asarray(dequant_fp8_block(layers["gate_proj"],
+                                       jnp.float32))
+    assert rel_err(deq, orig) < 0.03
+    # end to end: loads, generates, stays finite (token-exact parity
+    # is not expected — random tiny-model logits are near-uniform, so
+    # ~2% fp8 weight error legitimately flips greedy argmax)
+    got = got_llm.generate(["hello world this"], p)[0]
+    assert len(got.outputs[0].token_ids) == 8

@@ -119,7 +119,25 @@ class _TensorReader:
                     t = t.float()
                 return t.detach().numpy()
             return np.asarray(t)
-        return h.get_tensor(name)
+        try:
+            return h.get_tensor(name)
+        except (TypeError, AttributeError):
+            # dtypes numpy can't express through safetensors (fp8):
+            # reread via the torch framework and view the raw bytes
+            import ml_dtypes
+            import torch
+            from safetensors import safe_open
+
+            with safe_open(path, framework="pt") as hp:
+                t = hp.get_tensor(name)
+            table = {
+                torch.float8_e4m3fn: ml_dtypes.float8_e4m3fn,
+                torch.float8_e5m2: ml_dtypes.float8_e5m2,
+            }
+            tgt = table.get(t.dtype)
+            if tgt is None:
+                raise
+            return t.view(torch.uint8).numpy().view(np.dtype(tgt))
 
 
 QUANT_EXCLUDE = ("embed", "lm_head", "router", "norm", "bias",
@@ -257,12 +275,27 @@ def _load_quantized(spec: ParamSpec, reader: _TensorReader, config,
                              put(stack(zps), True), perm_arr,
                              w4a8=w4a8)
 
+    # MXFP4 checkpoints (GPT-OSS — reference: quantization/mxfp4.py):
+    # HF "<name>_blocks" + "<name>_scales" (e8m0) pairs, or quantized
+    # linear exports "<name>.weight" (packed u8) + ".weight_scale"
+    if quant == "mxfp4":
+        value = _load_mxfp4(spec, reader, mesh)
+        if value is not None:
+            return value
+
     # pre-quantized W8 checkpoints (compressed-tensors INT8 / HF FP8:
     # <proj>.weight int8|f8e4m3 + <proj>.weight_scale [out] f32 +
     # optional <proj>.input_scale — reference: fp8.py:209 scale
     # loading, compressed_tensors/ schemes)
-    if quant in _SCALED_METHODS:
-        value = _load_prequantized(spec, reader, config, mesh, quant)
+    if quant in _SCALED_METHODS or quant == "fp8_block":
+        # DeepSeek-style 128x128 block scales (reference: fp8.py
+        # weight_block_size + weight_scale_inv)
+        value = _load_fp8_block(spec, reader, config, mesh)
+        if value is not None:
+            return value
+        value = _load_prequantized(spec, reader, config, mesh,
+                                   "fp8_w8a8" if quant == "fp8_block"
+                                   else quant)
         if value is not None:
             return value
 
@@ -287,6 +320,112 @@ def _quant_dtypes(quant: str):
     if "int8" in quant or quant in ("w8a8", "compressed-tensors"):
         return np.int8, None
     return np.dtype(ml_dtypes.float8_e4m3fn), ml_dtypes.float8_e4m3fn
+
+
+def _load_mxfp4(spec: ParamSpec, reader: _TensorReader, mesh: Mesh):
+    """MXFP4 checkpoint tensors → Mxfp4Weight (None if this param has
+    no MXFP4 pair in the checkpoint — the float path then quantizes
+    on the fly)."""
+    from vllm_main_modify_tpu.quantization import weights as QW
+    from vllm_main_modify_tpu.quantization.formats import repack_mxfp4
+
+    base_key = spec.hf_key.rsplit(".weight", 1)[0]
+    num_layers = spec.shape[0] if spec.stacked else 1
+    idx_range = range(num_layers) if spec.stacked else [None]
+
+    def keys(i):
+        key = (base_key.format(i=(i + spec.layer_offset))
+               if i is not None else base_key)
+        for b, s in ((key + "_blocks", key + "_scales"),
+                     (key + ".weight", key + ".weight_scale")):
+            if b in reader and s in reader:
+                return b, s
+        return None
+
+    if keys(0 if spec.stacked else None) is None:
+        return None
+    packs, scs = [], []
+    for i in idx_range:
+        bkey, skey = keys(i)
+        s_u8 = reader.get(skey)
+        if s_u8.dtype != np.uint8:
+            return None  # not e8m0 — some other fp4 flavor
+        p, s = repack_mxfp4(reader.get(bkey), s_u8)
+        packs.append(p)
+        scs.append(s)
+    stack = (lambda xs: np.stack(xs)) if spec.stacked else \
+        (lambda xs: xs[0])
+
+    def put(a, last):
+        return jax.device_put(
+            jnp.asarray(a),
+            _sub_sharding(mesh, spec,
+                          a.ndim - (1 if spec.stacked else 0), last))
+
+    return QW.Mxfp4Weight(put(stack(packs), True),
+                          put(stack(scs), True))
+
+
+def _load_fp8_block(spec: ParamSpec, reader: _TensorReader, config,
+                    mesh: Mesh):
+    """DeepSeek-style block-scaled FP8 → Fp8BlockWeight (None if the
+    param carries no ``weight_scale_inv``). Tensors whose dims are not
+    multiples of the block are dequantized to the model dtype at load
+    (a handful of thin projections; the big matmuls stay fp8)."""
+    from vllm_main_modify_tpu.quantization import weights as QW
+
+    base_key = spec.hf_key.rsplit(".weight", 1)[0]
+    probe = (base_key.format(i=spec.layer_offset)
+             if spec.stacked else base_key) + ".weight_scale_inv"
+    if probe not in reader:
+        return None
+    if spec.transform is not None and spec.transform is not transpose2d:
+        return None
+    import ml_dtypes
+
+    f8 = np.dtype(ml_dtypes.float8_e4m3fn)
+    qcfg = getattr(config.hf_config, "quantization_config", None)
+    bs = (qcfg.get("weight_block_size")
+          if isinstance(qcfg, dict) else
+          getattr(qcfg, "weight_block_size", None)) or [128, 128]
+    bn, bk = int(bs[0]), int(bs[1])  # torch [out, in] block order
+
+    qs, ss = [], []
+    dequant = False
+    idx_range = (range(spec.shape[0]) if spec.stacked else [None])
+    for i in idx_range:
+        key = (base_key.format(i=i + spec.layer_offset)
+               if i is not None else base_key)
+        w = reader.get(key + ".weight")
+        if w.dtype == np.uint8:
+            w = w.view(f8)
+        s = reader.get(key + ".weight_scale_inv").astype(np.float32)
+        out_d, in_d = w.shape
+        if out_d % bn or in_d % bk:
+            dequant = True
+        qs.append(np.ascontiguousarray(w.T))  # → [in, out]
+        ss.append(np.ascontiguousarray(s.T))  # → [in/bk, out/bn]
+    stack = (lambda xs: np.stack(xs)) if spec.stacked else \
+        (lambda xs: xs[0])
+
+    def put(a, last):
+        return jax.device_put(
+            jnp.asarray(a),
+            _sub_sharding(mesh, spec,
+                          a.ndim - (1 if spec.stacked else 0), last))
+
+    if dequant:
+        # ragged dims: expand scales elementwise on host, store bf16
+        outs = []
+        for w, s in zip(qs, ss):
+            k_d, o_d = w.shape
+            sk = np.repeat(s, bk, axis=0)[:k_d]
+            so = np.repeat(sk, bn, axis=1)[:, :o_d]
+            outs.append((w.astype(np.float32) * so).astype(
+                ml_dtypes.bfloat16))
+        return put(stack(outs), True)
+    return QW.Fp8BlockWeight(put(stack(qs), True),
+                             put(stack(ss), True), (bk, bn))
 
 
 def _load_prequantized(spec: ParamSpec, reader: _TensorReader, config,
@@ -485,6 +624,17 @@ def _dummy_quantized(spec: ParamSpec, quant: str, mesh: Mesh):
                                 fill=0.02),
                             put((*lead, o), jnp.float32, fill=1.0,
                                 last=True))
+    if quant == "mxfp4":
+        g = min(32, k)
+        return QW.Mxfp4Weight(
+            put((*lead, k, o // 2), jnp.uint8, fill=0x21),
+            put((*lead, k // g, o), jnp.float32, fill=0.01))
+    if quant == "fp8_block":
+        bk, bn = min(128, k), min(128, o)
+        return QW.Fp8BlockWeight(
+            put((*lead, k, o), jnp.float8_e4m3fn, fill=0.02),
+            put((*lead, k // bk, o // bn), jnp.float32, fill=1.0),
+            (bk, bn))
     raise ValueError(f"unknown quantization method {quant!r}")
 
 
@@ -504,6 +654,8 @@ def _on_the_fly_table():
         "fp8_w8a8": QW.quantize_fp8_w8a8,
         "w8a8": QW.quantize_fp8_w8a8,
         "compressed-tensors": QW.quantize_int8_w8a8,
+        "mxfp4": QW.quantize_mxfp4,
+        "fp8_block": QW.quantize_fp8_block,
     }
 
 

@@ -105,3 +105,31 @@ def dequant_reference(q: np.ndarray, scales: np.ndarray,
     group_size = k // scales.shape[0]
     g = g_idx if g_idx is not None else np.arange(k) // group_size
     return scales[g] * (q.astype(np.float32) - (zeros[g] + zero_offset))
+
+
+def repack_mxfp4(blocks: np.ndarray, scales_u8: np.ndarray):
+    """OCP MX-FP4 checkpoint tensors → canonical Mxfp4Weight arrays
+    (reference: vllm/model_executor/layers/quantization/mxfp4.py;
+    HF GPT-OSS ships ``*_blocks`` uint8 [..., out, in/32, 16] — two
+    e2m1 nibbles per byte, element 2j in the LOW nibble — and
+    ``*_scales`` uint8 e8m0 [..., out, in/32]).
+
+    Returns (packed [..., in, out/2] uint8 with the even column in the
+    low nibble, scales [..., in/32, out] f32 = 2^(e8m0-127))."""
+    blocks = np.asarray(blocks)
+    scales_u8 = np.asarray(scales_u8)
+    *lead, out, nblk = scales_u8.shape
+    # flatten any trailing block axes to [..., out, in/2]
+    b2 = blocks.reshape(*lead, out, -1)
+    k = b2.shape[-1] * 2
+    assert k == nblk * 32, (blocks.shape, scales_u8.shape)
+    lo = (b2 & 0xF).astype(np.uint8)
+    hi = (b2 >> 4).astype(np.uint8)
+    nib = np.empty((*lead, out, k), np.uint8)
+    nib[..., 0::2] = lo
+    nib[..., 1::2] = hi
+    nib = np.swapaxes(nib, -1, -2)  # [..., in, out]
+    packed = (nib[..., 0::2] | (nib[..., 1::2] << 4)).astype(np.uint8)
+    scales = np.swapaxes(
+        2.0**(scales_u8.astype(np.float32) - 127.0), -1, -2)
+    return packed, np.ascontiguousarray(scales)

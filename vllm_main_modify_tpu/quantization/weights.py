@@ -28,6 +28,7 @@ from typing import Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @jax.tree_util.register_pytree_node_class
@@ -172,6 +173,124 @@ class Int8W8A8Weight:
         return self.qweight.shape
 
 
+# fp4 e2m1 value table (sign = top nibble bit)
+FP4_E2M1 = (0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0,
+            -0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Mxfp4Weight:
+    """OCP MX-FP4 weights (GPT-OSS checkpoints — reference:
+    vllm/model_executor/layers/quantization/mxfp4.py).
+
+    ``packed``: [..., in, out//2] uint8 — two e2m1 nibbles per byte
+    along OUT (low nibble = even column), repacked at load from the
+    checkpoint's 32-element in-dim blocks.
+    ``scales``: [..., in//32, out] f32 — the e8m0 block scale (2^e),
+    decoded at load; blocks run along IN, so this is exactly the
+    Int4Weight group layout with group_size 32 and no zero point.
+    """
+
+    packed: jax.Array
+    scales: jax.Array
+
+    def tree_flatten(self):
+        return (self.packed, self.scales), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        *lead, k, o2 = self.packed.shape
+        return (*lead, k, o2 * 2)
+
+
+def dequant_mxfp4(w: Mxfp4Weight, dtype=jnp.bfloat16) -> jax.Array:
+    lut = jnp.asarray(FP4_E2M1, jnp.float32)
+    lo = jnp.take(lut, (w.packed & 0xF).astype(jnp.int32))
+    hi = jnp.take(lut, (w.packed >> 4).astype(jnp.int32))
+    *lead, k, o2 = w.packed.shape
+    vals = jnp.stack([lo, hi], axis=-1).reshape(*lead, k, o2 * 2)
+    g = k // w.scales.shape[-2]
+    vg = vals.reshape(*lead, k // g, g, o2 * 2)
+    deq = vg * w.scales[..., :, None, :]
+    return deq.reshape(*lead, k, o2 * 2).astype(dtype)
+
+
+def quantize_mxfp4(w: jax.Array) -> Mxfp4Weight:
+    """Float → MXFP4 (tests / on-the-fly): per-32-block e8m0 scale =
+    2^ceil(log2(amax/6)), values snapped to the e2m1 grid."""
+    *lead, k, o = w.shape
+    g = 32
+    wf = jnp.asarray(w, jnp.float32).reshape(*lead, k // g, g, o)
+    amax = jnp.abs(wf).max(axis=-2)
+    e = jnp.ceil(jnp.log2(jnp.maximum(amax / 6.0, 2.0**-126)))
+    scales = (2.0**e).astype(jnp.float32)  # [..., k/g, o]
+    scaled = jnp.abs(wf) / scales[..., None, :]
+    lut = jnp.asarray(FP4_E2M1[:8], jnp.float32)
+    idx = jnp.argmin(jnp.abs(scaled[..., None] - lut),
+                     axis=-1).astype(jnp.uint8)
+    idx = jnp.where(wf < 0, idx + 8, idx)
+    nib = idx.reshape(*lead, k, o)
+    packed = (nib[..., 0::2] | (nib[..., 1::2] << 4)).astype(jnp.uint8)
+    return Mxfp4Weight(packed, scales)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Fp8BlockWeight:
+    """128x128-block-scaled FP8 (DeepSeek-family checkpoints —
+    reference: vllm fp8.py weight_block_size / weight_scale_inv).
+
+    ``qweight``: [..., in, out] f8e4m3.
+    ``scales``: [..., in/bk, out/bn] f32 (multiplied during dequant —
+    the checkpoint's ``weight_scale_inv`` naming notwithstanding).
+    """
+
+    qweight: jax.Array
+    scales: jax.Array
+    block: tuple = (128, 128)
+
+    def tree_flatten(self):
+        return (self.qweight, self.scales), self.block
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, block=aux)
+
+    @property
+    def shape(self):
+        return self.qweight.shape
+
+
+def dequant_fp8_block(w: Fp8BlockWeight,
+                      dtype=jnp.bfloat16) -> jax.Array:
+    *lead, k, o = w.qweight.shape
+    bk, bn = w.block
+    nk, no = w.scales.shape[-2], w.scales.shape[-1]
+    q = w.qweight.astype(jnp.float32).reshape(
+        *lead, nk, k // nk, no, o // no)
+    deq = q * w.scales[..., :, None, :, None]
+    return deq.reshape(*lead, k, o).astype(dtype)
+
+
+def quantize_fp8_block(w: jax.Array,
+                       block: tuple = (128, 128)) -> Fp8BlockWeight:
+    *lead, k, o = w.shape
+    bk = min(block[0], k)
+    bn = min(block[1], o)
+    wf = jnp.asarray(w, jnp.float32).reshape(
+        *lead, k // bk, bk, o // bn, bn)
+    amax = jnp.abs(wf).max(axis=(-3, -1))
+    scales = jnp.maximum(amax / FP8_MAX, 1e-12)
+    q = (wf / scales[..., :, None, :, None]).astype(jnp.float8_e4m3fn)
+    return Fp8BlockWeight(
+        q.reshape(*lead, k, o), scales.astype(jnp.float32), (bk, bn))
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class LoraWeight:
@@ -226,7 +345,8 @@ class lora_context:
 
 
 QuantizedWeight = Union[Int8Weight, Fp8Weight, Int4Weight,
-                        Fp8W8A8Weight, Int8W8A8Weight]
+                        Fp8W8A8Weight, Int8W8A8Weight, Mxfp4Weight,
+                        Fp8BlockWeight]
 
 FP8_MAX = 448.0  # float8_e4m3fn max normal
 
@@ -337,6 +457,12 @@ def matmul(x: jax.Array, w) -> jax.Array:
             preferred_element_type=jnp.int32)
         return (acc.astype(jnp.float32) * s_a *
                 w.scale.astype(jnp.float32)).astype(x.dtype)
+    if isinstance(w, Mxfp4Weight):
+        # LUT dequant fused by XLA into the matmul's producer; Pallas
+        # kernel (int4-style) is a future optimization
+        return x @ dequant_mxfp4(w, x.dtype)
+    if isinstance(w, Fp8BlockWeight):
+        return x @ dequant_fp8_block(w, x.dtype)
     if isinstance(w, Int4Weight):
         from vllm_main_modify_tpu.quantization.int4_dispatch import \
             int4_matmul
