@@ -361,3 +361,72 @@ def test_spec_logprobs_one_entry_per_token(llm_pair):
     # parity: logprob values match the non-spec engine's
     for be, se, tok in zip(b.logprobs, s.logprobs, b.token_ids):
         assert abs(be[tok].logprob - se[tok].logprob) < 1e-3
+
+
+@pytest.fixture(scope="module")
+def tiny_draft_dir(tmp_path_factory, tiny_llama_dir):
+    """An even smaller independent llama (same vocab/tokenizer) to act
+    as a classic two-model draft."""
+    import os
+    import shutil
+
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    path = tmp_path_factory.mktemp("models") / "tiny-draft"
+    cfg = LlamaConfig(vocab_size=512, hidden_size=32,
+                      intermediate_size=64, num_hidden_layers=1,
+                      num_attention_heads=2, num_key_value_heads=1,
+                      max_position_embeddings=256,
+                      tie_word_embeddings=False)
+    torch.manual_seed(3)
+    LlamaForCausalLM(cfg).to(torch.float32).save_pretrained(
+        str(path), safe_serialization=True)
+    for f in os.listdir(tiny_llama_dir):
+        if "token" in f or f == "special_tokens_map.json":
+            shutil.copy(os.path.join(tiny_llama_dir, f),
+                        os.path.join(str(path), f))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def draft_model_pair(tiny_llama_dir, tiny_draft_dir):
+    kw = dict(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=8, max_num_batched_tokens=64, block_size=4,
+              num_kv_blocks=256)
+    base = LLM(**kw)
+    spec = LLM(speculative_config=dict(num_speculative_tokens=2,
+                                       draft_model=tiny_draft_dir),
+               **kw)
+    return base, spec
+
+
+def test_draft_model_method_autodetected(draft_model_pair):
+    _, spec = draft_model_pair
+    sc = spec.engine.engine_core.model_runner.config.speculative_config
+    assert sc.method == "draft_model"
+
+
+def test_draft_model_greedy_parity(draft_model_pair):
+    """Rejection sampling preserves greedy output exactly regardless
+    of draft quality (reference: same invariant for the draft-model
+    path of EagleProposer)."""
+    base, spec = draft_model_pair
+    prompts = [
+        "hello world hello world hello world hello",
+        "a test of the tokenizer",
+        "this is this is this is",
+    ]
+    p = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+    b = base.generate(prompts, p)
+    s = spec.generate(prompts, p)
+    for ob, os_ in zip(b, s):
+        assert ob.outputs[0].token_ids == os_.outputs[0].token_ids
+
+
+def test_draft_model_drafts_flow(draft_model_pair):
+    _, spec = draft_model_pair
+    p = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    spec.generate(["hello world hello world hello"], p)
+    stats = spec.engine.engine_core.scheduler.make_stats()
+    assert stats.spec_num_draft_tokens > 0

@@ -403,9 +403,19 @@ def _detect_spec_method(draft_dir: str) -> str:
         return "eagle"
     if "MLPSpeculator" in name:
         return "mlp_speculator"
-    # plain decoder checkpoint -> classic two-model speculation is not
-    # supported; EAGLE subsumes it on TPU (single fused step)
-    return "eagle"
+    # plain decoder checkpoint: EAGLE re-exports often declare the
+    # base architecture — the fc(embed ++ hidden) combiner weight is
+    # the discriminator; otherwise classic two-model speculation
+    # (reference: SpeculativeConfig method="draft_model")
+    try:
+        from vllm_main_modify_tpu.models.loader import \
+            _hf_tensor_index
+        keys = set(_hf_tensor_index(draft_dir))
+    except Exception:  # noqa: BLE001
+        keys = set()
+    if "fc.weight" in keys or "model.fc.weight" in keys:
+        return "eagle"
+    return "draft_model"
 
 
 @dataclass

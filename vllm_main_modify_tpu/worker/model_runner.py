@@ -171,8 +171,8 @@ class TPUModelRunner:
                 MTP_METHODS
 
             assert spec.method in ("ngram", "eagle", "eagle3",
-                                   "medusa",
-                                   "mlp_speculator") + MTP_METHODS, \
+                                   "medusa", "mlp_speculator",
+                                   "draft_model") + MTP_METHODS, \
                 spec.method
             assert not sc.async_scheduling, \
                 "spec decode requires sync scheduling"
@@ -210,6 +210,20 @@ class TPUModelRunner:
                     self.medusa.num_heads, (
                         "num_speculative_tokens exceeds the medusa "
                         "head count")
+            elif spec.method == "draft_model":
+                # classic two-model speculation (reference:
+                # eagle.py:41 draft-model path) — an independent
+                # small decoder behind the EAGLE draft interface
+                from vllm_main_modify_tpu.spec_decode.draft_model \
+                    import SeparateDraftModel
+                from vllm_main_modify_tpu.spec_decode.eagle import \
+                    make_draft_config
+
+                assert spec.draft_model, \
+                    "draft_model spec decode needs --draft-model"
+                self.eagle_cfg = make_draft_config(
+                    spec.draft_model, mc)
+                self.eagle = SeparateDraftModel(self.eagle_cfg, mc)
             elif spec.method in MTP_METHODS:
                 # the MTP head lives inside the target checkpoint —
                 # same dir, shares the target's embedding; rides the
