@@ -249,7 +249,7 @@ def main() -> None:
     config = EngineConfig(
         model_config=smoke_config() if SMOKE else qwen25_15b_config(),
         cache_config=CacheConfig(
-            block_size=32,
+            block_size=int(os.environ.get("BENCH_BLOCK", "32")),
             num_gpu_blocks=(1024 if SMOKE else int(
                 os.environ.get("BENCH_BLOCKS", "0")) or None),
             enable_prefix_caching=False),

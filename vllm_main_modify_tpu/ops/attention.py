@@ -16,6 +16,7 @@ and must match this to ~1e-2 (bf16) / 1e-5 (f32).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax

@@ -448,11 +448,21 @@ def _rpa_decode_kernel(
 
     page_base = page_base_ref[0]
 
+    # compute sub-blocks are SB columns (defined below); pages beyond
+    # the last PARTIAL sub-block are never read (the sub-block skip
+    # cond jumps them), so only pages inside ceil(kv_len/SB)*SB need
+    # the stale-VMEM zero-fill — the rest skip both the DMA and the
+    # store (the fill was ~15 wasted 64 KB stores per 1024-token item
+    # at decode ctx ~530)
+    SB_FILL = 128 if kvb % 128 == 0 else kvb
+
     def start_kv_dma(s, kb, slot):
         kv_len = seq_lens_ref[s]
+        read_end = ((kv_len + SB_FILL - 1) // SB_FILL) * SB_FILL
         for j in range(npp):
             # skip pages wholly beyond the sequence (padding traffic)
             needed = kb * kvb + j * page_size < kv_len
+            touched = kb * kvb + j * page_size < read_end
 
             @pl.when(needed)
             def _():
@@ -463,12 +473,11 @@ def _rpa_decode_kernel(
                     kv_vmem.at[slot, pl.ds(j * page_size, page_size)],
                     kv_sems.at[slot, j]).start()
 
-            @pl.when(jnp.logical_not(needed))
+            @pl.when(jnp.logical_not(needed) & touched)
             def _():
                 # stale VMEM can hold NaN/inf bit patterns; masked
                 # probabilities are 0 but 0*NaN = NaN in p @ v —
-                # zero-fill the skipped region (VMEM store, ~free vs
-                # the skipped HBM DMA)
+                # zero-fill the read-but-skipped region
                 kv_vmem[slot, pl.ds(j * page_size, page_size)] = \
                     jnp.zeros((page_size, kv_vmem.shape[-1]),
                               kv_vmem.dtype)
@@ -670,10 +679,14 @@ def _decode_attention_pallas(
         bs //= 2
     kvb_budget = KV_STREAM_BYTES // (
         N_BUF * width * kv_cache2.dtype.itemsize)
-    kvb_tokens = max(min(kvb_budget, 1024), 128)
+    # small stream blocks win at decode: with kvb == SB (128/256) the
+    # per-item sub-block cond chain disappears and the padded MXU/VPU
+    # area past seq_len shrinks to one partial block (measured on
+    # v5e, 32 x ~550-token decode: kvb 1024 -> 256 is ~3% whole-bench)
+    kvb_tokens = max(min(kvb_budget, 256), 128)
     env = os.environ.get("VLLM_TPU_DECODE_KV_BLOCK")
-    if env:  # workload tuning: MXU columns scale with the padded
-        kvb_tokens = int(env)  # block, so ~typical decode ctx is best
+    if env:  # workload tuning knob
+        kvb_tokens = int(env)
     npp = max(kvb_tokens // page_size, 1)
     kvb = npp * page_size
     max_pages = block_tables.shape[1]
@@ -791,7 +804,7 @@ def ragged_paged_attention_pallas(
     group_ratio = num_q_heads // (num_kv_heads or 1)
     # scores live in VMEM as [bq*group, kvb] f32 — clamp bq so huge
     # MQA groups (MLA: group == num_heads) stay inside the budget
-    bq = min(t, max(1024 // max(group_ratio, 1), 16), 128)
+    bq = min(t, max(int(os.environ.get('VLLM_TPU_PREFILL_BQ', '1024')) // max(group_ratio, 1), 16), 128)
     bq = 1 << (bq.bit_length() - 1)  # power of 2; t buckets are too
     while t % bq:
         bq //= 2
