@@ -141,6 +141,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "WhisperForConditionalGeneration": (
         "vllm_main_modify_tpu.models.whisper",
         "WhisperForConditionalGeneration"),
+    "Blip2ForConditionalGeneration": ("vllm_main_modify_tpu.models"
+                                      ".blip2",
+                                      "Blip2ForConditionalGeneration"),
     "LlavaForConditionalGeneration": (
         "vllm_main_modify_tpu.models.registry", "_llava_factory"),
     "PixtralForConditionalGeneration": (

@@ -63,6 +63,11 @@ def num_image_tokens_for(model_config) -> int:
         d = phi3v_vision_dims(hf)
         m = d["image_size"] // d["patch_size"] // 2
         return 2 * m * (m + 1) + 1
+    if model_config.architecture == \
+            "Blip2ForConditionalGeneration":
+        # each image -> num_query_tokens Q-Former soft tokens
+        # (reference: blip2.py)
+        return int(hf.num_query_tokens)
     vc = getattr(hf, "vision_config", None)
     if vc is None:
         raise ValueError(f"{model_config.architecture} has no "
