@@ -169,9 +169,11 @@ class MoeDecoderBase:
 
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 inputs_embeds: Optional[jax.Array] = None):
         cfg = self.cfg
-        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        x = inputs_embeds if inputs_embeds is not None else \
+            jnp.take(params["embed_tokens"], input_ids, axis=0)
         if self.embed_mult != 1.0:
             x = x * jnp.asarray(self.embed_mult, dtype=x.dtype)
         t = x.shape[0]

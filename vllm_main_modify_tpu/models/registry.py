@@ -141,6 +141,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "WhisperForConditionalGeneration": (
         "vllm_main_modify_tpu.models.whisper",
         "WhisperForConditionalGeneration"),
+    "AriaForConditionalGeneration": ("vllm_main_modify_tpu.models"
+                                     ".aria",
+                                     "AriaForConditionalGeneration"),
     "Blip2ForConditionalGeneration": ("vllm_main_modify_tpu.models"
                                       ".blip2",
                                       "Blip2ForConditionalGeneration"),

@@ -64,6 +64,14 @@ def num_image_tokens_for(model_config) -> int:
         m = d["image_size"] // d["patch_size"] // 2
         return 2 * m * (m + 1) + 1
     if model_config.architecture == \
+            "AriaForConditionalGeneration":
+        # learned-query projector: tokens = patch_to_query_dict at the
+        # canonical patch count (reference: aria.py AriaProjector)
+        g = (hf.vision_config.image_size //
+             hf.vision_config.patch_size)**2
+        return int({int(k): int(v) for k, v in dict(
+            hf.projector_patch_to_query_dict).items()}[g])
+    if model_config.architecture == \
             "Blip2ForConditionalGeneration":
         # each image -> num_query_tokens Q-Former soft tokens
         # (reference: blip2.py)
