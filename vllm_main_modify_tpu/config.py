@@ -149,6 +149,14 @@ class ModelConfig:
             # embedded vision tower description (img_processor dict)
             self.is_multimodal = True
             self.image_token_index = top_get("image_token_index")
+        elif top_get("vocabulary_map") is not None:
+            # Chameleon-style early fusion: images become DISCRETE
+            # codebook tokens; the placeholder id comes from the
+            # vocabulary map (reference: chameleon.py vocab mapping)
+            vm = dict(top_get("vocabulary_map") or {})
+            if "<image>" in vm:
+                self.is_multimodal = True
+                self.image_token_index = int(vm["<image>"])
         get = lambda k, d=None: getattr(hf, k, d)
         self.vocab_size = get("vocab_size", self.vocab_size)
         self.hidden_size = get("hidden_size", self.hidden_size)

@@ -63,6 +63,8 @@ class LlamaForCausalLM:
         self.rope_layer_mask = None
         # Baichuan-13B-style ALiBi (tuple of slopes disables rope)
         self.alibi_slopes = None
+        # optional per-head q/k norm hook: (w, q3d, k3d) -> (q, k)
+        self.qk_headnorm = None
         # EAGLE-3 aux taps: layer ids whose INPUT hidden state is
         # collected for the draft's fc (set by the runner; when set,
         # __call__ returns (hidden, kv, aux[T, 3H]))
@@ -240,6 +242,10 @@ class LlamaForCausalLM:
         q = q.reshape(t, self.num_q, self.head_dim)
         k = k.reshape(t, self.num_kv, self.head_dim)
         v = v.reshape(t, self.num_kv, self.head_dim)
+        if self.qk_headnorm is not None:
+            # per-head q/k normalization hook (Chameleon: LayerNorm
+            # stats over head_dim with per-head affine)
+            q, k = self.qk_headnorm(w, q, k)
         if self.alibi_slopes is not None:
             pass  # ALiBi replaces rope entirely
         elif self.rope_layer_mask is None:

@@ -141,6 +141,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "WhisperForConditionalGeneration": (
         "vllm_main_modify_tpu.models.whisper",
         "WhisperForConditionalGeneration"),
+    "ChameleonForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.chameleon",
+        "ChameleonForConditionalGeneration"),
     "AriaForConditionalGeneration": ("vllm_main_modify_tpu.models"
                                      ".aria",
                                      "AriaForConditionalGeneration"),

@@ -64,6 +64,16 @@ def num_image_tokens_for(model_config) -> int:
         m = d["image_size"] // d["patch_size"] // 2
         return 2 * m * (m + 1) + 1
     if model_config.architecture == \
+            "ChameleonForConditionalGeneration":
+        # discrete VQ tokens at the latent grid (reference:
+        # chameleon.py get_num_image_tokens)
+        vq = hf.vq_config
+        get = (vq.get if isinstance(vq, dict)
+               else lambda k, d=None: getattr(vq, k, d))
+        g = int(get("resolution")) // \
+            (2**(len(get("channel_multiplier")) - 1))
+        return g * g
+    if model_config.architecture == \
             "AriaForConditionalGeneration":
         # learned-query projector: tokens = patch_to_query_dict at the
         # canonical patch count (reference: aria.py AriaProjector)
@@ -220,6 +230,20 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
         arr = _resize_chw(image, vs)  # CLIP normalization (HF phi3v)
         return ((arr - _CLIP_MEAN[:, None, None]) /
                 _CLIP_STD[:, None, None]).astype(np.float32)
+    if model_config.architecture == \
+            "ChameleonForConditionalGeneration":
+        # VQ-GAN canonical resolution; HF normalization is
+        # (x/255 - 1.0...) handled by its processor — preprocessed
+        # float arrays pass through
+        vq = model_config.hf_config.vq_config
+        vs = int(vq.get("resolution") if isinstance(vq, dict)
+                 else vq.resolution)
+        if isinstance(image, np.ndarray) and image.ndim == 3 and \
+                image.shape == (3, vs, vs) and \
+                np.issubdtype(image.dtype, np.floating):
+            return image.astype(np.float32)
+        arr = _resize_chw(image, vs)  # HF chameleon: (x - .5) / .5
+        return ((arr - 0.5) / 0.5).astype(np.float32)
     vc = model_config.hf_config.vision_config
     vs = model_config.mm_image_size or getattr(
         model_config.hf_config, "force_image_size",
@@ -380,6 +404,19 @@ def build_mm_inputs(
             continue
         if tok != image_token:
             expanded.append(tok)
+            continue
+        if model_config.architecture == \
+                "ChameleonForConditionalGeneration":
+            # early fusion: the image becomes REAL codebook tokens in
+            # the stream (host-side VQ encode); no soft embeddings
+            from vllm_main_modify_tpu.multimodal.chameleon_vq import \
+                image_tokenizer
+
+            pixels = _to_pixel_values(next(img_iter), model_config)
+            ids = image_tokenizer(model_config).encode(pixels)
+            assert len(ids) == n_tok, (len(ids), n_tok)
+            salt.update(np.asarray(ids, np.int32).tobytes())
+            expanded.extend(ids)
             continue
         if is_llava_next:
             pixels, this_tok = _llava_next_prepare(
