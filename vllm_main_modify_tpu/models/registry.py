@@ -141,6 +141,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "WhisperForConditionalGeneration": (
         "vllm_main_modify_tpu.models.whisper",
         "WhisperForConditionalGeneration"),
+    "Ovis2ForConditionalGeneration": ("vllm_main_modify_tpu.models"
+                                      ".ovis",
+                                      "Ovis2ForConditionalGeneration"),
     "ChameleonForConditionalGeneration": (
         "vllm_main_modify_tpu.models.chameleon",
         "ChameleonForConditionalGeneration"),

@@ -64,6 +64,11 @@ def num_image_tokens_for(model_config) -> int:
         m = d["image_size"] // d["patch_size"] // 2
         return 2 * m * (m + 1) + 1
     if model_config.architecture == \
+            "Ovis2ForConditionalGeneration":
+        vc2 = hf.vision_config
+        hs = int(getattr(vc2, "hidden_stride", 1))
+        return (vc2.image_size // vc2.patch_size // hs)**2
+    if model_config.architecture == \
             "ChameleonForConditionalGeneration":
         # discrete VQ tokens at the latent grid (reference:
         # chameleon.py get_num_image_tokens)
