@@ -53,17 +53,41 @@ def benchmark_latency(llm, batch_size: int, input_len: int,
 
 
 def benchmark_throughput(llm, num_prompts: int, input_len: int,
-                         output_len: int) -> dict:
+                         output_len: int,
+                         dataset: str = "random",
+                         dataset_path: str = None) -> dict:
     """Total-throughput run (reference:
-    vllm/benchmarks/throughput.py)."""
+    vllm/benchmarks/throughput.py + datasets.py samplers)."""
     from vllm_main_modify_tpu.sampling_params import SamplingParams
 
     vocab = llm.engine.config.model_config.vocab_size
-    prompts = random_prompts(vocab, num_prompts, input_len, seed=0)
-    params = SamplingParams(temperature=0.0, max_tokens=output_len,
-                            ignore_eos=True)
+    if dataset == "random" and dataset_path is None:
+        prompts = random_prompts(vocab, num_prompts, input_len,
+                                 seed=0)
+        per_out = [output_len] * num_prompts
+    else:
+        from vllm_main_modify_tpu.benchmarks.datasets import \
+            build_dataset
+
+        kw = {}
+        if dataset in ("sharegpt", "sonnet"):
+            tok = llm.engine.tokenizer
+            kw = dict(path=dataset_path,
+                      tokenize=lambda t: tok.encode(
+                          t, add_special_tokens=False))
+        elif dataset == "random":
+            kw = dict(input_len=input_len, output_len=output_len,
+                      vocab_size=vocab)
+        reqs = build_dataset(dataset, **kw).sample(num_prompts)
+        prompts = [
+            r.prompt if isinstance(r.prompt, str) else
+            {"prompt_token_ids": r.prompt} for r in reqs
+        ]
+        per_out = [r.expected_output_len for r in reqs]
+    params = [SamplingParams(temperature=0.0, max_tokens=o,
+                             ignore_eos=True) for o in per_out]
     # warmup (compiles)
-    llm.generate(prompts[:4], params)
+    llm.generate(prompts[:4], params[:4])
     t0 = time.perf_counter()
     outs = llm.generate(prompts, params)
     dt = time.perf_counter() - t0

@@ -239,7 +239,9 @@ def cmd_bench_throughput(args) -> None:
 
     llm = _build_llm(args)
     result = benchmark_throughput(llm, args.num_prompts,
-                                  args.input_len, args.output_len)
+                                  args.input_len, args.output_len,
+                                  dataset=args.dataset_name,
+                                  dataset_path=args.dataset_path)
     print(json.dumps(result, indent=2))
 
 
@@ -296,6 +298,12 @@ def main(argv=None) -> None:
     thr.add_argument("--num-prompts", type=int, default=64)
     thr.add_argument("--input-len", type=int, default=128)
     thr.add_argument("--output-len", type=int, default=32)
+    thr.add_argument("--dataset-name", default="random",
+                     choices=["random", "sharegpt", "sonnet"],
+                     help="request sampler (reference: vllm bench "
+                          "--dataset-name)")
+    thr.add_argument("--dataset-path", default=None,
+                     help="ShareGPT json / sonnet txt file")
     thr.set_defaults(func=cmd_bench_throughput)
 
     srv = bench_sub.add_parser("serve")
