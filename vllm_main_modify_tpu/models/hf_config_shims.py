@@ -233,6 +233,17 @@ def register() -> None:
                     _make_jais_config()):
         if cfg_cls.model_type not in CONFIG_MAPPING:
             AutoConfig.register(cfg_cls.model_type, cfg_cls)
+    # transformers ships the thinker CONFIG class but only maps the
+    # full-Omni model_type in AutoConfig; thinker-only exports
+    # (model_type qwen2_5_omni_thinker) need the mapping
+    try:
+        from transformers import Qwen2_5OmniThinkerConfig
+
+        if "qwen2_5_omni_thinker" not in CONFIG_MAPPING:
+            AutoConfig.register("qwen2_5_omni_thinker",
+                                Qwen2_5OmniThinkerConfig)
+    except ImportError:
+        pass
 
 
 register()

@@ -85,6 +85,16 @@ def compute_mrope_positions(token_ids, image_token: int,
     return pos, delta
 
 
+def _vit_qkv(h, w):
+    """Fused qkv (Qwen2-VL) or separate q/k/v stitched at trace time
+    (Qwen2.5-Omni stores them unfused)."""
+    if "qkv" in w:
+        return h @ w["qkv"] + w["qkv_bias"]
+    return jnp.concatenate(
+        [h @ w[f"qkv_{n}"] + w[f"qkv_{n}_bias"]
+         for n in ("q", "k", "v")], axis=-1)
+
+
 class Qwen2VLTextModel(LlamaForCausalLM):
     """Qwen2 graph + mrope (positions arrive as [3, T])."""
 
@@ -343,7 +353,7 @@ class Qwen2VLForConditionalGeneration:
                 def do_attn(windowed):
                     def f(h):
                         t_ = h.shape[1]
-                        qkv = h @ w["qkv"] + w["qkv_bias"]
+                        qkv = _vit_qkv(h, w)
                         q, k, val = jnp.split(qkv, 3, axis=-1)
 
                         def rs(z, grp):
@@ -390,7 +400,7 @@ class Qwen2VLForConditionalGeneration:
                 return x + (h2 @ w["down_proj"] + w["down_bias"])
             h = layer_norm(x, w["norm1"], w["norm1_bias"], 1e-6)
             t_ = h.shape[1]
-            qkv = h @ w["qkv"] + w["qkv_bias"]
+            qkv = _vit_qkv(h, w)
             q, k, val = jnp.split(qkv, 3, axis=-1)
             q = q.reshape(n, t_, self.v_heads, self.v_head_dim)
             k = k.reshape(n, t_, self.v_heads, self.v_head_dim)

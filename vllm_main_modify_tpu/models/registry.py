@@ -141,6 +141,15 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "WhisperForConditionalGeneration": (
         "vllm_main_modify_tpu.models.whisper",
         "WhisperForConditionalGeneration"),
+    "Qwen2_5OmniThinkerForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.qwen2_5_omni",
+        "Qwen2_5OmniThinkerForConditionalGeneration"),
+    "Qwen2_5OmniModel": (
+        "vllm_main_modify_tpu.models.qwen2_5_omni",
+        "Qwen2_5OmniThinkerForConditionalGeneration"),
+    "Qwen2_5OmniForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.qwen2_5_omni",
+        "Qwen2_5OmniThinkerForConditionalGeneration"),
     "Ovis2ForConditionalGeneration": ("vllm_main_modify_tpu.models"
                                       ".ovis",
                                       "Ovis2ForConditionalGeneration"),

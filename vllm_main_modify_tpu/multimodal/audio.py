@@ -82,7 +82,10 @@ def build_audio_inputs(
 
 AUDIO_EMBED_ARCHS = ("Qwen2AudioForConditionalGeneration",
                      "VoxtralForConditionalGeneration",
-                     "UltravoxModel")
+                     "UltravoxModel",
+                     "Qwen2_5OmniThinkerForConditionalGeneration",
+                     "Qwen2_5OmniModel",
+                     "Qwen2_5OmniForConditionalGeneration")
 
 
 def build_audio_embeds_inputs(
@@ -120,6 +123,9 @@ def build_audio_embeds_inputs(
         feats = ex(wav, return_tensors="np",
                    sampling_rate=ex.sampling_rate)[
             "input_features"][0].astype(np.float32)
+    if "Omni" in model_config.architecture:
+        cw = 2 * int(getattr(ac, "n_window", 100))
+        frames = frames // cw * cw
     if feats.shape[1] < frames:
         feats = np.pad(feats, ((0, 0), (0, frames - feats.shape[1])))
     feats = feats[:, :frames]
@@ -136,6 +142,12 @@ def build_audio_embeds_inputs(
         # (ultravox.py:246-254)
         stack = int(getattr(hf, "stack_factor", 8))
         n_tok = (max_pos + stack - 1) // stack
+    elif "Omni" in model_config.architecture:
+        # chunked processing: frames snap to whole 2*n_window chunks
+        # (models/qwen2_5_omni.py encode_audio_mm)
+        cw = 2 * int(getattr(ac, "n_window", 100))
+        frames = (max_pos * 2) // cw * cw
+        n_tok = frames // 4
     else:
         n_tok = max_pos // 2
     expanded: list[int] = []

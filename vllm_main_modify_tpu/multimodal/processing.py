@@ -26,7 +26,11 @@ QWEN_VL_ARCHS = ("Qwen2VLForConditionalGeneration",
                  # (fixed-res grid + 3-D positions); only the in-model
                  # rotation convention differs (models/glm4v.py)
                  "Glm4vForConditionalGeneration",
-                 "Glm4vMoeForConditionalGeneration")
+                 "Glm4vMoeForConditionalGeneration",
+                 # Omni thinker: Qwen2.5-VL vision/mrope ingest
+                 "Qwen2_5OmniThinkerForConditionalGeneration",
+                 "Qwen2_5OmniModel",
+                 "Qwen2_5OmniForConditionalGeneration")
 
 
 def _is_qwen_vl(model_config) -> bool:
