@@ -32,6 +32,42 @@ V_PREFIX = "vision_model."
 Q_PREFIX = "qformer.encoder.layer.{i}."
 
 
+def _bert_attn(w, x, kv_src, heads, head_dim, eps):
+    """Post-LN BERT attention block (self or cross)."""
+    n, tq = x.shape[:2]
+    tk = kv_src.shape[1]
+    q = (x @ w["query"] + w["query_bias"]).reshape(
+        n, tq, heads, head_dim)
+    k = (kv_src @ w["key"] + w["key_bias"]).reshape(
+        n, tk, heads, head_dim)
+    v = (kv_src @ w["value"] + w["value_bias"]).reshape(
+        n, tk, heads, head_dim)
+    scores = jnp.einsum("nqhd,nkhd->nhqk", q, k) * (head_dim**-0.5)
+    probs = jax.nn.softmax(scores, axis=-1)
+    o = jnp.einsum("nhqk,nkhd->nqhd", probs, v).reshape(n, tq, -1)
+    o = o @ w["dense"] + w["dense_bias"]
+    return layer_norm(x + o, w["norm"], w["norm_bias"], eps)
+
+
+def qformer_forward(layers, x, enc_states, n_layers, heads, head_dim,
+                    x_freq, eps):
+    """BLIP-2-style Q-Former over stacked layer params (shared with
+    GraniteSpeech's projector — reference: Blip2QFormerModel)."""
+    for l in range(n_layers):
+        w = jax.tree.map(lambda a, l=l: a[l], layers)
+        x = _bert_attn(w["attention"], x, x, heads, head_dim, eps)
+        if l % x_freq == 0:
+            x = _bert_attn(w["crossattention"], x, enc_states, heads,
+                           head_dim, eps)
+        h = jax.nn.gelu(
+            x @ w["intermediate_query"] +
+            w["intermediate_query_bias"], approximate=False)
+        h = h @ w["output_query"] + w["output_query_bias"]
+        x = layer_norm(x + h, w["output_query_norm"],
+                       w["output_query_norm_bias"], eps)
+    return x
+
+
 class Blip2ForConditionalGeneration:
 
     def __init__(self, config: ModelConfig):
@@ -251,24 +287,6 @@ class Blip2ForConditionalGeneration:
         return layer_norm(x, v["post_norm"], v["post_norm_bias"],
                           self.v_eps)
 
-    def _bert_attn(self, w, x, kv_src, heads, head_dim):
-        """Post-LN BERT attention block (self or cross)."""
-        n, tq = x.shape[:2]
-        tk = kv_src.shape[1]
-        q = (x @ w["query"] + w["query_bias"]).reshape(
-            n, tq, heads, head_dim)
-        k = (kv_src @ w["key"] + w["key_bias"]).reshape(
-            n, tk, heads, head_dim)
-        v = (kv_src @ w["value"] + w["value_bias"]).reshape(
-            n, tk, heads, head_dim)
-        scores = jnp.einsum("nqhd,nkhd->nhqk", q, k) * \
-            (head_dim**-0.5)
-        probs = jax.nn.softmax(scores, axis=-1)
-        o = jnp.einsum("nhqk,nkhd->nqhd", probs, v).reshape(n, tq, -1)
-        o = o @ w["dense"] + w["dense_bias"]
-        return layer_norm(x + o, w["norm"], w["norm_bias"],
-                          self.q_eps)
-
     def _qformer(self, params, image_embeds: jax.Array) -> jax.Array:
         """Learned queries → [N, num_query, Dq]."""
         qf = params["qformer"]
@@ -278,22 +296,10 @@ class Blip2ForConditionalGeneration:
             (n, self.num_query, self.q_hidden)).astype(jnp.float32)
         x = layer_norm(x, qf["input_norm"], qf["input_norm_bias"],
                        self.q_eps)
-        layers = qf["layers"]
-        for l in range(self.q_layers):
-            w = jax.tree.map(lambda a, l=l: a[l], layers)
-            x = self._bert_attn(w["attention"], x, x, self.q_heads,
-                                self.q_head_dim)
-            if l % self.x_freq == 0:
-                x = self._bert_attn(w["crossattention"], x,
-                                    image_embeds, self.q_heads,
-                                    self.q_head_dim)
-            h = jax.nn.gelu(
-                x @ w["intermediate_query"] +
-                w["intermediate_query_bias"], approximate=False)
-            h = h @ w["output_query"] + w["output_query_bias"]
-            x = layer_norm(x + h, w["output_query_norm"],
-                           w["output_query_norm_bias"], self.q_eps)
-        return x
+        return qformer_forward(qf["layers"], x, image_embeds,
+                               self.q_layers, self.q_heads,
+                               self.q_head_dim, self.x_freq,
+                               self.q_eps)
 
     def encode_images(self, params, pixel_values: jax.Array
                       ) -> jax.Array:

@@ -141,6 +141,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "WhisperForConditionalGeneration": (
         "vllm_main_modify_tpu.models.whisper",
         "WhisperForConditionalGeneration"),
+    "GraniteSpeechForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.granite_speech",
+        "GraniteSpeechForConditionalGeneration"),
     "Qwen2_5OmniThinkerForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_5_omni",
         "Qwen2_5OmniThinkerForConditionalGeneration"),

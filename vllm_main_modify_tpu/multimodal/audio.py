@@ -80,12 +80,56 @@ def build_audio_inputs(
     return list(token_ids), mm_inputs, salt
 
 
-AUDIO_EMBED_ARCHS = ("Qwen2AudioForConditionalGeneration",
+AUDIO_EMBED_ARCHS = ("GraniteSpeechForConditionalGeneration",
+                     "Qwen2AudioForConditionalGeneration",
                      "VoxtralForConditionalGeneration",
                      "UltravoxModel",
                      "Qwen2_5OmniThinkerForConditionalGeneration",
                      "Qwen2_5OmniModel",
                      "Qwen2_5OmniForConditionalGeneration")
+
+
+def build_granite_speech_inputs(token_ids, audio, model_config):
+    """GraniteSpeech: [T, input_dim] stacked-mel features (or raw wav
+    through the checkpoint's feature extractor) → window-aligned
+    padding; tokens = padded_T // downsample_rate (HF pads the same
+    blocks, so padded-block projector outputs match)."""
+    hf = model_config.hf_config
+    ec = hf.encoder_config
+    g = (ec.get if isinstance(ec, dict)
+         else lambda k, d=None: getattr(ec, k, d))
+    in_dim = int(g("input_dim"))
+    window = int(getattr(hf, "window_size", 15))
+    ds = int(getattr(hf, "downsample_rate", 5))
+    feats = np.asarray(audio, dtype=np.float32)
+    if feats.ndim == 1:  # raw waveform → extractor
+        ex = _feature_extractor(model_config.model)
+        feats = np.asarray(
+            ex(feats, return_tensors="np")["input_features"][0],
+            np.float32)
+    assert feats.ndim == 2 and feats.shape[1] == in_dim, feats.shape
+    t = feats.shape[0]
+    pad = (-t) % window
+    if pad:
+        feats = np.pad(feats, ((0, pad), (0, 0)))
+    n_tok = feats.shape[0] // ds
+    audio_token = int(getattr(hf, "audio_token_index"))
+    expanded: list[int] = []
+    placed = False
+    for tok in token_ids:
+        if tok == audio_token and not placed:
+            expanded.extend([audio_token] * n_tok)
+            placed = True
+        else:
+            expanded.append(tok)
+    if not placed:
+        expanded = [audio_token] * n_tok + expanded
+        offset = 0
+    else:
+        offset = expanded.index(audio_token)
+    salt = hashlib.sha256(feats.tobytes()).hexdigest()[:16]
+    return expanded, [{"pixel_values": feats, "offset": offset,
+                       "num_tokens": n_tok}], salt
 
 
 def build_audio_embeds_inputs(
@@ -100,6 +144,10 @@ def build_audio_embeds_inputs(
     so every clip compiles to ONE encode shape; the placeholder
     expands to max_source_positions // 2 tokens (conv stride 2 x
     avg-pool 2)."""
+    if model_config.architecture == \
+            "GraniteSpeechForConditionalGeneration":
+        return build_granite_speech_inputs(token_ids, audio,
+                                           model_config)
     hf = model_config.hf_config
     ac = hf.audio_config
     n_mel = getattr(ac, "num_mel_bins", 128)
