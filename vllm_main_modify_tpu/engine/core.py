@@ -70,7 +70,11 @@ class EngineCore:
         # engine spun 13M empty steps)
         bs = config.cache_config.block_size
         sc_cfg = config.scheduler_config
-        for grp, pages in zip(self.model_runner.kv_groups, kv_pages):
+        enc_only = getattr(self.model_runner.model, "is_encoder_only",
+                           False)
+        for grp, pages in zip(
+                [] if enc_only else self.model_runner.kv_groups,
+                kv_pages):
             need = grp.max_pages_per_req(bs, sc_cfg.max_model_len,
                                          sc_cfg.num_lookahead_tokens)
             if pages - 1 < need:  # page/slot 0 = null block
