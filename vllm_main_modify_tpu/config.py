@@ -142,7 +142,11 @@ class ModelConfig:
             self.image_token_index = (
                 top_get("image_token_index")
                 or top_get("image_token_id")
-                or top_get("audio_token_index") or -1)
+                or top_get("audio_token_index")
+                # Emu3-style: the placeholder id lives in the
+                # vocabulary map
+                or dict(top_get("vocabulary_map") or {}).get("<image>")
+                or -1)
             hf = text
         elif top_get("image_token_index") is not None:
             # Phi-3V style: the top config IS the text config with an

@@ -141,6 +141,11 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "WhisperForConditionalGeneration": (
         "vllm_main_modify_tpu.models.whisper",
         "WhisperForConditionalGeneration"),
+    "Emu3ForConditionalGeneration": ("vllm_main_modify_tpu.models"
+                                     ".emu3",
+                                     "Emu3ForConditionalGeneration"),
+    "Emu3ForCausalLM": ("vllm_main_modify_tpu.models.emu3",
+                        "Emu3ForCausalLM"),
     "GraniteSpeechForConditionalGeneration": (
         "vllm_main_modify_tpu.models.granite_speech",
         "GraniteSpeechForConditionalGeneration"),

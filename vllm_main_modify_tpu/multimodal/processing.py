@@ -73,6 +73,16 @@ def num_image_tokens_for(model_config) -> int:
         hs = int(getattr(vc2, "hidden_stride", 1))
         return (vc2.image_size // vc2.patch_size // hs)**2
     if model_config.architecture == \
+            "Emu3ForConditionalGeneration":
+        # VQ latent grid + one EOL per row (reference: emu3.py
+        # convert_img2bpe appends an EOL column)
+        vq = hf.vq_config
+        get = (vq.get if isinstance(vq, dict)
+               else lambda k, d=None: getattr(vq, k, d))
+        size = int(model_config.mm_image_size or 512)
+        g = size // (2**(len(get("channel_multiplier")) - 1))
+        return g * (g + 1)
+    if model_config.architecture == \
             "ChameleonForConditionalGeneration":
         # discrete VQ tokens at the latent grid (reference:
         # chameleon.py get_num_image_tokens)
@@ -239,6 +249,15 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
         arr = _resize_chw(image, vs)  # CLIP normalization (HF phi3v)
         return ((arr - _CLIP_MEAN[:, None, None]) /
                 _CLIP_STD[:, None, None]).astype(np.float32)
+    if model_config.architecture == \
+            "Emu3ForConditionalGeneration":
+        vs = int(model_config.mm_image_size or 512)
+        if isinstance(image, np.ndarray) and image.ndim == 3 and \
+                image.shape == (3, vs, vs) and \
+                np.issubdtype(image.dtype, np.floating):
+            return image.astype(np.float32)
+        arr = _resize_chw(image, vs)
+        return ((arr - 0.5) / 0.5).astype(np.float32)
     if model_config.architecture == \
             "ChameleonForConditionalGeneration":
         # VQ-GAN canonical resolution; HF normalization is
@@ -414,8 +433,9 @@ def build_mm_inputs(
         if tok != image_token:
             expanded.append(tok)
             continue
-        if model_config.architecture == \
-                "ChameleonForConditionalGeneration":
+        if model_config.architecture in (
+                "ChameleonForConditionalGeneration",
+                "Emu3ForConditionalGeneration"):
             # early fusion: the image becomes REAL codebook tokens in
             # the stream (host-side VQ encode); no soft embeddings
             from vllm_main_modify_tpu.multimodal.chameleon_vq import \
