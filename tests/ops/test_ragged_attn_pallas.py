@@ -260,3 +260,21 @@ def test_decode_fast_path_chunked_local():
         interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_decode_fast_path_fp8_kv():
+    """fp8 KV pages through the decode specialization's whole-block
+    upcast scratch (kv16_vmem)."""
+    rng = np.random.default_rng(13)
+    kv_lens = [20, 33, 9]
+    q, kv, bt, qsl, lens = build_decode_case(rng, kv_lens, 12, 2, 128,
+                                             8, 64)
+    kv_fp8 = (kv * 0.3).astype(jnp.float8_e4m3fn)
+    ref = ragged_paged_attention_xla(
+        q, kv_fp8.astype(jnp.float32), bt, qsl, lens, 0.125)
+    got = ragged_paged_attention_pallas(
+        q, kv_fp8, bt, qsl, lens, 0.125, num_kv_heads=2,
+        num_seqs=jnp.asarray([3], jnp.int32), pure_decode=True,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)

@@ -116,8 +116,25 @@ def _rpa_kernel(
         s2 = jax.lax.while_loop(cond, lambda s2: s2 + 1, s)
         return s2, (s2 < num_seqs) & (qsl_ref[s2] < t0 + bq)
 
-    def num_kv_blocks(s):
-        return pl.cdiv(seq_lens_ref[s], kvb)
+    if causal and num_spans == 0:
+        def num_kv_blocks(s):
+            # skip kv blocks wholly ABOVE the causal diagonal of every
+            # q row this program owns: the largest attended kv index
+            # is pos of the last owned row. Halves prefill attention
+            # items on average (a q block early in a long sequence
+            # never streams the sequence's tail pages). Disabled for
+            # bidirectional spans — a span may live above the
+            # diagonal.
+            q_start = qsl_ref[s]
+            q_end = qsl_ref[s + 1]
+            kv_len = seq_lens_ref[s]
+            pos_max = (kv_len - (q_end - q_start) +
+                       jnp.minimum(t0 + bq, q_end) - 1 - q_start)
+            return jnp.minimum(pl.cdiv(kv_len, kvb),
+                               pl.cdiv(pos_max + 1, kvb))
+    else:
+        def num_kv_blocks(s):
+            return pl.cdiv(seq_lens_ref[s], kvb)
 
     if sliding_window is not None and num_spans == 0:
         # skip kv blocks wholly behind the window of every q row this
@@ -201,18 +218,24 @@ def _rpa_kernel(
     q_copy.wait()
     q_all = q_vmem[...].reshape(bq, num_q_heads, head_dim)
 
-    fr_col = jax.lax.broadcasted_iota(jnp.int32, (rows, kvb), 0)
-    b_abs_base = t0 + fr_col // group  # [rows, kvb]
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, kvb), 1)
+    # row/column index VECTORS, not [rows, kvb] planes: every mask
+    # predicate is built from [rows, 1] (row-only) and [1, kvb]
+    # (column-only) pieces that broadcast in the final AND — the old
+    # full-plane iota arithmetic issued ~10 VPU ops over rows*kvb i32
+    # elements per item, which COST MORE THAN THE QK MATMUL at
+    # bq=128/group=6 (768x512 i32 plane = 384 VPU cycles per op)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    b_abs_row = t0 + row_i // group  # [rows, 1] absolute q token
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (1, kvb), 1)
 
     def compute_item(s, kb, slot, m, l, acc):
         q_start = qsl_ref[s]
         q_end = qsl_ref[s + 1]
         kv_len = seq_lens_ref[s]
         q_len = q_end - q_start
-        pos = kv_len - q_len + (b_abs_base - q_start)
-        row_owned = (b_abs_base >= q_start) & (b_abs_base < q_end)
-        kv_idx = kb * kvb + col
+        pos = kv_len - q_len + (b_abs_row - q_start)  # [rows, 1]
+        row_owned = (b_abs_row >= q_start) & (b_abs_row < q_end)
+        kv_idx = kb * kvb + col1  # [1, kvb]
         mask = row_owned & (kv_idx < kv_len)
         if causal:
             mask &= kv_idx <= pos
@@ -225,9 +248,8 @@ def _rpa_kernel(
             # same-span (q, kv) pairs bypass causal/window limits
             lo = spans_ref[s, 2 * si]
             hi = spans_ref[s, 2 * si + 1]
-            bid = (row_owned & (kv_idx < kv_len) &
-                   (kv_idx >= lo) & (kv_idx < hi) &
-                   (pos >= lo) & (pos < hi))
+            bid = (row_owned & (pos >= lo) & (pos < hi) &
+                   (kv_idx < kv_len) & (kv_idx >= lo) & (kv_idx < hi))
             mask |= bid
 
         kv = kv_vmem[slot]
@@ -357,19 +379,20 @@ def _rpa_decode_kernel(
     page_base_ref,  # [1]
     sinks_ref,  # [num_q_heads] f32
     # inputs (HBM)
-    q_hbm,  # [T*HqP, D]  (row s*HqP.. is sequence s's q heads;
-    #                      HqP = Hq rounded up to the 8-sublane tile)
-    kv_hbm,  # [P*page, 2*Hk*D]
+    q_hbm,  # [T*HqP, W]  block-diagonal q (see wrapper): row
+    #         s*HqP + h*group + g holds q head h*group+g in the K
+    #         columns of kv head h ([2h*D, 2h*D + D)), zeros elsewhere
+    kv_hbm,  # [P*page, W],  W = 2*Hk*D
     # output (HBM)
     o_hbm,  # [T*HqP, D]
     # scratch
-    q_vmem,  # [BS*HqP, D]
-    kv_vmem,  # [N_BUF, KVB, 2*Hk*D]
+    q_vmem,  # [BS*HqP, W]
+    kv_vmem,  # [N_BUF, KVB, W]
     o_vmem,  # [BS*HqP, D]
     q_sem,
     o_sem,
     kv_sems,  # [N_BUF, NPP]
-    kv16_vmem=None,  # [KVB, 2*Hk*D] q.dtype — quantized-KV upcast
+    kv16_vmem=None,  # [KVB, W] q.dtype — quantized-KV upcast
     *,
     sm_scale: float,
     num_q_heads: int,
@@ -385,13 +408,21 @@ def _rpa_decode_kernel(
     """Decode specialization of the ragged kernel: every sequence has
     exactly ONE query token (row s of the batch). vs the general
     kernel this (a) computes scores only for the OWNING sequence's
-    q heads ([group, kvb] instead of [bq*group, kvb] — the general
-    kernel wastes >95% of its MXU/VPU work on masked-out rows when 32
-    decode seqs share one q block), (b) keeps tiny per-sequence
-    accumulators flushed to the output row when the item stream
-    advances to the next sequence, and (c) skips page DMAs wholly
-    beyond seq_len (no padding traffic). Measured on v5e: decode-step
-    attention 5.7 ms → sub-ms for 32 x ~550-token sequences."""
+    q heads, (b) keeps tiny per-sequence accumulators flushed to the
+    output row when the item stream advances to the next sequence,
+    and (c) skips page DMAs wholly beyond seq_len (no padding
+    traffic).
+
+    All kv heads are processed by ONE matmul pair per sub-block via a
+    block-diagonal q layout: q head h*group+g occupies the K columns
+    of kv head h in a [HqP, W] tile, so ``q_wide @ kv_block.T``
+    contracts each row only against its own head's keys (cross-head
+    terms hit zeros), and ``p @ kv_block`` lands each row's PV result
+    in its own head's V columns. The 2x MAC overhead is free — these
+    matmuls are far under the MXU roofline — while the per-head
+    Python loop it replaces issued ~Hk x more VPU/scalar ops per
+    item, which dominated decode attention time (the kernel is
+    op-issue bound, not bandwidth bound, at ~1 us/item)."""
     i = pl.program_id(0)
     bs = q_vmem.shape[0] // hq_pad  # sequences per program
     kvb = kv_vmem.shape[1]
@@ -516,35 +547,39 @@ def _rpa_decode_kernel(
     SB = 128 if kvb % 128 == 0 else kvb
     n_sub = kvb // SB
     col = jax.lax.broadcasted_iota(jnp.int32, (1, SB), 1)
+    width = kv_vmem.shape[-1]  # 2*Hk*D
+
+    # row r of a sequence tile belongs to q head r (kv head r//group);
+    # padding rows (r >= Hq) match no kv head and flush to zero
+    head_row = jax.lax.broadcasted_iota(
+        jnp.int32, (hq_pad, 1), 0) // group
+    if has_sinks:
+        s_col = jnp.stack([
+            sinks_ref[min(r, num_q_heads - 1)] for r in range(hq_pad)
+        ]).reshape(hq_pad, 1)
 
     def flush(s, m, l, acc):
-        """Normalize sequence s's accumulators into its output row."""
+        """Normalize sequence s's accumulators into its output row.
+        acc is [HqP, W]; row r's result lives in its kv head's V
+        columns ([2h*D + D, 2h*D + 2D), h = r//group)."""
         row = (s - s_base) * hq_pad  # multiple of 8 (sublane tile)
+        out = jnp.zeros((hq_pad, head_dim), jnp.float32)
+        for h in range(num_kv_heads):
+            vpart = acc[:, (2 * h + 1) * head_dim:
+                        (2 * h + 2) * head_dim]
+            out = jnp.where(head_row == h, vpart, out)
         if has_sinks:
-            outs = []
-            for h in range(num_kv_heads):
-                svals = [sinks_ref[h * group + gi]
-                         for gi in range(group)]
-                s_col = jnp.stack(svals).reshape(group, 1)
-                m_t = jnp.maximum(m[h], s_col)
-                sc = jnp.exp(m[h] - m_t)
-                outs.append((acc[h] * sc) /
-                            (l[h] * sc + jnp.exp(s_col - m_t)))
-            out = jnp.concatenate(outs, axis=0)
+            m_t = jnp.maximum(m, s_col)
+            sc = jnp.exp(m - m_t)
+            out = (out * sc) / (l * sc + jnp.exp(s_col - m_t))
         else:
-            out = (acc / jnp.maximum(l, 1e-20)).reshape(
-                num_q_heads, head_dim)
-        if hq_pad != num_q_heads:
-            out = jnp.concatenate([
-                out,
-                jnp.zeros((hq_pad - num_q_heads, head_dim), out.dtype)
-            ], axis=0)
+            out = out / jnp.maximum(l, 1e-20)
         o_vmem[pl.ds(row, hq_pad), :] = out.astype(o_vmem.dtype)
 
     def compute_item(s, kb, slot, m, l, acc):
         kv_len = seq_lens_ref[s]
         row = (s - s_base) * hq_pad  # multiple of 8 (sublane tile)
-        qs = q_vmem[pl.ds(row, hq_pad), :]  # [HqP, D]
+        qs = q_vmem[pl.ds(row, hq_pad), :]  # [HqP, W] block-diagonal
 
         if kv16_vmem is not None:
             # quantized (fp8) KV: upcast the WHOLE stream block once —
@@ -556,8 +591,7 @@ def _rpa_decode_kernel(
         def sub_block(si, m, l, acc):
             kv = (kv_vmem[slot, pl.ds(si * SB, SB)]
                   if kv16_vmem is None else
-                  kv16_vmem[pl.ds(si * SB, SB)]).reshape(
-                      SB, num_kv_heads, 2, head_dim)
+                  kv16_vmem[pl.ds(si * SB, SB)])  # [SB, W]
             kv_idx = kb * kvb + si * SB + col  # [1, SB]
             mask = kv_idx < kv_len  # decode: pos == kv_len-1
             if sliding_window is not None:
@@ -565,39 +599,32 @@ def _rpa_decode_kernel(
             if chunk_size is not None:
                 mask &= (kv_idx // chunk_size) == ((kv_len - 1) //
                                                    chunk_size)
-            new_m, new_l, new_acc = [], [], []
-            for h in range(num_kv_heads):
-                k = kv[:, h, 0, :]  # [SB, D]
-                v = kv[:, h, 1, :]
-                if kv.dtype != qs.dtype:
-                    k = k.astype(qs.dtype)
-                    v = v.astype(qs.dtype)
-                qh = qs[h * group:(h + 1) * group, :]  # [group, D]
-                scores = jax.lax.dot_general(
-                    qh, k,
-                    dimension_numbers=(((1, ), (1, )), ((), ())),
-                    preferred_element_type=jnp.float32) * sm_scale
-                if logit_softcap is not None:
-                    scores = jnp.tanh(scores / logit_softcap) * \
-                        logit_softcap
-                scores = jnp.where(mask, scores, NEG_INF)
-                m_h, l_h, acc_h = m[h], l[h], acc[h]
-                m_new = jnp.maximum(
-                    m_h, jnp.max(scores, axis=-1, keepdims=True))
-                p = jnp.exp(scores - m_new)
-                p = jnp.where(mask, p, 0.0)
-                scale_old = jnp.exp(m_h - m_new)
-                l_new = l_h * scale_old + jnp.sum(
-                    p, axis=-1, keepdims=True)
-                pv = jax.lax.dot_general(
-                    p.astype(v.dtype), v,
-                    dimension_numbers=(((1, ), (0, )), ((), ())),
-                    preferred_element_type=jnp.float32)
-                new_m.append(m_new)
-                new_l.append(l_new)
-                new_acc.append(acc_h * scale_old + pv)
-            return (jnp.stack(new_m), jnp.stack(new_l),
-                    jnp.stack(new_acc))
+            if kv.dtype != qs.dtype:
+                kv = kv.astype(qs.dtype)
+            # one QK for ALL heads: zeros in q_wide kill cross-head
+            # and V-column terms
+            scores = jax.lax.dot_general(
+                qs, kv,
+                dimension_numbers=(((1, ), (1, )), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            if logit_softcap is not None:
+                scores = jnp.tanh(scores / logit_softcap) * \
+                    logit_softcap
+            scores = jnp.where(mask, scores, NEG_INF)
+            m_new = jnp.maximum(
+                m, jnp.max(scores, axis=-1, keepdims=True))
+            p = jnp.exp(scores - m_new)
+            p = jnp.where(mask, p, 0.0)
+            scale_old = jnp.exp(m - m_new)
+            l_new = l * scale_old + jnp.sum(p, axis=-1, keepdims=True)
+            # one PV for ALL heads: row r's useful result lands in its
+            # head's V columns; K columns accumulate p@K garbage that
+            # flush never reads
+            pv = jax.lax.dot_general(
+                p.astype(kv.dtype), kv,
+                dimension_numbers=(((1, ), (0, )), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l_new, acc * scale_old + pv
 
         for si in range(n_sub):
             if si == 0:
@@ -612,9 +639,9 @@ def _rpa_decode_kernel(
                     lambda m, l, acc: (m, l, acc), m, l, acc)
         return m, l, acc
 
-    m0 = jnp.full((num_kv_heads, group, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((num_kv_heads, group, 1), jnp.float32)
-    acc0 = jnp.zeros((num_kv_heads, group, head_dim), jnp.float32)
+    m0 = jnp.full((hq_pad, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((hq_pad, 1), jnp.float32)
+    acc0 = jnp.zeros((hq_pad, width), jnp.float32)
 
     def pipe_cond(carry):
         (_, _, valid, *_rest) = carry
@@ -673,8 +700,16 @@ def _decode_attention_pallas(
 ) -> jax.Array:
     t, num_q_heads, head_dim = q.shape
     width = 2 * num_kv_heads * head_dim
-    # sequences per program: keep q+o VMEM small; 128 seqs/program
-    bs = min(t, 128)
+    # per-sequence q rows padded to the 8-row sublane tile so every
+    # dynamic VMEM slice offset ((s - s_base) * hq_pad) is provably
+    # tile-aligned for Mosaic
+    hq_pad = -(-num_q_heads // 8) * 8
+    # sequences per program: cap the block-diagonal q tile
+    # ([bs*hq_pad, W]) to ~2 MB of VMEM (wide-Hk models); grid steps
+    # are sequential on-core so more programs cost nothing
+    bs = min(t, 128,
+             max(1, (2 * 1024 * 1024) //
+                 (hq_pad * width * q.dtype.itemsize)))
     while t % bs:
         bs //= 2
     kvb_budget = KV_STREAM_BYTES // (
@@ -694,10 +729,6 @@ def _decode_attention_pallas(
         block_tables = jnp.pad(
             block_tables, ((0, 0), (0, npp - max_pages % npp)))
 
-    # per-sequence q rows padded to the 8-row sublane tile so every
-    # dynamic VMEM slice offset ((s - s_base) * hq_pad) is provably
-    # tile-aligned for Mosaic
-    hq_pad = -(-num_q_heads // 8) * 8
     kernel = functools.partial(
         _rpa_decode_kernel,
         sm_scale=sm_scale,
@@ -711,11 +742,22 @@ def _decode_attention_pallas(
         has_sinks=has_sinks,
         chunk_size=chunk_size,
     )
+    # block-diagonal q (built in XLA, tiny: t x hq_pad x W): q head
+    # h*group+g of sequence s → row s*hq_pad + h*group + g, occupying
+    # the K columns of kv head h ([2h*D, 2h*D + D)); zeros elsewhere.
+    # Lets the kernel contract ALL heads with ONE matmul pair per
+    # kv sub-block (see _rpa_decode_kernel docstring).
+    group = num_q_heads // num_kv_heads
+    qr = q.reshape(t, num_kv_heads, group, head_dim)
+    qw = jnp.zeros((t, num_kv_heads, group, width), q.dtype)
+    for h in range(num_kv_heads):
+        qw = qw.at[:, h, :, 2 * h * head_dim:
+                   (2 * h + 1) * head_dim].set(qr[:, h])
+    qw = qw.reshape(t, num_q_heads, width)
     if hq_pad != num_q_heads:
-        qp = jnp.pad(q, ((0, 0), (0, hq_pad - num_q_heads), (0, 0)))
-    else:
-        qp = q
-    q2 = qp.reshape(t * hq_pad, head_dim)
+        qw = jnp.pad(qw,
+                     ((0, 0), (0, hq_pad - num_q_heads), (0, 0)))
+    q2 = qw.reshape(t * hq_pad, width)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(t // bs, ),
@@ -725,7 +767,7 @@ def _decode_attention_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((bs * hq_pad, head_dim), q.dtype),
+            pltpu.VMEM((bs * hq_pad, width), q.dtype),
             pltpu.VMEM((N_BUF, kvb, width), kv_cache2.dtype),
             pltpu.VMEM((bs * hq_pad, head_dim), q.dtype),
             pltpu.SemaphoreType.DMA,
@@ -737,7 +779,8 @@ def _decode_attention_pallas(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q2.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct((t * hq_pad, head_dim),
+                                       q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", ),
             vmem_limit_bytes=100 * 1024 * 1024),
