@@ -141,6 +141,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "WhisperForConditionalGeneration": (
         "vllm_main_modify_tpu.models.whisper",
         "WhisperForConditionalGeneration"),
+    "MllamaForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.mllama",
+        "MllamaForConditionalGeneration"),
     "Emu3ForConditionalGeneration": ("vllm_main_modify_tpu.models"
                                      ".emu3",
                                      "Emu3ForConditionalGeneration"),

@@ -217,6 +217,67 @@ def _resize_chw(image, size: int) -> np.ndarray:
     return arr
 
 
+def _mllama_tiles(image, model_config) -> tuple[np.ndarray, int, int]:
+    """Mllama tiling (reference: MllamaImageProcessor get_optimal_
+    tiled_canvas + split_to_tiles): → ([max_num_tiles, 3, S, S]
+    zero-padded tiles, aspect_ratio_id (1-based into
+    supported_aspect_ratios), encoder_len = n_tiles * num_patches).
+
+    Pre-tiled float input ([n, 3, S, S]) maps to the FIRST supported
+    ratio with that tile count; [3, rh*S, rw*S] float input splits
+    directly; anything else is resized to the best-fitting canvas
+    (smallest upscale, else largest downscale) and CLIP-normalized.
+    """
+    hf = model_config.hf_config
+    vc = hf.vision_config
+    S = vc.image_size
+    ratios = [tuple(r) for r in vc.supported_aspect_ratios]
+    num_patches = (S // vc.patch_size)**2 + 1
+    arr = np.asarray(image) if not hasattr(image, "convert") else None
+    if arr is not None and arr.ndim == 4 and arr.shape[1] == 3 and \
+            np.issubdtype(arr.dtype, np.floating):
+        n = arr.shape[0]
+        ratio = next(r for r in ratios if r[0] * r[1] == n)
+        tiles = arr.astype(np.float32)
+    else:
+        if arr is not None and arr.ndim == 3 and arr.shape[0] == 3 \
+                and np.issubdtype(arr.dtype, np.floating) and \
+                arr.shape[1] % S == 0 and arr.shape[2] % S == 0 and \
+                (arr.shape[1] // S, arr.shape[2] // S) in ratios:
+            ratio = (arr.shape[1] // S, arr.shape[2] // S)
+            canvas = arr.astype(np.float32)
+        else:
+            # raw image: pick the canvas with the smallest upscale
+            # (else the largest downscale), resize, CLIP-normalize
+            base = _resize_chw(image, S) if arr is None or \
+                arr.ndim != 3 or arr.shape[0] != 3 else (
+                    arr.astype(np.float32) / 255.0
+                    if np.issubdtype(arr.dtype, np.integer)
+                    else arr.astype(np.float32))
+            h, w = base.shape[1:]
+            scales = [min(r[0] * S / h, r[1] * S / w) for r in ratios]
+            up = [(s, r) for s, r in zip(scales, ratios) if s >= 1]
+            if up:
+                _, ratio = min(up, key=lambda t: t[1][0] * t[1][1])
+            else:
+                ratio = ratios[int(np.argmax(scales))]
+            h2, w2 = ratio[0] * S, ratio[1] * S
+            yi = (np.arange(h2) * h // h2).clip(0, h - 1)
+            xi = (np.arange(w2) * w // w2).clip(0, w - 1)
+            canvas = base[:, yi][:, :, xi]
+            canvas = ((canvas - _CLIP_MEAN[:, None, None]) /
+                      _CLIP_STD[:, None, None]).astype(np.float32)
+        rh, rw = ratio
+        tiles = canvas.reshape(3, rh, S, rw, S).transpose(
+            1, 3, 0, 2, 4).reshape(rh * rw, 3, S, S)
+    n = tiles.shape[0]
+    mt = vc.max_num_tiles
+    if n < mt:
+        tiles = np.concatenate(
+            [tiles, np.zeros((mt - n, 3, S, S), np.float32)])
+    return tiles, ratios.index(tuple(ratio)) + 1, n * num_patches
+
+
 def _to_pixel_values(image, model_config) -> np.ndarray:
     """→ [3, S, S] f32, normalized."""
     if _is_qwen_vl(model_config):
@@ -431,6 +492,27 @@ def build_mm_inputs(
             expanded.extend([video_token] * this_tok)
             continue
         if tok != image_token:
+            expanded.append(tok)
+            continue
+        if model_config.architecture == \
+                "MllamaForConditionalGeneration":
+            # cross-attention VLM (Llama 3.2 Vision): the <|image|>
+            # token stays ONE real token in the decoder stream; the
+            # tiled pixels run the vision tower at ingest and land in
+            # the cross-KV pool (models/mllama.py; reference:
+            # vllm/model_executor/models/mllama.py encoder-decoder
+            # treatment)
+            tiles, ar_id, enc_len = _mllama_tiles(
+                next(img_iter), model_config)
+            salt.update(tiles.tobytes())
+            mm_inputs.append({
+                "pixel_values_tiles": tiles,
+                "aspect_ratio_id": ar_id,
+                "enc_len": enc_len,
+                "hash": hashlib.sha256(
+                    tiles.tobytes() +
+                    bytes(str(ar_id), "ascii")).hexdigest()[:24],
+            })
             expanded.append(tok)
             continue
         if model_config.architecture in (

@@ -857,6 +857,11 @@ def ragged_paged_attention_pallas(
     width = two_kh * head_dim
     kvb_budget = KV_STREAM_BYTES // (N_BUF * width * kv_cache.dtype.itemsize)
     kvb_tokens = max(min(kvb_budget, 512), 128)
+    env = os.environ.get("VLLM_TPU_PREFILL_KV_BLOCK")
+    if env:  # workload tuning knob (finer blocks track the causal
+        # fraction more closely now that num_kv_blocks is bounded
+        # above the diagonal)
+        kvb_tokens = int(env)
     npp = max(kvb_tokens // page_size, 1)
     kvb = npp * page_size
     # the kernel indexes pages in groups of npp — pad the table width

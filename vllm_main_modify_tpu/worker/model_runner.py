@@ -1056,6 +1056,7 @@ class TPUModelRunner:
             page = self.page_size
 
             text_enc = getattr(model, "is_text_enc_dec", False)
+            vision_enc = hasattr(model, "encode_vision_cross")
 
             def enc_write(params, feats, enc_len, cache, start_row):
                 if text_enc:
@@ -1063,6 +1064,12 @@ class TPUModelRunner:
                     # length (models/bart.py encode_text_enc)
                     enc = model.encode_text_enc(params, feats,
                                                 enc_len)
+                elif vision_enc:
+                    # Mllama: padded pixel tiles; the scalar slot
+                    # carries the aspect-ratio id (true encoder len
+                    # goes through cross_lens)
+                    enc = model.encode_vision_cross(params, feats,
+                                                    enc_len)
                 else:
                     enc = model.encode_audio(params, feats[None])[0]
                 ckv = model.encode_cross_kv(params, enc)  # [L, T, W]
@@ -1083,6 +1090,10 @@ class TPUModelRunner:
             feats = np.zeros(t_enc, np.int32)
             feats[:enc_len] = ids
             self.cross_lens[state.req_id] = enc_len
+        elif "pixel_values_tiles" in mm0:
+            feats = mm0["pixel_values_tiles"]
+            enc_len = int(mm0["aspect_ratio_id"])
+            self.cross_lens[state.req_id] = int(mm0["enc_len"])
         else:
             feats, enc_len = mm0["input_features"], t_enc
         slot = self._cross_free.pop()
@@ -1101,6 +1112,8 @@ class TPUModelRunner:
         encoder_cache_manager.py)."""
         if state.mm_inputs and ("input_features" in state.mm_inputs[0]
                                 or "encoder_input_ids"
+                                in state.mm_inputs[0]
+                                or "pixel_values_tiles"
                                 in state.mm_inputs[0]):
             if not getattr(state, "mm_encoded", None):
                 self._ingest_audio(state)
