@@ -6,12 +6,14 @@ tests/v1/tpu/test_perf.py:56-73; baseline 1.7 s +- 0.20 on v6e).
 Weights are dummy-initialized (no network egress in this environment) —
 identical compute/memory traffic to real weights.
 
-The WORKLOAD (64 prompts x 500+50, max_model_len 1024, max_num_seqs
-32, greedy) matches the reference test exactly; the ENGINE knobs
-differ where our engine profits from them: max_num_batched_tokens
-8192 (vs the reference's 1024 — fewer prefill dispatches, same
-compute) and 16 decode steps fused per device dispatch (the
-reference dispatches per step). Tuned on v5e via BENCH_MBT /
+The WORKLOAD (64 prompts x 500+50, max_model_len 1024, greedy)
+matches the reference test exactly; the ENGINE knobs differ where our
+engine profits from them: max_num_batched_tokens 8192 (vs the
+reference's 1024 — fewer prefill dispatches, same compute), 16 decode
+steps fused per device dispatch (the reference dispatches per step),
+and max_num_seqs 64 (vs the reference's 32 — the whole workload
+decodes in one continuous-batching wave, so the per-step weight
+stream serves 2x the tokens). Tuned on v5e via BENCH_MBT /
 BENCH_DECODE_STEPS / BENCH_SEQS sweeps.
 
 Prints ONE JSON line:
@@ -45,7 +47,10 @@ BASELINE_S = 1.4
 NUM_PROMPTS = 64
 PREFIX_LEN = 500
 DECODE_LEN = 50
-MAX_NUM_SEQS = int(os.environ.get("BENCH_SEQS", "32"))
+# 64: decode the whole 64-prompt workload in ONE continuous-batching
+# wave — same weight stream serves 2x the tokens per decode step
+# (v5e: 1.38s at 32 seqs -> 1.125s at 64)
+MAX_NUM_SEQS = int(os.environ.get("BENCH_SEQS", "64"))
 MAX_MODEL_LEN = 1024
 MAX_BATCHED_TOKENS = int(os.environ.get("BENCH_MBT", "8192"))
 

@@ -714,11 +714,12 @@ def _decode_attention_pallas(
         bs //= 2
     kvb_budget = KV_STREAM_BYTES // (
         N_BUF * width * kv_cache2.dtype.itemsize)
-    # small stream blocks win at decode: with kvb == SB (128/256) the
-    # per-item sub-block cond chain disappears and the padded MXU/VPU
-    # area past seq_len shrinks to one partial block (measured on
-    # v5e, 32 x ~550-token decode: kvb 1024 -> 256 is ~3% whole-bench)
-    kvb_tokens = max(min(kvb_budget, 256), 128)
+    # small stream blocks win at decode: with kvb == SB (128) the
+    # per-item sub-block cond chain disappears, page DMAs skip at the
+    # finest granularity, and the padded MXU/VPU area past seq_len
+    # shrinks to one partial block (v5e headline sweep:
+    # 256 -> 128 is ~2% whole-bench at 32 x ~550-token decode)
+    kvb_tokens = max(min(kvb_budget, 128), 128)
     env = os.environ.get("VLLM_TPU_DECODE_KV_BLOCK")
     if env:  # workload tuning knob
         kvb_tokens = int(env)
