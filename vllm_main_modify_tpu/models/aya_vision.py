@@ -33,6 +33,12 @@ MMP = "multi_modal_projector."
 
 class AyaVisionForConditionalGeneration:
 
+    # subclass knobs (Cohere2Vision/Command-A-Vision flips these)
+    post_norm = False  # tower feature: hidden_states[-1] vs post-LN
+    adapter_ln = True  # layernorm before the alignment MLP
+    root = ""  # serialized key root ("model." on newer exports)
+    default_text_arch = "CohereForCausalLM"
+
     def __init__(self, config: ModelConfig):
         self.cfg = config
         hf = config.hf_config
@@ -54,7 +60,7 @@ class AyaVisionForConditionalGeneration:
         self.num_image_tokens = (self.grid // self.f)**2
 
         text_archs = getattr(hf.text_config, "architectures",
-                             None) or ["CohereForCausalLM"]
+                             None) or [self.default_text_arch]
         text_cfg = replace(config, hf_config=hf.text_config,
                            is_multimodal=False)
         text_cfg.architecture = text_archs[0]
@@ -66,27 +72,41 @@ class AyaVisionForConditionalGeneration:
         D, H = self.v_hidden, self.cfg.hidden_size
         df2 = D * self.f * self.f
         t = transpose2d
+        rt = self.root
+        mmp = rt + MMP
         specs = siglip_specs(D, self.v_inter, self.v_layers,
-                             self.patch, self.num_patches, prefix=VP)
+                             self.patch, self.num_patches,
+                             prefix=rt + VP)
+        if self.adapter_ln:
+            specs += [
+                ParamSpec("adapter.ln", (df2, ), P(),
+                          mmp + "layernorm.weight", transform=None),
+                ParamSpec("adapter.ln_bias", (df2, ), P(),
+                          mmp + "layernorm.bias", transform=None),
+            ]
         specs += [
-            ParamSpec("adapter.ln", (df2, ), P(),
-                      MMP + "layernorm.weight", transform=None),
-            ParamSpec("adapter.ln_bias", (df2, ), P(),
-                      MMP + "layernorm.bias", transform=None),
             ParamSpec("adapter.linear_1", (df2, self.align_inter),
-                      P(None, None), MMP + "linear_1.weight",
+                      P(None, None), mmp + "linear_1.weight",
                       transform=t),
             ParamSpec("adapter.linear_1_bias", (self.align_inter, ),
-                      P(), MMP + "linear_1.bias", transform=None),
+                      P(), mmp + "linear_1.bias", transform=None),
             ParamSpec("adapter.linear_2", (self.align_inter // 2, H),
-                      P(None, None), MMP + "linear_2.weight",
+                      P(None, None), mmp + "linear_2.weight",
                       transform=t),
             ParamSpec("adapter.linear_2_bias", (H, ), P(),
-                      MMP + "linear_2.bias", transform=None),
+                      mmp + "linear_2.bias", transform=None),
         ]
         for s in self.language_model.param_specs():
             s.path = "language_model." + s.path
-            s.hf_key = "language_model." + s.hf_key
+            if rt:
+                # newer export: model.language_model.* replaces the
+                # inner "model." root
+                s.hf_key = (
+                    rt + "language_model." + s.hf_key[len("model."):]
+                    if s.hf_key.startswith("model.")
+                    else rt + "language_model." + s.hf_key)
+            else:
+                s.hf_key = "language_model." + s.hf_key
             specs.append(s)
         return specs
 
@@ -108,7 +128,7 @@ class AyaVisionForConditionalGeneration:
                           v_heads=self.v_heads,
                           v_head_dim=self.v_head_dim,
                           v_layers=self.v_layers, eps=self.v_eps,
-                          post_norm=False)
+                          post_norm=self.post_norm)
         # AyaVision pixel_shuffle: [N, g, g, D] double-permute swizzle
         g, f, d = self.grid, self.f, x.shape[-1]
         x = x.reshape(n, g, g, d)
@@ -118,7 +138,8 @@ class AyaVisionForConditionalGeneration:
         x = jnp.transpose(x, (0, 2, 1, 3))
         x = x.reshape(n, (g // f) * (g // f), d * f * f)
         a = params["adapter"]
-        x = layer_norm(x, a["ln"], a["ln_bias"], self.adapter_eps)
+        if self.adapter_ln:
+            x = layer_norm(x, a["ln"], a["ln_bias"], self.adapter_eps)
         h = x @ a["linear_1"] + a["linear_1_bias"]
         half = self.align_inter // 2
         h = jax.nn.silu(h[..., half:]) * h[..., :half]
@@ -142,3 +163,18 @@ class AyaVisionForConditionalGeneration:
     def compute_logits(self, params, hidden):
         return self.language_model.compute_logits(
             params["language_model"], hidden)
+
+
+class Cohere2VisionForConditionalGeneration(
+        AyaVisionForConditionalGeneration):
+    """Command A Vision (reference:
+    vllm/model_executor/models/cohere2_vision.py): same pixel-shuffle
+    SwiGLU alignment as Aya Vision but the tower feature is the
+    post-layernormed SigLIP output, there is no adapter layernorm,
+    the decoder is Cohere2 (sliding-window pattern), and the export
+    roots every key under "model."."""
+
+    post_norm = True
+    adapter_ln = False
+    root = "model."
+    default_text_arch = "Cohere2ForCausalLM"

@@ -147,8 +147,9 @@ def num_image_tokens_for(model_config) -> int:
         pt = vc.patch_size
         pt = pt[0] if isinstance(pt, (list, tuple)) else pt
         return (img // pt)**2 // ds**2
-    if model_config.architecture == \
-            "AyaVisionForConditionalGeneration":
+    if model_config.architecture in (
+            "AyaVisionForConditionalGeneration",
+            "Cohere2VisionForConditionalGeneration"):
         f = int(getattr(hf, "downsample_factor", 2))
         return (vc.image_size // vc.patch_size // f)**2
     if model_config.architecture == \
