@@ -231,6 +231,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen3VLMoeForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen3_vl",
         "Qwen3VLMoeForConditionalGeneration"),
+    "GotOcr2ForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.got_ocr2",
+        "GotOcr2ForConditionalGeneration"),
     "Cohere2VisionForConditionalGeneration": (
         "vllm_main_modify_tpu.models.aya_vision",
         "Cohere2VisionForConditionalGeneration"),

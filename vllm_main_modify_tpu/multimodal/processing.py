@@ -147,6 +147,10 @@ def num_image_tokens_for(model_config) -> int:
         pt = vc.patch_size
         pt = pt[0] if isinstance(pt, (list, tuple)) else pt
         return (img // pt)**2 // ds**2
+    if model_config.architecture == "GotOcr2ForConditionalGeneration":
+        # two stride-2 upsampler convs: grid/4 per side
+        # (models/got_ocr2.py projector)
+        return (vc.image_size // vc.patch_size // 4)**2
     if model_config.architecture in (
             "AyaVisionForConditionalGeneration",
             "Cohere2VisionForConditionalGeneration"):
