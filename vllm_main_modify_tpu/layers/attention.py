@@ -120,6 +120,9 @@ def attention(
     sinks: Optional[jax.Array] = None,  # [Hq] learned sink logits
     chunk_size: Optional[int] = None,  # Llama4 chunked local attn
     bidir_spans: Optional[jax.Array] = None,  # [R, S, 2]
+    write_kv: bool = True,  # False: READ-ONLY reuse of layer_idx's
+    # pages (Gemma3n KV sharing — the source layer already wrote this
+    # step's K/V earlier in the same forward)
 ) -> tuple[jax.Array, jax.Array]:
     """Write new KV into this layer's pages of the FULL cache, then
     ragged paged attention over them. The cache is a loop carry updated
@@ -197,7 +200,9 @@ def attention(
         num_layers, num_pages, page_size = wide.shape[:3]
     flat = wide.reshape(num_layers * num_pages, page_size, width)
     row_offset = layer_idx * (num_pages * page_size)
-    if meta.kv_update_slices is not None:
+    if not write_kv:
+        pass  # KV-shared layer: read the source layer's pages as-is
+    elif meta.kv_update_slices is not None:
         from vllm_main_modify_tpu.ops.kv_cache import \
             write_to_kv_cache_paged
 

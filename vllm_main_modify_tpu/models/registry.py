@@ -231,6 +231,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen3VLMoeForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen3_vl",
         "Qwen3VLMoeForConditionalGeneration"),
+    "Gemma3nForCausalLM": ("vllm_main_modify_tpu.models.gemma3n",
+                           "Gemma3nForCausalLM"),
     "GotOcr2ForConditionalGeneration": (
         "vllm_main_modify_tpu.models.got_ocr2",
         "GotOcr2ForConditionalGeneration"),
