@@ -153,6 +153,18 @@ class ModelConfig:
             # embedded vision tower description (img_processor dict)
             self.is_multimodal = True
             self.image_token_index = top_get("image_token_index")
+        elif top_get("vision_config") is not None and (
+                (top_get("vision_config").get("image_token_id")
+                 if isinstance(top_get("vision_config"), dict)
+                 else getattr(top_get("vision_config"),
+                              "image_token_id", None)) is not None):
+            # Phi-4-multimodal: the top config IS the text config and
+            # the placeholder ids live in the sub-configs
+            vcfg = top_get("vision_config")
+            self.is_multimodal = True
+            self.image_token_index = int(
+                vcfg["image_token_id"] if isinstance(vcfg, dict)
+                else vcfg.image_token_id)
         elif top_get("vocabulary_map") is not None:
             # Chameleon-style early fusion: images become DISCRETE
             # codebook tokens; the placeholder id comes from the

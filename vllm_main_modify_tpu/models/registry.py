@@ -231,6 +231,12 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen3VLMoeForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen3_vl",
         "Qwen3VLMoeForConditionalGeneration"),
+    "Phi4MultimodalForCausalLM": (
+        "vllm_main_modify_tpu.models.phi4_multimodal",
+        "Phi4MultimodalForCausalLM"),
+    "Phi4MMForCausalLM": (
+        "vllm_main_modify_tpu.models.phi4_multimodal",
+        "Phi4MultimodalForCausalLM"),
     "Gemma3nForCausalLM": ("vllm_main_modify_tpu.models.gemma3n",
                            "Gemma3nForCausalLM"),
     "GotOcr2ForConditionalGeneration": (

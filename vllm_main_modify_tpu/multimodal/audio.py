@@ -80,7 +80,9 @@ def build_audio_inputs(
     return list(token_ids), mm_inputs, salt
 
 
-AUDIO_EMBED_ARCHS = ("GraniteSpeechForConditionalGeneration",
+AUDIO_EMBED_ARCHS = ("Phi4MultimodalForCausalLM",
+                     "Phi4MMForCausalLM",
+                     "GraniteSpeechForConditionalGeneration",
                      "Qwen2AudioForConditionalGeneration",
                      "VoxtralForConditionalGeneration",
                      "UltravoxModel",
@@ -132,6 +134,49 @@ def build_granite_speech_inputs(token_ids, audio, model_config):
                        "num_tokens": n_tok}], salt
 
 
+def build_phi4mm_audio_inputs(token_ids, audio, model_config):
+    """Phi-4-multimodal: [T, input_size] log-mel features; tokens =
+    T through the nemo stride-2 stack (ceil division per conv —
+    models/phi4_multimodal.py encode_audio_feats)."""
+    import math
+
+    hf = model_config.hf_config
+    ac = hf.audio_config
+    g = (ac.get if isinstance(ac, dict)
+         else lambda k, d=None: getattr(ac, k, d))
+    in_dim = int(g("input_size"))
+    feats = np.asarray(audio, dtype=np.float32)
+    if feats.ndim == 1:  # raw waveform -> extractor
+        ex = _feature_extractor(model_config.model)
+        feats = np.asarray(
+            ex(feats, return_tensors="np")["input_features"][0],
+            np.float32)
+    if feats.ndim == 2 and feats.shape[0] == in_dim and \
+            feats.shape[1] != in_dim:
+        feats = feats.T  # [mel, T] -> [T, mel]
+    assert feats.ndim == 2 and feats.shape[1] == in_dim, feats.shape
+    n_tok = feats.shape[0]
+    for _ in range(int(math.log2(int(g("time_reduction", 8))))):
+        n_tok = (n_tok - 1) // 2 + 1
+    audio_token = int(g("audio_token_id"))
+    expanded: list[int] = []
+    placed = False
+    for tok in token_ids:
+        if tok == audio_token and not placed:
+            expanded.extend([audio_token] * n_tok)
+            placed = True
+        else:
+            expanded.append(tok)
+    if not placed:
+        expanded = [audio_token] * n_tok + expanded
+        offset = 0
+    else:
+        offset = expanded.index(audio_token)
+    salt = hashlib.sha256(feats.tobytes()).hexdigest()[:16]
+    return expanded, [{"pixel_values": feats, "offset": offset,
+                       "num_tokens": n_tok}], salt
+
+
 def build_audio_embeds_inputs(
     token_ids,
     audio,
@@ -148,6 +193,10 @@ def build_audio_embeds_inputs(
             "GraniteSpeechForConditionalGeneration":
         return build_granite_speech_inputs(token_ids, audio,
                                            model_config)
+    if model_config.architecture in ("Phi4MultimodalForCausalLM",
+                                     "Phi4MMForCausalLM"):
+        return build_phi4mm_audio_inputs(token_ids, audio,
+                                         model_config)
     hf = model_config.hf_config
     ac = hf.audio_config
     n_mel = getattr(ac, "num_mel_bins", 128)

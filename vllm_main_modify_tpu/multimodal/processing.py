@@ -147,6 +147,12 @@ def num_image_tokens_for(model_config) -> int:
         pt = vc.patch_size
         pt = pt[0] if isinstance(pt, (list, tuple)) else pt
         return (img // pt)**2 // ds**2
+    if model_config.architecture in ("Phi4MultimodalForCausalLM",
+                                     "Phi4MMForCausalLM"):
+        # global + sub crop, 2x2 token compression, per-row + global
+        # separator extensors (models/phi4_multimodal.py)
+        bf = vc.image_size // vc.patch_size // 2
+        return 2 * bf * (bf + 1) + 1
     if model_config.architecture == "GotOcr2ForConditionalGeneration":
         # two stride-2 upsampler convs: grid/4 per side
         # (models/got_ocr2.py projector)
@@ -468,7 +474,9 @@ def build_mm_inputs(
         "LlavaOnevisionForConditionalGeneration"
     # Phi-3V: global image + one 1x1 HD crop (identical at the
     # canonical square resolution), stacked [2, 3, S, S]
-    is_phi3v = model_config.architecture == "Phi3VForCausalLM"
+    is_phi3v = model_config.architecture in (
+        "Phi3VForCausalLM", "Phi4MultimodalForCausalLM",
+        "Phi4MMForCausalLM")
     expanded: list[int] = []
     mm_inputs: list[dict] = []
     salt = hashlib.sha256()
