@@ -609,6 +609,38 @@ def _qwen2_factory(config: ModelConfig):
     return LlamaForCausalLM(config)
 
 
+# Speculative DRAFT architectures (reference registry.py lists these
+# as loadable model classes for its draft worker). Here the draft
+# subsystem instantiates them inside spec_decode/ (eagle.py, mtp.py,
+# medusa, mlp-speculator) keyed by the same names via
+# config._detect_spec_method — a draft head cannot decode standalone
+# (it needs the target's hidden states), so loading one as the MAIN
+# model routes to an actionable error instead of a broken engine.
+_SPEC_DRAFT_ARCHS = (
+    "EagleLlamaForCausalLM", "EagleLlama4ForCausalLM",
+    "EagleMiniCPMForCausalLM", "Eagle3LlamaForCausalLM",
+    "LlamaForCausalLMEagle3", "Eagle3Qwen2_5vlForCausalLM",
+    "EagleDeepSeekMTPModel", "DeepSeekMTPModel", "ErnieMTPModel",
+    "Glm4MoeMTPModel", "LongCatFlashMTPModel", "MiMoMTPModel",
+    "Qwen3NextMTP", "MedusaModel", "MLPSpeculatorPreTrainedModel",
+)
+
+
+def _spec_draft_factory(config: ModelConfig):
+    raise ValueError(
+        f"{config.architecture} is a speculative-decoding DRAFT head "
+        "— it consumes the target model's hidden states and cannot "
+        "serve standalone. Pass it as "
+        "speculative_config={'model': <this checkpoint>} on the "
+        "target model instead (method auto-detected from the "
+        "architecture name).")
+
+
+for _a in _SPEC_DRAFT_ARCHS:
+    _REGISTRY[_a] = ("vllm_main_modify_tpu.models.registry",
+                     "_spec_draft_factory")
+
+
 def resolve_model_cls(architecture: str) -> Callable:
     if architecture in ("TransformersForCausalLM", "TransformersModel"):
         # explicit opt-in names (reference: registry.py:330-334 —
