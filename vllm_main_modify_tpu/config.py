@@ -165,6 +165,15 @@ class ModelConfig:
             self.image_token_index = int(
                 vcfg["image_token_id"] if isinstance(vcfg, dict)
                 else vcfg.image_token_id)
+        elif (top_get("vision_config") is not None
+              and "MiniCPMV" in (top_get("architectures") or [""])[0]):
+            # MiniCPM-V: top-level text config + vision_config dict;
+            # the placeholder id comes from image_token_id (or the
+            # tokenizer's unk id as the upstream processor uses)
+            self.is_multimodal = True
+            self.image_token_index = int(
+                top_get("image_token_id")
+                or top_get("unk_token_id") or -1)
         elif top_get("vocabulary_map") is not None:
             # Chameleon-style early fusion: images become DISCRETE
             # codebook tokens; the placeholder id comes from the

@@ -90,6 +90,30 @@ class Phi3VConfig(PretrainedConfig):
         super().__init__(**kwargs)
 
 
+class MiniCPMVConfig(PretrainedConfig):
+    """openbmb/MiniCPM-V checkpoints (remote code upstream): a
+    Qwen2/Llama text config at the top level plus ``vision_config``
+    (idefics2-vision dims), ``query_num`` resampler queries,
+    ``version`` (2.6/4.0 routes the decoder family) and
+    ``drop_vision_last_layer``. ``image_token_id`` must be provided
+    for programmatic use (the official chat template rewrites
+    (<image>./</image>) spans instead of using a fixed id)."""
+
+    model_type = "minicpmv"
+
+    def __init__(self, vision_config=None, query_num=64,
+                 version="2.6", drop_vision_last_layer=False,
+                 image_token_id=None, **kwargs):
+        self.vision_config = vision_config or {}
+        self.query_num = query_num
+        self.version = version
+        self.drop_vision_last_layer = drop_vision_last_layer
+        if image_token_id is not None:
+            self.image_token_id = image_token_id
+        kwargs.setdefault("tie_word_embeddings", False)
+        super().__init__(**kwargs)
+
+
 class InternVLChatConfig(PretrainedConfig):
     """Remote-code OpenGVLab InternVL checkpoints (reference:
     vllm/transformers_utils/configs/ — resolved via trust_remote_code
@@ -226,7 +250,8 @@ class NemotronNASConfig(PretrainedConfig):
 
 
 def register() -> None:
-    for cfg_cls in (UltravoxConfig, InternVLChatConfig, NVLMDConfig,
+    for cfg_cls in (UltravoxConfig, MiniCPMVConfig,
+                    InternVLChatConfig, NVLMDConfig,
                     H2OVLChatConfig, SkyworkR1VChatConfig,
                     Phi3VConfig, NemotronNASConfig,
                     BailingMoeConfig, BailingMoeV2Config,

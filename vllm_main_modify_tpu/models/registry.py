@@ -231,6 +231,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen3VLMoeForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen3_vl",
         "Qwen3VLMoeForConditionalGeneration"),
+    "MiniCPMV": ("vllm_main_modify_tpu.models.minicpmv",
+                 "MiniCPMV"),
     "Phi4MultimodalForCausalLM": (
         "vllm_main_modify_tpu.models.phi4_multimodal",
         "Phi4MultimodalForCausalLM"),

@@ -147,6 +147,9 @@ def num_image_tokens_for(model_config) -> int:
         pt = vc.patch_size
         pt = pt[0] if isinstance(pt, (list, tuple)) else pt
         return (img // pt)**2 // ds**2
+    if model_config.architecture == "MiniCPMV":
+        # perceiver resampler: query_num learned queries per image
+        return int(getattr(hf, "query_num", 64))
     if model_config.architecture in ("Phi4MultimodalForCausalLM",
                                      "Phi4MMForCausalLM"):
         # global + sub crop, 2x2 token compression, per-row + global
@@ -345,6 +348,9 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
         arr = _resize_chw(image, vs)  # HF chameleon: (x - .5) / .5
         return ((arr - 0.5) / 0.5).astype(np.float32)
     vc = model_config.hf_config.vision_config
+    if isinstance(vc, dict):  # remote-code dict sub-config (MiniCPMV)
+        from types import SimpleNamespace
+        vc = SimpleNamespace(**vc)
     vs = model_config.mm_image_size or getattr(
         model_config.hf_config, "force_image_size",
         None) or vc.image_size  # remote-code InternVL / pixtral
