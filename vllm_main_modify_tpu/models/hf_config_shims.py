@@ -114,6 +114,33 @@ class MiniCPMVConfig(PretrainedConfig):
         super().__init__(**kwargs)
 
 
+class MiniMaxVL01Config(PretrainedConfig):
+    """MiniMaxAI/MiniMax-VL-01 (remote code upstream): the LLaVA
+    composite layout (CLIP vision_config + text_config +
+    image_token_index + anyres pinpoints) whose text tree is the
+    remote-code MiniMaxText01 hybrid."""
+
+    model_type = "minimax_vl_01"
+
+    def __init__(self, vision_config=None, text_config=None,
+                 image_token_index=None, vision_feature_layer=-1,
+                 vision_feature_select_strategy="default",
+                 image_grid_pinpoints=None, **kwargs):
+        from transformers import CLIPVisionConfig
+        vd = dict(vision_config or {})
+        vd.pop("model_type", None)
+        self.vision_config = CLIPVisionConfig(**vd)
+        self.text_config = PretrainedConfig(**dict(text_config or {}))
+        if image_token_index is not None:
+            self.image_token_index = image_token_index
+        self.vision_feature_layer = vision_feature_layer
+        self.vision_feature_select_strategy = \
+            vision_feature_select_strategy
+        if image_grid_pinpoints is not None:
+            self.image_grid_pinpoints = image_grid_pinpoints
+        super().__init__(**kwargs)
+
+
 class InternVLChatConfig(PretrainedConfig):
     """Remote-code OpenGVLab InternVL checkpoints (reference:
     vllm/transformers_utils/configs/ — resolved via trust_remote_code
@@ -251,6 +278,7 @@ class NemotronNASConfig(PretrainedConfig):
 
 def register() -> None:
     for cfg_cls in (UltravoxConfig, MiniCPMVConfig,
+                    MiniMaxVL01Config,
                     InternVLChatConfig, NVLMDConfig,
                     H2OVLChatConfig, SkyworkR1VChatConfig,
                     Phi3VConfig, NemotronNASConfig,

@@ -161,6 +161,14 @@ class LlavaForConditionalGeneration:
     def kv_cache_spec(self) -> tuple[int, int, int]:
         return self.language_model.kv_cache_spec()
 
+    def __getattr__(self, name):
+        # delegate optional decoder capabilities (hybrid KV groups —
+        # MiniMax-VL's lightning-attention states — etc.) so composite
+        # wrappers inherit whatever the inner decoder declares
+        if name in ("kv_cache_groups", ):
+            return getattr(self.language_model, name)
+        raise AttributeError(name)
+
     # ------------------------------------------------------------------
 
     def encode_images(self, params, pixel_values: jax.Array

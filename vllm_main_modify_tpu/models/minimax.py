@@ -76,6 +76,13 @@ class MiniMaxText01ForCausalLM:
         self.moe_inter = g("intermediate_size",
                            config.intermediate_size)
         lt = list(g("layer_types", None) or [])
+        if not lt:
+            # remote-code minimax_text01 spells the pattern as
+            # attn_type_list (0 = lightning/linear, 1 = full)
+            atl = g("attn_type_list", None)
+            if atl is not None:
+                lt = ["full_attention" if int(x) else
+                      "linear_attention" for x in atl]
         self.attn_ids = tuple(i for i, kk in enumerate(lt)
                               if kk == "full_attention")
         self.linear_ids = tuple(i for i, kk in enumerate(lt)
@@ -192,8 +199,10 @@ class MiniMaxText01ForCausalLM:
 
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,
-                 use_pallas: Optional[bool] = None):
-        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+                 use_pallas: Optional[bool] = None,
+                 inputs_embeds: Optional[jax.Array] = None):
+        x = inputs_embeds if inputs_embeds is not None else \
+            jnp.take(params["embed_tokens"], input_ids, axis=0)
         t = x.shape[0]
         kv0, states = kv_caches
         (ssm_all, ) = states

@@ -233,6 +233,18 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "Qwen3VLMoeForConditionalGeneration"),
     "MiniCPMV": ("vllm_main_modify_tpu.models.minicpmv",
                  "MiniCPMV"),
+    # MiniCPM-O 2.6 extends MiniCPM-V 2.6 with audio/tts towers; the
+    # vision+text path is identical (the reference's 2.6 loader also
+    # skips apm./audio/tts prefixes) — audio inputs are not yet served
+    "MiniCPMO": ("vllm_main_modify_tpu.models.minicpmv",
+                 "MiniCPMV"),
+    # MiniMax-VL-01 is the LLaVA-NeXT anyres recipe (CLIP tower +
+    # 2-layer projector + image_newline) over MiniMaxText01
+    # (reference: minimax_vl_01.py reuses the llava infrastructure);
+    # both halves carry their own parity tests here
+    "MiniMaxVL01ForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.llava",
+        "LlavaNextForConditionalGeneration"),
     "Phi4MultimodalForCausalLM": (
         "vllm_main_modify_tpu.models.phi4_multimodal",
         "Phi4MultimodalForCausalLM"),

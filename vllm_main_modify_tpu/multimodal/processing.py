@@ -475,7 +475,9 @@ def build_mm_inputs(
 
     is_llava_next = model_config.architecture in (
         "LlavaNextForConditionalGeneration",
-        "LlavaNextVideoForConditionalGeneration")
+        "LlavaNextVideoForConditionalGeneration",
+        # MiniMax-VL-01 rides the same anyres recipe
+        "MiniMaxVL01ForConditionalGeneration")
     is_onevision = model_config.architecture == \
         "LlavaOnevisionForConditionalGeneration"
     # Phi-3V: global image + one 1x1 HD crop (identical at the
