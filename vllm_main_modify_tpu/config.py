@@ -174,6 +174,14 @@ class ModelConfig:
             self.image_token_index = int(
                 top_get("image_token_id")
                 or top_get("unk_token_id") or -1)
+        elif top_get("visual") is not None and isinstance(
+                top_get("visual"), dict) and \
+                "image_start_id" in top_get("visual"):
+            # original Qwen-VL: `visual` dict at the top level; the
+            # placeholder is the image PAD id (start id + 2)
+            self.is_multimodal = True
+            self.image_token_index = int(
+                top_get("visual")["image_start_id"]) + 2
         elif top_get("vocabulary_map") is not None:
             # Chameleon-style early fusion: images become DISCRETE
             # codebook tokens; the placeholder id comes from the

@@ -88,9 +88,13 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "ExaoneForCausalLM": (
         "vllm_main_modify_tpu.models.internlm2_baichuan",
         "ExaoneForCausalLM"),
-    "QWenLMHeadModel": (
-        "vllm_main_modify_tpu.models.internlm2_baichuan",
-        "QWenLMHeadModel"),
+    # Qwen v1: checkpoints with a `visual` tree are Qwen-VL
+    # (reference registry routes the same name through qwen_vl.py)
+    "QWenLMHeadModel": ("vllm_main_modify_tpu.models.registry",
+                        "_qwen_v1_factory"),
+    "QwenVLForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.qwen_vl",
+        "QwenVLForConditionalGeneration"),
     "BaiChuanForCausalLM": (  # 7B (rope)
         "vllm_main_modify_tpu.models.internlm2_baichuan",
         "BaiChuanForCausalLM"),
@@ -613,6 +617,18 @@ def _pooling_llama_factory(config: ModelConfig):
 def _pooling_qwen2_factory(config: ModelConfig):
     config.attention_bias = True
     return _pooling_llama_factory(config)
+
+
+def _qwen_v1_factory(config: ModelConfig):
+    if getattr(config.hf_config, "visual", None):
+        from vllm_main_modify_tpu.models.qwen_vl import \
+            QwenVLForConditionalGeneration
+
+        return QwenVLForConditionalGeneration(config)
+    from vllm_main_modify_tpu.models.internlm2_baichuan import \
+        QWenLMHeadModel
+
+    return QWenLMHeadModel(config)
 
 
 def _qwen2_factory(config: ModelConfig):

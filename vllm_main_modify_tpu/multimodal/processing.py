@@ -105,6 +105,11 @@ def num_image_tokens_for(model_config) -> int:
         # each image -> num_query_tokens Q-Former soft tokens
         # (reference: blip2.py)
         return int(hf.num_query_tokens)
+    if model_config.architecture in ("QwenVLForConditionalGeneration",
+                                     "QWenLMHeadModel") and \
+            getattr(hf, "visual", None):
+        # Resampler2 pool: n_queries learned queries per image
+        return int(dict(hf.visual).get("n_queries", 256))
     vc = getattr(hf, "vision_config", None)
     if vc is None:
         raise ValueError(f"{model_config.architecture} has no "
@@ -347,6 +352,18 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
             return image.astype(np.float32)
         arr = _resize_chw(image, vs)  # HF chameleon: (x - .5) / .5
         return ((arr - 0.5) / 0.5).astype(np.float32)
+    if model_config.architecture in (
+            "QwenVLForConditionalGeneration", "QWenLMHeadModel") and \
+            getattr(model_config.hf_config, "visual", None):
+        v = dict(model_config.hf_config.visual)
+        vs = int(model_config.mm_image_size or v["image_size"])
+        if isinstance(image, np.ndarray) and image.ndim == 3 and \
+                image.shape == (3, vs, vs) and \
+                np.issubdtype(image.dtype, np.floating):
+            return image.astype(np.float32)
+        arr = _resize_chw(image, vs)  # OpenCLIP normalization
+        return ((arr - _CLIP_MEAN[:, None, None]) /
+                _CLIP_STD[:, None, None]).astype(np.float32)
     vc = model_config.hf_config.vision_config
     if isinstance(vc, dict):  # remote-code dict sub-config (MiniCPMV)
         from types import SimpleNamespace
