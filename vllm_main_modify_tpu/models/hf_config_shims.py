@@ -141,6 +141,35 @@ class MiniMaxVL01Config(PretrainedConfig):
         super().__init__(**kwargs)
 
 
+class DeepseekVLV2Config(PretrainedConfig):
+    """deepseek-ai/deepseek-vl2 (remote code upstream): timm-ViT
+    vision_config + MLP projector_config + DeepSeek-V2/V3 text tree
+    under ``language_config``. ``image_token_index`` must be provided
+    for programmatic use (the upstream processor resolves <image>
+    through its tokenizer)."""
+
+    model_type = "deepseek_vl_v2"
+
+    def __init__(self, vision_config=None, projector_config=None,
+                 language_config=None, tile_tag="2D",
+                 global_view_pos="head", candidate_resolutions=None,
+                 image_token_index=None, **kwargs):
+        self.vision_config = PretrainedConfig(**(vision_config or {}))
+        self.projector_config = PretrainedConfig(
+            **(projector_config or {}))
+        d = dict(language_config or {})
+        lt = d.pop("model_type", "deepseek_v2")
+        self.language_config = CONFIG_MAPPING[lt](**d)
+        self.text_config = self.language_config
+        self.tile_tag = tile_tag
+        self.global_view_pos = global_view_pos
+        self.candidate_resolutions = candidate_resolutions or \
+            [[384, 384]]
+        if image_token_index is not None:
+            self.image_token_index = image_token_index
+        super().__init__(**kwargs)
+
+
 class InternVLChatConfig(PretrainedConfig):
     """Remote-code OpenGVLab InternVL checkpoints (reference:
     vllm/transformers_utils/configs/ — resolved via trust_remote_code
@@ -278,7 +307,7 @@ class NemotronNASConfig(PretrainedConfig):
 
 def register() -> None:
     for cfg_cls in (UltravoxConfig, MiniCPMVConfig,
-                    MiniMaxVL01Config,
+                    MiniMaxVL01Config, DeepseekVLV2Config,
                     InternVLChatConfig, NVLMDConfig,
                     H2OVLChatConfig, SkyworkR1VChatConfig,
                     Phi3VConfig, NemotronNASConfig,

@@ -235,6 +235,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen3VLMoeForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen3_vl",
         "Qwen3VLMoeForConditionalGeneration"),
+    "DeepseekVLV2ForCausalLM": (
+        "vllm_main_modify_tpu.models.deepseek_vl2",
+        "DeepseekVLV2ForCausalLM"),
     "MiniCPMV": ("vllm_main_modify_tpu.models.minicpmv",
                  "MiniCPMV"),
     # MiniCPM-O 2.6 extends MiniCPM-V 2.6 with audio/tts towers; the

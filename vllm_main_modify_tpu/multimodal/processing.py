@@ -155,6 +155,16 @@ def num_image_tokens_for(model_config) -> int:
     if model_config.architecture == "MiniCPMV":
         # perceiver resampler: query_num learned queries per image
         return int(getattr(hf, "query_num", 64))
+    if model_config.architecture == "DeepseekVLV2ForCausalLM":
+        # 2D tile formatting at the 1x1-local canonical square:
+        # global rows + newline, separator, local rows + newline
+        vc2 = hf.vision_config
+        pc = hf.projector_config
+        g = int(model_config.mm_image_size
+                or getattr(vc2, "image_size", 384)) // \
+            int(getattr(vc2, "patch_size", 16))
+        h = -(-g // int(getattr(pc, "downsample_ratio", 2)))
+        return 2 * h * (h + 1) + 1
     if model_config.architecture in ("Phi4MultimodalForCausalLM",
                                      "Phi4MMForCausalLM"):
         # global + sub crop, 2x2 token compression, per-row + global
@@ -501,7 +511,9 @@ def build_mm_inputs(
     # canonical square resolution), stacked [2, 3, S, S]
     is_phi3v = model_config.architecture in (
         "Phi3VForCausalLM", "Phi4MultimodalForCausalLM",
-        "Phi4MMForCausalLM")
+        "Phi4MMForCausalLM",
+        # DeepSeek-VL2: global + identical 1x1 local tile
+        "DeepseekVLV2ForCausalLM")
     expanded: list[int] = []
     mm_inputs: list[dict] = []
     salt = hashlib.sha256()
