@@ -235,6 +235,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen3VLMoeForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen3_vl",
         "Qwen3VLMoeForConditionalGeneration"),
+    "ArcticForCausalLM": ("vllm_main_modify_tpu.models.arctic",
+                          "ArcticForCausalLM"),
     "DeepseekVLV2ForCausalLM": (
         "vllm_main_modify_tpu.models.deepseek_vl2",
         "DeepseekVLV2ForCausalLM"),
