@@ -170,6 +170,27 @@ class DeepseekVLV2Config(PretrainedConfig):
         super().__init__(**kwargs)
 
 
+class MiDashengLMConfig(PretrainedConfig):
+    """mispeech/midashenglm (remote code upstream): Dasheng audio
+    tower config + Qwen2.5 text tree. ``audio_token_id`` must be
+    provided for programmatic use (the upstream processor resolves
+    <|AUDIO|> through its tokenizer)."""
+
+    model_type = "midashenglm"
+
+    def __init__(self, audio_encoder_config=None, text_config=None,
+                 subsample_factor=5, audio_token_id=None, **kwargs):
+        self.audio_encoder_config = PretrainedConfig(
+            **(audio_encoder_config or {}))
+        d = dict(text_config or {})
+        lt = d.pop("model_type", "qwen2")
+        self.text_config = CONFIG_MAPPING[lt](**d)
+        self.subsample_factor = subsample_factor
+        if audio_token_id is not None:
+            self.audio_token_id = audio_token_id
+        super().__init__(**kwargs)
+
+
 class InternVLChatConfig(PretrainedConfig):
     """Remote-code OpenGVLab InternVL checkpoints (reference:
     vllm/transformers_utils/configs/ — resolved via trust_remote_code
@@ -308,6 +329,7 @@ class NemotronNASConfig(PretrainedConfig):
 def register() -> None:
     for cfg_cls in (UltravoxConfig, MiniCPMVConfig,
                     MiniMaxVL01Config, DeepseekVLV2Config,
+                    MiDashengLMConfig,
                     InternVLChatConfig, NVLMDConfig,
                     H2OVLChatConfig, SkyworkR1VChatConfig,
                     Phi3VConfig, NemotronNASConfig,

@@ -235,6 +235,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen3VLMoeForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen3_vl",
         "Qwen3VLMoeForConditionalGeneration"),
+    "MiDashengLMModel": ("vllm_main_modify_tpu.models.midashenglm",
+                         "MiDashengLMModel"),
     "Step3TextForCausalLM": ("vllm_main_modify_tpu.models.step3",
                              "Step3TextForCausalLM"),
     "ArcticForCausalLM": ("vllm_main_modify_tpu.models.arctic",

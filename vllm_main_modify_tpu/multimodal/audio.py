@@ -80,7 +80,8 @@ def build_audio_inputs(
     return list(token_ids), mm_inputs, salt
 
 
-AUDIO_EMBED_ARCHS = ("Phi4MultimodalForCausalLM",
+AUDIO_EMBED_ARCHS = ("MiDashengLMModel",
+                     "Phi4MultimodalForCausalLM",
                      "Phi4MMForCausalLM",
                      "GraniteSpeechForConditionalGeneration",
                      "Qwen2AudioForConditionalGeneration",
@@ -116,6 +117,46 @@ def build_granite_speech_inputs(token_ids, audio, model_config):
         feats = np.pad(feats, ((0, pad), (0, 0)))
     n_tok = feats.shape[0] // ds
     audio_token = int(getattr(hf, "audio_token_index"))
+    expanded: list[int] = []
+    placed = False
+    for tok in token_ids:
+        if tok == audio_token and not placed:
+            expanded.extend([audio_token] * n_tok)
+            placed = True
+        else:
+            expanded.append(tok)
+    if not placed:
+        expanded = [audio_token] * n_tok + expanded
+        offset = 0
+    else:
+        offset = expanded.index(audio_token)
+    salt = hashlib.sha256(feats.tobytes()).hexdigest()[:16]
+    return expanded, [{"pixel_values": feats, "offset": offset,
+                       "num_tokens": n_tok}], salt
+
+
+def build_midasheng_audio_inputs(token_ids, audio, model_config):
+    """MiDasheng-LM: [n_mels, T] log-mel features; tokens =
+    grid_f * t_patches // subsample_factor
+    (models/midashenglm.py)."""
+    hf = model_config.hf_config
+    ac = hf.audio_encoder_config
+    g = (ac.get if isinstance(ac, dict)
+         else lambda k, d=None: getattr(ac, k, d))
+    n_mels = int(g("n_mels", 64))
+    ps = g("patch_size", 16)
+    st = g("patch_stride", 16)
+    pf, pt = (ps, ps) if isinstance(ps, int) else tuple(ps)
+    sf, stt = (st, st) if isinstance(st, int) else tuple(st)
+    feats = np.asarray(audio, dtype=np.float32)
+    if feats.ndim == 2 and feats.shape[1] == n_mels and \
+            feats.shape[0] != n_mels:
+        feats = feats.T  # [T, mel] -> [mel, T]
+    assert feats.ndim == 2 and feats.shape[0] == n_mels, feats.shape
+    tp = (feats.shape[1] - pt) // stt + 1
+    k = int(getattr(hf, "subsample_factor", 5))
+    n_tok = (n_mels // sf) * tp // k
+    audio_token = int(getattr(hf, "audio_token_id"))
     expanded: list[int] = []
     placed = False
     for tok in token_ids:
@@ -197,6 +238,9 @@ def build_audio_embeds_inputs(
                                      "Phi4MMForCausalLM"):
         return build_phi4mm_audio_inputs(token_ids, audio,
                                          model_config)
+    if model_config.architecture == "MiDashengLMModel":
+        return build_midasheng_audio_inputs(token_ids, audio,
+                                            model_config)
     hf = model_config.hf_config
     ac = hf.audio_config
     n_mel = getattr(ac, "num_mel_bins", 128)
