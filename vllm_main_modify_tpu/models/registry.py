@@ -165,6 +165,12 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen2_5OmniForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen2_5_omni",
         "Qwen2_5OmniThinkerForConditionalGeneration"),
+    # reference registry names for the remote-code checkpoints
+    # (AIDC-AI/Ovis2-* use architectures ["Ovis"]; Ovis2.5 "Ovis2_5")
+    "Ovis": ("vllm_main_modify_tpu.models.ovis",
+             "Ovis2ForConditionalGeneration"),
+    "Ovis2_5": ("vllm_main_modify_tpu.models.ovis",
+                "Ovis2ForConditionalGeneration"),
     "Ovis2ForConditionalGeneration": ("vllm_main_modify_tpu.models"
                                       ".ovis",
                                       "Ovis2ForConditionalGeneration"),
@@ -235,6 +241,40 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen3VLMoeForConditionalGeneration": (
         "vllm_main_modify_tpu.models.qwen3_vl",
         "Qwen3VLMoeForConditionalGeneration"),
+    # speculative DRAFT heads (see _spec_draft_factory below): the
+    # reference registry lists these as draft-worker classes; here
+    # spec_decode/ owns them via method auto-detection, and loading
+    # one as the MAIN model raises an actionable error
+    "EagleLlamaForCausalLM": (
+        "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
+    "EagleLlama4ForCausalLM": (
+        "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
+    "EagleMiniCPMForCausalLM": (
+        "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
+    "Eagle3LlamaForCausalLM": (
+        "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
+    "LlamaForCausalLMEagle3": (
+        "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
+    "Eagle3Qwen2_5vlForCausalLM": (
+        "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
+    "EagleDeepSeekMTPModel": (
+        "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
+    "DeepSeekMTPModel": (
+        "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
+    "ErnieMTPModel": (
+        "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
+    "Glm4MoeMTPModel": (
+        "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
+    "LongCatFlashMTPModel": (
+        "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
+    "MiMoMTPModel": (
+        "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
+    "Qwen3NextMTP": (
+        "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
+    "MedusaModel": (
+        "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
+    "MLPSpeculatorPreTrainedModel": (
+        "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
     "MiDashengLMModel": ("vllm_main_modify_tpu.models.midashenglm",
                          "MiDashengLMModel"),
     "Step3TextForCausalLM": ("vllm_main_modify_tpu.models.step3",
@@ -655,14 +695,9 @@ def _qwen2_factory(config: ModelConfig):
 # config._detect_spec_method — a draft head cannot decode standalone
 # (it needs the target's hidden states), so loading one as the MAIN
 # model routes to an actionable error instead of a broken engine.
-_SPEC_DRAFT_ARCHS = (
-    "EagleLlamaForCausalLM", "EagleLlama4ForCausalLM",
-    "EagleMiniCPMForCausalLM", "Eagle3LlamaForCausalLM",
-    "LlamaForCausalLMEagle3", "Eagle3Qwen2_5vlForCausalLM",
-    "EagleDeepSeekMTPModel", "DeepSeekMTPModel", "ErnieMTPModel",
-    "Glm4MoeMTPModel", "LongCatFlashMTPModel", "MiMoMTPModel",
-    "Qwen3NextMTP", "MedusaModel", "MLPSpeculatorPreTrainedModel",
-)
+_SPEC_DRAFT_ARCHS = tuple(
+    a for a, (m, f) in _REGISTRY.items()
+    if f == "_spec_draft_factory")
 
 
 def _spec_draft_factory(config: ModelConfig):
@@ -675,9 +710,7 @@ def _spec_draft_factory(config: ModelConfig):
         "architecture name).")
 
 
-for _a in _SPEC_DRAFT_ARCHS:
-    _REGISTRY[_a] = ("vllm_main_modify_tpu.models.registry",
-                     "_spec_draft_factory")
+
 
 
 def resolve_model_cls(architecture: str) -> Callable:
