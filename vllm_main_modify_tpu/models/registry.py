@@ -306,6 +306,11 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "Phi4MultimodalForCausalLM"),
     "Gemma3nForCausalLM": ("vllm_main_modify_tpu.models.gemma3n",
                            "Gemma3nForCausalLM"),
+    # full multimodal export: the text stack is identical (same
+    # model.language_model. keys); the MobileNetV5 vision and USM
+    # audio towers are not yet served — text prompts work as-is
+    "Gemma3nForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.gemma3n", "Gemma3nForCausalLM"),
     "GotOcr2ForConditionalGeneration": (
         "vllm_main_modify_tpu.models.got_ocr2",
         "GotOcr2ForConditionalGeneration"),
