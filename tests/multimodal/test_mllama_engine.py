@@ -39,6 +39,14 @@ def mllama_dir(tmp_path_factory):
     torch.manual_seed(0)
     hf = transformers.MllamaForConditionalGeneration(cfg).to(
         torch.float32).eval()
+    # HF initializes the tanh gates to ZERO — cross attention would
+    # contribute nothing and the tests could not see the vision path.
+    # Open the gates so image content actually steers the logits.
+    with torch.no_grad():
+        for lyr in hf.model.language_model.layers:
+            if hasattr(lyr, "cross_attn_attn_gate"):
+                lyr.cross_attn_attn_gate.fill_(0.5)
+                lyr.cross_attn_mlp_gate.fill_(0.3)
     path = tmp_path_factory.mktemp("models") / "tiny-mllama"
     hf.save_pretrained(path, safe_serialization=True)
     from tests.conftest import _save_tiny_tokenizer
@@ -103,3 +111,32 @@ def test_mllama_text_only_batch(mllama_dir):
             input_ids=torch.tensor([prompt]), max_new_tokens=6,
             do_sample=False, eos_token_id=None, pad_token_id=0)
     assert list(out.outputs[0].token_ids) == gen[0].tolist()[-6:]
+
+
+def test_mllama_warm_engine_slot_reuse(mllama_dir):
+    """Sequential image requests on one warm engine: cross-pool slots
+    free and re-assign; a repeated identical request reproduces the
+    first answer and a different image changes it."""
+    path, hf = mllama_dir
+    rng = np.random.default_rng(5)
+    llm = LLM(model=path, dtype="float32", max_model_len=128,
+              max_num_seqs=2, max_num_batched_tokens=64, block_size=4,
+              num_kv_blocks=128)
+    tiles_a = rng.standard_normal((N_TILES, 3, S, S)).astype(
+        np.float32)
+    tiles_b = rng.standard_normal((N_TILES, 3, S, S)).astype(
+        np.float32)
+    sp = SamplingParams(temperature=0.0, max_tokens=6,
+                        ignore_eos=True)
+
+    def run(tiles):
+        return list(llm.generate(
+            [{"prompt_token_ids": [5, IMG_TOK, 9],
+              "multi_modal_data": {"image": tiles}}],
+            sp)[0].outputs[0].token_ids)
+
+    first = run(tiles_a)
+    other = run(tiles_b)
+    again = run(tiles_a)
+    assert first == again
+    assert first != other
