@@ -47,6 +47,10 @@ def mllama_dir(tmp_path_factory):
             if hasattr(lyr, "cross_attn_attn_gate"):
                 lyr.cross_attn_attn_gate.fill_(0.5)
                 lyr.cross_attn_mlp_gate.fill_(0.3)
+        vm = hf.model.vision_model
+        vm.pre_tile_positional_embedding.gate.fill_(0.4)
+        vm.post_tile_positional_embedding.gate.fill_(0.6)
+        vm.gated_positional_embedding.gate.fill_(0.3)
     path = tmp_path_factory.mktemp("models") / "tiny-mllama"
     hf.save_pretrained(path, safe_serialization=True)
     from tests.conftest import _save_tiny_tokenizer
