@@ -34,6 +34,12 @@ def gemma3n_dir(tmp_path_factory):
         final_logit_softcapping=30.0, pad_token_id=0)
     torch.manual_seed(0)
     hf = transformers.Gemma3nForCausalLM(cfg).to(torch.float32).eval()
+    # HF zero-inits altup.correct_output_scale, which would silence
+    # the per-layer-embedding injection (scaled stream -> gate -> 0);
+    # randomize it so that path actually steers the logits
+    with torch.no_grad():
+        for lyr in hf.model.layers:
+            lyr.altup.correct_output_scale.normal_(0.5, 0.1)
     path = tmp_path_factory.mktemp("models") / "tiny-gemma3n"
     hf.save_pretrained(path, safe_serialization=True)
     # transformers' save applies its {model.language_model -> model}
