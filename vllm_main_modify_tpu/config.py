@@ -174,6 +174,16 @@ class ModelConfig:
             self.image_token_index = int(
                 top_get("image_token_id")
                 or top_get("unk_token_id") or -1)
+        elif "GLM4VForCausalLM" in (top_get("architectures")
+                                    or [""])[0] and \
+                top_get("vision_config") is not None:
+            # legacy GLM-4V: ChatGLM text config + vision_config dict;
+            # the placeholder expands to 2 + (grid/2)^2 rows
+            # (boi/eoi embeds come from the tower output)
+            self.is_multimodal = True
+            self.image_token_index = int(
+                top_get("image_token_id")
+                or top_get("boi_token_id") or -1)
         elif top_get("visual") is not None and isinstance(
                 top_get("visual"), dict) and \
                 "image_start_id" in top_get("visual"):

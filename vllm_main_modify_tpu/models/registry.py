@@ -275,6 +275,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
     "MLPSpeculatorPreTrainedModel": (
         "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
+    "GLM4VForCausalLM": ("vllm_main_modify_tpu.models.glm4v_legacy",
+                         "GLM4VForCausalLM"),
     "MiDashengLMModel": ("vllm_main_modify_tpu.models.midashenglm",
                          "MiDashengLMModel"),
     "Step3TextForCausalLM": ("vllm_main_modify_tpu.models.step3",

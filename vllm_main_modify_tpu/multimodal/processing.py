@@ -155,6 +155,12 @@ def num_image_tokens_for(model_config) -> int:
     if model_config.architecture == "MiniCPMV":
         # perceiver resampler: query_num learned queries per image
         return int(getattr(hf, "query_num", 64))
+    if model_config.architecture == "GLM4VForCausalLM":
+        # legacy GLM-4V: boi + (grid/2)^2 + eoi rows
+        vc2 = dict(hf.vision_config)
+        g2 = int(model_config.mm_image_size
+                 or vc2["image_size"]) // int(vc2["patch_size"])
+        return 2 + (g2 // 2)**2
     if model_config.architecture == "DeepseekVLV2ForCausalLM":
         # 2D tile formatting at the 1x1-local canonical square:
         # global rows + newline, separator, local rows + newline
