@@ -337,6 +337,18 @@ def register() -> None:
                     _make_jais_config()):
         if cfg_cls.model_type not in CONFIG_MAPPING:
             AutoConfig.register(cfg_cls.model_type, cfg_cls)
+    # RVL (Reka Flash VL) is the llava_onevision composite under its
+    # own model_type
+    try:
+        from transformers import LlavaOnevisionConfig
+
+        class RVLConfig(LlavaOnevisionConfig):
+            model_type = "rvl"
+
+        if "rvl" not in CONFIG_MAPPING:
+            AutoConfig.register("rvl", RVLConfig)
+    except ImportError:
+        pass
     # transformers ships the thinker CONFIG class but only maps the
     # full-Omni model_type in AutoConfig; thinker-only exports
     # (model_type qwen2_5_omni_thinker) need the mapping

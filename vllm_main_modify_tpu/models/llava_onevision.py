@@ -180,6 +180,10 @@ class LlavaOnevisionForConditionalGeneration:
 
         x = jax.lax.fori_loop(0, self.v_layers, layer_fn, x)
         # select "full" from the LAST encoder layer: NO post layernorm
+        if "proj_pre_norm" in params:
+            # RVL (Reka): LayerNorm ahead of the projector MLP
+            x = layer_norm(x, params["proj_pre_norm"],
+                           params["proj_pre_norm_bias"], 1e-6)
         x = jax.nn.gelu(x @ params["proj_fc1"] +
                         params["proj_fc1_bias"], approximate=False)
         x = x @ params["proj_fc2"] + params["proj_fc2_bias"]
@@ -215,3 +219,24 @@ class LlavaOnevisionForConditionalGeneration:
     def compute_logits(self, params, hidden):
         return self.language_model.compute_logits(
             params["language_model"], hidden)
+
+
+class RForConditionalGeneration(LlavaOnevisionForConditionalGeneration):
+    """RVL / Reka Flash VL (reference:
+    vllm/model_executor/models/rvl.py): the LLaVA-OneVision recipe
+    with a LayerNorm ahead of the projector MLP."""
+
+    def param_specs(self):
+        from vllm_main_modify_tpu.models.interface import ParamSpec
+
+        specs = super().param_specs()
+        D = self.v_hidden
+        specs += [
+            ParamSpec("proj_pre_norm", (D, ), P(),
+                      "multi_modal_projector.pre_norm.weight",
+                      transform=None),
+            ParamSpec("proj_pre_norm_bias", (D, ), P(),
+                      "multi_modal_projector.pre_norm.bias",
+                      transform=None),
+        ]
+        return specs

@@ -275,6 +275,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
     "MLPSpeculatorPreTrainedModel": (
         "vllm_main_modify_tpu.models.registry", "_spec_draft_factory"),
+    "RForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.llava_onevision",
+        "RForConditionalGeneration"),
     "GLM4VForCausalLM": ("vllm_main_modify_tpu.models.glm4v_legacy",
                          "GLM4VForCausalLM"),
     "MiDashengLMModel": ("vllm_main_modify_tpu.models.midashenglm",

@@ -193,8 +193,9 @@ def num_image_tokens_for(model_config) -> int:
         r = float(getattr(vc, "pixel_shuffle_ratio", 0.5))
         g = vc.image_size // vc.patch_size
         return int(g * r)**2
-    if model_config.architecture == \
-            "LlavaOnevisionForConditionalGeneration":
+    if model_config.architecture in (
+            "LlavaOnevisionForConditionalGeneration",
+            "RForConditionalGeneration"):
         # base grid + 1x1 tile grid with a newline per row
         g = vc.image_size // vc.patch_size
         return g * g + g * (g + 1)
@@ -511,8 +512,10 @@ def build_mm_inputs(
         "LlavaNextVideoForConditionalGeneration",
         # MiniMax-VL-01 rides the same anyres recipe
         "MiniMaxVL01ForConditionalGeneration")
-    is_onevision = model_config.architecture == \
-        "LlavaOnevisionForConditionalGeneration"
+    is_onevision = model_config.architecture in (
+        "LlavaOnevisionForConditionalGeneration",
+        # RVL rides the onevision recipe (models/llava_onevision.py)
+        "RForConditionalGeneration")
     # Phi-3V: global image + one 1x1 HD crop (identical at the
     # canonical square resolution), stacked [2, 3, S, S]
     is_phi3v = model_config.architecture in (
