@@ -258,7 +258,9 @@ class CacheConfig:
     num_gpu_blocks: Optional[int] = None  # None → profile-derived
     gpu_memory_utilization: float = 0.9
     swap_space_gb: float = 0.0
-    cache_dtype: str = "auto"  # auto | bfloat16 | fp8
+    # auto | bfloat16 | fp8 | fp8_e5m2 | int8 (int8: per-token scales,
+    # the preferred quantized-KV mode on TPU — native VPU upcasts)
+    cache_dtype: str = "auto"
     enable_prefix_caching: bool = True
     # hybrid-attention models (Gemma-2/3 style): manage sliding-window
     # layers as their own window-sized page pool (reference:

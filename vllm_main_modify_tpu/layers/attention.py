@@ -15,7 +15,9 @@ import jax
 import jax.numpy as jnp
 
 from vllm_main_modify_tpu.ops.attention import ragged_paged_attention
-from vllm_main_modify_tpu.ops.kv_cache import write_to_kv_cache
+from vllm_main_modify_tpu.ops.kv_cache import (
+    QuantizedKV, dequantize_kv_pages, write_to_kv_cache,
+    write_to_kv_cache_paged_quant, write_to_kv_cache_quant)
 
 # --------------------------------------------------------------------
 # DCP (decode context parallel) trace-time context. Set by the model
@@ -135,6 +137,13 @@ def attention(
         use_pallas = jax.devices()[0].platform == "tpu"
     if bidir_spans is None:
         bidir_spans = meta.bidir_spans
+    if isinstance(kv_caches, QuantizedKV):
+        assert _DCP_CTX is None, \
+            "int8 KV cache + DCP not supported yet"
+        return _quantized_attention(
+            q, k, v, kv_caches, layer_idx, meta, sm_scale,
+            sliding_window, logit_softcap, use_pallas, alibi_slopes,
+            sinks, chunk_size, bidir_spans, write_kv)
     if isinstance(meta.cascade_pages, int) and meta.cascade_pages \
             and not use_pallas and \
             sliding_window is None and logit_softcap is None and \
@@ -235,6 +244,83 @@ def attention(
                      and meta.pure_decode),
     )
     return out, flat.reshape(kv_caches.shape)
+
+
+def _quantized_attention(
+    q: jax.Array,  # [T, Hq, D]
+    k: jax.Array,  # [T, Hk, D]
+    v: jax.Array,
+    kv_caches: QuantizedKV,  # data [L, P, page, W] int8 (or 5-D
+    # [L, P, page, 2K, D]); scales [L, P, page, 2] f32
+    layer_idx,
+    meta: AttentionMetadata,
+    sm_scale: float,
+    sliding_window,
+    logit_softcap,
+    use_pallas: bool,
+    alibi_slopes,
+    sinks,
+    chunk_size,
+    bidir_spans,
+    write_kv: bool,
+) -> tuple[jax.Array, QuantizedKV]:
+    """INT8 paged-KV attention (reference capability:
+    pallas.py:29,335-343 int8 kv-cache quantization — here with
+    dynamic per-token scales, see ops/kv_cache.py QuantizedKV).
+
+    Write path quantizes this step's K/V rows and records their
+    scales; read path streams int8 pages + [2, page] scale blocks into
+    the Pallas kernel (native int8→bf16 upcast + two [rows, kv] VPU
+    multiplies). The XLA/CPU path dequantizes the cache and runs the
+    bf16 oracle."""
+    data, scales = kv_caches
+    num_kv_heads, head_dim = k.shape[-2], k.shape[-1]
+    width = 2 * num_kv_heads * head_dim
+    orig_shape = data.shape
+    if data.ndim == 5:
+        num_layers, num_pages, page_size = data.shape[:3]
+        data = data.reshape(num_layers, num_pages, page_size, width)
+    else:
+        num_layers, num_pages, page_size = data.shape[:3]
+    flat = data.reshape(num_layers * num_pages, page_size, width)
+    sflat = scales.reshape(num_layers * num_pages, page_size, 2)
+    row_offset = layer_idx * (num_pages * page_size)
+    qkv = QuantizedKV(flat, sflat)
+    if not write_kv:
+        pass  # KV-shared layer: read the source layer's pages as-is
+    elif meta.kv_update_slices is not None:
+        qkv = write_to_kv_cache_paged_quant(qkv, k, v,
+                                            meta.kv_update_slices,
+                                            meta.num_kv_update_slices,
+                                            row_offset=row_offset)
+    else:
+        qkv = write_to_kv_cache_quant(qkv, k, v, meta.slot_mapping,
+                                      row_offset=row_offset)
+    if use_pallas:
+        out = ragged_paged_attention(
+            q, qkv.data, meta.block_tables, meta.query_start_loc,
+            meta.seq_lens, sm_scale, num_kv_heads=num_kv_heads,
+            sliding_window=sliding_window, logit_softcap=logit_softcap,
+            use_pallas=True, num_seqs=meta.num_seqs,
+            page_base=layer_idx * num_pages,
+            alibi_slopes=alibi_slopes, sinks=sinks,
+            chunk_size=chunk_size, bidir_spans=bidir_spans,
+            pure_decode=(isinstance(meta.pure_decode, bool)
+                         and meta.pure_decode),
+            kv_scales=qkv.scales)
+    else:
+        deq = dequantize_kv_pages(qkv.data, qkv.scales, num_kv_heads,
+                                  head_dim, out_dtype=q.dtype)
+        out = ragged_paged_attention(
+            q, deq, meta.block_tables, meta.query_start_loc,
+            meta.seq_lens, sm_scale, num_kv_heads=num_kv_heads,
+            sliding_window=sliding_window, logit_softcap=logit_softcap,
+            use_pallas=False, num_seqs=meta.num_seqs,
+            page_base=layer_idx * num_pages,
+            alibi_slopes=alibi_slopes, sinks=sinks,
+            chunk_size=chunk_size, bidir_spans=bidir_spans)
+    return out, QuantizedKV(qkv.data.reshape(orig_shape),
+                            qkv.scales.reshape(scales.shape))
 
 
 def _dcp_attention(

@@ -163,10 +163,13 @@ def ragged_paged_attention(
     chunk_size: Optional[int] = None,
     bidir_spans: Optional[jax.Array] = None,
     pure_decode: bool = False,
+    kv_scales: Optional[jax.Array] = None,  # int8 KV per-token scales
 ) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, XLA reference elsewhere.
     ``page_base`` offsets block-table entries into a stacked
-    multi-layer page pool (layer_idx * num_pages)."""
+    multi-layer page pool (layer_idx * num_pages). ``kv_scales``
+    ([P, page, 2] f32) rides only the Pallas path — the XLA oracle
+    takes a pre-dequantized cache (layers/attention.py)."""
     if use_pallas is None:
         # platform of the actual devices, not default_backend(): the
         # axon TPU plugin can override JAX_PLATFORMS=cpu, but a forced
@@ -187,7 +190,9 @@ def ragged_paged_attention(
             page_base=page_base, causal=causal,
             alibi_slopes=alibi_slopes, sinks=sinks,
             chunk_size=chunk_size, bidir_spans=bidir_spans,
-            pure_decode=pure_decode)
+            pure_decode=pure_decode, kv_scales=kv_scales)
+    assert kv_scales is None, \
+        "XLA path takes a dequantized cache, not scales"
     bt = block_tables + page_base if page_base is not None else \
         block_tables
     if kv_cache.ndim == 3:

@@ -59,16 +59,15 @@ def _rpa_kernel(
     # inputs (HBM)
     q_hbm,  # [T, Hq*D]
     kv_hbm,  # [P*page, 2*Hk*D]
-    # output (HBM)
-    o_hbm,  # [T, Hq*D]
-    # scratch
-    q_vmem,  # [BQ, Hq*D]
-    kv_vmem,  # [N_BUF, KVB, 2*Hk*D]
-    o_vmem,  # [BQ, Hq*D]
-    q_sem,
-    o_sem,
-    kv_sems,  # DMA sems [N_BUF, NPP]
-    *,
+    # then, when has_scales: sc_hbm [R*8, max_kv_pad] f32 — int8-KV
+    # scale columns pre-gathered per request (see
+    # _gather_scale_columns)
+    # output (HBM): o_hbm [T, Hq*D]
+    # scratch: q_vmem [BQ, Hq*D], kv_vmem [N_BUF, KVB, 2*Hk*D],
+    #   o_vmem [BQ, Hq*D], q_sem, o_sem, kv_sems [N_BUF, NPP],
+    #   then when has_scales: sc_vmem [N_BUF, 8, KVB] +
+    #   sc_sems [N_BUF]
+    *refs,
     sm_scale: float,
     num_q_heads: int,
     num_kv_heads: int,
@@ -81,7 +80,17 @@ def _rpa_kernel(
     has_sinks: bool,
     chunk_size: Optional[int],
     num_spans: int,
+    has_scales: bool = False,
 ):
+    it = iter(refs)
+    sc_hbm = next(it) if has_scales else None
+    o_hbm, q_vmem, kv_vmem, o_vmem, q_sem, o_sem, kv_sems = \
+        (next(it) for _ in range(7))
+    if has_scales:
+        sc_vmem = next(it)
+        sc_sems = next(it)
+    else:
+        sc_vmem = sc_sems = None
     i = pl.program_id(0)
     bq = q_vmem.shape[0]
     kvb = kv_vmem.shape[1]  # kv tokens per stream block
@@ -191,6 +200,10 @@ def _rpa_kernel(
                 kv_hbm.at[pl.ds(page_id * page_size, page_size)],
                 kv_vmem.at[slot, pl.ds(j * page_size, page_size)],
                 kv_sems.at[slot, j]).start()
+        if has_scales:
+            pltpu.make_async_copy(
+                sc_hbm.at[pl.ds(s * 8, 8), pl.ds(kb * kvb, kvb)],
+                sc_vmem.at[slot], sc_sems.at[slot]).start()
 
     def wait_kv_dma(slot):
         for j in range(npp):
@@ -198,6 +211,10 @@ def _rpa_kernel(
                 kv_hbm.at[pl.ds(0, page_size)],
                 kv_vmem.at[slot, pl.ds(j * page_size, page_size)],
                 kv_sems.at[slot, j]).wait()
+        if has_scales:
+            pltpu.make_async_copy(
+                sc_hbm.at[pl.ds(0, 8), pl.ds(0, kvb)],
+                sc_vmem.at[slot], sc_sems.at[slot]).wait()
 
     # prologue: locate item0, start DMAs for item0 and item1
     s0, v0 = first_valid_seq(first_seq_ref[i])
@@ -254,15 +271,22 @@ def _rpa_kernel(
 
         kv = kv_vmem[slot]
         if kv.dtype != q_all.dtype:
-            # quantized (fp8) KV cache: stream 1-byte pages, upcast
-            # in VMEM right before the MXU (reference capability:
-            # pallas.py:335-343 fp8 kv-cache quantization). Convert
-            # the CONTIGUOUS block before any strided head slicing —
-            # slicing 8-bit data costs Mosaic element relayouts
+            # quantized (fp8/int8) KV cache: stream 1-byte pages,
+            # upcast in VMEM right before the MXU (reference
+            # capability: pallas.py:335-343 fp8/int8 kv-cache
+            # quantization). Convert the CONTIGUOUS block before any
+            # strided head slicing — slicing 8-bit data costs Mosaic
+            # element relayouts
             kv = kv.astype(q_all.dtype)
         kv = kv.reshape(kvb, num_kv_heads, 2, head_dim)
         k = kv[:, :, 0, :]  # [KVB, Hk, D]
         v = kv[:, :, 1, :]
+        if has_scales:
+            # int8 KV: per-token K/V scale columns [1, KVB] applied to
+            # the score/probability planes (not the streamed block);
+            # pre-gathered, sublane 0 = K scales, 1 = V scales
+            k_col_sc = sc_vmem[slot, 0:1, :]
+            v_col_sc = sc_vmem[slot, 1:2, :]
 
         new_m, new_l, new_acc = [], [], []
         for h in range(num_kv_heads):
@@ -272,6 +296,8 @@ def _rpa_kernel(
                 qh, k[:, h, :],
                 dimension_numbers=(((1, ), (1, )), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale
+            if has_scales:
+                scores = scores * k_col_sc
             if alibi_slopes is not None:
                 # per-row slope: row r of this head block is q head
                 # h*group + (r % group). Slopes are python floats —
@@ -304,8 +330,10 @@ def _rpa_kernel(
             p = jnp.where(mask, p, 0.0)
             scale_old = jnp.exp(m_h - m_new)
             l_new = l_h * scale_old + jnp.sum(p, axis=-1, keepdims=True)
+            # int8 KV: v_scale folds into p; l keeps the unscaled sum
+            pm = ((p * v_col_sc) if has_scales else p).astype(v.dtype)
             pv = jax.lax.dot_general(
-                p.astype(v.dtype), v[:, h, :],
+                pm, v[:, h, :],
                 dimension_numbers=(((1, ), (0, )), ((), ())),
                 preferred_element_type=jnp.float32)
             new_m.append(m_new)
@@ -383,17 +411,17 @@ def _rpa_decode_kernel(
     #         s*HqP + h*group + g holds q head h*group+g in the K
     #         columns of kv head h ([2h*D, 2h*D + D)), zeros elsewhere
     kv_hbm,  # [P*page, W],  W = 2*Hk*D
-    # output (HBM)
-    o_hbm,  # [T*HqP, D]
-    # scratch
-    q_vmem,  # [BS*HqP, W]
-    kv_vmem,  # [N_BUF, KVB, W]
-    o_vmem,  # [BS*HqP, D]
-    q_sem,
-    o_sem,
-    kv_sems,  # [N_BUF, NPP]
-    kv16_vmem=None,  # [KVB, W] q.dtype — quantized-KV upcast
-    *,
+    # then, when has_scales: sc_hbm [R*8, max_kv_pad] f32 — int8-KV
+    # scale columns PRE-GATHERED per request in XLA (row s*8 = seq s's
+    # K scales by kv position, s*8+1 = V scales, rows 2-7 padding);
+    # a DMA-friendly layout: one [8, KVB] tile-aligned copy per item
+    # output (HBM): o_hbm [T*HqP, D]
+    # scratch: q_vmem [BS*HqP, W], kv_vmem [N_BUF, KVB, W],
+    #   o_vmem [BS*HqP, D], q_sem, o_sem, kv_sems [N_BUF, NPP],
+    #   then when kv dtype != q dtype: kv16_vmem [KVB, W],
+    #   then when has_scales: sc_vmem [N_BUF, 8, KVB] f32 +
+    #   sc_sems [N_BUF]
+    *refs,
     sm_scale: float,
     num_q_heads: int,
     hq_pad: int,  # num_q_heads rounded up to a multiple of 8
@@ -404,6 +432,8 @@ def _rpa_decode_kernel(
     logit_softcap: Optional[float],
     has_sinks: bool,
     chunk_size: Optional[int],
+    has_quant: bool = False,  # kv dtype != q dtype (kv16_vmem present)
+    has_scales: bool = False,  # int8 KV: per-token scales present
 ):
     """Decode specialization of the ragged kernel: every sequence has
     exactly ONE query token (row s of the batch). vs the general
@@ -423,6 +453,19 @@ def _rpa_decode_kernel(
     Python loop it replaces issued ~Hk x more VPU/scalar ops per
     item, which dominated decode attention time (the kernel is
     op-issue bound, not bandwidth bound, at ~1 us/item)."""
+    it = iter(refs)
+    if has_scales:
+        sc_hbm = next(it)
+    else:
+        sc_hbm = None
+    o_hbm, q_vmem, kv_vmem, o_vmem, q_sem, o_sem, kv_sems = \
+        (next(it) for _ in range(7))
+    kv16_vmem = next(it) if has_quant else None
+    if has_scales:
+        sc_vmem = next(it)
+        sc_sems = next(it)
+    else:
+        sc_vmem = sc_sems = None
     i = pl.program_id(0)
     bs = q_vmem.shape[0] // hq_pad  # sequences per program
     kvb = kv_vmem.shape[1]
@@ -512,6 +555,13 @@ def _rpa_decode_kernel(
                 kv_vmem[slot, pl.ds(j * page_size, page_size)] = \
                     jnp.zeros((page_size, kv_vmem.shape[-1]),
                               kv_vmem.dtype)
+        if has_scales:
+            # one aligned [8, KVB] copy per item; the gathered array
+            # always holds finite values (padded table entries gather
+            # page 0's scales), so no stale-NaN hazard here
+            pltpu.make_async_copy(
+                sc_hbm.at[pl.ds(s * 8, 8), pl.ds(kb * kvb, kvb)],
+                sc_vmem.at[slot], sc_sems.at[slot]).start()
 
     def wait_kv_dma(s, kb, slot):
         kv_len = seq_lens_ref[s]
@@ -522,6 +572,10 @@ def _rpa_decode_kernel(
                     kv_hbm.at[pl.ds(0, page_size)],
                     kv_vmem.at[slot, pl.ds(j * page_size, page_size)],
                     kv_sems.at[slot, j]).wait()
+        if has_scales:
+            pltpu.make_async_copy(
+                sc_hbm.at[pl.ds(0, 8), pl.ds(0, kvb)],
+                sc_vmem.at[slot], sc_sems.at[slot]).wait()
 
     s0, v0 = first_valid_seq(s_base)
     kb0 = first_kv_block(s0)
@@ -582,11 +636,19 @@ def _rpa_decode_kernel(
         qs = q_vmem[pl.ds(row, hq_pad), :]  # [HqP, W] block-diagonal
 
         if kv16_vmem is not None:
-            # quantized (fp8) KV: upcast the WHOLE stream block once —
-            # per-head strided slices of 8-bit data force Mosaic into
-            # element relayouts (measured 2.6x on the whole kernel);
-            # one contiguous convert then 16-bit slicing is clean
+            # quantized (fp8/int8) KV: upcast the WHOLE stream block
+            # once — per-head strided slices of 8-bit data force Mosaic
+            # into element relayouts (measured 2.6x on the whole
+            # kernel); one contiguous convert then 16-bit slicing is
+            # clean. int8→bf16 is a native VPU convert (values ±127 are
+            # exact in bf16); the per-token scales below multiply the
+            # [rows, SB] score/probability planes instead of the
+            # [SB, W] block — ~W/rows x less VPU work.
             kv16_vmem[...] = kv_vmem[slot].astype(kv16_vmem.dtype)
+        if has_scales:
+            # pre-gathered columns: sublane 0 = K scales, 1 = V scales
+            k_col_all = sc_vmem[slot, 0:1, :]
+            v_col_all = sc_vmem[slot, 1:2, :]
 
         def sub_block(si, m, l, acc):
             kv = (kv_vmem[slot, pl.ds(si * SB, SB)]
@@ -607,6 +669,9 @@ def _rpa_decode_kernel(
                 qs, kv,
                 dimension_numbers=(((1, ), (1, )), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale
+            if has_scales:
+                # int8 KV: logits = (q·k_int8) * k_scale[token]
+                scores = scores * k_col_all[:, si * SB:(si + 1) * SB]
             if logit_softcap is not None:
                 scores = jnp.tanh(scores / logit_softcap) * \
                     logit_softcap
@@ -620,8 +685,15 @@ def _rpa_decode_kernel(
             # one PV for ALL heads: row r's useful result lands in its
             # head's V columns; K columns accumulate p@K garbage that
             # flush never reads
+            if has_scales:
+                # fold v_scale[token] into p (the denominator l keeps
+                # the UNSCALED p): Σ p·(v_scale·v_int8) = (p·v_scale)@v
+                pm = (p * v_col_all[:, si * SB:(si + 1) * SB]).astype(
+                    kv.dtype)
+            else:
+                pm = p.astype(kv.dtype)
             pv = jax.lax.dot_general(
-                p.astype(kv.dtype), kv,
+                pm, kv,
                 dimension_numbers=(((1, ), (0, )), ((), ())),
                 preferred_element_type=jnp.float32)
             return m_new, l_new, acc * scale_old + pv
@@ -681,6 +753,28 @@ def _rpa_decode_kernel(
     o_copy.wait()
 
 
+def _gather_scale_columns(kv_scales, block_tables, page_base,
+                          page_size) -> jax.Array:
+    """int8-KV: materialize per-request K/V scale columns in XLA
+    before the kernel — [R*8, max_kv] f32, row s*8 holding seq s's K
+    scale per kv position, s*8+1 the V scales, rows 2-7 zero padding.
+
+    Rationale: the dense [P, page, 2] scale array cannot be DMA'd
+    page-wise (Mosaic requires the minor dim of a sliced copy to be
+    lane-aligned, and 2 ≠ 128·k — measured on v5e); the gather costs
+    ~R·max_kv·8 B/layer in XLA, 1-4% of the KV stream itself, and
+    buys the kernel one aligned [8, KVB] copy per work item. Call
+    AFTER the block-table width is padded to the stream-block multiple
+    so max_kv divides evenly into KVB slices."""
+    r, mp = block_tables.shape
+    sflat = kv_scales.reshape(-1, page_size, 2)
+    g = jnp.take(sflat, (block_tables + page_base[0]).reshape(-1),
+                 axis=0)
+    g = g.reshape(r, mp * page_size, 2).transpose(0, 2, 1)
+    g = jnp.pad(g, ((0, 0), (0, 6), (0, 0)))
+    return g.reshape(r * 8, mp * page_size)
+
+
 def _decode_attention_pallas(
     q: jax.Array,  # [T, Hq, D] — T == num padded seqs, 1 token each
     kv_cache2: jax.Array,  # [P*page, 2*Hk*D] width layout
@@ -697,6 +791,7 @@ def _decode_attention_pallas(
     has_sinks: bool,
     chunk_size: Optional[int],
     interpret: bool,
+    kv_scales: Optional[jax.Array] = None,  # [P, page, 2] f32 (int8)
 ) -> jax.Array:
     t, num_q_heads, head_dim = q.shape
     width = 2 * num_kv_heads * head_dim
@@ -730,6 +825,8 @@ def _decode_attention_pallas(
         block_tables = jnp.pad(
             block_tables, ((0, 0), (0, npp - max_pages % npp)))
 
+    has_quant = kv_cache2.dtype != q.dtype
+    has_scales = kv_scales is not None
     kernel = functools.partial(
         _rpa_decode_kernel,
         sm_scale=sm_scale,
@@ -742,6 +839,8 @@ def _decode_attention_pallas(
         logit_softcap=logit_softcap,
         has_sinks=has_sinks,
         chunk_size=chunk_size,
+        has_quant=has_quant,
+        has_scales=has_scales,
     )
     # block-diagonal q (built in XLA, tiny: t x hq_pad x W): q head
     # h*group+g of sequence s → row s*hq_pad + h*group + g, occupying
@@ -762,10 +861,8 @@ def _decode_attention_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(t // bs, ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] *
+        (3 if has_scales else 2),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((bs * hq_pad, width), q.dtype),
@@ -774,9 +871,16 @@ def _decode_attention_pallas(
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((N_BUF, npp)),
-        ] + ([pltpu.VMEM((kvb, width), q.dtype)]
-             if kv_cache2.dtype != q.dtype else []),
+        ] + ([pltpu.VMEM((kvb, width), q.dtype)] if has_quant else [])
+        + ([
+            pltpu.VMEM((N_BUF, 8, kvb), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF, )),
+        ] if has_scales else []),
     )
+    sc2 = (_gather_scale_columns(kv_scales, block_tables, page_base,
+                                 page_size), ) if has_scales else ()
+    args = (seq_lens, block_tables, num_seqs, page_base, sinks_in, q2,
+            kv_cache2) + sc2
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -786,8 +890,7 @@ def _decode_attention_pallas(
             dimension_semantics=("arbitrary", ),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seq_lens, block_tables, num_seqs, page_base, sinks_in, q2,
-      kv_cache2)
+    )(*args)
     out = out.reshape(t, hq_pad, head_dim)
     return out[:, :num_q_heads, :] if hq_pad != num_q_heads else out
 
@@ -817,6 +920,8 @@ def ragged_paged_attention_pallas(
     chunk_size: Optional[int] = None,  # Llama4 chunked local attn
     bidir_spans: Optional[jax.Array] = None,  # [R, S, 2] kv positions
     pure_decode: bool = False,  # STATIC: every seq has q_len == 1
+    kv_scales: Optional[jax.Array] = None,  # [P, page, 2] f32 — int8
+    # KV per-token scales (see ops/kv_cache.py QuantizedKV)
 ) -> jax.Array:
     t, num_q_heads, head_dim = q.shape
     num_pages, page_size = kv_cache.shape[:2]
@@ -843,7 +948,7 @@ def ragged_paged_attention_pallas(
             q, kv2d, block_tables, seq_lens, sm_scale, num_kv_heads,
             page_size, sliding_window, logit_softcap, num_seqs,
             page_base, sinks_d, sinks is not None, chunk_size,
-            interpret)
+            interpret, kv_scales=kv_scales)
 
     group_ratio = num_q_heads // (num_kv_heads or 1)
     # scores live in VMEM as [bq*group, kvb] f32 — clamp bq so huge
@@ -877,6 +982,7 @@ def ragged_paged_attention_pallas(
                  .astype(jnp.int32) - 1)
     first_seq = jnp.clip(first_seq, 0, num_reqs - 1)
 
+    has_scales = kv_scales is not None
     kernel = functools.partial(
         _rpa_kernel,
         sm_scale=sm_scale,
@@ -891,6 +997,7 @@ def ragged_paged_attention_pallas(
         has_sinks=sinks is not None,
         chunk_size=chunk_size,
         num_spans=0 if bidir_spans is None else bidir_spans.shape[1],
+        has_scales=has_scales,
     )
     if sinks is None:
         sinks_in = jnp.zeros((num_q_heads, ), jnp.float32)
@@ -910,10 +1017,8 @@ def ragged_paged_attention_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(num_q_blocks, ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] *
+        (3 if has_scales else 2),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((bq, num_q_heads * head_dim), q.dtype),
@@ -922,8 +1027,15 @@ def ragged_paged_attention_pallas(
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((N_BUF, npp)),
-        ],
+        ] + ([
+            pltpu.VMEM((N_BUF, 8, kvb), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF, )),
+        ] if has_scales else []),
     )
+    sc2 = (_gather_scale_columns(kv_scales, block_tables, page_base,
+                                 page_size), ) if has_scales else ()
+    args = (query_start_loc, seq_lens, block_tables, first_seq,
+            num_seqs, page_base, sinks_in, spans_in, q2, kv2) + sc2
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -934,6 +1046,5 @@ def ragged_paged_attention_pallas(
             # VMEM than the 16M default for its mask/score temporaries
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(query_start_loc, seq_lens, block_tables, first_seq, num_seqs,
-      page_base, sinks_in, spans_in, q2, kv2)
+    )(*args)
     return out.reshape(q.shape)

@@ -42,7 +42,8 @@ from vllm_main_modify_tpu.layers.attention import (AttentionMetadata,
                                                    KVGroupMeta)
 from vllm_main_modify_tpu.models.loader import load_model_weights
 from vllm_main_modify_tpu.models.registry import create_model
-from vllm_main_modify_tpu.ops.kv_cache import kv_cache_shape
+from vllm_main_modify_tpu.ops.kv_cache import (QuantizedKV,
+                                               kv_cache_shape)
 from vllm_main_modify_tpu.quantization.weights import lora_context
 from vllm_main_modify_tpu.sample.metadata import SamplingMetadata
 from vllm_main_modify_tpu.sample.sampler import sample
@@ -676,9 +677,12 @@ class TPUModelRunner:
 
     def kv_dtype(self):
         """KV-cache element dtype (reference: cache_config.cache_dtype
-        + Fp8KVCacheMethod, quantization/kv_cache.py:14-56). fp8
-        halves KV HBM → 2x batch/context capacity; the attention
-        kernel upcasts in VMEM."""
+        + Fp8KVCacheMethod, quantization/kv_cache.py:14-56 and the TPU
+        backend's fp8/int8 modes pallas.py:29,335-343). fp8/int8 halve
+        KV HBM → 2x batch/context capacity; the attention kernel
+        upcasts in VMEM. int8 additionally carries per-token scales
+        (ops/kv_cache.py QuantizedKV) and upcasts at native VPU speed
+        — prefer it over fp8 on TPU (docs/perf_v5e.md gap #1)."""
         cd = (self.config.cache_config.cache_dtype or "auto").lower()
         mc = self.config.model_config
         if cd in ("auto", ""):
@@ -689,6 +693,7 @@ class TPUModelRunner:
             "fp8": jnp.float8_e4m3fn,
             "fp8_e4m3": jnp.float8_e4m3fn,
             "fp8_e5m2": jnp.float8_e5m2,
+            "int8": jnp.int8,
         }
         if cd not in table:
             raise ValueError(f"unknown kv cache dtype {cd!r}")
@@ -697,9 +702,13 @@ class TPUModelRunner:
             # 1-byte types tile (32, 128) on TPU: page-granular DMA
             # slices need 32-row alignment
             raise ValueError(
-                "fp8 KV cache on TPU requires block_size % 32 == 0 "
-                f"(got {self.page_size})")
+                "fp8/int8 KV cache on TPU requires block_size % 32 "
+                f"== 0 (got {self.page_size})")
         return table[cd]
+
+    def kv_is_int8(self) -> bool:
+        cd = (self.config.cache_config.cache_dtype or "auto").lower()
+        return cd == "int8"
 
     def page_bytes(self) -> int:
         dtype_size = jnp.dtype(self.kv_dtype()).itemsize
@@ -709,8 +718,11 @@ class TPUModelRunner:
         kv_heads, kv_dim, kv_layers = self.model.kv_cache_spec()
         if self.eagle is not None:
             kv_layers += self.eagle.L
-        return (kv_layers * self.page_size * 2 * kv_heads * kv_dim *
-                dtype_size)
+        per_page = self.page_size * 2 * kv_heads * kv_dim * dtype_size
+        if self.kv_is_int8():
+            # + per-token K/V scales [2, page] f32
+            per_page += 2 * self.page_size * 4
+        return kv_layers * per_page
 
     def plan_kv_pages(self, avail_bytes: Optional[int],
                       full_pages: Optional[int] = None) -> list[int]:
@@ -759,6 +771,32 @@ class TPUModelRunner:
     def initialize_kv_cache(self, num_pages) -> None:
         mc = self.config.model_config
         kv_dtype = self.kv_dtype()
+        if self.kv_is_int8():
+            if self.num_kv_groups > 1 or self.is_enc_dec or \
+                    self.dcp_size > 1:
+                raise ValueError(
+                    "int8 KV cache requires a single full-attention "
+                    "KV group (no hybrid/enc-dec/DCP)")
+            if isinstance(num_pages, (list, tuple)):
+                num_pages = num_pages[0]
+            self.num_pages = num_pages
+            kv_heads, kv_dim, kv_layers = self.model.kv_cache_spec()
+            if self.eagle is not None:
+                kv_layers += self.eagle.L
+            shape = (kv_layers, num_pages, self.page_size,
+                     2 * kv_heads * kv_dim)
+            sc_shape = (kv_layers, num_pages, self.page_size, 2)
+            sc_sharding = NamedSharding(
+                self.mesh,
+                P(self._kv_sharding.spec[0], None, None, None))
+            self.kv_caches = jax.jit(
+                lambda: QuantizedKV(
+                    jnp.zeros(shape, dtype=jnp.int8),
+                    jnp.zeros(sc_shape, dtype=jnp.float32)),
+                out_shardings=QuantizedKV(self._kv_sharding,
+                                          sc_sharding))()
+            self._init_aux_buffers(mc)
+            return
         if self.num_kv_groups > 1:
             self.num_pages = list(num_pages)
             caches = []
@@ -823,9 +861,14 @@ class TPUModelRunner:
 
     def extract_kv_blocks(self, block_ids: list) -> np.ndarray:
         """Device → host gather of whole KV pages (P/D disaggregation
-        producer; kv_transfer/connector.py). [L, n, page, W]."""
+        producer; kv_transfer/connector.py). [L, n, page, W]; int8
+        caches yield (data, scales) pairs."""
         ids = jnp.asarray(block_ids, dtype=jnp.int32)
-        return np.asarray(self.kv_caches[:, ids])
+        kv = self.kv_caches
+        if isinstance(kv, QuantizedKV):
+            return (np.asarray(kv.data[:, ids]),
+                    np.asarray(kv.scales[:, ids]))
+        return np.asarray(kv[:, ids])
 
     def _process_kv_offload_ops(self,
                                 scheduler_output: SchedulerOutput
@@ -837,12 +880,20 @@ class TPUModelRunner:
         if store is None:
             return
         saves = scheduler_output.kv_save_blocks
+        quant = isinstance(self.kv_caches, QuantizedKV)
         if saves:
             ids = jnp.asarray([bid for _, bid in saves],
                               dtype=jnp.int32)
-            data = np.asarray(self.kv_caches[:, ids])  # [L, n, pg, W]
-            for i, (h, _) in enumerate(saves):
-                store.put(h, data[:, i])
+            if quant:
+                data = np.asarray(self.kv_caches.data[:, ids])
+                sc = np.asarray(self.kv_caches.scales[:, ids])
+                for i, (h, _) in enumerate(saves):
+                    store.put(h, (data[:, i], sc[:, i]))
+            else:
+                data = np.asarray(
+                    self.kv_caches[:, ids])  # [L, n, pg, W]
+                for i, (h, _) in enumerate(saves):
+                    store.put(h, data[:, i])
         loads = scheduler_output.kv_load_blocks
         if loads:
             datas = []
@@ -852,9 +903,20 @@ class TPUModelRunner:
                 datas.append(d)
             ids = jnp.asarray([bid for _, bid in loads],
                               dtype=jnp.int32)
-            arr = jnp.asarray(np.stack(datas, axis=1),
-                              dtype=self.kv_caches.dtype)
-            self.kv_caches = _kv_restore(self.kv_caches, ids, arr)
+            if quant:
+                arr = jnp.asarray(
+                    np.stack([d[0] for d in datas], axis=1),
+                    dtype=jnp.int8)
+                sc = jnp.asarray(
+                    np.stack([d[1] for d in datas], axis=1),
+                    dtype=jnp.float32)
+                self.kv_caches = QuantizedKV(
+                    _kv_restore(self.kv_caches.data, ids, arr),
+                    _kv_restore(self.kv_caches.scales, ids, sc))
+            else:
+                arr = jnp.asarray(np.stack(datas, axis=1),
+                                  dtype=self.kv_caches.dtype)
+                self.kv_caches = _kv_restore(self.kv_caches, ids, arr)
 
     # ------------------------------------------------------------------
     # sleep / wake / weight reload (reference: CuMem sleep mode
