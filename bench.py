@@ -312,8 +312,9 @@ def main() -> None:
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     t_start = time.monotonic()
     if not SMOKE and os.environ.get("BENCH_QUANT", "1") == "1":
-        for tag, quant, kv in (("fp8_w8a8_fp8kv", "fp8_w8a8", "fp8"),
-                               ("int4_w4a8", "gptq_w4a8", "auto")):
+        for tag, quant, kv in (("int4_w4a8", "gptq_w4a8", "auto"),
+                               ("fp8_w8a8_int8kv", "fp8_w8a8", "int8"),
+                               ("fp8_w8a8_fp8kv", "fp8_w8a8", "fp8")):
             if time.monotonic() - t_start > budget_s:
                 print(f"# skipping {tag}: over budget",
                       file=sys.stderr)

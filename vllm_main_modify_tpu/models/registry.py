@@ -125,6 +125,10 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                             ".misc_decoders", "NemotronForCausalLM"),
     "GraniteForCausalLM": ("vllm_main_modify_tpu.models.llama",
                            "GraniteForCausalLM"),
+    # Motif-2.6B differential-attention decoder (reference:
+    # vllm/model_executor/models/motif.py + registry.py:122)
+    "MotifForCausalLM": ("vllm_main_modify_tpu.models.motif",
+                         "MotifForCausalLM"),
     "Starcoder2ForCausalLM": ("vllm_main_modify_tpu.models"
                               ".misc_decoders",
                               "Starcoder2ForCausalLM"),
