@@ -61,8 +61,13 @@ def _poly_norm(x: jax.Array, weight: jax.Array, bias: jax.Array,
 class MotifForCausalLM(LlamaForCausalLM):
 
     def __init__(self, config: ModelConfig):
-        super().__init__(config)
         hf = config.hf_config
+        if hf is not None and getattr(hf, "hidden_act",
+                                      None) == "poly_norm":
+            # PolyNorm runs in our overridden _layer_step (per-layer
+            # learned weights); keep the base ACT2FN lookup happy
+            hf.hidden_act = "silu"
+        super().__init__(config)
         if self.num_q % 2 or self.num_kv % 2:
             raise ValueError(
                 "Motif differential attention needs even head counts")
