@@ -129,6 +129,10 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     # vllm/model_executor/models/motif.py + registry.py:122)
     "MotifForCausalLM": ("vllm_main_modify_tpu.models.motif",
                          "MotifForCausalLM"),
+    # PLaMo-2 mamba2/attention hybrid (reference:
+    # vllm/model_executor/models/plamo2.py + registry.py:139)
+    "Plamo2ForCausalLM": ("vllm_main_modify_tpu.models.plamo2",
+                          "Plamo2ForCausalLM"),
     "Starcoder2ForCausalLM": ("vllm_main_modify_tpu.models"
                               ".misc_decoders",
                               "Starcoder2ForCausalLM"),
