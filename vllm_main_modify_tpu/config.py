@@ -143,6 +143,8 @@ class ModelConfig:
                 top_get("image_token_index")
                 or top_get("image_token_id")
                 or top_get("audio_token_index")
+                # Kimi-VL: <|media_pad|> (kimi_vl.py image_token_id)
+                or top_get("media_placeholder_token_id")
                 # Emu3-style: the placeholder id lives in the
                 # vocabulary map
                 or dict(top_get("vocabulary_map") or {}).get("<image>")

@@ -141,6 +141,24 @@ class MiniMaxVL01Config(PretrainedConfig):
         super().__init__(**kwargs)
 
 
+class KimiVLConfig(PretrainedConfig):
+    """moonshotai/Kimi-VL (remote code upstream; reference shim:
+    vllm/transformers_utils/configs/kimi_vl.py): MoonViT
+    vision_config + DeepSeek-V2/V3 text_config +
+    media_placeholder_token_id."""
+
+    model_type = "kimi_vl"
+
+    def __init__(self, vision_config=None, text_config=None,
+                 media_placeholder_token_id=163605, **kwargs):
+        self.vision_config = PretrainedConfig(**(vision_config or {}))
+        d = dict(text_config or {})
+        lt = d.pop("model_type", "deepseek_v2")
+        self.text_config = CONFIG_MAPPING[lt](**d)
+        self.media_placeholder_token_id = media_placeholder_token_id
+        super().__init__(**kwargs)
+
+
 class DeepseekVLV2Config(PretrainedConfig):
     """deepseek-ai/deepseek-vl2 (remote code upstream): timm-ViT
     vision_config + MLP projector_config + DeepSeek-V2/V3 text tree
@@ -329,6 +347,7 @@ class NemotronNASConfig(PretrainedConfig):
 def register() -> None:
     for cfg_cls in (UltravoxConfig, MiniCPMVConfig,
                     MiniMaxVL01Config, DeepseekVLV2Config,
+                    KimiVLConfig,
                     MiDashengLMConfig,
                     InternVLChatConfig, NVLMDConfig,
                     H2OVLChatConfig, SkyworkR1VChatConfig,

@@ -297,6 +297,11 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "DeepseekVLV2ForCausalLM": (
         "vllm_main_modify_tpu.models.deepseek_vl2",
         "DeepseekVLV2ForCausalLM"),
+    # Kimi-VL: MoonViT + DeepSeek-V2/V3 MLA decoder (reference:
+    # vllm/model_executor/models/kimi_vl.py + moonvit.py)
+    "KimiVLForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.kimi_vl",
+        "KimiVLForConditionalGeneration"),
     "MiniCPMV": ("vllm_main_modify_tpu.models.minicpmv",
                  "MiniCPMV"),
     # MiniCPM-O 2.6 extends MiniCPM-V 2.6 with audio/tts towers; the

@@ -49,6 +49,14 @@ def _qwen_vl_dims(model_config) -> tuple[int, int, int]:
         vc, "spatial_merge_size", 2)
 
 
+def _get(cfg, key, default=None):
+    """Attr-or-dict sub-config field access (remote-code configs
+    arrive as plain dicts)."""
+    if isinstance(cfg, dict):
+        return cfg.get(key, default)
+    return getattr(cfg, key, default)
+
+
 def num_image_tokens_for(model_config) -> int:
     """Tokens one image expands to (CLIP-ViT grid, minus CLS for the
     'default' select strategy; Qwen-VL: merged canonical grid)."""
@@ -161,6 +169,15 @@ def num_image_tokens_for(model_config) -> int:
         g2 = int(model_config.mm_image_size
                  or vc2["image_size"]) // int(vc2["patch_size"])
         return 2 + (g2 // 2)**2
+    if model_config.architecture == \
+            "KimiVLForConditionalGeneration":
+        # MoonViT + 2x2 patch merge at the canonical square
+        # (kimi_vl.py get_num_image_tokens at in-limit sizes)
+        vc2 = hf.vision_config
+        size = int(model_config.mm_image_size or 448)
+        g = size // int(_get(vc2, "patch_size", 14))
+        mks = _get(vc2, "merge_kernel_size", (2, 2)) or (2, 2)
+        return (g // int(mks[0]))**2
     if model_config.architecture == "DeepseekVLV2ForCausalLM":
         # 2D tile formatting at the 1x1-local canonical square:
         # global rows + newline, separator, local rows + newline
@@ -379,6 +396,18 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
                 np.issubdtype(image.dtype, np.floating):
             return image.astype(np.float32)
         arr = _resize_chw(image, vs)  # OpenCLIP normalization
+        return ((arr - _CLIP_MEAN[:, None, None]) /
+                _CLIP_STD[:, None, None]).astype(np.float32)
+    if model_config.architecture == \
+            "KimiVLForConditionalGeneration":
+        # MoonViT is native-dynamic-res (no image_size); canonical
+        # square, CLIP-style normalization (Kimi image processor)
+        vs = int(model_config.mm_image_size or 448)
+        if isinstance(image, np.ndarray) and image.ndim == 3 and \
+                image.shape == (3, vs, vs) and \
+                np.issubdtype(image.dtype, np.floating):
+            return image.astype(np.float32)
+        arr = _resize_chw(image, vs)
         return ((arr - _CLIP_MEAN[:, None, None]) /
                 _CLIP_STD[:, None, None]).astype(np.float32)
     vc = model_config.hf_config.vision_config
