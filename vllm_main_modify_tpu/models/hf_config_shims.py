@@ -141,6 +141,28 @@ class MiniMaxVL01Config(PretrainedConfig):
         super().__init__(**kwargs)
 
 
+class Step3VLConfig(PretrainedConfig):
+    """stepfun-ai/step3 (reference shim:
+    vllm/transformers_utils/configs/step3_vl.py): Step3 vision
+    encoder config + step3_text config + projector knobs."""
+
+    model_type = "step3_vl"
+
+    def __init__(self, vision_config=None, text_config=None,
+                 understand_projector_stride=1, projector_bias=True,
+                 image_token_id=128001, **kwargs):
+        self.vision_config = PretrainedConfig(**(vision_config or {}))
+        d = dict(text_config or {})
+        d.pop("model_type", None)
+        self.text_config = PretrainedConfig(**d)
+        self.understand_projector_stride = understand_projector_stride
+        self.projector_bias = projector_bias
+        self.image_token_id = image_token_id
+        self.hidden_size = getattr(self.text_config, "hidden_size",
+                                   7168)
+        super().__init__(**kwargs)
+
+
 class KimiVLConfig(PretrainedConfig):
     """moonshotai/Kimi-VL (remote code upstream; reference shim:
     vllm/transformers_utils/configs/kimi_vl.py): MoonViT
@@ -347,7 +369,7 @@ class NemotronNASConfig(PretrainedConfig):
 def register() -> None:
     for cfg_cls in (UltravoxConfig, MiniCPMVConfig,
                     MiniMaxVL01Config, DeepseekVLV2Config,
-                    KimiVLConfig,
+                    KimiVLConfig, Step3VLConfig,
                     MiDashengLMConfig,
                     InternVLChatConfig, NVLMDConfig,
                     H2OVLChatConfig, SkyworkR1VChatConfig,

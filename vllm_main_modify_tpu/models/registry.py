@@ -292,6 +292,11 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                          "MiDashengLMModel"),
     "Step3TextForCausalLM": ("vllm_main_modify_tpu.models.step3",
                              "Step3TextForCausalLM"),
+    # Step3-VL: vision tower + conv-downsampler projector over the
+    # Step3 text decoder (reference: step3_vl.py)
+    "Step3VLForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.step3",
+        "Step3VLForConditionalGeneration"),
     "ArcticForCausalLM": ("vllm_main_modify_tpu.models.arctic",
                           "ArcticForCausalLM"),
     "DeepseekVLV2ForCausalLM": (

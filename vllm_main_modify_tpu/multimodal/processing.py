@@ -170,6 +170,19 @@ def num_image_tokens_for(model_config) -> int:
                  or vc2["image_size"]) // int(vc2["patch_size"])
         return 2 + (g2 // 2)**2
     if model_config.architecture == \
+            "Step3VLForConditionalGeneration":
+        # two-conv downsampler at the canonical square (no crops):
+        # k=2/stride=s then k=3/s=2/p=1 (step3_vl.py
+        # _process_image_features)
+        vc2 = hf.vision_config
+        size = int(model_config.mm_image_size
+                   or _get(vc2, "image_size", 728))
+        g = size // int(_get(vc2, "patch_size", 14))
+        s = int(getattr(hf, "understand_projector_stride", 1))
+        g1 = (g - 2) // s + 1
+        g2 = (g1 - 1) // 2 + 1
+        return g2 * g2
+    if model_config.architecture == \
             "KimiVLForConditionalGeneration":
         # MoonViT + 2x2 patch merge at the canonical square
         # (kimi_vl.py get_num_image_tokens at in-limit sizes)
@@ -396,6 +409,19 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
                 np.issubdtype(image.dtype, np.floating):
             return image.astype(np.float32)
         arr = _resize_chw(image, vs)  # OpenCLIP normalization
+        return ((arr - _CLIP_MEAN[:, None, None]) /
+                _CLIP_STD[:, None, None]).astype(np.float32)
+    if model_config.architecture == \
+            "Step3VLForConditionalGeneration":
+        # CLIP normalization (Step3VisionProcessor, step3_vl.py:64-80)
+        vc3 = model_config.hf_config.vision_config
+        vs = int(model_config.mm_image_size
+                 or _get(vc3, "image_size", 728))
+        if isinstance(image, np.ndarray) and image.ndim == 3 and \
+                image.shape == (3, vs, vs) and \
+                np.issubdtype(image.dtype, np.floating):
+            return image.astype(np.float32)
+        arr = _resize_chw(image, vs)
         return ((arr - _CLIP_MEAN[:, None, None]) /
                 _CLIP_STD[:, None, None]).astype(np.float32)
     if model_config.architecture == \
