@@ -155,6 +155,12 @@ class ModelConfig:
             # embedded vision tower description (img_processor dict)
             self.is_multimodal = True
             self.image_token_index = top_get("image_token_index")
+        elif top_get("vision_config") is not None and \
+                top_get("image_token_id") is not None:
+            # DotsOCR style: the top config IS the Qwen2 text config
+            # plus a vision_config and a top-level image_token_id
+            self.is_multimodal = True
+            self.image_token_index = int(top_get("image_token_id"))
         elif top_get("vision_config") is not None and (
                 (top_get("vision_config").get("image_token_id")
                  if isinstance(top_get("vision_config"), dict)

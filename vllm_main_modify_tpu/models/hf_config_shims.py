@@ -141,6 +141,21 @@ class MiniMaxVL01Config(PretrainedConfig):
         super().__init__(**kwargs)
 
 
+class DotsOCRConfig(PretrainedConfig):
+    """rednote-hilab/dots.ocr (reference shim:
+    vllm/transformers_utils/configs/dotsocr.py): a Qwen2 text config
+    carrying vision_config + image_token_id at the top level."""
+
+    model_type = "dots_ocr"
+
+    def __init__(self, image_token_id=151665, video_token_id=151656,
+                 vision_config=None, **kwargs):
+        self.image_token_id = image_token_id
+        self.video_token_id = video_token_id
+        self.vision_config = PretrainedConfig(**(vision_config or {}))
+        super().__init__(**kwargs)
+
+
 class Step3VLConfig(PretrainedConfig):
     """stepfun-ai/step3 (reference shim:
     vllm/transformers_utils/configs/step3_vl.py): Step3 vision
@@ -369,7 +384,7 @@ class NemotronNASConfig(PretrainedConfig):
 def register() -> None:
     for cfg_cls in (UltravoxConfig, MiniCPMVConfig,
                     MiniMaxVL01Config, DeepseekVLV2Config,
-                    KimiVLConfig, Step3VLConfig,
+                    KimiVLConfig, Step3VLConfig, DotsOCRConfig,
                     MiDashengLMConfig,
                     InternVLChatConfig, NVLMDConfig,
                     H2OVLChatConfig, SkyworkR1VChatConfig,

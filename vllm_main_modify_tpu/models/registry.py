@@ -307,6 +307,10 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "KimiVLForConditionalGeneration": (
         "vllm_main_modify_tpu.models.kimi_vl",
         "KimiVLForConditionalGeneration"),
+    # dots.ocr: RMSNorm/SwiGLU NaViT + Qwen2 decoder (reference:
+    # vllm/model_executor/models/dots_ocr.py)
+    "DotsOCRForCausalLM": ("vllm_main_modify_tpu.models.dots_ocr",
+                           "DotsOCRForCausalLM"),
     "MiniCPMV": ("vllm_main_modify_tpu.models.minicpmv",
                  "MiniCPMV"),
     # MiniCPM-O 2.6 extends MiniCPM-V 2.6 with audio/tts towers; the

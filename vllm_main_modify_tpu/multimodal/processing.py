@@ -169,6 +169,12 @@ def num_image_tokens_for(model_config) -> int:
         g2 = int(model_config.mm_image_size
                  or vc2["image_size"]) // int(vc2["patch_size"])
         return 2 + (g2 // 2)**2
+    if model_config.architecture == "DotsOCRForCausalLM":
+        # Qwen2-VL-style merged grid at the canonical square
+        vc2 = hf.vision_config
+        size = int(model_config.mm_image_size or 448)
+        g = size // int(_get(vc2, "patch_size", 14))
+        return (g // int(_get(vc2, "spatial_merge_size", 2)))**2
     if model_config.architecture == \
             "Step3VLForConditionalGeneration":
         # two-conv downsampler at the canonical square (no crops):
@@ -417,6 +423,17 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
         vc3 = model_config.hf_config.vision_config
         vs = int(model_config.mm_image_size
                  or _get(vc3, "image_size", 728))
+        if isinstance(image, np.ndarray) and image.ndim == 3 and \
+                image.shape == (3, vs, vs) and \
+                np.issubdtype(image.dtype, np.floating):
+            return image.astype(np.float32)
+        arr = _resize_chw(image, vs)
+        return ((arr - _CLIP_MEAN[:, None, None]) /
+                _CLIP_STD[:, None, None]).astype(np.float32)
+    if model_config.architecture == "DotsOCRForCausalLM":
+        # Qwen2-VL image processor (CLIP normalization), dynamic-res
+        # vision config without image_size → canonical square
+        vs = int(model_config.mm_image_size or 448)
         if isinstance(image, np.ndarray) and image.ndim == 3 and \
                 image.shape == (3, vs, vs) and \
                 np.issubdtype(image.dtype, np.floating):
