@@ -141,6 +141,25 @@ class MiniMaxVL01Config(PretrainedConfig):
         super().__init__(**kwargs)
 
 
+class KeyeConfig(PretrainedConfig):
+    """Kwai-Keye/Keye-VL (remote code upstream): Qwen3 text fields at
+    the top level + SigLIP-style vision_config + Qwen2-VL placeholder
+    ids."""
+
+    model_type = "keye"
+
+    def __init__(self, vision_config=None, image_token_id=151655,
+                 video_token_id=151656, **kwargs):
+        self.vision_config = PretrainedConfig(**(vision_config or {}))
+        self.image_token_id = image_token_id
+        self.video_token_id = video_token_id
+        super().__init__(**kwargs)
+
+
+class KeyeVL1_5Config(KeyeConfig):
+    model_type = "keye_vl_1_5"
+
+
 class DotsOCRConfig(PretrainedConfig):
     """rednote-hilab/dots.ocr (reference shim:
     vllm/transformers_utils/configs/dotsocr.py): a Qwen2 text config
@@ -385,6 +404,7 @@ def register() -> None:
     for cfg_cls in (UltravoxConfig, MiniCPMVConfig,
                     MiniMaxVL01Config, DeepseekVLV2Config,
                     KimiVLConfig, Step3VLConfig, DotsOCRConfig,
+                    KeyeConfig, KeyeVL1_5Config,
                     MiDashengLMConfig,
                     InternVLChatConfig, NVLMDConfig,
                     H2OVLChatConfig, SkyworkR1VChatConfig,

@@ -311,6 +311,14 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     # vllm/model_executor/models/dots_ocr.py)
     "DotsOCRForCausalLM": ("vllm_main_modify_tpu.models.dots_ocr",
                            "DotsOCRForCausalLM"),
+    # Keye-VL / Keye-VL-1.5: SigLIP + mlp_AR merge projector over
+    # mrope Qwen3 (reference: keye.py + keye_vl1_5.py)
+    "KeyeForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.keye",
+        "KeyeForConditionalGeneration"),
+    "KeyeVL1_5ForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.keye",
+        "KeyeVL1_5ForConditionalGeneration"),
     "MiniCPMV": ("vllm_main_modify_tpu.models.minicpmv",
                  "MiniCPMV"),
     # MiniCPM-O 2.6 extends MiniCPM-V 2.6 with audio/tts towers; the

@@ -169,7 +169,9 @@ def num_image_tokens_for(model_config) -> int:
         g2 = int(model_config.mm_image_size
                  or vc2["image_size"]) // int(vc2["patch_size"])
         return 2 + (g2 // 2)**2
-    if model_config.architecture == "DotsOCRForCausalLM":
+    if model_config.architecture in (
+            "DotsOCRForCausalLM", "KeyeForConditionalGeneration",
+            "KeyeVL1_5ForConditionalGeneration"):
         # Qwen2-VL-style merged grid at the canonical square
         vc2 = hf.vision_config
         size = int(model_config.mm_image_size or 448)
@@ -430,6 +432,17 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
         arr = _resize_chw(image, vs)
         return ((arr - _CLIP_MEAN[:, None, None]) /
                 _CLIP_STD[:, None, None]).astype(np.float32)
+    if model_config.architecture in (
+            "KeyeForConditionalGeneration",
+            "KeyeVL1_5ForConditionalGeneration"):
+        # SigLIP normalization ((x - .5) / .5), canonical square
+        vs = int(model_config.mm_image_size or 448)
+        if isinstance(image, np.ndarray) and image.ndim == 3 and \
+                image.shape == (3, vs, vs) and \
+                np.issubdtype(image.dtype, np.floating):
+            return image.astype(np.float32)
+        arr = _resize_chw(image, vs)
+        return ((arr - 0.5) / 0.5).astype(np.float32)
     if model_config.architecture == "DotsOCRForCausalLM":
         # Qwen2-VL image processor (CLIP normalization), dynamic-res
         # vision config without image_size → canonical square
@@ -684,13 +697,23 @@ def build_mm_inputs(
                                          "ascii")).hexdigest()[:24],
         })
         expanded.extend([image_token] * this_tok)
-    if mm_inputs and _is_qwen_vl(model_config):
+    is_keye = model_config.architecture in (
+        "KeyeForConditionalGeneration",
+        "KeyeVL1_5ForConditionalGeneration")
+    if mm_inputs and (_is_qwen_vl(model_config) or is_keye):
         # mrope 3-D positions for the whole prompt + decode delta
-        # (reference: MRotaryEmbedding.get_input_positions)
+        # (reference: MRotaryEmbedding.get_input_positions; Keye rides
+        # the same recipe, keye.py:1509)
         from vllm_main_modify_tpu.models.qwen2_vl import \
             compute_mrope_positions
 
-        _, grid, merge = _qwen_vl_dims(model_config)
+        if is_keye:
+            vck = model_config.hf_config.vision_config
+            grid = int(model_config.mm_image_size or 448) // \
+                int(_get(vck, "patch_size", 14))
+            merge = int(_get(vck, "spatial_merge_size", 2))
+        else:
+            _, grid, merge = _qwen_vl_dims(model_config)
         pos3, delta = compute_mrope_positions(
             expanded, image_token, [(1, grid, grid)] * len(mm_inputs),
             merge)
