@@ -156,11 +156,16 @@ class ModelConfig:
             self.is_multimodal = True
             self.image_token_index = top_get("image_token_index")
         elif top_get("vision_config") is not None and \
-                top_get("image_token_id") is not None:
-            # DotsOCR style: the top config IS the Qwen2 text config
-            # plus a vision_config and a top-level image_token_id
+                (top_get("image_token_id") is not None
+                 or top_get("im_patch_id") is not None):
+            # DotsOCR / Ernie4.5-VL style: the top config IS the text
+            # config plus a vision_config and a top-level placeholder
+            # id (image_token_id / im_patch_id)
             self.is_multimodal = True
-            self.image_token_index = int(top_get("image_token_id"))
+            self.image_token_index = int(
+                top_get("image_token_id")
+                if top_get("image_token_id") is not None
+                else top_get("im_patch_id"))
         elif top_get("vision_config") is not None and (
                 (top_get("vision_config").get("image_token_id")
                  if isinstance(top_get("vision_config"), dict)

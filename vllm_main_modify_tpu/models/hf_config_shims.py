@@ -141,6 +141,20 @@ class MiniMaxVL01Config(PretrainedConfig):
         super().__init__(**kwargs)
 
 
+class Ernie45VLMoeConfig(PretrainedConfig):
+    """baidu/ERNIE-4.5-VL (remote code upstream): ERNIE MoE text
+    fields at the top + qwen-style vision_config + resampler knobs +
+    im_patch_id."""
+
+    model_type = "ernie4_5_moe_vl"
+
+    def __init__(self, vision_config=None, im_patch_id=100295,
+                 **kwargs):
+        self.vision_config = PretrainedConfig(**(vision_config or {}))
+        self.im_patch_id = im_patch_id
+        super().__init__(**kwargs)
+
+
 class KeyeConfig(PretrainedConfig):
     """Kwai-Keye/Keye-VL (remote code upstream): Qwen3 text fields at
     the top level + SigLIP-style vision_config + Qwen2-VL placeholder
@@ -404,7 +418,7 @@ def register() -> None:
     for cfg_cls in (UltravoxConfig, MiniCPMVConfig,
                     MiniMaxVL01Config, DeepseekVLV2Config,
                     KimiVLConfig, Step3VLConfig, DotsOCRConfig,
-                    KeyeConfig, KeyeVL1_5Config,
+                    KeyeConfig, KeyeVL1_5Config, Ernie45VLMoeConfig,
                     MiDashengLMConfig,
                     InternVLChatConfig, NVLMDConfig,
                     H2OVLChatConfig, SkyworkR1VChatConfig,

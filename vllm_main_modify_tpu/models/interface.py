@@ -41,6 +41,10 @@ class ParamSpec:
     # MoE: "{e}" in hf_key expands over a second (expert) axis after
     # the layer axis; shape is [L, E, ...]
     num_experts: int = 0
+    # expert banks whose HF numbering starts past 0 (Ernie4.5-VL
+    # vision experts live at mlp.experts.{E_text + e}): "{e}" expands
+    # to e + expert_offset
+    expert_offset: int = 0
     transform: Optional[Callable[[np.ndarray], np.ndarray]] = None
     # stacked params whose HF layer numbering starts past 0 (e.g.
     # DeepSeek MoE layers begin at first_k_dense_replace): "{i}"

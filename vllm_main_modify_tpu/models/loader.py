@@ -521,7 +521,8 @@ def _assemble_host_tensor(spec: ParamSpec, reader: _TensorReader,
         if spec.num_experts > 0:
             for i in range(num_layers):
                 for e in range(spec.num_experts):
-                    x = fetch(spec.hf_key.format(i=hf_layer(i), e=e),
+                    x = fetch(spec.hf_key.format(
+                        i=hf_layer(i), e=e + spec.expert_offset),
                               want_shape=spec.shape[2:])
                     assert x.shape == spec.shape[2:], (
                         f"{spec.path} layer {i} expert {e}: got "

@@ -319,6 +319,14 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "KeyeVL1_5ForConditionalGeneration": (
         "vllm_main_modify_tpu.models.keye",
         "KeyeVL1_5ForConditionalGeneration"),
+    # ERNIE-4.5-VL MoE: ViT + resampler over modality-routed MoE
+    # (reference: ernie45_vl.py + ernie45_vl_moe.py)
+    "Ernie4_5_VLMoeForConditionalGeneration": (
+        "vllm_main_modify_tpu.models.ernie45_vl",
+        "Ernie4_5_VLMoeForConditionalGeneration"),
+    "Ernie45VLTextModel": (
+        "vllm_main_modify_tpu.models.ernie45_vl",
+        "Ernie45VLTextModel"),
     "MiniCPMV": ("vllm_main_modify_tpu.models.minicpmv",
                  "MiniCPMV"),
     # MiniCPM-O 2.6 extends MiniCPM-V 2.6 with audio/tts towers; the

@@ -178,6 +178,12 @@ def num_image_tokens_for(model_config) -> int:
         g = size // int(_get(vc2, "patch_size", 14))
         return (g // int(_get(vc2, "spatial_merge_size", 2)))**2
     if model_config.architecture == \
+            "Ernie4_5_VLMoeForConditionalGeneration":
+        # resampler compresses the patch grid by spatial_conv_size
+        size = int(model_config.mm_image_size or 448)
+        g = size // int(_get(hf.vision_config, "patch_size", 14))
+        return (g // int(getattr(hf, "spatial_conv_size", 2)))**2
+    if model_config.architecture == \
             "Step3VLForConditionalGeneration":
         # two-conv downsampler at the canonical square (no crops):
         # k=2/stride=s then k=3/s=2/p=1 (step3_vl.py
@@ -443,9 +449,12 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
             return image.astype(np.float32)
         arr = _resize_chw(image, vs)
         return ((arr - 0.5) / 0.5).astype(np.float32)
-    if model_config.architecture == "DotsOCRForCausalLM":
-        # Qwen2-VL image processor (CLIP normalization), dynamic-res
-        # vision config without image_size → canonical square
+    if model_config.architecture in (
+            "DotsOCRForCausalLM",
+            "Ernie4_5_VLMoeForConditionalGeneration"):
+        # Qwen2-VL-style image processor (CLIP normalization),
+        # dynamic-res vision config without image_size → canonical
+        # square
         vs = int(model_config.mm_image_size or 448)
         if isinstance(image, np.ndarray) and image.ndim == 3 and \
                 image.shape == (3, vs, vs) and \
@@ -700,7 +709,10 @@ def build_mm_inputs(
     is_keye = model_config.architecture in (
         "KeyeForConditionalGeneration",
         "KeyeVL1_5ForConditionalGeneration")
-    if mm_inputs and (_is_qwen_vl(model_config) or is_keye):
+    is_ernie_vl = model_config.architecture == \
+        "Ernie4_5_VLMoeForConditionalGeneration"
+    if mm_inputs and (_is_qwen_vl(model_config) or is_keye
+                      or is_ernie_vl):
         # mrope 3-D positions for the whole prompt + decode delta
         # (reference: MRotaryEmbedding.get_input_positions; Keye rides
         # the same recipe, keye.py:1509)
@@ -712,6 +724,13 @@ def build_mm_inputs(
             grid = int(model_config.mm_image_size or 448) // \
                 int(_get(vck, "patch_size", 14))
             merge = int(_get(vck, "spatial_merge_size", 2))
+        elif is_ernie_vl:
+            # ernie positions compress by the RESAMPLER's conv size
+            # (mrope.py _ernie_get_input_positions_tensor)
+            hfe = model_config.hf_config
+            grid = int(model_config.mm_image_size or 448) // \
+                int(_get(hfe.vision_config, "patch_size", 14))
+            merge = int(getattr(hfe, "spatial_conv_size", 2))
         else:
             _, grid, merge = _qwen_vl_dims(model_config)
         pos3, delta = compute_mrope_positions(
