@@ -141,6 +141,25 @@ class MiniMaxVL01Config(PretrainedConfig):
         super().__init__(**kwargs)
 
 
+class MolmoConfig(PretrainedConfig):
+    """allenai/Molmo (remote code upstream): OLMo-style decoder fields
+    at the top; the vision backbone is fixed (VisionBackboneConfig
+    defaults in the reference, molmo.py:98-119) with optional
+    overrides under ``vision_config``. ``image_token_index`` must be
+    provided for programmatic use (upstream resolves the patch token
+    through its processor)."""
+
+    model_type = "molmo"
+
+    def __init__(self, vision_config=None, image_token_index=None,
+                 **kwargs):
+        if vision_config is not None:
+            self.vision_config = vision_config
+        if image_token_index is not None:
+            self.image_token_index = image_token_index
+        super().__init__(**kwargs)
+
+
 class Ernie45VLMoeConfig(PretrainedConfig):
     """baidu/ERNIE-4.5-VL (remote code upstream): ERNIE MoE text
     fields at the top + qwen-style vision_config + resampler knobs +
@@ -419,6 +438,7 @@ def register() -> None:
                     MiniMaxVL01Config, DeepseekVLV2Config,
                     KimiVLConfig, Step3VLConfig, DotsOCRConfig,
                     KeyeConfig, KeyeVL1_5Config, Ernie45VLMoeConfig,
+                    MolmoConfig,
                     MiDashengLMConfig,
                     InternVLChatConfig, NVLMDConfig,
                     H2OVLChatConfig, SkyworkR1VChatConfig,

@@ -327,6 +327,10 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Ernie45VLTextModel": (
         "vllm_main_modify_tpu.models.ernie45_vl",
         "Ernie45VLTextModel"),
+    # Molmo: CLIP ViT + 2x2 attention pooling over an OLMo decoder
+    # (reference: molmo.py)
+    "MolmoForCausalLM": ("vllm_main_modify_tpu.models.molmo",
+                         "MolmoForCausalLM"),
     "MiniCPMV": ("vllm_main_modify_tpu.models.minicpmv",
                  "MiniCPMV"),
     # MiniCPM-O 2.6 extends MiniCPM-V 2.6 with audio/tts towers; the

@@ -177,6 +177,14 @@ def num_image_tokens_for(model_config) -> int:
         size = int(model_config.mm_image_size or 448)
         g = size // int(_get(vc2, "patch_size", 14))
         return (g // int(_get(vc2, "spatial_merge_size", 2)))**2
+    if model_config.architecture == "MolmoForCausalLM":
+        # 2x2 attention pooling over the crop grid (molmo.py
+        # llm_patches_per_crop)
+        vcm = getattr(hf, "vision_config", None) or {}
+        patch = int(_get(vcm, "image_patch_size", 14))
+        default = _get(vcm, "image_default_input_size", (336, 336))
+        size = int(model_config.mm_image_size or default[0])
+        return ((size // patch + 1) // 2)**2
     if model_config.architecture == \
             "Ernie4_5_VLMoeForConditionalGeneration":
         # resampler compresses the patch grid by spatial_conv_size
@@ -431,6 +439,19 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
         vc3 = model_config.hf_config.vision_config
         vs = int(model_config.mm_image_size
                  or _get(vc3, "image_size", 728))
+        if isinstance(image, np.ndarray) and image.ndim == 3 and \
+                image.shape == (3, vs, vs) and \
+                np.issubdtype(image.dtype, np.floating):
+            return image.astype(np.float32)
+        arr = _resize_chw(image, vs)
+        return ((arr - _CLIP_MEAN[:, None, None]) /
+                _CLIP_STD[:, None, None]).astype(np.float32)
+    if model_config.architecture == "MolmoForCausalLM":
+        # CLIP ViT-L normalization at the canonical crop size
+        vcm = getattr(model_config.hf_config, "vision_config",
+                      None) or {}
+        default = _get(vcm, "image_default_input_size", (336, 336))
+        vs = int(model_config.mm_image_size or default[0])
         if isinstance(image, np.ndarray) and image.ndim == 3 and \
                 image.shape == (3, vs, vs) and \
                 np.issubdtype(image.dtype, np.floating):
