@@ -172,8 +172,10 @@ class BambaForCausalLM:
 
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,
-                 use_pallas: Optional[bool] = None):
-        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+                 use_pallas: Optional[bool] = None,
+                 inputs_embeds: Optional[jax.Array] = None):
+        x = inputs_embeds if inputs_embeds is not None else \
+            jnp.take(params["embed_tokens"], input_ids, axis=0)
         t = x.shape[0]
         kv0, states = kv_caches
         conv_all, ssm_all = states
@@ -714,8 +716,10 @@ class NemotronHForCausalLM(BambaForCausalLM):
 
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_meta: AttentionMetadata,
-                 use_pallas: Optional[bool] = None):
-        x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+                 use_pallas: Optional[bool] = None,
+                 inputs_embeds: Optional[jax.Array] = None):
+        x = inputs_embeds if inputs_embeds is not None else \
+            jnp.take(params["embed_tokens"], input_ids, axis=0)
         t = x.shape[0]
         kv0, states = kv_caches
         conv_all, ssm_all = states

@@ -141,6 +141,40 @@ class MiniMaxVL01Config(PretrainedConfig):
         super().__init__(**kwargs)
 
 
+class LlamaNemotronVLConfig(PretrainedConfig):
+    """nvidia/Llama-3.1-Nemotron-Nano-VL (remote code upstream):
+    InternVL-style composite with a C-RADIO vision_config, projector
+    knobs, and the text tree under ``text_config`` (or
+    ``llm_config``). ``image_token_index`` must be provided for
+    programmatic use."""
+
+    model_type = "Llama_Nemotron_Nano_VL"
+
+    def __init__(self, vision_config=None, text_config=None,
+                 llm_config=None, force_image_size=None,
+                 downsample_ratio=0.5, ps_version="v2",
+                 vit_hidden_size=1280, projector_hidden_size=4096,
+                 image_token_index=None, **kwargs):
+        self.vision_config = PretrainedConfig(
+            **(vision_config or {}))
+        d = dict(text_config or llm_config or {})
+        lt = d.pop("model_type", "llama")
+        self.text_config = CONFIG_MAPPING[lt](**d) \
+            if lt in CONFIG_MAPPING else PretrainedConfig(**d)
+        self.force_image_size = force_image_size
+        self.downsample_ratio = downsample_ratio
+        self.ps_version = ps_version
+        self.vit_hidden_size = vit_hidden_size
+        self.projector_hidden_size = projector_hidden_size
+        if image_token_index is not None:
+            self.image_token_index = image_token_index
+        super().__init__(**kwargs)
+
+
+class NemotronHNanoVLV2Config(LlamaNemotronVLConfig):
+    model_type = "NemotronH_Nano_VL_V2"
+
+
 class MolmoConfig(PretrainedConfig):
     """allenai/Molmo (remote code upstream): OLMo-style decoder fields
     at the top; the vision backbone is fixed (VisionBackboneConfig
@@ -438,7 +472,8 @@ def register() -> None:
                     MiniMaxVL01Config, DeepseekVLV2Config,
                     KimiVLConfig, Step3VLConfig, DotsOCRConfig,
                     KeyeConfig, KeyeVL1_5Config, Ernie45VLMoeConfig,
-                    MolmoConfig,
+                    MolmoConfig, LlamaNemotronVLConfig,
+                    NemotronHNanoVLV2Config,
                     MiDashengLMConfig,
                     InternVLChatConfig, NVLMDConfig,
                     H2OVLChatConfig, SkyworkR1VChatConfig,

@@ -331,6 +331,14 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     # (reference: molmo.py)
     "MolmoForCausalLM": ("vllm_main_modify_tpu.models.molmo",
                          "MolmoForCausalLM"),
+    # Nemotron VL family: C-RADIO tower + pixel shuffle (reference:
+    # nemotron_vl.py + nano_nemotron_vl.py + radio.py)
+    "Llama_Nemotron_Nano_VL": (
+        "vllm_main_modify_tpu.models.nemotron_vl",
+        "LlamaNemotronVLChatModel"),
+    "NemotronH_Nano_VL_V2": (
+        "vllm_main_modify_tpu.models.nemotron_vl",
+        "NemotronHNanoVLV2"),
     "MiniCPMV": ("vllm_main_modify_tpu.models.minicpmv",
                  "MiniCPMV"),
     # MiniCPM-O 2.6 extends MiniCPM-V 2.6 with audio/tts towers; the

@@ -177,6 +177,19 @@ def num_image_tokens_for(model_config) -> int:
         size = int(model_config.mm_image_size or 448)
         g = size // int(_get(vc2, "patch_size", 14))
         return (g // int(_get(vc2, "spatial_merge_size", 2)))**2
+    if model_config.architecture in ("Llama_Nemotron_Nano_VL",
+                                     "NemotronH_Nano_VL_V2"):
+        # RADIO grid pixel-shuffled by downsample_ratio
+        vcn = getattr(hf, "vision_config", None) or {}
+        patch = int(_get(vcn, "patch_size", 16))
+        pref = _get(vcn, "preferred_resolution", None)
+        native = int(pref[0]) if pref else int(
+            _get(vcn, "image_size",
+                 getattr(hf, "force_image_size", None) or 224))
+        size = int(model_config.mm_image_size or native)
+        ds = int(round(1 / float(getattr(hf, "downsample_ratio",
+                                         0.5))))
+        return (size // patch // ds)**2
     if model_config.architecture == "MolmoForCausalLM":
         # 2x2 attention pooling over the crop grid (molmo.py
         # llm_patches_per_crop)
@@ -446,6 +459,29 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
         arr = _resize_chw(image, vs)
         return ((arr - _CLIP_MEAN[:, None, None]) /
                 _CLIP_STD[:, None, None]).astype(np.float32)
+    if model_config.architecture in ("Llama_Nemotron_Nano_VL",
+                                     "NemotronH_Nano_VL_V2"):
+        # RADIO InputConditioner: (x - norm_mean) / norm_std
+        # (radio.py:47-68; defaults are the CLIP stats)
+        hfn = model_config.hf_config
+        vcn = getattr(hfn, "vision_config", None) or {}
+        pref = _get(vcn, "preferred_resolution", None)
+        native = int(pref[0]) if pref else int(
+            _get(vcn, "image_size",
+                 getattr(hfn, "force_image_size", None) or 224))
+        vs = int(model_config.mm_image_size or native)
+        if isinstance(image, np.ndarray) and image.ndim == 3 and \
+                image.shape == (3, vs, vs) and \
+                np.issubdtype(image.dtype, np.floating):
+            return image.astype(np.float32)
+        mean = np.asarray(
+            getattr(hfn, "norm_mean", None) or _CLIP_MEAN,
+            np.float32)
+        std = np.asarray(
+            getattr(hfn, "norm_std", None) or _CLIP_STD, np.float32)
+        arr = _resize_chw(image, vs)
+        return ((arr - mean[:, None, None]) /
+                std[:, None, None]).astype(np.float32)
     if model_config.architecture == "MolmoForCausalLM":
         # CLIP ViT-L normalization at the canonical crop size
         vcm = getattr(model_config.hf_config, "vision_config",
