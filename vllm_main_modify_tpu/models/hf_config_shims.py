@@ -141,6 +141,35 @@ class MiniMaxVL01Config(PretrainedConfig):
         super().__init__(**kwargs)
 
 
+class HCXVisionConfig(PretrainedConfig):
+    """naver-hyperclovax/HyperCLOVAX-SEED-Vision (remote code
+    upstream): SigLIP vision_config + text tree + projector knobs.
+    ``image_token_index`` must be provided for programmatic use."""
+
+    model_type = "hyperclovax_vlm"
+
+    def __init__(self, vision_config=None, text_config=None,
+                 mm_projector_type="cabstractor",
+                 num_queries_vis_abstractor_image=81,
+                 proj_pos_emb=True, proj_prenorm=False, anyres=False,
+                 unpad=False, image_token_index=None, **kwargs):
+        self.vision_config = PretrainedConfig(**(vision_config or {}))
+        d = dict(text_config or {})
+        lt = d.pop("model_type", "llama")
+        self.text_config = CONFIG_MAPPING[lt](**d) \
+            if lt in CONFIG_MAPPING else PretrainedConfig(**d)
+        self.mm_projector_type = mm_projector_type
+        self.num_queries_vis_abstractor_image = \
+            num_queries_vis_abstractor_image
+        self.proj_pos_emb = proj_pos_emb
+        self.proj_prenorm = proj_prenorm
+        self.anyres = anyres
+        self.unpad = unpad
+        if image_token_index is not None:
+            self.image_token_index = image_token_index
+        super().__init__(**kwargs)
+
+
 class LlamaNemotronVLConfig(PretrainedConfig):
     """nvidia/Llama-3.1-Nemotron-Nano-VL (remote code upstream):
     InternVL-style composite with a C-RADIO vision_config, projector
@@ -473,7 +502,7 @@ def register() -> None:
                     KimiVLConfig, Step3VLConfig, DotsOCRConfig,
                     KeyeConfig, KeyeVL1_5Config, Ernie45VLMoeConfig,
                     MolmoConfig, LlamaNemotronVLConfig,
-                    NemotronHNanoVLV2Config,
+                    NemotronHNanoVLV2Config, HCXVisionConfig,
                     MiDashengLMConfig,
                     InternVLChatConfig, NVLMDConfig,
                     H2OVLChatConfig, SkyworkR1VChatConfig,

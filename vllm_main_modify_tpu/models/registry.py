@@ -339,6 +339,11 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "NemotronH_Nano_VL_V2": (
         "vllm_main_modify_tpu.models.nemotron_vl",
         "NemotronHNanoVLV2"),
+    # HyperCLOVA-X Vision: SigLIP + C-Abstractor (reference:
+    # hyperclovax_vision.py)
+    "HCXVisionForCausalLM": (
+        "vllm_main_modify_tpu.models.hyperclovax_vision",
+        "HCXVisionForCausalLM"),
     "MiniCPMV": ("vllm_main_modify_tpu.models.minicpmv",
                  "MiniCPMV"),
     # MiniCPM-O 2.6 extends MiniCPM-V 2.6 with audio/tts towers; the

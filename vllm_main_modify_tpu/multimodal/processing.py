@@ -177,6 +177,18 @@ def num_image_tokens_for(model_config) -> int:
         size = int(model_config.mm_image_size or 448)
         g = size // int(_get(vc2, "patch_size", 14))
         return (g // int(_get(vc2, "spatial_merge_size", 2)))**2
+    if model_config.architecture == "HCXVisionForCausalLM":
+        # C-Abstractor pools to a fixed query budget; MLP projectors
+        # keep the SigLIP patch grid
+        if getattr(hf, "mm_projector_type",
+                   "cabstractor") == "cabstractor":
+            return int(getattr(hf,
+                               "num_queries_vis_abstractor_image",
+                               81))
+        vch = hf.vision_config
+        size = int(model_config.mm_image_size
+                   or _get(vch, "image_size", 378))
+        return (size // int(_get(vch, "patch_size", 14)))**2
     if model_config.architecture in ("Llama_Nemotron_Nano_VL",
                                      "NemotronH_Nano_VL_V2"):
         # RADIO grid pixel-shuffled by downsample_ratio
@@ -497,9 +509,12 @@ def _to_pixel_values(image, model_config) -> np.ndarray:
                 _CLIP_STD[:, None, None]).astype(np.float32)
     if model_config.architecture in (
             "KeyeForConditionalGeneration",
-            "KeyeVL1_5ForConditionalGeneration"):
+            "KeyeVL1_5ForConditionalGeneration",
+            "HCXVisionForCausalLM"):
         # SigLIP normalization ((x - .5) / .5), canonical square
-        vs = int(model_config.mm_image_size or 448)
+        vch = getattr(model_config.hf_config, "vision_config", None)
+        vs = int(model_config.mm_image_size
+                 or _get(vch or {}, "image_size", None) or 448)
         if isinstance(image, np.ndarray) and image.ndim == 3 and \
                 image.shape == (3, vs, vs) and \
                 np.issubdtype(image.dtype, np.floating):
