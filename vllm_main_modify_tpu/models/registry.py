@@ -649,6 +649,34 @@ for _a in _DRAFT_ARCHS:
                      "_draft_only_factory")
 
 
+def _terratorch_factory(config: ModelConfig):
+    """PrithviGeoSpatialMAE / Terratorch (reference:
+    vllm/model_executor/models/terratorch.py): the reference model is
+    a thin shim that delegates the ENTIRE forward — input parsing,
+    dummy data, and the geospatial MAE encoder — to the external
+    ``terratorch`` package (``from terratorch.vllm import
+    InferenceRunner``, terratorch.py:26). There is no in-tree model
+    math to port; parity is "run terratorch when installed". This
+    environment ships no terratorch, so the reference cannot serve
+    these architectures here either."""
+    try:
+        import terratorch  # noqa: F401
+    except ImportError:
+        raise ValueError(
+            f"{config.architecture!r} requires the external "
+            "'terratorch' package (the reference delegates the whole "
+            "model to terratorch.vllm.InferenceRunner); install "
+            "terratorch to serve geospatial models") from None
+    raise NotImplementedError(
+        "terratorch is installed but the TPU InferenceRunner bridge "
+        "is not wired yet; file an issue with your model config")
+
+
+for _a in ("PrithviGeoSpatialMAE", "Terratorch"):
+    _REGISTRY[_a] = ("vllm_main_modify_tpu.models.registry",
+                     "_terratorch_factory")
+
+
 def _draft_only_factory(config: ModelConfig):
     raise ValueError(
         f"{config.architecture!r} is a speculative-decoding draft "
