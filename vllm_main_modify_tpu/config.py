@@ -72,6 +72,9 @@ class ModelConfig:
     # canonical square image size for dynamic-resolution ViTs
     # (Qwen2-VL): static compile shapes; processor resizes to this
     mm_image_size: Optional[int] = None
+    # accept per-request precomputed prompt embeddings (reference:
+    # vllm EmbedsPrompt, vllm/inputs/data.py + --enable-prompt-embeds)
+    enable_prompt_embeds: bool = False
 
     def __post_init__(self) -> None:
         if self.tokenizer is None:

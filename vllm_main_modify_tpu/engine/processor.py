@@ -70,7 +70,46 @@ class Processor:
                 # (default task tokens come from the generation config)
                 token_ids = (self._tokenize(prompt_text)
                              if prompt_text is not None else [])
+            embeds = prompt.get("prompt_embeds")
+            if embeds is not None:
+                # precomputed prompt embeddings (reference:
+                # EmbedsPrompt, vllm/inputs/data.py:92): the whole
+                # prompt arrives as [T, H] vectors; placeholder token
+                # ids fill the stream and the embeds ride the
+                # mm-buffer scatter path. Hashed into cache_salt so
+                # prefix caching never aliases different embeds.
+                import hashlib as _hl
+
+                import numpy as _np
+
+                if not self.config.model_config.enable_prompt_embeds:
+                    raise ValueError(
+                        f"request {request_id}: prompt_embeds given "
+                        "but enable_prompt_embeds is off")
+                arr = _np.asarray(embeds, dtype=_np.float32)
+                if arr.ndim != 2 or arr.shape[1] != \
+                        self.config.model_config.hidden_size:
+                    raise ValueError(
+                        f"request {request_id}: prompt_embeds must "
+                        "be [T, hidden_size], got "
+                        f"{tuple(arr.shape)}")
+                if token_ids is None or not token_ids:
+                    token_ids = [0] * arr.shape[0]
+                if len(token_ids) != arr.shape[0]:
+                    raise ValueError(
+                        f"request {request_id}: prompt_token_ids "
+                        f"length {len(token_ids)} != prompt_embeds "
+                        f"rows {arr.shape[0]}")
+                h = _hl.sha256(arr.tobytes()).hexdigest()
+                mm_inputs = [{"embeds": arr, "offset": 0,
+                              "num_tokens": arr.shape[0],
+                              "hash": h[:24]}]
+                mm_salt = h[:16]
             mm_data = prompt.get("multi_modal_data")
+            if embeds is not None and mm_data:
+                raise ValueError(
+                    f"request {request_id}: prompt_embeds and "
+                    "multi_modal_data are mutually exclusive")
             if mm_data and "audio" in mm_data:
                 from vllm_main_modify_tpu.multimodal.audio import (
                     AUDIO_EMBED_ARCHS, build_audio_embeds_inputs,

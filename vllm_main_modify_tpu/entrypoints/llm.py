@@ -62,7 +62,10 @@ class LLM:
                                      quantization=quantization,
                                      trust_remote_code=trust_remote_code,
                                      mm_image_size=kwargs.pop(
-                                         "mm_image_size", None)),
+                                         "mm_image_size", None),
+                                     enable_prompt_embeds=kwargs.pop(
+                                         "enable_prompt_embeds",
+                                         False)),
             cache_config=CacheConfig(
                 block_size=block_size,
                 num_gpu_blocks=num_kv_blocks,

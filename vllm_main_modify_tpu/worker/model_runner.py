@@ -268,7 +268,7 @@ class TPUModelRunner:
         # — here the "cache" IS the device buffer.
         self._score_np = None  # classification head, host-cached
         self._score_bias_np = None
-        self.is_mm = mc.is_multimodal
+        self.is_mm = mc.is_multimodal or mc.enable_prompt_embeds
         self.uses_mrope = bool(getattr(self.model, "uses_mrope",
                                        False))
         # Gemma3-style bidirectional attention between tokens of the
@@ -303,6 +303,7 @@ class TPUModelRunner:
         self._mm_free: list[list[int]] = [[0, self.mm_rows]]
         self._mm_encode_write = None
         self._mm_encode_write_video = None
+        self._mm_write_raw = None
 
         # multi-LoRA
         lc = config.lora_config
@@ -1225,11 +1226,25 @@ class TPUModelRunner:
                 hashes.append(h)
                 continue
             start = self._mm_alloc(n)
-            pix = jnp.asarray(mm["pixel_values"][None])
-            enc = (self._mm_encode_write_video
-                   if mm.get("is_video") else self._mm_encode_write)
-            self.mm_buffer = enc(self.params, pix, self.mm_buffer,
-                                 start)
+            if "embeds" in mm:
+                # precomputed prompt embeddings: no encoder, write
+                # the rows straight into the device buffer
+                # (reference: EmbedsPrompt, vllm/inputs/data.py)
+                if self._mm_write_raw is None:
+                    self._mm_write_raw = jax.jit(
+                        lambda buf, rows, s0:
+                        jax.lax.dynamic_update_slice(
+                            buf, rows.astype(buf.dtype), (s0, 0)))
+                self.mm_buffer = self._mm_write_raw(
+                    self.mm_buffer, jnp.asarray(mm["embeds"]),
+                    start)
+            else:
+                pix = jnp.asarray(mm["pixel_values"][None])
+                enc = (self._mm_encode_write_video
+                       if mm.get("is_video")
+                       else self._mm_encode_write)
+                self.mm_buffer = enc(self.params, pix,
+                                     self.mm_buffer, start)
             self.mm_encode_calls += 1
             ranges.append((int(mm["offset"]), n, start))
             if h:
@@ -1951,9 +1966,22 @@ class TPUModelRunner:
             if mm_pad:
                 g = jnp.clip(seg("mm_gather"), 0,
                              mm_buffer.shape[0] - 1)
-                mm_kwargs = dict(
-                    mm_embeds=jnp.take(mm_buffer, g, axis=0),
-                    mm_scatter=seg("mm_scatter"))
+                rows = jnp.take(mm_buffer, g, axis=0)
+                scat = seg("mm_scatter")
+                import inspect as _inspect
+                if "mm_embeds" in _inspect.signature(
+                        model.__call__).parameters:
+                    mm_kwargs = dict(mm_embeds=rows, mm_scatter=scat)
+                else:
+                    # prompt-embeds on a plain decoder: merge into
+                    # the embedding stream here (reference:
+                    # EmbedsPrompt handling in get_input_embeddings)
+                    x0 = jnp.take(params["embed_tokens"], input_ids,
+                                  axis=0)
+                    idx = jnp.where(scat >= 0, scat, x0.shape[0])
+                    x0 = x0.at[idx].set(rows.astype(x0.dtype),
+                                        mode="drop")
+                    mm_kwargs = dict(inputs_embeds=x0)
             if is_enc_dec:
                 mm_kwargs = dict(cross_kv_cache=cross_cache)
             model_positions = (
