@@ -23,6 +23,7 @@ from typing import AsyncGenerator, Optional
 
 from aiohttp import web
 
+from vllm_main_modify_tpu import envs
 from vllm_main_modify_tpu.engine.async_llm import AsyncLLM, EngineDeadError
 from vllm_main_modify_tpu.entrypoints.openai.protocol import (
     ChatCompletionChoice, ChatCompletionRequest, ChatCompletionResponse,
@@ -114,8 +115,7 @@ class OpenAIServer:
         # these behind VLLM_SERVER_DEV_MODE, api_server.py) —
         # /collective_rpc can invoke arbitrary runner methods and
         # must never ship on a production listener.
-        if os.environ.get("VLLM_SERVER_DEV_MODE", "0") not in (
-                "0", "", "false", "False"):
+        if envs.VLLM_SERVER_DEV_MODE:
             r.add_post("/scale_elastic_ep", self.scale_elastic_ep)
             r.add_post("/collective_rpc", self.collective_rpc)
         try:

@@ -30,13 +30,14 @@ sequence, kv < seq_len, optional sliding window and logit softcap.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from vllm_main_modify_tpu import envs
 
 NEG_INF = -2.0**30  # large finite: avoids inf-inf NaNs in rescaling
 
@@ -815,7 +816,7 @@ def _decode_attention_pallas(
     # shrinks to one partial block (v5e headline sweep:
     # 256 -> 128 is ~2% whole-bench at 32 x ~550-token decode)
     kvb_tokens = max(min(kvb_budget, 128), 128)
-    env = os.environ.get("VLLM_TPU_DECODE_KV_BLOCK")
+    env = envs.VLLM_TPU_DECODE_KV_BLOCK
     if env:  # workload tuning knob
         kvb_tokens = int(env)
     npp = max(kvb_tokens // page_size, 1)
@@ -953,7 +954,8 @@ def ragged_paged_attention_pallas(
     group_ratio = num_q_heads // (num_kv_heads or 1)
     # scores live in VMEM as [bq*group, kvb] f32 — clamp bq so huge
     # MQA groups (MLA: group == num_heads) stay inside the budget
-    bq = min(t, max(int(os.environ.get('VLLM_TPU_PREFILL_BQ', '1024')) // max(group_ratio, 1), 16), 128)
+    bq = min(t, max(envs.VLLM_TPU_PREFILL_BQ //
+                    max(group_ratio, 1), 16), 128)
     bq = 1 << (bq.bit_length() - 1)  # power of 2; t buckets are too
     while t % bq:
         bq //= 2
@@ -963,7 +965,7 @@ def ragged_paged_attention_pallas(
     width = two_kh * head_dim
     kvb_budget = KV_STREAM_BYTES // (N_BUF * width * kv_cache.dtype.itemsize)
     kvb_tokens = max(min(kvb_budget, 512), 128)
-    env = os.environ.get("VLLM_TPU_PREFILL_KV_BLOCK")
+    env = envs.VLLM_TPU_PREFILL_KV_BLOCK
     if env:  # workload tuning knob (finer blocks track the causal
         # fraction more closely now that num_kv_blocks is bounded
         # above the diagonal)

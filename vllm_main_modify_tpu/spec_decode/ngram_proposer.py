@@ -13,14 +13,15 @@ for toolchain-less environments (VLLM_DISABLE_NATIVE=1 forces it).
 from __future__ import annotations
 
 import ctypes
-import os
 from typing import Optional
 
 import numpy as np
 
+from vllm_main_modify_tpu import envs
+
 
 def _load_lib():
-    if os.environ.get("VLLM_DISABLE_NATIVE") == "1":
+    if envs.VLLM_DISABLE_NATIVE:
         return None
     from vllm_main_modify_tpu.native import load_native
 

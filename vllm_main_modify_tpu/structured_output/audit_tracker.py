@@ -292,21 +292,16 @@ def get_audit_tracker() -> StructuredOutputAuditTracker:
     audit_integration.py:52-61)."""
     global _TRACKER
     if _TRACKER is None:
-        env = os.environ.get
+        from vllm_main_modify_tpu import envs
+
         _TRACKER = StructuredOutputAuditTracker(
-            enabled=env("VLLM_STRUCTURED_OUTPUT_AUDIT",
-                        "false").lower() == "true",
-            record_full_events=env("VLLM_AUDIT_RECORD_FULL_EVENTS",
-                                   "true").lower() == "true",
-            include_grammar_spec=env("VLLM_AUDIT_INCLUDE_GRAMMAR",
-                                     "false").lower() == "true",
-            max_trails_in_memory=int(env("VLLM_AUDIT_MAX_TRAILS",
-                                         "1000")),
-            persist_to_disk=env("VLLM_AUDIT_PERSIST",
-                                "false").lower() == "true",
-            audit_log_dir=env("VLLM_AUDIT_LOG_DIR"),
-            include_in_response=env("VLLM_AUDIT_IN_RESPONSE",
-                                    "true").lower() == "true",
+            enabled=envs.VLLM_STRUCTURED_OUTPUT_AUDIT,
+            record_full_events=envs.VLLM_AUDIT_RECORD_FULL_EVENTS,
+            include_grammar_spec=envs.VLLM_AUDIT_INCLUDE_GRAMMAR,
+            max_trails_in_memory=envs.VLLM_AUDIT_MAX_TRAILS,
+            persist_to_disk=envs.VLLM_AUDIT_PERSIST,
+            audit_log_dir=envs.VLLM_AUDIT_LOG_DIR,
+            include_in_response=envs.VLLM_AUDIT_IN_RESPONSE,
         )
     return _TRACKER
 

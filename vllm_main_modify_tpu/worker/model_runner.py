@@ -34,6 +34,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
+from vllm_main_modify_tpu import envs
 from vllm_main_modify_tpu.config import EngineConfig
 from vllm_main_modify_tpu.core.kv_cache_interface import \
     normalize_kv_groups
@@ -437,7 +438,7 @@ class TPUModelRunner:
         tpu_model_runner.py:1892 _get_token_paddings exponential →
         linear): between 1024 and 2048 a 1025-token step would
         otherwise pad 2x."""
-        gap = int(os.environ.get("VLLM_TPU_BUCKET_PADDING_GAP", "0"))
+        gap = envs.VLLM_TPU_BUCKET_PADDING_GAP
         out, v = [], lo
         while v < hi and (gap <= 0 or v < gap):
             out.append(v)
