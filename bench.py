@@ -29,6 +29,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 # honor a cpu request even though the axon TPU plugin overrides
 # JAX_PLATFORMS at import time (same workaround as tests/conftest.py)
 if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
@@ -180,6 +182,71 @@ def run_serving(core, rng, num_prompts: int, prefix: int,
     }
 
 
+def run_serving_poisson(core, rng, num_prompts: int, prefix: int,
+                        decode: int, rate: float) -> dict:
+    """Poisson arrivals at ``rate`` req/s through the engine loop
+    (reference methodology: vllm/benchmarks/serve.py:84-95
+    request_rate + TTFT/TPOT/ITL percentiles). The burst variant
+    (run_serving) measures capacity; this measures latency under a
+    realistic arrival process."""
+    from vllm_main_modify_tpu.engine.types import EngineCoreRequest
+    from vllm_main_modify_tpu.sampling_params import SamplingParams
+
+    vocab = core.config.model_config.vocab_size
+    t0 = time.monotonic()
+    arrive_at = np.cumsum(rng.exponential(1.0 / rate, num_prompts))
+    prompts = [rng.integers(1, vocab - 1, size=prefix).tolist()
+               for _ in range(num_prompts)]
+    submitted = 0
+    submit_t: dict[str, float] = {}
+    arrivals: dict[str, list[float]] = {}
+    while submitted < num_prompts or core.has_unfinished_requests():
+        now = time.monotonic() - t0
+        while submitted < num_prompts and \
+                arrive_at[submitted] <= now:
+            rid = f"p-{submitted}"
+            submit_t[rid] = time.monotonic()
+            arrivals[rid] = []
+            core.add_request(EngineCoreRequest(
+                request_id=rid,
+                prompt_token_ids=prompts[submitted],
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=decode,
+                    ignore_eos=True)))
+            submitted += 1
+        if not core.has_unfinished_requests():
+            nxt = arrive_at[submitted] - (time.monotonic() - t0)
+            if nxt > 0:
+                time.sleep(min(nxt, 0.02))
+            continue
+        out = core.step()
+        tnow = time.monotonic()
+        for o in out.outputs:
+            if o.new_token_ids:
+                arrivals[o.request_id].extend(
+                    [tnow] * len(o.new_token_ids))
+    wall = time.monotonic() - t0
+    ttfts = np.asarray(sorted(
+        a[0] - submit_t[r] for r, a in arrivals.items() if a))
+    itls = np.asarray([(a[-1] - a[0]) / (len(a) - 1)
+                       for a in arrivals.values() if len(a) > 1])
+    total = sum(len(a) for a in arrivals.values())
+
+    def pct(x, p):
+        return float(np.percentile(x, p)) if len(x) else 0.0
+
+    return {
+        "rate_rps": rate,
+        "tokens_per_s": total / wall,
+        "ttft_p50_ms": pct(ttfts, 50) * 1e3,
+        "ttft_p90_ms": pct(ttfts, 90) * 1e3,
+        "ttft_p99_ms": pct(ttfts, 99) * 1e3,
+        "itl_p50_ms": pct(itls, 50) * 1e3,
+        "itl_p90_ms": pct(itls, 90) * 1e3,
+        "itl_p99_ms": pct(itls, 99) * 1e3,
+    }
+
+
 def bench_quant(tag: str, quantization: str, cache_dtype: str,
                 results: dict) -> None:
     """One quantized 8B serving config: dummy weights (identical
@@ -238,6 +305,19 @@ def bench_quant(tag: str, quantization: str, cache_dtype: str,
     results[f"{tag}_ttft_p50_ms"] = round(m["ttft_p50_ms"], 1)
     results[f"{tag}_itl_mean_ms"] = round(m["itl_mean_ms"], 2)
     results[f"{tag}_num_prompts"] = prompts
+    # Poisson-arrival latency at two request rates (reference
+    # methodology: vllm/benchmarks/serve.py request_rate) — the burst
+    # above is a queueing-artifact TTFT; these are the honest numbers
+    for rate in (float(os.environ.get("BENCH_RATE1", "4")),
+                 float(os.environ.get("BENCH_RATE2", "8"))):
+        p = run_serving_poisson(core, rng, prompts, Q_PREFIX,
+                                Q_DECODE, rate)
+        print(f"# {tag} poisson@{rate}: {p}", file=sys.stderr)
+        key = f"{tag}_poisson{rate:g}"
+        for k in ("ttft_p50_ms", "ttft_p90_ms", "ttft_p99_ms",
+                  "itl_p50_ms", "itl_p90_ms", "itl_p99_ms",
+                  "tokens_per_s"):
+            results[f"{key}_{k}"] = round(p[k], 2)
     core.shutdown()
     del core
 
