@@ -31,7 +31,8 @@ from vllm_main_modify_tpu.layers.normalization import rms_norm
 from vllm_main_modify_tpu.layers.rotary import (apply_rope,
                                                 compute_inv_freq)
 from vllm_main_modify_tpu.models.interface import ParamSpec, transpose2d
-from vllm_main_modify_tpu.quantization.weights import matmul
+from vllm_main_modify_tpu.quantization.weights import (
+    index_layer_weights, matmul)
 
 
 class LlamaForCausalLM:
@@ -183,9 +184,10 @@ class LlamaForCausalLM:
         if aux_ids is None:
             def layer_fn(l, carry):
                 x, kv_caches = carry
-                w = jax.tree.map(
-                    lambda a: jax.lax.dynamic_index_in_dim(
-                        a, l, 0, keepdims=False), layers)
+                # keeps Pallas-consumed quantized weights stacked
+                # (kernel block-indexes the layer axis; a sliced
+                # custom-call operand would be a materialized copy)
+                w = index_layer_weights(layers, l)
                 return self._layer_step(w, x, kv_caches, l, positions,
                                         attn_meta, params, use_pallas,
                                         t)
@@ -204,9 +206,7 @@ class LlamaForCausalLM:
             x, kv_caches, aux = carry
             for j, al in enumerate(aux_ids):
                 aux = aux.at[j].set(jnp.where(l == al, x, aux[j]))
-            w = jax.tree.map(
-                lambda a: jax.lax.dynamic_index_in_dim(
-                    a, l, 0, keepdims=False), layers)
+            w = index_layer_weights(layers, l)
             x, kv_caches = self._layer_step(w, x, kv_caches, l,
                                             positions, attn_meta,
                                             params, use_pallas, t)

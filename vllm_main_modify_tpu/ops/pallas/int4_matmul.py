@@ -45,8 +45,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _int4_kernel(x_ref, packed_ref, scales_ref, zeros_ref, out_ref,
-                 acc_ref, *, group_size: int, n_k_tiles: int):
+def _int4_kernel(*refs, group_size: int, n_k_tiles: int):
+    # stacked-layer variant carries a leading layer-index scalar ref
+    # (PrefetchScalarGridSpec); weight blocks are squeezed by None
+    # block dims, so the body is identical either way
+    (x_ref, packed_ref, scales_ref, zeros_ref, out_ref,
+     acc_ref) = refs[1:] if len(refs) == 7 else refs
     j = pl.program_id(2)
 
     # unpack nibbles WITHOUT reshapes or repeats (Mosaic lowers
@@ -93,9 +97,10 @@ def _int4_kernel(x_ref, packed_ref, scales_ref, zeros_ref, out_ref,
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
-def _int4_w4a8_kernel(qx_ref, packed_ref, scales_ref,
-                      zeros_ref, sa_ref, out_ref, acc_ref, *,
-                      group_size: int, n_k_tiles: int):
+def _int4_w4a8_kernel(*refs, group_size: int, n_k_tiles: int,
+                      zero_correct: bool = False):
+    (qx_ref, packed_ref, scales_ref, zeros_ref, sa_ref, out_ref,
+     acc_ref) = refs[1:] if len(refs) == 8 else refs
     j = pl.program_id(2)
 
     # unpack nibbles (same lane-blocked layout as the W4A16 kernel)
@@ -109,19 +114,46 @@ def _int4_w4a8_kernel(qx_ref, packed_ref, scales_ref,
     scales = scales_ref[...]  # [BK/g, BO] f32
     qx = qx_ref[...]  # [T, BK] int8
 
-    # per-group: (q - z) fits int8 exactly; one int8 MXU matmul per
-    # group, f32 scale applied to the [T, BO] partial (not the
-    # [BK, BO] weight tile)
-    acc = None
-    for gi in range(bk // group_size):
-        lo, hi = gi * group_size, (gi + 1) * group_size
-        wq8 = (q[lo:hi] - zeros_i[gi:gi + 1, :]).astype(jnp.int8)
-        part = jax.lax.dot_general(
-            qx[:, lo:hi], wq8,
-            dimension_numbers=(((1, ), (0, )), ((), ())),
-            preferred_element_type=jnp.int32).astype(jnp.float32)
-        part = part * scales[gi:gi + 1, :]
-        acc = part if acc is None else acc + part
+    if zero_correct:
+        # decode (small T): skip the [BK, BO] per-element zero
+        # subtract entirely — matmul the UNSIGNED nibbles (q ∈ [0,15]
+        # fits int8) and subtract the exact group correction
+        # Σ_k qx[t,k] · z[g,o] = gsum[t,g] · z[g,o] from the [T, BO]
+        # partial instead. Exact for integral zeros; the correction
+        # costs one extra [T, BO] op per group, a win while
+        # T < group_size (the weight tile has group_size× more
+        # elements than the partial).
+        acc = None
+        for gi in range(bk // group_size):
+            lo, hi = gi * group_size, (gi + 1) * group_size
+            xg = qx[:, lo:hi]
+            gsum = jnp.sum(xg.astype(jnp.int32), axis=1,
+                           keepdims=True)  # [T, 1]
+            part = jax.lax.dot_general(
+                xg, q[lo:hi].astype(jnp.int8),
+                dimension_numbers=(((1, ), (0, )), ((), ())),
+                preferred_element_type=jnp.int32)
+            # integer-domain correction: no f32 rounding anywhere
+            # before the per-group scale (Mosaic may demote f32
+            # elementwise chains to bf16 under excess-precision)
+            part = (part - gsum * zeros_i[gi:gi + 1, :]).astype(
+                jnp.float32)
+            part = part * scales[gi:gi + 1, :]
+            acc = part if acc is None else acc + part
+    else:
+        # per-group: (q - z) fits int8 exactly; one int8 MXU matmul
+        # per group, f32 scale applied to the [T, BO] partial (not
+        # the [BK, BO] weight tile)
+        acc = None
+        for gi in range(bk // group_size):
+            lo, hi = gi * group_size, (gi + 1) * group_size
+            wq8 = (q[lo:hi] - zeros_i[gi:gi + 1, :]).astype(jnp.int8)
+            part = jax.lax.dot_general(
+                qx[:, lo:hi], wq8,
+                dimension_numbers=(((1, ), (0, )), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            part = part * scales[gi:gi + 1, :]
+            acc = part if acc is None else acc + part
 
     @pl.when(j == 0)
     def _():
@@ -181,6 +213,49 @@ def _pick_m_tile(t: int) -> int:
     return 0
 
 
+def _call_int4_kernel(kernel, w, grid, act_specs, acts, weight_dims,
+                      out_spec, out_shape, scratch, interpret):
+    """Issue the pallas_call either flat (per-layer weight arrays) or
+    stacked (leading [L] layer axis block-indexed by a scalar-prefetch
+    layer id — avoids the materialized per-layer weight copy a
+    dynamic-slice into a custom-call operand would force)."""
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"))
+    if w.layer is None:
+        in_specs = list(act_specs[:1]) + [
+            pl.BlockSpec(dims, lambda m, i, j: (j, i))
+            for dims in weight_dims
+        ] + list(act_specs[1:])
+        weights = (w.packed, w.scales, w.zeros)
+        return pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs,
+            out_specs=out_spec, out_shape=out_shape,
+            scratch_shapes=scratch, compiler_params=compiler_params,
+            interpret=interpret,
+        )(acts[0], *weights, *acts[1:])
+
+    # stacked: activation index_maps grow the trailing scalar-ref arg
+    def _amap(spec):
+        f = spec.index_map
+        return pl.BlockSpec(spec.block_shape,
+                            lambda m, i, j, l, f=f: f(m, i, j))
+
+    in_specs = [_amap(act_specs[0])] + [
+        pl.BlockSpec((None, *dims), lambda m, i, j, l: (l[0], j, i))
+        for dims in weight_dims
+    ] + [_amap(s) for s in act_specs[1:]]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+        out_specs=pl.BlockSpec(out_spec.block_shape,
+                               lambda m, i, j, l: (m, i)),
+        scratch_shapes=scratch)
+    layer = jnp.asarray(w.layer, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        compiler_params=compiler_params, interpret=interpret,
+    )(layer, acts[0], w.packed, w.scales, w.zeros, *acts[1:])
+
+
 @functools.partial(jax.jit, static_argnames=["interpret"])
 def int4_matmul_pallas(x: jax.Array, w, interpret: bool = False
                        ) -> jax.Array:
@@ -190,7 +265,7 @@ def int4_matmul_pallas(x: jax.Array, w, interpret: bool = False
     t_dim, k = x.shape[:-1], x.shape[-1]
     x2 = x.reshape(-1, k)
     t = x2.shape[0]
-    packed, scales, zeros = w.packed, w.scales, w.zeros
+    packed, scales = w.packed, w.scales
     o = packed.shape[-1] * 8
     g = k // scales.shape[-2]
 
@@ -209,24 +284,17 @@ def int4_matmul_pallas(x: jax.Array, w, interpret: bool = False
     n_k_tiles = k // bk
     grid = (t // bm, o // bo, n_k_tiles)
 
-    out = pl.pallas_call(
+    out = _call_int4_kernel(
         functools.partial(_int4_kernel, group_size=g,
                           n_k_tiles=n_k_tiles),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda m, i, j: (m, j)),
-            pl.BlockSpec((bk, bo // 8), lambda m, i, j: (j, i)),
-            pl.BlockSpec((bk // g, bo), lambda m, i, j: (j, i)),
-            pl.BlockSpec((bk // g, bo), lambda m, i, j: (j, i)),
-        ],
-        out_specs=pl.BlockSpec((bm, bo), lambda m, i, j: (m, i)),
+        w, grid,
+        act_specs=[pl.BlockSpec((bm, bk), lambda m, i, j: (m, j))],
+        acts=(x2, ),
+        weight_dims=[(bk, bo // 8), (bk // g, bo), (bk // g, bo)],
+        out_spec=pl.BlockSpec((bm, bo), lambda m, i, j: (m, i)),
         out_shape=jax.ShapeDtypeStruct((t, o), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel",
-                                 "arbitrary")),
-        interpret=interpret,
-    )(x2, packed, scales, zeros)
+        scratch=[pltpu.VMEM((bm, bo), jnp.float32)],
+        interpret=interpret)
     return out.reshape(*t_dim, o)
 
 
@@ -244,7 +312,7 @@ def int4_matmul_w4a8_pallas(x: jax.Array, w, interpret: bool = False
     t_dim, k = x.shape[:-1], x.shape[-1]
     x2 = x.reshape(-1, k)
     t = x2.shape[0]
-    packed, scales, zeros = w.packed, w.scales, w.zeros
+    packed, scales = w.packed, w.scales
     o = packed.shape[-1] * 8
     g = k // scales.shape[-2]
 
@@ -266,23 +334,19 @@ def int4_matmul_w4a8_pallas(x: jax.Array, w, interpret: bool = False
     n_k_tiles = k // bk
     grid = (t // bm, o // bo, n_k_tiles)
 
-    out = pl.pallas_call(
+    out = _call_int4_kernel(
         functools.partial(_int4_w4a8_kernel, group_size=g,
-                          n_k_tiles=n_k_tiles),
-        grid=grid,
-        in_specs=[
+                          n_k_tiles=n_k_tiles,
+                          zero_correct=bm < g),
+        w, grid,
+        act_specs=[
             pl.BlockSpec((bm, bk), lambda m, i, j: (m, j)),
-            pl.BlockSpec((bk, bo // 8), lambda m, i, j: (j, i)),
-            pl.BlockSpec((bk // g, bo), lambda m, i, j: (j, i)),
-            pl.BlockSpec((bk // g, bo), lambda m, i, j: (j, i)),
             pl.BlockSpec((bm, 128), lambda m, i, j: (m, 0)),
         ],
-        out_specs=pl.BlockSpec((bm, bo), lambda m, i, j: (m, i)),
+        acts=(qx, sa),
+        weight_dims=[(bk, bo // 8), (bk // g, bo), (bk // g, bo)],
+        out_spec=pl.BlockSpec((bm, bo), lambda m, i, j: (m, i)),
         out_shape=jax.ShapeDtypeStruct((t, o), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel",
-                                 "arbitrary")),
-        interpret=interpret,
-    )(qx, packed, scales, zeros, sa)
+        scratch=[pltpu.VMEM((bm, bo), jnp.float32)],
+        interpret=interpret)
     return out.reshape(*t_dim, o)

@@ -13,12 +13,27 @@ import jax
 import jax.numpy as jnp
 
 
+def _delayer(w):
+    """Collapse a stacked-layer Int4Weight (weights.py ``layer``
+    field) to the indexed per-layer view for XLA paths — here the
+    dynamic-slice fuses into the consumer dequant/dot, so slicing
+    costs nothing."""
+    if getattr(w, "layer", None) is None:
+        return w
+    from vllm_main_modify_tpu.quantization.weights import Int4Weight
+
+    idx = lambda a: None if a is None else \
+        jax.lax.dynamic_index_in_dim(a, w.layer, 0, keepdims=False)
+    return Int4Weight(idx(w.packed), idx(w.scales), idx(w.zeros),
+                      perm=idx(w.perm), w4a8=w.w4a8)
+
+
 def int4_matmul_xla(x: jax.Array, w) -> jax.Array:
     """Reference path: full dequant then matmul (memory-heavy; CPU
     tests + oracle)."""
     from vllm_main_modify_tpu.quantization.weights import dequant_int4
 
-    deq = dequant_int4(w, dtype=x.dtype)
+    deq = dequant_int4(_delayer(w), dtype=x.dtype)
     return x @ deq
 
 
@@ -29,7 +44,7 @@ def int4_matmul_w4a8_xla(x: jax.Array, w) -> jax.Array:
         dequant_int4, quantize_activations_int8)
 
     qx, s_a = quantize_activations_int8(x.reshape(-1, x.shape[-1]))
-    deq = dequant_int4(w, dtype=jnp.float32)
+    deq = dequant_int4(_delayer(w), dtype=jnp.float32)
     acc = jax.lax.dot_general(
         qx.astype(jnp.float32), deq,
         dimension_numbers=(((1, ), (0, )), ((), ())),

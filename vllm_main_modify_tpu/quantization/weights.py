@@ -88,6 +88,15 @@ class Int4Weight:
     ``w4a8``: static flag — quantize activations to int8 per token and
     run the int8-MXU W4A8 kernel (Marlin/QServe-style; opt-in via
     quantization="gptq_w4a8"/"awq_w4a8"/"w4a8").
+    ``layer``: optional traced int32 scalar — when set, ``packed`` /
+    ``scales`` / ``zeros`` / ``perm`` carry a leading layer axis
+    [L, ...] and the kernel streams layer ``layer`` directly from the
+    stacked HBM buffer (scalar-prefetch block index). This is how the
+    stacked-layer ``fori_loop`` models avoid materializing a per-layer
+    copy of the weights: XLA cannot fuse a dynamic-slice into a
+    custom-call operand, so slicing before the Pallas call costs a
+    full extra HBM read+write of the weights EVERY layer (measured
+    +33 % on the decode gate_up matmul).
     """
 
     packed: jax.Array
@@ -95,20 +104,24 @@ class Int4Weight:
     zeros: jax.Array
     perm: jax.Array | None = None
     w4a8: bool = False
+    layer: jax.Array | None = None
 
     def tree_flatten(self):
-        if self.perm is None:
-            return (self.packed, self.scales,
-                    self.zeros), (False, self.w4a8)
-        return (self.packed, self.scales, self.zeros,
-                self.perm), (True, self.w4a8)
+        children = [self.packed, self.scales, self.zeros]
+        if self.perm is not None:
+            children.append(self.perm)
+        if self.layer is not None:
+            children.append(self.layer)
+        return tuple(children), (self.perm is not None, self.w4a8,
+                                 self.layer is not None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        has_perm, w4a8 = aux
-        if has_perm:
-            return cls(*children, w4a8=w4a8)
-        return cls(*children, perm=None, w4a8=w4a8)
+        has_perm, w4a8, has_layer = aux
+        children = list(children)
+        layer = children.pop() if has_layer else None
+        perm = children.pop() if has_perm else None
+        return cls(*children, perm=perm, w4a8=w4a8, layer=layer)
 
     @property
     def shape(self):
@@ -470,9 +483,34 @@ def matmul(x: jax.Array, w) -> jax.Array:
         if w.perm is not None:
             # GPTQ act-order: weights were row-sorted by group at
             # load; apply the same permutation to activations
-            x = jnp.take(x, w.perm, axis=-1)
+            perm = w.perm if w.layer is None else \
+                jax.lax.dynamic_index_in_dim(w.perm, w.layer, 0,
+                                             keepdims=False)
+            x = jnp.take(x, perm, axis=-1)
         return int4_matmul(x, w)
     raise TypeError(f"unsupported weight type {type(w)}")
+
+
+def index_layer_weights(layers, l):
+    """Per-layer view of a stacked [L, ...] layer pytree for use
+    inside a ``fori_loop``/unrolled layer loop. Plain arrays are
+    dynamic-indexed (XLA fuses the slice into consumer dots);
+    Pallas-consumed quantized weights (Int4Weight) stay STACKED with
+    the traced layer id attached, so the kernel block-indexes the
+    layer axis in HBM instead of forcing a materialized copy
+    (custom-call operands cannot alias a slice)."""
+
+    def f(node):
+        if isinstance(node, Int4Weight):
+            return Int4Weight(node.packed, node.scales, node.zeros,
+                              perm=node.perm, w4a8=node.w4a8,
+                              layer=jnp.asarray(l, jnp.int32))
+        return jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(
+                a, l, 0, keepdims=False), node)
+
+    return jax.tree.map(f, layers,
+                        is_leaf=lambda n: isinstance(n, Int4Weight))
 
 
 # ---------------------------------------------------------------------------
