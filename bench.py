@@ -394,6 +394,8 @@ def main() -> None:
     if not SMOKE and os.environ.get("BENCH_QUANT", "1") == "1":
         for tag, quant, kv in (("int4_w4a8", "gptq_w4a8", "auto"),
                                ("fp8_w8a8_int8kv", "fp8_w8a8", "int8"),
+                               ("int4_w4a8_int8kv", "gptq_w4a8",
+                                "int8"),
                                ("fp8_w8a8_fp8kv", "fp8_w8a8", "fp8")):
             if time.monotonic() - t_start > budget_s:
                 print(f"# skipping {tag}: over budget",
