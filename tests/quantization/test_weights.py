@@ -302,3 +302,74 @@ def test_fp8_block_checkpoint_e2e(tiny_llama_dir, tmp_path_factory):
     # ~2% fp8 weight error legitimately flips greedy argmax)
     got = got_llm.generate(["hello world this"], p)[0]
     assert len(got.outputs[0].token_ids) == 8
+
+
+def test_int4_w4a8_requant_prefill_interpret():
+    """Progressive-requant prefill kernel (T >= 256 tiles) vs its
+    exact int32 oracle, plus an accuracy bound vs the fp matmul
+    (the 4-bit integer group multiplier adds bounded error on top of
+    W4; reference recipe: QServe W4A8 progressive quantization)."""
+    from vllm_main_modify_tpu.ops.pallas.int4_matmul import \
+        int4_matmul_w4a8_pallas
+    from vllm_main_modify_tpu.quantization.int4_dispatch import \
+        int4_matmul_w4a8_requant_xla
+    from vllm_main_modify_tpu.quantization.weights import \
+        quantize_int4_w4a8
+
+    rng = np.random.default_rng(11)
+    k_dim, o_dim, g = 1024, 1024, 128
+    w = jnp.asarray(rng.standard_normal((k_dim, o_dim)) * 0.05,
+                    jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1024, k_dim)), jnp.float32)
+    qw = quantize_int4_w4a8(w, group_size=g)
+    assert qw.requant_m is not None
+    # m respects the int8 product bound
+    m = np.asarray(qw.requant_m)
+    assert m.min() >= 1 and m.max() <= 127
+    ref = int4_matmul_w4a8_requant_xla(x, qw)
+    got = int4_matmul_w4a8_pallas(x, qw, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+    assert rel_err(got, np.asarray(x) @ np.asarray(w)) < 0.15
+
+
+def test_int4_w4a8_requant_decode_unchanged():
+    """Decode tiles (T < 256) keep the exact per-group path even when
+    requant arrays are attached."""
+    from vllm_main_modify_tpu.ops.pallas.int4_matmul import \
+        int4_matmul_w4a8_pallas
+    from vllm_main_modify_tpu.quantization.int4_dispatch import \
+        int4_matmul_w4a8_xla
+    from vllm_main_modify_tpu.quantization.weights import \
+        quantize_int4_w4a8
+
+    rng = np.random.default_rng(12)
+    w = jnp.asarray(rng.standard_normal((1024, 1024)) * 0.05,
+                    jnp.float32)
+    x = jnp.asarray(rng.standard_normal((16, 1024)), jnp.float32)
+    qw = quantize_int4_w4a8(w, group_size=128)
+    ref = int4_matmul_w4a8_xla(x, qw)
+    got = int4_matmul_w4a8_pallas(x, qw, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_attach_requant_stacked_layers():
+    """Stacked [L, ...] weights: per-layer requant arrays match the
+    per-layer computation."""
+    from vllm_main_modify_tpu.quantization.weights import (
+        Int4Weight, attach_requant, quantize_int4_w4a8)
+
+    rng = np.random.default_rng(13)
+    ws = [jnp.asarray(rng.standard_normal((256, 512)) * 0.05,
+                      jnp.float32) for _ in range(3)]
+    qs = [quantize_int4_w4a8(w, group_size=128) for w in ws]
+    stacked = attach_requant(Int4Weight(
+        packed=jnp.stack([q.packed for q in qs]),
+        scales=jnp.stack([q.scales for q in qs]),
+        zeros=jnp.stack([q.zeros for q in qs]), w4a8=True))
+    for i, q in enumerate(qs):
+        np.testing.assert_array_equal(np.asarray(stacked.requant_m[i]),
+                                      np.asarray(q.requant_m))
+        np.testing.assert_allclose(np.asarray(stacked.requant_s[i]),
+                                   np.asarray(q.requant_s))

@@ -63,7 +63,8 @@ def _time(fn, x, w, iters_a: int = 50, iters_b: int = 250) -> float:
 def run(t_sizes=(8, 16, 32), verbose: bool = True) -> list[dict]:
     from vllm_main_modify_tpu.ops.pallas.int4_matmul import (
         int4_matmul_pallas, int4_matmul_w4a8_pallas)
-    from vllm_main_modify_tpu.quantization.weights import quantize_int4
+    from vllm_main_modify_tpu.quantization.weights import (
+        quantize_int4, quantize_int4_w4a8)
 
     shapes = [
         ("qkv_proj", 4096, 6144),
@@ -78,12 +79,14 @@ def run(t_sizes=(8, 16, 32), verbose: bool = True) -> list[dict]:
         w = jax.random.normal(key, (k, o), jnp.float32) * 0.02
         qw = quantize_int4(w, group_size=128)
         qw = jax.tree.map(jax.device_put, qw)
+        qw8 = quantize_int4_w4a8(w, group_size=128)  # + requant arrays
+        qw8 = jax.tree.map(jax.device_put, qw8)
         wb = w.astype(jnp.bfloat16)
         for t in t_sizes:
             x = jax.random.normal(key, (t, k), jnp.bfloat16)
             t_bf16 = _time(bf16_mm, x, wb)
             t_a16 = _time(int4_matmul_pallas, x, qw)
-            t_a8 = _time(int4_matmul_w4a8_pallas, x, qw)
+            t_a8 = _time(int4_matmul_w4a8_pallas, x, qw8)
             row = dict(shape=name, k=k, o=o, t=t,
                        bf16_us=round(t_bf16 * 1e6, 1),
                        w4a16_us=round(t_a16 * 1e6, 1),

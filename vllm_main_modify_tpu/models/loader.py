@@ -270,10 +270,13 @@ def _load_quantized(spec: ParamSpec, reader: _TensorReader, config,
                 p if p is not None else np.arange(k, dtype=np.int32)
                 for p in perms
             ]), False)
-        return QW.Int4Weight(put(stack(packs), True),
-                             put(stack(scs), True),
-                             put(stack(zps), True), perm_arr,
-                             w4a8=w4a8)
+        qw = QW.Int4Weight(put(stack(packs), True),
+                           put(stack(scs), True),
+                           put(stack(zps), True), perm_arr,
+                           w4a8=w4a8)
+        # W4A8 prefill runs the progressive-requant kernel; derive
+        # its per-channel scale + integer group multipliers at load
+        return QW.attach_requant(qw) if w4a8 else qw
 
     # MXFP4 checkpoints (GPT-OSS — reference: quantization/mxfp4.py):
     # HF "<name>_blocks" + "<name>_scales" (e8m0) pairs, or quantized
@@ -603,11 +606,12 @@ def _dummy_quantized(spec: ParamSpec, quant: str, mesh: Mesh):
     if quant in ("int4", "gptq", "awq", "w4a8", "gptq_w4a8",
                  "awq_w4a8"):
         g = min(128, k)
-        return QW.Int4Weight(
+        qw = QW.Int4Weight(
             put((*lead, k, o // 8), jnp.int32),
             put((*lead, k // g, o), jnp.float32, fill=0.01),
             put((*lead, k // g, o), jnp.float32, fill=8.0),
             w4a8=quant.endswith("w4a8"))
+        return QW.attach_requant(qw) if qw.w4a8 else qw
     if quant in ("fp8_w8a8", "w8a8"):
         return QW.Fp8W8A8Weight(
             put((*lead, k, o), jnp.float8_e4m3fn, fill=0.02),

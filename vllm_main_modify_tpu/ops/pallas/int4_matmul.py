@@ -98,7 +98,10 @@ def _int4_kernel(*refs, group_size: int, n_k_tiles: int):
 
 
 def _int4_w4a8_kernel(*refs, group_size: int, n_k_tiles: int,
-                      zero_correct: bool = False):
+                      zero_correct: bool = False,
+                      requant: bool = False):
+    if requant:
+        return _w4a8_requant_body(refs, group_size, n_k_tiles)
     (qx_ref, packed_ref, scales_ref, zeros_ref, sa_ref, out_ref,
      acc_ref) = refs[1:] if len(refs) == 8 else refs
     j = pl.program_id(2)
@@ -174,6 +177,52 @@ def _int4_w4a8_kernel(*refs, group_size: int, n_k_tiles: int,
                         sa_ref[:, 0:1]).astype(out_ref.dtype)
 
 
+def _w4a8_requant_body(refs, group_size: int, n_k_tiles: int):
+    """Prefill W4A8 via progressive requantization (see
+    quantization/weights.py attach_requant): reconstruct int8 weights
+    as (q - z) * m per group, run ONE int8 MXU matmul per K tile with
+    pure int32 accumulation across tiles (|sum| <= 127*127*K < 2^31),
+    and apply the per-channel scale + per-token activation scale once
+    in the epilogue. Removes the per-group f32 partial scaling that
+    cost ~40% VPU time on top of the int8 MXU stream at prefill
+    sizes."""
+    (qx_ref, packed_ref, zeros_ref, m_ref, rs_ref, sa_ref, out_ref,
+     acc_ref) = refs[1:] if len(refs) == 9 else refs
+    j = pl.program_id(2)
+
+    packed = packed_ref[...]
+    bk = packed.shape[0]
+    q = jnp.concatenate(
+        [(packed >> (4 * jj)) & 0xF for jj in range(8)],
+        axis=1)  # [BK, BO] int32
+    zeros_i = zeros_ref[...].astype(jnp.int32)  # [BK/g, BO]
+    m_i = m_ref[...]  # [BK/g, BO] int32
+    w8s = []
+    for gi in range(bk // group_size):
+        lo, hi = gi * group_size, (gi + 1) * group_size
+        w8s.append(((q[lo:hi] - zeros_i[gi:gi + 1, :]) *
+                    m_i[gi:gi + 1, :]).astype(jnp.int8))
+    w8 = jnp.concatenate(w8s, axis=0)  # [BK, BO] int8
+    part = jax.lax.dot_general(
+        qx_ref[...], w8,
+        dimension_numbers=(((1, ), (0, )), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[...] = acc_ref[...] + part
+
+    @pl.when(j == n_k_tiles - 1)
+    def _():
+        out_ref[...] = (acc_ref[...].astype(jnp.float32) *
+                        rs_ref[0:1, :] *
+                        sa_ref[:, 0:1]).astype(out_ref.dtype)
+
+
 def _pick_tile(dim: int, group: int, cap: int) -> int:
     """Largest multiple of `group` that divides `dim`, capped."""
     best = 0
@@ -200,33 +249,34 @@ def _pick_k_tile(k: int, g: int, cap: int = 1024) -> int:
     return best
 
 
-def _pick_m_tile(t: int) -> int:
+def _pick_m_tile(t: int, cap: int = 512) -> int:
     """Token-axis tile: decode batches (≤512) stay single-tile; large
-    prefill T is gridded in 512-row tiles (256 for odd buckets) so the
-    per-tile nibble unpack amortizes over many MXU rows. 0 = no tiling
-    (caller falls back to XLA)."""
+    prefill T is gridded in up-to-``cap``-row tiles (256 for odd
+    buckets) so the per-tile nibble unpack amortizes over many MXU
+    rows. 0 = no tiling (caller falls back to XLA)."""
     if t <= 512:
         return t if t % 8 == 0 else 0
-    for bm in (512, 256):
-        if t % bm == 0:
+    for bm in (cap, 512, 256):
+        if bm and t % bm == 0:
             return bm
     return 0
 
 
-def _call_int4_kernel(kernel, w, grid, act_specs, acts, weight_dims,
-                      out_spec, out_shape, scratch, interpret):
+def _call_int4_kernel(kernel, layer, grid, act_specs, acts, weights,
+                      weight_dims, out_spec, out_shape, scratch,
+                      interpret):
     """Issue the pallas_call either flat (per-layer weight arrays) or
     stacked (leading [L] layer axis block-indexed by a scalar-prefetch
     layer id — avoids the materialized per-layer weight copy a
     dynamic-slice into a custom-call operand would force)."""
     compiler_params = pltpu.CompilerParams(
-        dimension_semantics=("parallel", "parallel", "arbitrary"))
-    if w.layer is None:
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=100 * 1024 * 1024)
+    if layer is None:
         in_specs = list(act_specs[:1]) + [
             pl.BlockSpec(dims, lambda m, i, j: (j, i))
             for dims in weight_dims
         ] + list(act_specs[1:])
-        weights = (w.packed, w.scales, w.zeros)
         return pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs,
             out_specs=out_spec, out_shape=out_shape,
@@ -249,11 +299,11 @@ def _call_int4_kernel(kernel, w, grid, act_specs, acts, weight_dims,
         out_specs=pl.BlockSpec(out_spec.block_shape,
                                lambda m, i, j, l: (m, i)),
         scratch_shapes=scratch)
-    layer = jnp.asarray(w.layer, jnp.int32).reshape(1)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         compiler_params=compiler_params, interpret=interpret,
-    )(layer, acts[0], w.packed, w.scales, w.zeros, *acts[1:])
+    )(layer, acts[0], *weights, *acts[1:])
 
 
 @functools.partial(jax.jit, static_argnames=["interpret"])
@@ -287,9 +337,10 @@ def int4_matmul_pallas(x: jax.Array, w, interpret: bool = False
     out = _call_int4_kernel(
         functools.partial(_int4_kernel, group_size=g,
                           n_k_tiles=n_k_tiles),
-        w, grid,
+        w.layer, grid,
         act_specs=[pl.BlockSpec((bm, bk), lambda m, i, j: (m, j))],
         acts=(x2, ),
+        weights=(w.packed, w.scales, w.zeros),
         weight_dims=[(bk, bo // 8), (bk // g, bo), (bk // g, bo)],
         out_spec=pl.BlockSpec((bm, bo), lambda m, i, j: (m, i)),
         out_shape=jax.ShapeDtypeStruct((t, o), x.dtype),
@@ -317,8 +368,12 @@ def int4_matmul_w4a8_pallas(x: jax.Array, w, interpret: bool = False
     g = k // scales.shape[-2]
 
     bk = _pick_k_tile(k, g)
-    bm = _pick_m_tile(t)
+    # requant tiles afford 1024 rows (int32 acc 4 MB in VMEM): the
+    # in-kernel w8 build amortizes over 2x the MXU rows
+    bm = _pick_m_tile(t, cap=1024 if w.requant_m is not None else 512)
     bo = 0
+    # the lane-blocked nibble layout is per-1024-column tile
+    # (weights.py int4_pack), so bo is pinned to 1024 where possible
     for cand in (1024, 2048, 3072):
         if o % cand == 0:
             bo = cand
@@ -334,19 +389,33 @@ def int4_matmul_w4a8_pallas(x: jax.Array, w, interpret: bool = False
     n_k_tiles = k // bk
     grid = (t // bm, o // bo, n_k_tiles)
 
+    # prefill tiles with requant arrays use the progressive-requant
+    # body (single int8 matmul per K tile, int32 accumulation);
+    # decode tiles keep the exact per-group path (zero-correction)
+    requant = w.requant_m is not None and bm >= 256
+    if requant:
+        weights = (w.packed, w.zeros, w.requant_m, w.requant_s)
+        wdims = [(bk, bo // 8), (bk // g, bo), (bk // g, bo),
+                 (bk // g, bo)]
+        scratch = [pltpu.VMEM((bm, bo), jnp.int32)]
+    else:
+        weights = (w.packed, w.scales, w.zeros)
+        wdims = [(bk, bo // 8), (bk // g, bo), (bk // g, bo)]
+        scratch = [pltpu.VMEM((bm, bo), jnp.float32)]
     out = _call_int4_kernel(
         functools.partial(_int4_w4a8_kernel, group_size=g,
                           n_k_tiles=n_k_tiles,
-                          zero_correct=bm < g),
-        w, grid,
+                          zero_correct=bm < g, requant=requant),
+        w.layer, grid,
         act_specs=[
             pl.BlockSpec((bm, bk), lambda m, i, j: (m, j)),
             pl.BlockSpec((bm, 128), lambda m, i, j: (m, 0)),
         ],
         acts=(qx, sa),
-        weight_dims=[(bk, bo // 8), (bk // g, bo), (bk // g, bo)],
+        weights=weights,
+        weight_dims=wdims,
         out_spec=pl.BlockSpec((bm, bo), lambda m, i, j: (m, i)),
         out_shape=jax.ShapeDtypeStruct((t, o), x.dtype),
-        scratch=[pltpu.VMEM((bm, bo), jnp.float32)],
+        scratch=scratch,
         interpret=interpret)
     return out.reshape(*t_dim, o)

@@ -105,23 +105,34 @@ class Int4Weight:
     perm: jax.Array | None = None
     w4a8: bool = False
     layer: jax.Array | None = None
+    # QServe-style progressive requantization (reference capability:
+    # w4a8 GEMMs, csrc/quantization/gptq_marlin + QServe paper): the
+    # group scale factors as s[g,o] ~= requant_s[o] * requant_m[g,o]
+    # with an INTEGER group multiplier m (adaptive cap
+    # 127 // max|q - z|_g so (q - z) * m stays int8). Prefill tiles
+    # then run ONE int8 matmul per K tile with pure int32
+    # accumulation (|sum| <= 127*127*K < 2^31) and apply the
+    # per-channel scale once in the epilogue — removing the
+    # per-group f32 partial-scaling VPU work. requant_s is stored
+    # row-replicated at [..., in//group, out] so it tiles like
+    # ``scales``. Decode tiles keep the exact per-group path.
+    requant_m: jax.Array | None = None  # int32 [..., in//group, out]
+    requant_s: jax.Array | None = None  # f32 [..., in//group, out]
 
     def tree_flatten(self):
         children = [self.packed, self.scales, self.zeros]
-        if self.perm is not None:
-            children.append(self.perm)
-        if self.layer is not None:
-            children.append(self.layer)
-        return tuple(children), (self.perm is not None, self.w4a8,
-                                 self.layer is not None)
+        opt = (self.perm, self.layer, self.requant_m, self.requant_s)
+        flags = tuple(a is not None for a in opt)
+        children.extend(a for a in opt if a is not None)
+        return tuple(children), (flags, self.w4a8)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        has_perm, w4a8, has_layer = aux
-        children = list(children)
-        layer = children.pop() if has_layer else None
-        perm = children.pop() if has_perm else None
-        return cls(*children, perm=perm, w4a8=w4a8, layer=layer)
+        flags, w4a8 = aux
+        base, rest = list(children[:3]), list(children[3:])
+        vals = [rest.pop(0) if f else None for f in flags]
+        return cls(*base, perm=vals[0], w4a8=w4a8, layer=vals[1],
+                   requant_m=vals[2], requant_s=vals[3])
 
     @property
     def shape(self):
@@ -504,7 +515,9 @@ def index_layer_weights(layers, l):
         if isinstance(node, Int4Weight):
             return Int4Weight(node.packed, node.scales, node.zeros,
                               perm=node.perm, w4a8=node.w4a8,
-                              layer=jnp.asarray(l, jnp.int32))
+                              layer=jnp.asarray(l, jnp.int32),
+                              requant_m=node.requant_m,
+                              requant_s=node.requant_s)
         return jax.tree.map(
             lambda a: jax.lax.dynamic_index_in_dim(
                 a, l, 0, keepdims=False), node)
@@ -584,9 +597,55 @@ def int4_pack(q: jax.Array) -> jax.Array:
     return words.astype(jnp.int32)
 
 
+def _requant_arrays(packed, scales, zeros):
+    q = int4_unpack(packed)  # [K, O] int32
+    k, o = q.shape
+    g = k // scales.shape[-2]
+    qg = q.reshape(k // g, g, o)
+    dev = jnp.abs(qg - zeros.astype(jnp.int32)[:, None, :]
+                  ).max(axis=-2)  # [K/g, O]
+    m_cap = 127 // jnp.maximum(dev, 1)
+    s_chan = jnp.max(scales / m_cap.astype(jnp.float32),
+                     axis=-2)  # [O]
+    m = jnp.clip(jnp.round(scales / s_chan[None, :]), 1,
+                 m_cap).astype(jnp.int32)
+    rs = s_chan[None, :] + jnp.zeros_like(scales)  # row-replicated
+    return m, rs
+
+
+def attach_requant(w: Int4Weight) -> Int4Weight:
+    """Derive the progressive-requantization arrays (see Int4Weight
+    docstring) from an already-quantized weight: per-channel scale
+    ``S[o] = max_g s[g,o] / m_cap[g,o]`` and integer group multiplier
+    ``m = round(s / S)`` clipped to the adaptive cap
+    ``127 // max|q - z|_g`` so the in-kernel product (q - z) * m fits
+    int8 exactly. Load-time only; stacked [L, ...] weights are
+    processed one layer at a time to bound the unpack transient
+    ([K, O] int32), and the outputs adopt ``scales``' sharding."""
+    if w.packed.ndim > 2:
+        parts = [
+            _requant_arrays(w.packed[i], w.scales[i], w.zeros[i])
+            for i in range(w.packed.shape[0])
+        ]
+        m = jnp.stack([p[0] for p in parts])
+        rs = jnp.stack([p[1] for p in parts])
+    else:
+        m, rs = _requant_arrays(w.packed, w.scales, w.zeros)
+    try:  # match the group-scale sharding (no-op on single device)
+        m = jax.device_put(m, w.scales.sharding)
+        rs = jax.device_put(rs, w.scales.sharding)
+    except Exception:  # noqa: BLE001 — tracer/aval inputs in tests
+        pass
+    return Int4Weight(w.packed, w.scales, w.zeros, perm=w.perm,
+                      w4a8=w.w4a8, layer=w.layer, requant_m=m,
+                      requant_s=rs)
+
+
 def quantize_int4_w4a8(w: jax.Array, group_size: int = 128
                        ) -> Int4Weight:
     """As :func:`quantize_int4` but flagged for the W4A8 (int8-MXU)
-    matmul path."""
+    matmul path, with the progressive-requant arrays attached for the
+    prefill kernel."""
     q = quantize_int4(w, group_size)
-    return Int4Weight(q.packed, q.scales, q.zeros, q.perm, w4a8=True)
+    return attach_requant(
+        Int4Weight(q.packed, q.scales, q.zeros, q.perm, w4a8=True))
