@@ -263,7 +263,8 @@ def bench_quant(tag: str, quantization: str, cache_dtype: str,
     while True:  # OOM-adaptive: fp8-8B weights ~14.7 GB on 16 GB HBM
         config = EngineConfig(
             model_config=llama3_8b_config(quantization=quantization),
-            cache_config=CacheConfig(block_size=32,
+            cache_config=CacheConfig(block_size=int(
+                os.environ.get("BENCH_BLOCK", "128")),
                                      cache_dtype=cache_dtype,
                                      enable_prefix_caching=False),
             scheduler_config=SchedulerConfig(
@@ -334,7 +335,11 @@ def main() -> None:
     config = EngineConfig(
         model_config=smoke_config() if SMOKE else qwen25_15b_config(),
         cache_config=CacheConfig(
-            block_size=int(os.environ.get("BENCH_BLOCK", "32")),
+            # 128-token pages: the attention kernels issue one DMA
+            # per page per stream block, so page 32 costs 4x the
+            # scalar DMA issue rate (measured 1.8 -> 1.1 ms/layer on
+            # prefill attention, headline 1.34 -> 1.30 s)
+            block_size=int(os.environ.get("BENCH_BLOCK", "128")),
             num_gpu_blocks=(1024 if SMOKE else int(
                 os.environ.get("BENCH_BLOCKS", "0")) or None),
             enable_prefix_caching=False),

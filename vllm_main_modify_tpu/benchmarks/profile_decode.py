@@ -29,7 +29,7 @@ else:
 config = EngineConfig(
     model_config=_mc,
     cache_config=CacheConfig(
-        block_size=32,
+        block_size=int(os.environ.get("PROF_BLOCK", "32")),
         cache_dtype=os.environ.get("PROF_KV", "auto"),
         enable_prefix_caching=False),
     scheduler_config=SchedulerConfig(
@@ -59,7 +59,9 @@ if os.environ.get("PROF_TRACE"):
                                            max_tokens=Q_DECODE,
                                            ignore_eos=True)))
     # drive past prefill so the traced region is pure decode chunks
-    for _ in range(4):
+    # (PROF_TRACE_PREFILL=1: trace the prefill chunks instead)
+    n_skip = 0 if os.environ.get("PROF_TRACE_PREFILL") else 4
+    for _ in range(n_skip):
         core.step()
     import jax
     with jax.profiler.trace("/tmp/jaxtrace"):
