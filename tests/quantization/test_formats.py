@@ -104,3 +104,23 @@ def test_e2e_quantized_generation(tiny_llama_dir):
                                        q.outputs[0].token_ids))
     assert agree >= 8, (ref.outputs[0].token_ids,
                         q.outputs[0].token_ids)
+
+
+def test_e2e_w4a8_generation(tiny_llama_dir):
+    """On-the-fly W4A8 quantization (int4 groups + int8 activations +
+    progressive-requant arrays attached at load) must generate through
+    the stacked-layer path (weights.py index_layer_weights keeps
+    Int4Weight stacked with a traced layer id; the CPU run exercises
+    the XLA fallback's _delayer)."""
+    from vllm_main_modify_tpu.entrypoints.llm import LLM
+    from vllm_main_modify_tpu.sampling_params import SamplingParams
+
+    p = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    kw = dict(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=4, max_num_batched_tokens=64, block_size=4,
+              num_kv_blocks=128)
+    out = LLM(quantization="w4a8", **kw).generate(
+        ["hello world this is"], p)[0]
+    toks = out.outputs[0].token_ids
+    assert len(toks) == 8
+    assert all(0 <= t for t in toks)
