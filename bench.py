@@ -248,7 +248,7 @@ def run_serving_poisson(core, rng, num_prompts: int, prefix: int,
 
 
 def bench_quant(tag: str, quantization: str, cache_dtype: str,
-                results: dict) -> None:
+                results: dict, steps: int | None = None) -> None:
     """One quantized 8B serving config: dummy weights (identical
     compute/memory traffic), one warmup batch, one measured batch."""
     import numpy as np
@@ -263,8 +263,13 @@ def bench_quant(tag: str, quantization: str, cache_dtype: str,
     while True:  # OOM-adaptive: fp8-8B weights ~14.7 GB on 16 GB HBM
         config = EngineConfig(
             model_config=llama3_8b_config(quantization=quantization),
+            # quantized KV keeps 32-token pages: its decode write is
+            # a page-RMW whose traffic scales with the page size
+            # (999 -> 897 tok/s at 128 pages on fp8_w8a8+int8kv)
             cache_config=CacheConfig(block_size=int(
-                os.environ.get("BENCH_BLOCK", "128")),
+                os.environ.get("BENCH_BLOCK",
+                               "32" if cache_dtype != "auto"
+                               else "128")),
                                      cache_dtype=cache_dtype,
                                      enable_prefix_caching=False),
             scheduler_config=SchedulerConfig(
@@ -272,7 +277,7 @@ def bench_quant(tag: str, quantization: str, cache_dtype: str,
                 max_num_seqs=prompts,
                 max_model_len=MAX_MODEL_LEN,
                 async_scheduling=True,
-                num_decode_steps_per_dispatch=int(
+                num_decode_steps_per_dispatch=steps or int(
                     os.environ.get("BENCH_DECODE_STEPS", "16"))),
             load_config=LoadConfig(load_format="dummy"),
         )
@@ -394,20 +399,24 @@ def main() -> None:
     # north-star quantized 8B serving (BASELINE.md): skip any config
     # that would blow the wall-clock budget so the driver always gets
     # the JSON line. Roofline context: docs/perf_v5e.md.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2200"))
     t_start = time.monotonic()
     if not SMOKE and os.environ.get("BENCH_QUANT", "1") == "1":
-        for tag, quant, kv in (("int4_w4a8", "gptq_w4a8", "auto"),
-                               ("fp8_w8a8_int8kv", "fp8_w8a8", "int8"),
-                               ("int4_w4a8_int8kv", "gptq_w4a8",
-                                "int8"),
-                               ("fp8_w8a8_fp8kv", "fp8_w8a8", "fp8")):
+        # steps=4: per-4-token streaming emission (a real streaming
+        # client sees <=4-token bursts; costs ~4% tokens/s vs the
+        # 16-step dispatch fusion)
+        for tag, quant, kv, steps in (
+                ("int4_w4a8", "gptq_w4a8", "auto", None),
+                ("fp8_w8a8_int8kv", "fp8_w8a8", "int8", None),
+                ("int4_w4a8_steps4", "gptq_w4a8", "auto", 4),
+                ("int4_w4a8_int8kv", "gptq_w4a8", "int8", None),
+                ("fp8_w8a8_fp8kv", "fp8_w8a8", "fp8", None)):
             if time.monotonic() - t_start > budget_s:
                 print(f"# skipping {tag}: over budget",
                       file=sys.stderr)
                 continue
             try:
-                bench_quant(tag, quant, kv, results)
+                bench_quant(tag, quant, kv, results, steps=steps)
             except Exception as e:  # noqa: BLE001
                 print(f"# {tag} failed: {e!r}", file=sys.stderr)
             print(json.dumps(results), flush=True)

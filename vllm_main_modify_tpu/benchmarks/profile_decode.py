@@ -36,7 +36,8 @@ config = EngineConfig(
         max_num_batched_tokens=MAX_BATCHED_TOKENS,
         max_num_seqs=PROMPTS, max_model_len=MAX_MODEL_LEN,
         async_scheduling=True,
-        num_decode_steps_per_dispatch=16),
+        num_decode_steps_per_dispatch=int(
+            os.environ.get("PROF_STEPS", "16"))),
     load_config=LoadConfig(load_format="dummy"),
 )
 core = EngineCore(config)
