@@ -51,7 +51,7 @@ PREFIX_LEN = 500
 DECODE_LEN = 50
 # 64: decode the whole 64-prompt workload in ONE continuous-batching
 # wave — same weight stream serves 2x the tokens per decode step
-# (v5e: 1.38s at 32 seqs -> 1.125s at 64)
+# (v5e r5: 1.30s at 32 seqs -> 1.06s at 64)
 MAX_NUM_SEQS = int(os.environ.get("BENCH_SEQS", "64"))
 MAX_MODEL_LEN = 1024
 MAX_BATCHED_TOKENS = int(os.environ.get("BENCH_MBT", "8192"))
