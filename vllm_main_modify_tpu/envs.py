@@ -47,6 +47,11 @@ ENVIRONMENT_VARIABLES: dict[str, tuple[Callable[[], Any], str]] = {
         "Force pure-Python fallbacks for native (C) components — "
         "currently the ngram proposer (spec_decode/native)."),
     # --- TPU kernel tuning ----------------------------------------------
+    "VLLM_TPU_DECODE_PACK": (
+        lambda: _int("VLLM_TPU_DECODE_PACK", None),
+        "Lane-pack factor for the decode attention kernel on "
+        "narrow-KV models (0 disables, default auto: pack "
+        "1024//(2*Hk*D) sequences side-by-side per stream block)."),
     "VLLM_TPU_DECODE_KV_BLOCK": (
         lambda: _int("VLLM_TPU_DECODE_KV_BLOCK", None),
         "Decode-attention KV stream block in tokens (default 128; "

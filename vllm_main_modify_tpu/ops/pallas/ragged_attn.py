@@ -43,6 +43,9 @@ NEG_INF = -2.0**30  # large finite: avoids inf-inf NaNs in rescaling
 
 # triple-buffered KV stream (consume i, i+1 in flight, i+2 free)
 N_BUF = 3
+# decode kernel: items are ~100 ns of HBM service, so DMA latency
+# needs a much deeper pipeline (n_buf-1 item DMAs in flight)
+N_BUF_DECODE = 8
 # VMEM budget for the KV stream buffers
 KV_STREAM_BYTES = 4 * 1024 * 1024
 
@@ -578,20 +581,30 @@ def _rpa_decode_kernel(
                 sc_hbm.at[pl.ds(0, 8), pl.ds(0, kvb)],
                 sc_vmem.at[slot], sc_sems.at[slot]).wait()
 
+    n_buf = kv_vmem.shape[0]
+    depth = n_buf - 1  # outstanding prefetches
+
     s0, v0 = first_valid_seq(s_base)
     kb0 = first_kv_block(s0)
+    # DEEP prefetch: decode items are tiny (one 128-token block is
+    # ~130 ns of HBM service at narrow widths), so the old 2-deep
+    # pipeline stalled on DMA issue→complete latency (~275 ns/item of
+    # measured overhead at bs=32, W=512 — 3.1x over the stream
+    # roofline). Keep depth = n_buf-1 item DMAs in flight; the item
+    # queue is a scalar shift register carried through the while loop
+    # (ONE next_item evaluation per iteration, same as before).
+    states = [(s0, kb0, v0)]
+    for j in range(depth):
+        sj, kbj, vj = states[-1]
 
-    @pl.when(v0)
-    def _():
-        start_kv_dma(s0, kb0, 0)
+        @pl.when(vj)
+        def _(sj=sj, kbj=kbj, j=j):
+            start_kv_dma(sj, kbj, j)
 
-    s1, kb1, v1 = jax.lax.cond(
-        v0, lambda: next_item(s0, kb0, v0),
-        lambda: (s0, jnp.int32(0), jnp.bool_(False)))
-
-    @pl.when(v1)
-    def _():
-        start_kv_dma(s1, kb1, 1)
+        states.append(jax.lax.cond(
+            vj,
+            lambda sj=sj, kbj=kbj, vj=vj: next_item(sj, kbj, vj),
+            lambda sj=sj: (sj, jnp.int32(0), jnp.bool_(False))))
 
     q_copy.wait()
 
@@ -717,23 +730,29 @@ def _rpa_decode_kernel(
     acc0 = jnp.zeros((hq_pad, width), jnp.float32)
 
     def pipe_cond(carry):
-        (_, _, valid, *_rest) = carry
-        return valid
+        return carry[2]  # states[0].valid
 
     def pipe_body(carry):
-        (s, kb, valid, ns, nkb, nvalid, slot, m, l, acc) = carry
-        n2s, n2kb, n2valid = jax.lax.cond(
-            nvalid, lambda: next_item(ns, nkb, nvalid),
-            lambda: (ns, nkb, jnp.bool_(False)))
+        flat = carry[:3 * (depth + 1)]
+        slot, m, l, acc = carry[3 * (depth + 1):]
+        q_states = [tuple(flat[3 * j:3 * j + 3])
+                    for j in range(depth + 1)]
+        s, kb, valid = q_states[0]
+        st, kbt, vt = q_states[depth]
 
-        @pl.when(n2valid)
+        @pl.when(vt)
         def _():
-            start_kv_dma(n2s, n2kb, jax.lax.rem(slot + 2, N_BUF))
+            start_kv_dma(st, kbt, jax.lax.rem(slot + depth, n_buf))
+
+        tail = jax.lax.cond(
+            vt, lambda: next_item(st, kbt, vt),
+            lambda: (st, jnp.int32(0), jnp.bool_(False)))
 
         wait_kv_dma(s, kb, slot)
         m, l, acc = compute_item(s, kb, slot, m, l, acc)
 
         # flush + reset accumulators when the stream leaves sequence s
+        ns, _, nvalid = q_states[1]
         done_seq = jnp.logical_not(nvalid) | (ns != s)
 
         @pl.when(done_seq)
@@ -742,10 +761,15 @@ def _rpa_decode_kernel(
 
         m, l, acc = jax.lax.cond(
             done_seq, lambda: (m0, l0, acc0), lambda: (m, l, acc))
-        return (ns, nkb, nvalid, n2s, n2kb, n2valid,
-                jax.lax.rem(slot + 1, N_BUF), m, l, acc)
+        out = ()
+        for st2 in q_states[1:] + [tail]:
+            out += st2
+        return out + (jax.lax.rem(slot + 1, n_buf), m, l, acc)
 
-    carry = (s0, kb0, v0, s1, kb1, v1, jnp.int32(0), m0, l0, acc0)
+    carry = ()
+    for st2 in states:
+        carry += st2
+    carry += (jnp.int32(0), m0, l0, acc0)
     jax.lax.while_loop(pipe_cond, pipe_body, carry)
 
     o_copy = pltpu.make_async_copy(
@@ -776,6 +800,380 @@ def _gather_scale_columns(kv_scales, block_tables, page_base,
     return g.reshape(r * 8, mp * page_size)
 
 
+def _rpa_decode_packed_kernel(
+    # scalar prefetch (SMEM)
+    seq_lens_ref,  # [R2] (R2 = t rounded up to a multiple of F)
+    block_tables_ref,  # [R2, max_pages]
+    num_seqs_ref,  # [1]
+    page_base_ref,  # [1]
+    # inputs (HBM)
+    q_hbm,  # [R2*HqP, F*W] lane-packed block-diagonal q (wrapper)
+    kv_hbm,  # [P*page, W]
+    # output (HBM): o_hbm [R2*HqP, D]
+    o_hbm,
+    # scratch
+    q_vmem,  # [BS*HqP, F*W]
+    kv_vmem,  # [N_BUF, KVB, F*W]
+    o_vmem,  # [BS*HqP, D]
+    q_sem,
+    o_sem,
+    kv_sems,  # [N_BUF, F*NPP]
+    *,
+    sm_scale: float,
+    num_q_heads: int,
+    hq_pad: int,
+    num_kv_heads: int,
+    head_dim: int,
+    page_size: int,
+    logit_softcap: Optional[float],
+    pack: int,  # F sequences lane-packed per stream block
+):
+    """Lane-packed decode kernel for NARROW kv widths (W = 2*Hk*D <=
+    512). The per-(sequence, kv-block) item cost of the general decode
+    kernel is scalar-sequencing/issue bound, not bandwidth bound
+    (~275 ns/item vs ~130 ns of HBM service at W=512, measured on
+    v5e-class hardware — deep DMA prefetch does not recover it). This
+    variant streams F = 1024//W sequences SIDE-BY-SIDE in the lane
+    dimension: each work item fetches F sequences' pages into disjoint
+    lane stripes of one [KVB, F*W] block and contracts all F with ONE
+    QK/PV matmul pair (block-diagonal q per side x head, zeros kill
+    cross terms), cutting the item count — and with it the serialized
+    scalar/issue overhead — by F. Only the simple decode config packs
+    (full causal, no window/chunk/sinks, 16-bit KV); everything else
+    falls back to _rpa_decode_kernel. [reference behavior:
+    vllm/v1/attention/backends/pallas.py ragged_paged_attention]"""
+    F = pack
+    i = pl.program_id(0)
+    bs = q_vmem.shape[0] // hq_pad  # sequences per program (mult. F)
+    n_grp = bs // F
+    kvb = kv_vmem.shape[1]
+    npp = kvb // page_size
+    wp = kv_vmem.shape[-1]
+    w = wp // F
+    group = num_q_heads // num_kv_heads
+    g0 = i * n_grp
+    g_end = g0 + n_grp
+    num_seqs = num_seqs_ref[0]
+    n_buf = kv_vmem.shape[0]
+    depth = n_buf - 1
+
+    q_copy = pltpu.make_async_copy(
+        q_hbm.at[pl.ds(g0 * F * hq_pad, bs * hq_pad)], q_vmem, q_sem)
+    q_copy.start()
+    o_vmem[...] = jnp.zeros_like(o_vmem)
+
+    def side_len(s):
+        return jnp.where(s < num_seqs, seq_lens_ref[s], 0)
+
+    def group_len(g):
+        gl = jnp.int32(0)
+        for c in range(F):
+            gl = jnp.maximum(gl, side_len(g * F + c))
+        return gl
+
+    def first_valid_group(g):
+        def cond(g2):
+            return (g2 < g_end) & (group_len(g2) == 0)
+
+        g2 = jax.lax.while_loop(cond, lambda g2: g2 + 1, g)
+        return g2, (g2 < g_end)
+
+    def num_kv_blocks(g):
+        return pl.cdiv(group_len(g), kvb)
+
+    def next_item(g, kb, valid):
+        def advance_group():
+            g2, ok = first_valid_group(g + 1)
+            return g2, jnp.int32(0), ok
+
+        def same_group():
+            return g, kb + 1, jnp.bool_(True)
+
+        return jax.lax.cond(valid & (kb + 1 < num_kv_blocks(g)),
+                            same_group, advance_group)
+
+    page_base = page_base_ref[0]
+    SB = 128 if kvb % 128 == 0 else kvb
+    n_sub = kvb // SB
+
+    def start_kv_dma(g, kb, slot):
+        # every side computes up to the GROUP's padded extent, so a
+        # side whose pages end early zero-fills its lane stripe there
+        # (stale VMEM can hold NaN bit patterns; 0 * NaN = NaN in p@v)
+        read_end = ((group_len(g) + SB - 1) // SB) * SB
+        for c in range(F):
+            s = g * F + c
+            len_c = side_len(s)
+            for j in range(npp):
+                base = kb * kvb + j * page_size
+                needed = base < len_c
+                touched = base < read_end
+
+                @pl.when(needed)
+                def _(s=s, c=c, j=j):
+                    page_id = page_base + \
+                        block_tables_ref[s, kb * npp + j]
+                    pltpu.make_async_copy(
+                        kv_hbm.at[pl.ds(page_id * page_size,
+                                        page_size)],
+                        kv_vmem.at[slot, pl.ds(j * page_size,
+                                               page_size),
+                                   pl.ds(c * w, w)],
+                        kv_sems.at[slot, c * npp + j]).start()
+
+                @pl.when(jnp.logical_not(needed) & touched)
+                def _(c=c, j=j):
+                    kv_vmem[slot, pl.ds(j * page_size, page_size),
+                            pl.ds(c * w, w)] = \
+                        jnp.zeros((page_size, w), kv_vmem.dtype)
+
+    def wait_kv_dma(g, kb, slot):
+        for c in range(F):
+            len_c = side_len(g * F + c)
+            for j in range(npp):
+                @pl.when(kb * kvb + j * page_size < len_c)
+                def _(c=c, j=j):
+                    pltpu.make_async_copy(
+                        kv_hbm.at[pl.ds(0, page_size)],
+                        kv_vmem.at[slot, pl.ds(j * page_size,
+                                               page_size),
+                                   pl.ds(c * w, w)],
+                        kv_sems.at[slot, c * npp + j]).wait()
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, SB), 1)
+    rows = F * hq_pad
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    side_row = row_iota // hq_pad  # which packed side owns row r
+    head_row = (row_iota % hq_pad) // group  # kv head within side
+
+    def flush(g, m, l, acc):
+        row = (g - g0) * rows  # multiple of 8 (hq_pad is)
+        out = jnp.zeros((rows, head_dim), jnp.float32)
+        for c in range(F):
+            for h in range(num_kv_heads):
+                vpart = acc[:, c * w + (2 * h + 1) * head_dim:
+                            c * w + (2 * h + 2) * head_dim]
+                out = jnp.where((side_row == c) & (head_row == h),
+                                vpart, out)
+        out = out / jnp.maximum(l, 1e-20)
+        o_vmem[pl.ds(row, rows), :] = out.astype(o_vmem.dtype)
+
+    def compute_item(g, kb, slot, m, l, acc):
+        row = (g - g0) * rows
+        qs = q_vmem[pl.ds(row, rows), :]  # [rows, F*W] block-diag
+        len_rows = jnp.zeros((rows, 1), jnp.int32)
+        for c in range(F):
+            len_rows = jnp.where(side_row == c,
+                                 side_len(g * F + c), len_rows)
+        glen = group_len(g)
+
+        def sub_block(si, m, l, acc):
+            kv = kv_vmem[slot, pl.ds(si * SB, SB)]  # [SB, F*W]
+            kv_idx = kb * kvb + si * SB + col  # [1, SB]
+            mask = kv_idx < len_rows  # [rows, SB]
+            scores = jax.lax.dot_general(
+                qs, kv,
+                dimension_numbers=(((1, ), (1, )), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            if logit_softcap is not None:
+                scores = jnp.tanh(scores / logit_softcap) * \
+                    logit_softcap
+            scores = jnp.where(mask, scores, NEG_INF)
+            m_new = jnp.maximum(
+                m, jnp.max(scores, axis=-1, keepdims=True))
+            p = jnp.exp(scores - m_new)
+            p = jnp.where(mask, p, 0.0)
+            scale_old = jnp.exp(m - m_new)
+            l_new = l * scale_old + jnp.sum(p, axis=-1,
+                                            keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(kv.dtype), kv,
+                dimension_numbers=(((1, ), (0, )), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l_new, acc * scale_old + pv
+
+        for si in range(n_sub):
+            if si == 0:
+                m, l, acc = sub_block(0, m, l, acc)
+            else:
+                m, l, acc = jax.lax.cond(
+                    kb * kvb + si * SB < glen,
+                    lambda m, l, acc, si=si: sub_block(si, m, l, acc),
+                    lambda m, l, acc: (m, l, acc), m, l, acc)
+        return m, l, acc
+
+    g_first, v0 = first_valid_group(g0)
+    states = [(g_first, jnp.int32(0), v0)]
+    for j in range(depth):
+        gj, kbj, vj = states[-1]
+
+        @pl.when(vj)
+        def _(gj=gj, kbj=kbj, j=j):
+            start_kv_dma(gj, kbj, j)
+
+        states.append(jax.lax.cond(
+            vj,
+            lambda gj=gj, kbj=kbj, vj=vj: next_item(gj, kbj, vj),
+            lambda gj=gj: (gj, jnp.int32(0), jnp.bool_(False))))
+
+    q_copy.wait()
+
+    m0 = jnp.full((rows, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((rows, 1), jnp.float32)
+    acc0 = jnp.zeros((rows, wp), jnp.float32)
+
+    def pipe_cond(carry):
+        return carry[2]
+
+    def pipe_body(carry):
+        flat = carry[:3 * (depth + 1)]
+        slot, m, l, acc = carry[3 * (depth + 1):]
+        q_states = [tuple(flat[3 * j:3 * j + 3])
+                    for j in range(depth + 1)]
+        g, kb, valid = q_states[0]
+        gt, kbt, vt = q_states[depth]
+
+        @pl.when(vt)
+        def _():
+            start_kv_dma(gt, kbt, jax.lax.rem(slot + depth, n_buf))
+
+        tail = jax.lax.cond(
+            vt, lambda: next_item(gt, kbt, vt),
+            lambda: (gt, jnp.int32(0), jnp.bool_(False)))
+
+        wait_kv_dma(g, kb, slot)
+        m, l, acc = compute_item(g, kb, slot, m, l, acc)
+
+        ng, _, nvalid = q_states[1]
+        done_grp = jnp.logical_not(nvalid) | (ng != g)
+
+        @pl.when(done_grp)
+        def _():
+            flush(g, m, l, acc)
+
+        m, l, acc = jax.lax.cond(
+            done_grp, lambda: (m0, l0, acc0), lambda: (m, l, acc))
+        out = ()
+        for st2 in q_states[1:] + [tail]:
+            out += st2
+        return out + (jax.lax.rem(slot + 1, n_buf), m, l, acc)
+
+    carry = ()
+    for st2 in states:
+        carry += st2
+    carry += (jnp.int32(0), m0, l0, acc0)
+    jax.lax.while_loop(pipe_cond, pipe_body, carry)
+
+    o_copy = pltpu.make_async_copy(
+        o_vmem, o_hbm.at[pl.ds(g0 * F * hq_pad, bs * hq_pad)], o_sem)
+    o_copy.start()
+    o_copy.wait()
+
+
+def _decode_attention_packed(
+    q: jax.Array,  # [T, Hq, D]
+    kv_cache2: jax.Array,  # [P*page, W]
+    block_tables: jax.Array,
+    seq_lens: jax.Array,
+    sm_scale: float,
+    num_kv_heads: int,
+    page_size: int,
+    logit_softcap: Optional[float],
+    num_seqs: jax.Array,
+    page_base: jax.Array,
+    interpret: bool,
+    pack: int,
+) -> jax.Array:
+    """Wrapper for the lane-packed narrow-KV decode kernel: pads the
+    batch to a multiple of F, builds the lane-packed block-diagonal q
+    (side s%F at lane offset (s%F)*W), and slices the result back."""
+    t, num_q_heads, head_dim = q.shape
+    width = 2 * num_kv_heads * head_dim
+    F = pack
+    wp = F * width
+    hq_pad = -(-num_q_heads // 8) * 8
+    t2 = -(-t // F) * F
+    if t2 != t:
+        seq_lens = jnp.pad(seq_lens, (0, t2 - t))
+        block_tables = jnp.pad(block_tables,
+                               ((0, t2 - t), (0, 0)))
+    n_grp = t2 // F
+    # groups per program: cap the q tile ([bsg*F*hq_pad, F*W]) ~2 MB
+    bsg = min(n_grp, 64,
+              max(1, (2 * 1024 * 1024) //
+                  (F * hq_pad * wp * q.dtype.itemsize)))
+    while n_grp % bsg:
+        bsg //= 2
+    bs = bsg * F
+    kvb_tokens = 128
+    env = envs.VLLM_TPU_DECODE_KV_BLOCK
+    if env:
+        kvb_tokens = int(env)
+    npp = max(kvb_tokens // page_size, 1)
+    kvb = npp * page_size
+    max_pages = block_tables.shape[1]
+    if max_pages % npp != 0:
+        block_tables = jnp.pad(
+            block_tables, ((0, 0), (0, npp - max_pages % npp)))
+
+    kernel = functools.partial(
+        _rpa_decode_packed_kernel,
+        sm_scale=sm_scale,
+        num_q_heads=num_q_heads,
+        hq_pad=hq_pad,
+        num_kv_heads=num_kv_heads,
+        head_dim=head_dim,
+        page_size=page_size,
+        logit_softcap=logit_softcap,
+        pack=F,
+    )
+    # block-diagonal q per side: head h*group+g of seq s → row
+    # s*hq_pad + h*group+g, lanes [(s%F)*W + 2h*D, (s%F)*W + 2h*D+D)
+    group = num_q_heads // num_kv_heads
+    qr = q.reshape(t, num_kv_heads, group, head_dim)
+    qw = jnp.zeros((t, num_kv_heads, group, width), q.dtype)
+    for h in range(num_kv_heads):
+        qw = qw.at[:, h, :, 2 * h * head_dim:
+                   (2 * h + 1) * head_dim].set(qr[:, h])
+    qw = qw.reshape(t, num_q_heads, width)
+    if hq_pad != num_q_heads:
+        qw = jnp.pad(qw,
+                     ((0, 0), (0, hq_pad - num_q_heads), (0, 0)))
+    if t2 != t:
+        qw = jnp.pad(qw, ((0, t2 - t), (0, 0), (0, 0)))
+    lane = (jnp.arange(t2) % F)[:, None, None, None]
+    qp = jnp.where(lane == jnp.arange(F)[None, None, :, None],
+                   qw[:, :, None, :], 0)
+    q2 = qp.reshape(t2 * hq_pad, wp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_grp // bsg, ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((bs * hq_pad, wp), q.dtype),
+            pltpu.VMEM((N_BUF_DECODE, kvb, wp), kv_cache2.dtype),
+            pltpu.VMEM((bs * hq_pad, head_dim), q.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((N_BUF_DECODE, F * npp)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t2 * hq_pad, head_dim),
+                                       q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", ),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(seq_lens, block_tables, num_seqs, page_base, q2, kv_cache2)
+    out = out.reshape(t2, hq_pad, head_dim)
+    return out[:t, :num_q_heads, :]
+
+
 def _decode_attention_pallas(
     q: jax.Array,  # [T, Hq, D] — T == num padded seqs, 1 token each
     kv_cache2: jax.Array,  # [P*page, 2*Hk*D] width layout
@@ -796,6 +1194,18 @@ def _decode_attention_pallas(
 ) -> jax.Array:
     t, num_q_heads, head_dim = q.shape
     width = 2 * num_kv_heads * head_dim
+    # narrow-KV models (W <= 512): lane-pack F sequences per stream
+    # block — the general kernel's per-item scalar/issue overhead
+    # dominates at these widths (see _rpa_decode_packed_kernel)
+    pack_env = envs.VLLM_TPU_DECODE_PACK
+    pack = (min(4, 1024 // width) if pack_env is None else pack_env)
+    if (pack >= 2 and sliding_window is None and chunk_size is None
+            and not has_sinks and kv_cache2.dtype == q.dtype
+            and kv_scales is None):
+        return _decode_attention_packed(
+            q, kv_cache2, block_tables, seq_lens, sm_scale,
+            num_kv_heads, page_size, logit_softcap, num_seqs,
+            page_base, interpret, pack)
     # per-sequence q rows padded to the 8-row sublane tile so every
     # dynamic VMEM slice offset ((s - s_base) * hq_pad) is provably
     # tile-aligned for Mosaic
@@ -809,7 +1219,7 @@ def _decode_attention_pallas(
     while t % bs:
         bs //= 2
     kvb_budget = KV_STREAM_BYTES // (
-        N_BUF * width * kv_cache2.dtype.itemsize)
+        N_BUF_DECODE * width * kv_cache2.dtype.itemsize)
     # small stream blocks win at decode: with kvb == SB (128) the
     # per-item sub-block cond chain disappears, page DMAs skip at the
     # finest granularity, and the padded MXU/VPU area past seq_len
@@ -867,15 +1277,15 @@ def _decode_attention_pallas(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((bs * hq_pad, width), q.dtype),
-            pltpu.VMEM((N_BUF, kvb, width), kv_cache2.dtype),
+            pltpu.VMEM((N_BUF_DECODE, kvb, width), kv_cache2.dtype),
             pltpu.VMEM((bs * hq_pad, head_dim), q.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((N_BUF, npp)),
+            pltpu.SemaphoreType.DMA((N_BUF_DECODE, npp)),
         ] + ([pltpu.VMEM((kvb, width), q.dtype)] if has_quant else [])
         + ([
-            pltpu.VMEM((N_BUF, 8, kvb), jnp.float32),
-            pltpu.SemaphoreType.DMA((N_BUF, )),
+            pltpu.VMEM((N_BUF_DECODE, 8, kvb), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF_DECODE, )),
         ] if has_scales else []),
     )
     sc2 = (_gather_scale_columns(kv_scales, block_tables, page_base,
